@@ -1,0 +1,71 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-collapsing action (``.count()`` on
+cached result would hide exchange cost, so we use ``collect()`` — result
+sets are intentionally small/bounded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_weather_system_spark import contract  # noqa: E402
+from bigdata_weather_system_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries — one per operator family that matters at scale.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "latest_event_per_user",
+    "hourly_profile",
+    "daily_profile",
+    "revenue_by_nation",
+    "order_lineitem_left_join",
+    "topk_events_by_value",
+    "mode_event_type_per_user",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bdws-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warm the JVM + parquet footers once so per-query timings measure the
+    # query, not session startup.
+    contract.QUERIES["topk_events_by_value"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = contract.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

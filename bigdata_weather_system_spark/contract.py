@@ -1,0 +1,395 @@
+"""Driver-contract registry: named queries + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 is exposed here as a named query
+over the synthetic testdata tables, paired with ANSI SQL DuckDB can run on
+the same parquet files. The driver compares row-count + schema +
+order-insensitive value hash, sorting columns by name — so every computed
+column is aliased identically on both sides.
+
+Determinism rules (SURVEY.md §7.3):
+- float aggregates that involve summation (sum/avg) are rounded on BOTH
+  sides (partial-aggregation order differs between engines);
+- min/max/count are exact — no rounding;
+- mode uses the count-desc, value-asc rank pattern (deterministic ties),
+  never engine-native ``mode()``;
+- top-k orderings always end in a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .operators.latest import latest_per_key, dedup_latest, top_n_per_key
+from .operators.profile import (
+    bucketed_profile,
+    day_bucket,
+    epoch_bucket,
+    hour_bucket,
+    mode_per_group,
+    standard_metric_aggs,
+)
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations (SURVEY §2.4) — flagship pricing summary (A2-ish)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped hash aggregation — partial+final agg, pushed filter.
+
+    Reference parity: the hour/day metric-agg blocks (A2/A3,
+    reference spark.py:598-618, 709-731) generalized to the lineitem table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-family: window ranking (latest-per-key W1, dedup W2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest row per key via window rank (reference spark.py:256-267)."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, key_cols=("user_id",), ts_col="ts", tiebreak_cols=("event_id",)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "dedup_latest_arrival",
+    oracle="""
+    SELECT user_id, sec, event_id, value
+    FROM (
+      SELECT user_id, date_trunc('second', ts) AS sec, event_id, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: dedupe (key, event-time) keeping newest arrival (getSample.py:128-136)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sec", F.date_trunc("second", F.col("ts"))
+    )
+    return dedup_latest(
+        ev, key_cols=("user_id", "sec"), order_col="event_id"
+    ).select("user_id", "sec", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed profiles: A2-A6 + J1-J3 (hour / day / epoch-bucket)
+# ---------------------------------------------------------------------------
+
+_PROFILE_METRICS_SQL = """
+           count(*)                  AS n_events,
+           round(avg(value), 4)      AS avg_value,
+           min(value)                AS min_value,
+           max(value)                AS max_value,
+           round(sum(value), 2)      AS sum_value
+"""
+
+
+def _profile_oracle(bucket_sql: str) -> str:
+    return f"""
+    WITH b AS (SELECT {bucket_sql} AS bucket, value, event_type FROM events),
+    agg AS (
+      SELECT bucket, {_PROFILE_METRICS_SQL}
+      FROM b GROUP BY bucket
+    ),
+    hist AS (
+      SELECT bucket, event_type, count(*) AS cnt FROM b GROUP BY bucket, event_type
+    ),
+    modal AS (
+      SELECT bucket, event_type AS modal_event_type
+      FROM (
+        SELECT bucket, event_type, row_number() OVER (
+                 PARTITION BY bucket ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM hist
+      ) WHERE rn = 1
+    )
+    SELECT agg.*, modal.modal_event_type
+    FROM agg LEFT JOIN modal USING (bucket)
+    """
+
+
+def _profile_query(bucket_expr_fn) -> QueryFn:
+    """bucket_expr_fn is a thunk: Column exprs need a live session to build."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _t(spark, sf_dir, "events")
+        return bucketed_profile(
+            ev,
+            bucket_expr_fn(),
+            "bucket",
+            standard_metric_aggs("value"),
+            mode_col="event_type",
+            mode_out="modal_event_type",
+        )
+
+    return fn
+
+
+register("hourly_profile", oracle=_profile_oracle("date_trunc('hour', ts)"))(
+    _profile_query(lambda: hour_bucket("ts"))
+)
+register(
+    "daily_profile",
+    oracle=_profile_oracle("CAST(CAST(ts AS DATE) AS VARCHAR)"),
+)(
+    _profile_query(lambda: day_bucket("ts").cast("string"))
+)
+register(
+    "epoch_bucket_profile",
+    oracle=_profile_oracle("CAST(floor(epoch(ts) / 21600) AS BIGINT)"),
+)(
+    _profile_query(lambda: epoch_bucket("ts", 21600))
+)
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+    SELECT user_id, event_type AS modal_event_type
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: deterministic mode (count desc, value asc — spark.py:628-640)."""
+    ev = _t(spark, sf_dir, "events")
+    return mode_per_group(ev, ["user_id"], "event_type", "modal_event_type")
+
+
+@register(
+    "distinct_event_days",
+    oracle="SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events",
+)
+def distinct_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct days present (reference spark.py:1303-1306), sargable form."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(F.to_date("ts").cast("string").alias("day")).distinct()
+
+
+@register(
+    "average_day",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR)  AS day,
+           round(avg(value), 4)               AS average_value,
+           count(*)                           AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)
+    """,
+)
+def average_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: whole-day average for one date, with a partition-prunable predicate
+    (``to_date(ts) = lit`` not ``date_format(ts) = str`` — SURVEY §4.3)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("average_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-family: sorts / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_events_by_value",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+    """,
+)
+def topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: orderBy+limit → TakeOrderedAndProject (no global sort materialized)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: the full join family (SURVEY §2.3 — capability beyond reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style equi-join chain with explicit broadcast of small dims.
+
+    orders is the fact side; customer/nation/region are broadcast so the
+    plan is a single scan of orders with map-side hash joins — zero
+    shuffles before the final aggregation, which survives any scale-up of
+    the fact table.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "order_lineitem_left_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           count(l.l_orderkey)            AS n_lines,
+           round(sum(COALESCE(l.l_extendedprice, 0)), 2) AS total_price
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def order_lineitem_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer equi-join fact-to-fact (shuffle join on the key)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,96 @@
+"""Bucketed aggregation profiles + deterministic mode.
+
+The reference pastes one agg-histogram-mode-join block six times
+(``/root/reference/prediction/preprocessing/spark.py:598-645, 709-759,
+830-874, 952-1000, 1065-1115, 1173-1216``); here it is one parameterized
+operator (SURVEY.md §4.3 asks for exactly this).
+
+Pipeline per bucket: metric aggregates (avg/min/max/count...), plus the
+modal value of a categorical column with a deterministic tie-break
+(highest count first, then smallest value — reference parity with
+``asc_nulls_last`` at ``spark.py:632-635``; we avoid ``F.mode`` because its
+tie-break is nondeterministic and would not oracle-match).
+
+Scale notes:
+- Both the metric agg and the histogram group on the bucket key, so the two
+  branches share a shuffle distribution; the final equi-join on the bucket
+  key needs no extra shuffle (outputs are already hash-partitioned on it)
+  and is broadcast-able anyway (bucket cardinality ≪ row count).
+- Bucket expressions must stay sargable (``date_trunc``/``to_date`` on a
+  native timestamp, not ``date_format`` strings) so date-partitioned tables
+  prune at the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Most frequent ``value_col`` per group; ties → smallest value."""
+    out_col = out_col or f"modal_{value_col}"
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_cnt").desc(), F.col(value_col).asc_nulls_last()
+    )
+    return (
+        hist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*group_cols, F.col(value_col).alias(out_col))
+    )
+
+
+def bucketed_profile(
+    df: DataFrame,
+    bucket_expr: Column,
+    bucket_name: str,
+    metric_aggs: Sequence[Column],
+    mode_col: str | None = None,
+    mode_out: str | None = None,
+) -> DataFrame:
+    """Group rows into buckets; aggregate metrics + optional modal category.
+
+    ``metric_aggs`` are pre-aliased aggregate columns (e.g.
+    ``F.round(F.avg("value"), 4).alias("avg_value")``).
+    """
+    bucketed = df.withColumn(bucket_name, bucket_expr)
+    agg = bucketed.groupBy(bucket_name).agg(*metric_aggs)
+    if mode_col is None:
+        return agg.orderBy(bucket_name)
+    modal = mode_per_group(bucketed, [bucket_name], mode_col, mode_out)
+    return agg.join(modal, on=bucket_name, how="left").orderBy(bucket_name)
+
+
+#: Convenience bucket expressions (sargable — see module docstring).
+def hour_bucket(ts_col: str = "ts") -> Column:
+    return F.date_trunc("hour", F.col(ts_col))
+
+
+def day_bucket(ts_col: str = "ts") -> Column:
+    return F.to_date(F.col(ts_col))
+
+
+def epoch_bucket(ts_col: str, seconds: int) -> Column:
+    """Fixed-width event-time bucket — the scalable replacement for the
+    reference's global row_number bucketing (SURVEY.md §4.3): partitions by
+    time arithmetic, no single-partition global sort."""
+    return F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(seconds)).cast("long")
+
+
+def standard_metric_aggs(value_col: str = "value") -> list[Column]:
+    v = F.col(value_col)
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(v), 4).alias("avg_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.round(F.sum(v), 2).alias("sum_value"),
+    ]

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Mirrors the capabilities of the reference session builder
+(``/root/reference/prediction/preprocessing/spark.py:147-161`` — UTC timezone,
+explicit shuffle partitioning) but sized for modern defaults: AQE on, Arrow
+on, shuffle partitions matched to available parallelism instead of the
+reference's hardcoded 8.
+
+At 100 TB the same code runs unchanged on a real cluster: only ``master`` and
+the memory/shuffle knobs move to ``spark-submit`` conf. AQE handles runtime
+partition coalescing and skew-join splitting, so a static
+``spark.sql.shuffle.partitions`` here is a ceiling, not a tuning cliff.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "bigdata-weather-system-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults are safe for both local[N] testing and cluster submission:
+    configs that only apply at JVM start (driver memory) are no-ops when a
+    session already exists.
+    """
+    par = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    mem = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "32g")
+    builder = builder.config("spark.driver.memory", mem)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

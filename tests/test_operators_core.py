@@ -1,0 +1,97 @@
+"""Unit tests for latest-per-key / mode / bucketed-profile operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.operators.latest import (
+    dedup_latest,
+    latest_per_key,
+    top_n_per_key,
+)
+from bigdata_weather_system_spark.operators.profile import (
+    bucketed_profile,
+    hour_bucket,
+    mode_per_group,
+)
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_latest_per_key_picks_max_ts_then_tiebreak(spark):
+    rows = [
+        ("a", ts(1), ts(1, 5), 1.0),
+        ("a", ts(2), ts(2, 1), 2.0),
+        ("a", ts(2), ts(2, 9), 3.0),  # same event ts, later arrival wins
+        ("b", ts(0), ts(0, 1), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "location string, event_timestamp timestamp, kafka_timestamp timestamp, v double"
+    )
+    out = {r.location: r.v for r in latest_per_key(df).collect()}
+    assert out == {"a": 3.0, "b": 4.0}
+
+
+def test_dedup_latest_keeps_newest_arrival(spark):
+    rows = [
+        ("a", ts(1), ts(1, 1), 1.0),
+        ("a", ts(1), ts(1, 9), 2.0),
+        ("a", ts(2), ts(2, 0), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "location string, event_timestamp timestamp, kafka_timestamp timestamp, v double"
+    )
+    out = sorted(r.v for r in dedup_latest(df).collect())
+    assert out == [2.0, 3.0]
+
+
+def test_top_n_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)], "k string, v int"
+    )
+    out = top_n_per_key(df, ["k"], [F.col("v").desc()], n=2)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", 8), ("a", 9), ("b", 1), ("b", 2)]
+
+
+def test_mode_deterministic_tiebreak(spark):
+    # 2×'x', 2×'a' → tie broken by smallest value 'a'
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "x"), ("g", "a"), ("g", "a"), ("h", "z")], "k string, c string"
+    )
+    out = {r.k: r.modal_c for r in mode_per_group(df, ["k"], "c").collect()}
+    assert out == {"g": "a", "h": "z"}
+
+
+def test_mode_nulls_last(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", "b"), ("g", "b")], "k string, c string"
+    )
+    out = mode_per_group(df, ["k"], "c").collect()
+    assert out[0].modal_c == "b"
+
+
+def test_bucketed_profile_hourly(spark):
+    rows = [
+        (ts(1, 0), 10.0, "v"),
+        (ts(1, 30), 20.0, "v"),
+        (ts(1, 45), 30.0, "w"),
+        (ts(2, 0), 5.0, "w"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, event_type string")
+    out = bucketed_profile(
+        df,
+        hour_bucket("ts"),
+        "bucket",
+        [F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")],
+        mode_col="event_type",
+        mode_out="modal",
+    ).collect()
+    assert len(out) == 2
+    h1, h2 = out
+    assert h1.n == 3 and h1.avg_value == 20.0 and h1.modal == "v"
+    assert h2.n == 1 and h2.modal == "w"
