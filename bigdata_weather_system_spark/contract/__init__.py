@@ -1,0 +1,14 @@
+"""Driver-contract registry (queries + DuckDB oracles), split by family.
+
+Importing this package registers every query module into the shared
+``QUERIES`` / ``ORACLES`` dicts defined in ``core``.
+"""
+
+from .core import QUERIES, ORACLES, register, queries, oracle_sql  # noqa: F401
+
+# Register the remaining families (import order = registration order).
+from . import windows_setops  # noqa: F401, E402
+from . import scalars_grouping  # noqa: F401, E402
+from . import llm_ops  # noqa: F401, E402
+
+__all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

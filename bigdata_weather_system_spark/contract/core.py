@@ -22,8 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from .operators.latest import latest_per_key, dedup_latest, top_n_per_key
-from .operators.profile import (
+from ..operators.latest import latest_per_key, dedup_latest, top_n_per_key
+from ..operators.profile import (
     bucketed_profile,
     day_bucket,
     epoch_bucket,
@@ -31,7 +31,7 @@ from .operators.profile import (
     mode_per_group,
     standard_metric_aggs,
 )
-from .sources.tables import load_table
+from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -65,9 +65,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -90,9 +90,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -150,7 +150,7 @@ def dedup_latest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_METRICS_SQL = """
            count(*)                  AS n_events,
-           round(avg(value), 4)      AS avg_value,
+           round(avg(value), 6)      AS avg_value,
            min(value)                AS min_value,
            max(value)                AS max_value,
            round(sum(value), 2)      AS sum_value
@@ -246,7 +246,7 @@ def distinct_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "average_day",
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR)  AS day,
-           round(avg(value), 4)               AS average_value,
+           round(avg(value), 6)               AS average_value,
            count(*)                           AS n_events
     FROM events
     WHERE CAST(ts AS DATE) = DATE '2024-01-15'
@@ -261,7 +261,7 @@ def average_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
         .groupBy(F.to_date("ts").cast("string").alias("day"))
         .agg(
-            F.round(F.avg("value"), 4).alias("average_value"),
+            F.round(F.avg("value"), 6).alias("average_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

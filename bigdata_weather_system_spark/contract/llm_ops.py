@@ -1,0 +1,370 @@
+"""Contract queries: LLM training-data pipeline operators.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+similarity search (brute-force + LSH), text analysis (tokens, quality,
+language-ID, fingerprint), multimodal plumbing. These are first-class
+components of the engine (BASELINE.json north star), not extras.
+
+Oracle notes:
+- md5 is used for fingerprints (bit-identical across engines; xxhash64 is
+  Spark-only so MinHash/SimHash entries are rows-only checks).
+- All vector math is done in doubles on both sides; DuckDB's
+  ``list_cosine_similarity`` on FLOAT[] computes in float32, so oracles cast
+  to DOUBLE[] first.
+- Ratios/scores are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import (
+    decode_image_features,
+    media_metadata_summary,
+    sample_frames,
+    to_media_table,
+)
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from ..operators.text import fingerprint, language_id, quality_score
+from .core import register, _t
+
+# Portable SQL fragments ----------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM t),
+    e AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM s)
+"""
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT md5({_NORM_TEXT}) AS ck, min(doc_id) AS doc_id
+      FROM documents GROUP BY 1
+    ) k ON d.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: smallest doc_id survives per normalized-content hash."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_common,
+           round(count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs ≥ 0.5 (explode + self-join)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("minhash_lsh_near_dups")  # xxhash64 signatures → Spark-only, rows-only check
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes) + LSH(8 bands) candidates verified at Jaccard ≥ 0.5.
+
+    Rows-only contract entry (DuckDB lacks xxhash64); its recall/precision
+    against the exact pair set is pinned by tests/test_llm_ops.py.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("simhash_near_dups")  # rows-only: xxhash64-based
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near pairs at Hamming ≤ 3 via 16-bit block banding."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "embedding_near_dup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.44
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the verify twin of the LSH
+    variant below). Self cross-join pruned by id ordering."""
+    from ..operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.44)
+    )
+
+
+@register("embedding_near_dup_lsh")  # rows-only: hyperplane sketches Spark-side
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (sign-bit sketch join) — scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.44, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               AS cosine_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 20 query vectors (ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(e, q, k=10).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+
+
+@register("cosine_topk_lsh")  # rows-only: hyperplane sketches Spark-side
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (recall vs brute force pinned in
+    tests/test_llm_ops.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(e, q, k=10, n_planes=4).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len({_TOKS})), 6) AS avg_tokens,
+           min(len({_TOKS})) AS min_tokens,
+           max(len({_TOKS})) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts aggregated per language label."""
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n), 6).alias("avg_tokens"),
+        F.min(n).cast("long").alias("min_tokens"),
+        F.max(n).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             len({_TOKS}) AS n_tokens,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len({_TOKS})
+                  ELSE 0.0 END AS avg_token_len,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text,
+                        '[.,;:!?''"()\\[\\]{{}}<>-]', '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS digit_ratio,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN len(list_filter({_TOKS},
+                        x -> list_contains(['the','and','of','to','is','a'], x)))::DOUBLE
+                       / len({_TOKS})
+                  ELSE 0.0 END AS stopword_ratio
+      FROM documents)
+    SELECT doc_id, n_chars_q, n_tokens,
+           round(avg_token_len, 4) AS avg_token_len,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(digit_ratio, 4) AS digit_ratio,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.4
+                 + (1 - least(punct_ratio * 5, 1.0)) * 0.2
+                 + (1 - least(digit_ratio * 5, 1.0)) * 0.2
+                 + least(stopword_ratio * 4, 1.0) * 0.2, 4) AS quality_score
+    FROM f
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/digit/stopword quality features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    out = quality_score(d)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_q").cast("long").alias("n_chars_q"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        "quality_score",
+    )
+
+
+_LANG_LISTS = {
+    "de": "['der','die','und','das','nicht','ist']",
+    "en": "['the','and','of','to','is','a']",
+    "es": "['el','la','de','que','los','es']",
+    "fr": "['le','la','les','des','est','une']",
+    "zh": "['de','shi','le','bu','wo','zai']",
+}
+_SCORE_SQL = {
+    lang: f"len(list_filter({_TOKS}, x -> list_contains({lst}, x)))"
+    for lang, lst in _LANG_LISTS.items()
+}
+_MAX_SQL = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_SCORE_SQL)) + ")"
+_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_MAX_SQL} THEN '{lang}'" for lang in sorted(_SCORE_SQL)
+    )
+    + " END"
+)
+
+
+@register(
+    "doc_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {', '.join(f'{sql} AS s_{lang}' for lang, sql in sorted(_SCORE_SQL.items()))}
+      FROM documents)
+    SELECT doc_id, labeled_lang,
+           {', '.join(f's_{lang} AS score_{lang}' for lang in sorted(_SCORE_SQL))},
+           {_PRED_SQL} AS predicted_lang
+    FROM scored
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language scores + argmax with
+    alphabetical tie-break."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "text"
+    )
+    return language_id(d, "text").drop("text")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprints (portable across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_metadata_summary",
+    oracle="""
+    SELECT 'image' AS modality,
+           count(*) AS n_items,
+           sum(octet_length(encode(text))) AS total_bytes,
+           min(octet_length(encode(text))) AS min_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media table metadata profile (bytes fabricated from text —
+    the image/audio libs aren't in this container; SURVEY §7/M7)."""
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", "image")
+    return media_metadata_summary(media)
+
+
+@register("media_decode_features")  # mapInPandas fan-out → rows-only check
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake image decode (real plumbing, stubbed kernel)."""
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", "image")
+    return decode_image_features(media)
+
+
+@register("media_frame_samples")  # mapInPandas fan-out → rows-only check
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: 1 row → N frame rows through mapInPandas."""
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", "video")
+    return sample_frames(media).drop("frame_bytes").withColumn(
+        "frame_len", F.lit(64)
+    )

@@ -1,0 +1,239 @@
+"""Contract queries: scalar functions, JSON, conditionals, grouping sets,
+pivot, exact/approx distinct, percentiles.
+
+Covers SURVEY §2.8 (scalar function families the reference uses) plus the
+grouping-set/pivot/percentile capabilities Spark provides beyond the
+reference (§2.4 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .core import register, _t
+
+
+# ---------------------------------------------------------------------------
+# String / regex scalar functions over documents (P-family parity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_text_scalars",
+    oracle="""
+    SELECT doc_id,
+           length(text)                                   AS n_chars_computed,
+           length(trim(text))                             AS n_chars_trimmed,
+           lower(substr(text, 1, 16))                     AS head_lower,
+           CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonantish,
+           split_part(text, ' ', 1)                       AS first_token
+    FROM documents
+    """,
+)
+def doc_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/trim/length/substr/contains/regexp_replace/split (SURVEY §2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_computed"),
+        F.length(F.trim(t)).cast("long").alias("n_chars_trimmed"),
+        F.lower(F.substring(t, 1, 16)).alias("head_lower"),
+        F.when(t.contains("spark"), 1).otherwise(0).cast("long").alias("mentions_spark"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).cast("long").alias("n_consonantish"),
+        F.split_part(t, F.lit(" "), F.lit(1)).alias("first_token"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k_value, count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY CAST(props->>'$.k' AS BIGINT)
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (P2/P3 parity —
+    get_json_object is the schema-tolerant cousin of from_json+getItem)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy(k.alias("k_value")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@register(
+    "value_tier_case",
+    oracle="""
+    SELECT CASE WHEN value >= 150 THEN 'high'
+                WHEN value >= 50  THEN 'mid'
+                ELSE 'low' END AS tier,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def value_tier_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.when conditional chains (SURVEY §2.8 'Conditional')."""
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") >= 150, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+    )
+    return ev.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "event_date_parts",
+    oracle="""
+    SELECT extract(year FROM ts)  AS y,
+           extract(month FROM ts) AS m,
+           extract(day FROM ts)   AS d,
+           extract(hour FROM ts)  AS h,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def event_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (hour/day/month/year — §2.8 'Date/time')."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "cube_type_day",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    """,
+)
+def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").cast("string").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting + percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("approx_distinct_users")  # HLL sketch → engine-specific, rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch results differ across engines
+    by design, so this is a rows-only contract entry; the exact variant
+    above is the oracle-checked twin."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@register(
+    "value_percentiles_per_type",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 4)                   AS median_value,
+           round(quantile_cont(value, 0.90), 4)      AS p90_value,
+           round(quantile_cont(value, 0.99), 4)      AS p99_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A9 parity: reference computes these
+    driver-side, weather_utils.py:58-84 — here they stay in-plan)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.percentile("value", 0.90), 4).alias("p90_value"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99_value"),
+    )
+
+
+@register(
+    "unit_conversions",
+    oracle="""
+    SELECT event_id, value,
+           round(value * 9.0 / 5.0 + 32.0, 4) AS value_f,
+           round(value + 273.15, 4)           AS value_k
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Celsius→F/K arithmetic in-plan (reference does this in Python,
+    weather_utils.py:10-26 — pure column math needs no UDF)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        "value",
+        F.round(v * 9.0 / 5.0 + 32.0, 4).alias("value_f"),
+        F.round(v + 273.15, 4).alias("value_k"),
+    )

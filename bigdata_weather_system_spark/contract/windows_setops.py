@@ -1,0 +1,228 @@
+"""Contract queries: analytic windows, sequences, set operations.
+
+Window coverage beyond the reference's row_number/collect_list/lead
+(SURVEY §2.5 "all available built-in if we choose to expose them") plus the
+set-operation family the reference lacks entirely (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.sequences import build_sequences
+from ..operators.windows import with_neighbors, with_rolling_agg, with_running_agg
+from .core import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Window frames / analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "running_sum_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_sum
+    FROM events
+    """,
+)
+def running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum — rows frame, one shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_running_agg(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.round("running_sum", 2).alias("running_sum")
+    )
+
+
+@register(
+    "rolling_avg_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-12-row rolling average (W5's scalar cousin)."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_rolling_agg(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value", 12
+    )
+    return out.select(
+        "event_id", "user_id", F.round("rolling_avg", 6).alias("rolling_avg")
+    )
+
+
+@register(
+    "lead_lag_events",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lead(value, 1) OVER w AS next_value,
+           lag(value, 1)  OVER w AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 lead + lag (forecast-target pattern, getSample.py:171-186)."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_neighbors(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("next_value"),
+        F.col("prev_value"),
+    )
+
+
+@register(
+    "event_rank_analytics",
+    oracle="""
+    SELECT event_id, user_id, value,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS dense_rnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    """,
+)
+def event_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank over a unique ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence builder (W5/W6/W7) — scalar oracle + full nested rows-only query
+# ---------------------------------------------------------------------------
+
+@register(
+    "sequence_window_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           cnt AS seq_len,
+           round(win_avg, 6) AS seq_avg_value,
+           first_ts AS seq_start_ts
+    FROM (
+      SELECT user_id, event_id,
+             count(*)   OVER w AS cnt,
+             avg(value) OVER w AS win_avg,
+             first_value(ts) OVER w AS first_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ) WHERE cnt = 24
+    """,
+)
+def sequence_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar projection of the trailing-24 sequence frame (oracle-checkable
+    stand-in for the nested array<struct> builder, which DuckDB can't hash
+    portably)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-23, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("seq_len"),
+            F.round(F.avg("value").over(w), 6).alias("seq_avg_value"),
+            F.first("ts").over(w).alias("seq_start_ts"),
+        )
+        .filter(F.col("seq_len") == 24)
+    )
+
+
+@register("build_training_sequences")  # nested output → rows-only check
+def build_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nested sequence builder (array<struct> windows + lead targets).
+
+    Nested list-of-struct values don't hash portably across Spark/DuckDB, so
+    this is a rows-only contract entry; its semantics are pinned by
+    tests/test_sequences.py invariants and by sequence_window_stats above.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return build_sequences(
+        ev,
+        key_cols=("user_id",),
+        ts_col="ts",
+        feature_cols=("value", "event_type"),
+        target_cols=("value",),
+        seq_len=24,
+        forecast_len=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference, full family here)
+# ---------------------------------------------------------------------------
+
+@register(
+    "active_users_union",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def active_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "purchasers_who_errored",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def purchasers_who_errored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "clickers_minus_purchasers",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def clickers_minus_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT (distinct) semantics

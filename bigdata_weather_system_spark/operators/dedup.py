@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies, scale-ranked:
+
+- **exact**: hash-groupBy on (normalized) content. One shuffle keyed by a
+  64-bit hash — at 100 TB, group on ``xxhash64`` of the text, never the text
+  itself, so shuffle rows stay ~16 bytes.
+- **n-gram Jaccard**: exact set similarity via shingle explode + self-join.
+  Quadratic in cluster size — correct, used as the verify step.
+- **MinHash + LSH**: near-dup at scale. signature = min over shingle hashes
+  per seed; band-hash bucketing turns the O(n²) pair space into joins on
+  bucket keys; candidates verified with true Jaccard.
+- **SimHash**: 64-bit weighted-bit fingerprint + Hamming-ball banding.
+- **embedding cosine**: semantic near-dup over the embeddings table (see
+  operators/similarity.py for the cosine machinery).
+
+Everything is built-in column expressions (xxhash64, explode, groupBy,
+bitwise ops) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import normalize_text, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the smallest-id document per identical (normalized) text.
+
+    Returns the surviving rows of ``df``. Grouping key is the md5 of the
+    content, not the content — constant-width shuffle rows at any scale.
+    """
+    key = F.md5(normalize_text(F.col(text_col)) if normalize else F.col(text_col))
+    keyed = df.withColumn("_ck", key)
+    survivors = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(survivors, on=["_ck", id_col], how="left_semi").drop("_ck")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact set similarity — also the MinHash verify step)
+# ---------------------------------------------------------------------------
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles array, set size) per document."""
+    return df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
+
+    explode → self-equi-join on shingle → count intersections → Jaccard.
+    The join shuffles on the shingle string; at scale hash the shingle to
+    64 bits first (same plan, 8-byte keys). Hot shingles (boilerplate) are
+    the skew risk — AQE skew-join handles moderate cases; drop
+    top-frequency shingles for pathological ones.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    exploded = sets.select(
+        F.col(id_col), "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, array of num_hashes minhash values).
+
+    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    Computed per-row with higher-order array functions — no explode, no
+    shuffle: the signature stage is narrow and embarrassingly parallel.
+    """
+    shingles = word_shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    band key = hash(band index, the band's slice of the signature); a
+    groupBy-free formulation: explode bands → self-join on (band, bucket).
+    The join keys are 8-byte hashes — this is the O(n²)→O(candidates)
+    reduction that makes near-dup feasible at 100 TB.
+    """
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    The verify join re-derives shingle sets only for candidate ids
+    (left_semi pushdown) — verification cost is proportional to candidate
+    count, not corpus size.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        df.join(cand_ids, on=id_col, how="left_semi"),
+        id_col,
+        text_col,
+        n,
+        threshold,
+    )
+    return cands.join(
+        verified, on=["id_a", "id_b"], how="inner"
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+#: Signed-long bit masks for bits 0..63 (bit 63 = the sign bit).
+_BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """64-bit SimHash per document from shingle hashes.
+
+    bit_j(doc) = 1 iff sum over shingles of sign(bit_j(hash(shingle))) > 0.
+    Formulated as explode → groupBy(id) with 64 map-side-combinable sums:
+    exactly one shuffle keyed by document id, partial aggregation upstream —
+    the shape that survives a 100 TB corpus (vs. a per-row 64-pass array
+    fold, which blows up expression size).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).select(id_col, F.xxhash64("shingle").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+        ).alias(f"_c{j}")
+        for j, mask in enumerate(_BIT_MASKS)
+    ]
+    counts = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for j, mask in enumerate(_BIT_MASKS):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_c{j}") > 0, F.lit(mask)).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n: int = 2,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ max_hamming between SimHashes.
+
+    Banding: split the 64-bit signature into 4 16-bit blocks; any pair
+    within Hamming ≤ 3 shares at least one exact block (pigeonhole), so the
+    self-join runs on block values, never all pairs.
+    """
+    sigs = simhash(df, id_col, text_col, n)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.block_idx", "bb.block")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, on=["block_idx", "block"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

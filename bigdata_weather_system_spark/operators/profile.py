@@ -59,7 +59,7 @@ def bucketed_profile(
     """Group rows into buckets; aggregate metrics + optional modal category.
 
     ``metric_aggs`` are pre-aliased aggregate columns (e.g.
-    ``F.round(F.avg("value"), 4).alias("avg_value")``).
+    ``F.round(F.avg("value"), 6).alias("avg_value")``).
     """
     bucketed = df.withColumn(bucket_name, bucket_expr)
     agg = bucketed.groupBy(bucket_name).agg(*metric_aggs)
@@ -89,7 +89,7 @@ def standard_metric_aggs(value_col: str = "value") -> list[Column]:
     v = F.col(value_col)
     return [
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(v), 4).alias("avg_value"),
+        F.round(F.avg(v), 6).alias("avg_value"),
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
         F.round(F.sum(v), 2).alias("sum_value"),

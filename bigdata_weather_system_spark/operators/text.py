@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python UDFs
+anywhere in this module, so the hot path scales to 100 TB of documents
+without Arrow transfer costs.
+
+Operators: tokenization, token counting, quality scoring
+(length/punctuation/stopword/digit ratios), n-gram-heuristic language ID,
+document fingerprinting (normalized md5 + shingle set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Marker stopwords per language for the n-gram/stopword language heuristic.
+#: Small on purpose: the heuristic is a scoring scaffold — swap in real lists
+#: (or fastText) for production quality; the Spark plumbing is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]"
+_WS_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens with empties removed."""
+    return F.filter(F.split(F.lower(text), _WS_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND word/non-word
+    boundaries (a cheap BPE proxy — counts punctuation and digit runs as
+    their own tokens, ~what a byte-level BPE does to clean text)."""
+    pieces = F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+
+
+def char_ratio(text: Column, pattern: str) -> Column:
+    """Fraction of characters matching ``pattern`` (regex char class)."""
+    clen = F.length(text)
+    removed = F.length(F.regexp_replace(text, pattern, ""))
+    return F.when(clen > 0, (clen - removed) / clen).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] | None = None) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append document-quality features: counts + ratios used by C4/Gopher
+    style filters. Pure column math — one narrow stage."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    return df.withColumns(
+        {
+            "n_chars_q": F.length(t),
+            "n_tokens": n_toks,
+            "avg_token_len": F.when(
+                n_toks > 0, F.length(F.regexp_replace(t, _WS_RE, "")) / n_toks
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": char_ratio(t, _PUNCT_RE),
+            "digit_ratio": char_ratio(t, r"[0-9]"),
+            "stopword_ratio": stopword_ratio(t),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the features (heuristic weights)."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.2
+    )
+    return feat.withColumn("quality_score", F.round(score, 4))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    toks = tokens(text)
+
+    def hit(markers):
+        # NB: the lambda must take exactly one arg — PySpark reads lambda
+        # arity to decide between (value) and (value, index) HOF signatures.
+        return lambda t: t.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, hit(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
+    """Argmax language by marker hits; ties → alphabetically first language.
+
+    Decision = greatest(scores) + first-match coalesce, all codegen'd column
+    math, trivially reproducible in ANSI SQL for the oracle.
+    """
+    scores = lang_scores(F.col(text_col))
+    max_score = F.greatest(*scores.values())
+    best = F.coalesce(
+        *[
+            F.when(scores[lang] == max_score, F.lit(lang))
+            for lang in sorted(scores)
+        ]
+    )
+    out = df
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score)
+    return out.withColumn(out_col, best)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), _WS_RE, " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic content fingerprint = md5 of the normalized text.
+
+    md5 is chosen (over xxhash64) because it is bit-identical across engines
+    — the DuckDB oracle can reproduce it; use ``F.xxhash64`` internally when
+    only Spark-side identity is needed (it's faster)."""
+    return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit set for Jaccard/MinHash)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
