@@ -1,0 +1,13 @@
+from .pipeline import (
+    read_event_stream,
+    start_memory_sink,
+    start_parquet_sink,
+    streaming_hourly_profile,
+)
+
+__all__ = [
+    "read_event_stream",
+    "start_memory_sink",
+    "start_parquet_sink",
+    "streaming_hourly_profile",
+]

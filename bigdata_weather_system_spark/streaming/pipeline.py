@@ -1,0 +1,130 @@
+"""Structured Streaming pipelines (SURVEY §2.9 T1-T8).
+
+The parse chain from ``sources/raw_events.py`` is stateless, so the SAME
+function serves batch snapshots and streams (T7 duality — the reference
+proves this pattern with ``_parse_kafka_dataframe``).
+
+Two sink modes:
+- **memory sink** (reference parity, spark.py:289-297): append-mode named
+  table, queryable via ``spark.table``; unbounded driver heap — test/demo
+  only.
+- **parquet sink + checkpoint** (the production shape, SURVEY §4.3):
+  durable, exactly-once file output; interactive queries hit the table with
+  ``spark.read.parquet`` and get late rows integrated retroactively because
+  every query re-derives latest-per-key (T5 lambda-ish semantics).
+
+Watermarking: the reference has none (T3) — parse-only streams need none in
+append mode. ``streaming_hourly_profile`` shows the stateful variant: a
+tumbling event-time window aggregation with a watermark bounding state.
+
+Kafka: ``read_event_stream(source="kafka", ...)`` emits the same plan from
+``spark.readStream.format("kafka")``; tests use the file source (no broker
+in this environment) — the parse chain is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pyspark.sql import types as T
+
+from ..sources.raw_events import parse_raw_events
+
+#: File-transport raw schema: JSON carries key/value as plain strings (the
+#: parse chain's binary→string cast is a no-op on strings; Kafka sources
+#: yield binary and hit the same chain — T7 duality).
+RAW_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source: str = "files",
+    path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topic: str | None = None,
+    starting_offsets: str = "earliest",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded stream of raw (key, value, timestamp) event rows."""
+    if source == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        return reader.load().select("key", "value", "timestamp")
+    reader = spark.readStream.schema(RAW_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path).select("key", "value", "timestamp")
+
+
+def start_memory_sink(
+    raw_stream: DataFrame,
+    table_name: str = "weather_events",
+    trigger_seconds: int | None = None,
+    keep_payload: bool = True,
+) -> StreamingQuery:
+    """Parse chain → append-mode in-memory table (reference parity)."""
+    parsed = parse_raw_events(raw_stream, keep_payload=keep_payload)
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_parquet_sink(
+    raw_stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+    keep_payload: bool = False,
+) -> StreamingQuery:
+    """Parse chain → durable parquet append with checkpoint (exactly-once
+    file sink; the 100 TB replacement for the memory sink). Payload map is
+    dropped by default — the heaviest column, rarely needed downstream."""
+    parsed = parse_raw_events(raw_stream, keep_payload=keep_payload)
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_hourly_profile(
+    raw_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming variant of the hourly profile: tumbling 1-hour
+    event-time windows with a watermark bounding state (T3/T4 — the
+    capability the reference computes only at query time). Returns the
+    unbounded aggregated DataFrame; caller attaches a sink (update mode)."""
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+    return (
+        parsed.withWatermark("event_timestamp", watermark)
+        .groupBy(
+            F.window("event_timestamp", "1 hour").alias("hour_window"),
+            F.col("location"),
+        )
+        .agg(
+            F.avg("temperature").alias("avg_temperature"),
+            F.avg("windspeed").alias("avg_windspeed"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

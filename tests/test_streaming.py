@@ -1,0 +1,142 @@
+"""Structured Streaming: file-source micro-batches through the shared parse
+chain (T1-T8), memory + parquet sinks, late-row integration, watermarked
+stateful profile."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.operators.latest import latest_per_key
+from bigdata_weather_system_spark.streaming import (
+    read_event_stream,
+    start_memory_sink,
+    start_parquet_sink,
+    streaming_hourly_profile,
+)
+
+
+def write_batch(dirpath, name, payloads, kafka_ts):
+    """One JSON-lines file = one micro-batch of raw kafka-shaped rows."""
+    with open(os.path.join(dirpath, name), "w") as f:
+        for p in payloads:
+            rec = {
+                "key": p["location_name"],
+                "value": json.dumps(p),
+                "timestamp": kafka_ts.isoformat(),
+            }
+            f.write(json.dumps(rec) + "\n")
+
+
+def payload(loc, ts, temp):
+    return {
+        "location_name": loc,
+        "time": ts.isoformat(timespec="minutes"),
+        "temperature": str(temp),
+        "weathercode": "1",
+        "interval": "900",
+        "is_day": "1",
+    }
+
+
+def wait_for(fn, timeout=30, interval=0.5):
+    end = time.time() + timeout
+    last = None
+    while time.time() < end:
+        last = fn()
+        if last:
+            return last
+        time.sleep(interval)
+    return last
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return str(d)
+
+
+def test_memory_sink_accumulates_and_integrates_late_rows(spark, stream_dir):
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(stream_dir, "b1.json", [payload("A", t0, 20.0)], t0)
+
+    raw = read_event_stream(spark, "files", stream_dir, max_files_per_trigger=1)
+    q = start_memory_sink(raw, table_name="weather_events_test")
+    try:
+        rows = wait_for(lambda: spark.table("weather_events_test").collect())
+        assert rows and rows[0].location == "A"
+        assert rows[0].temperature == 20.0
+
+        # batch 2: a NEWER event and a LATE (older) event for A
+        write_batch(
+            stream_dir,
+            "b2.json",
+            [payload("A", t0 + dt.timedelta(minutes=10), 22.0),
+             payload("A", t0 - dt.timedelta(hours=1), 18.0)],
+            t0 + dt.timedelta(minutes=10),
+        )
+        rows = wait_for(
+            lambda: (
+                r := spark.table("weather_events_test").collect(),
+                r if len(r) == 3 else None,
+            )[1]
+        )
+        assert rows is not None, "stream did not append batch 2"
+        # T5: late rows integrate retroactively — latest-per-key re-derived
+        # at query time still picks the newest event time
+        latest = latest_per_key(spark.table("weather_events_test")).collect()
+        assert len(latest) == 1 and latest[0].temperature == 22.0
+    finally:
+        q.stop()
+
+
+def test_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(stream_dir, "b1.json", [payload("B", t0, 21.0)], t0)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    raw = read_event_stream(spark, "files", stream_dir)
+    q = start_parquet_sink(raw, out, ckpt)
+    try:
+        q.processAllAvailable()
+        df = spark.read.parquet(out)
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].location == "B"
+        assert "payload" not in df.columns  # dropped for the durable sink
+    finally:
+        q.stop()
+
+
+def test_streaming_hourly_profile_is_stateful_with_watermark(spark, stream_dir, tmp_path):
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(
+        stream_dir,
+        "b1.json",
+        [payload("C", t0, 20.0), payload("C", t0 + dt.timedelta(minutes=30), 30.0)],
+        t0,
+    )
+    raw = read_event_stream(spark, "files", stream_dir)
+    agg = streaming_hourly_profile(raw, watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hourly_profile_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("hourly_profile_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_events == 2 and r.avg_temperature == 25.0
+        assert r.hour_window.start == t0
+    finally:
+        q.stop()
