@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline queries — one per operator family that matters at scale.
 BENCH_QUERIES = [
+    # relational core
     "q1_pricing_summary",
     "latest_event_per_user",
     "hourly_profile",
@@ -32,6 +33,20 @@ BENCH_QUERIES = [
     "order_lineitem_left_join",
     "topk_events_by_value",
     "mode_event_type_per_user",
+    # window analytics
+    "running_sum_per_user",
+    "sequence_window_stats",
+    "rollup_returnflag_status",
+    "value_percentiles_per_type",
+    # LLM-pipeline operators
+    "dedup_exact_docs",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprints",
 ]
 
 

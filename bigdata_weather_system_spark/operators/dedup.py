@@ -52,11 +52,21 @@ def exact_dedup(
 # N-gram Jaccard (exact set similarity — also the MinHash verify step)
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-heavy fan-out
+    stages. Small corpora arrive as a single parquet file → one partition →
+    the explode/hash pipeline runs on one core while the rest idle. The
+    pre-shuffle moves only the raw rows (cheap) and parallelizes everything
+    downstream; on a real 100 TB table the scan already yields thousands of
+    partitions and this is a no-op cost-wise."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingles array, set size) per document."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("set_size", F.size("shingles"))
@@ -118,19 +128,29 @@ def minhash_signatures(
     """(id, array of num_hashes minhash values).
 
     minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
-    Computed per-row with higher-order array functions — no explode, no
-    shuffle: the signature stage is narrow and embarrassingly parallel.
+    Shaped as explode → num_hashes codegen'd hash projections → groupBy(id)
+    with partial min aggregation: the hashes run vectorized in whole-stage
+    codegen (a per-row higher-order-function fold is interpreted and ~10×
+    slower), the mins combine map-side, and the single shuffle carries only
+    (id, num_hashes longs) per document.
+
+    Documents with no shingles (shorter than n words) have no signature —
+    they cannot near-dup by construction.
     """
-    shingles = word_shingles(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    exploded = _spread(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    hashed = exploded.select(
+        id_col,
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -191,28 +211,44 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
-    The verify join re-derives shingle sets only for candidate ids
-    (left_semi pushdown) — verification cost is proportional to candidate
-    count, not corpus size.
+    Verification joins the candidate PAIRS against per-doc shingle sets and
+    intersects the two arrays per pair (``array_intersect``) — no shingle
+    explode + self-join for the verify step, so its cost is strictly
+    O(candidate pairs × shingles), independent of corpus size.
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    # candidate pairs are consumed by two joins and are tiny relative to the
+    # corpus — cache them instead of re-running the LSH join
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select("id_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
-        df.join(cand_ids, on=id_col, how="left_semi"),
-        id_col,
-        text_col,
-        n,
-        threshold,
+    sets = shingle_sets(
+        df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
     )
-    return cands.join(
-        verified, on=["id_a", "id_b"], how="inner"
-    ).select("id_a", "id_b", "jaccard")
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("set_size").alias("_sz_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("set_size").alias("_sz_b"),
+    )
+    paired = cands.join(a, on="id_a").join(b, on="id_b")
+    n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jac = F.round(
+        n_common / (F.col("_sz_a") + F.col("_sz_b") - n_common), 6
+    )
+    return (
+        paired.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +270,7 @@ def simhash(
     the shape that survives a 100 TB corpus (vs. a per-row 64-pass array
     fold, which blows up expression size).
     """
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     ).select(id_col, F.xxhash64("shingle").alias("h"))
     bit_sums = [

@@ -55,18 +55,25 @@ def bucketed_profile(
     metric_aggs: Sequence[Column],
     mode_col: str | None = None,
     mode_out: str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Group rows into buckets; aggregate metrics + optional modal category.
 
     ``metric_aggs`` are pre-aliased aggregate columns (e.g.
     ``F.round(F.avg("value"), 6).alias("avg_value")``).
+
+    ``sort=False`` skips the presentation orderBy — a global range exchange
+    that pure-relational consumers (order-insensitive comparison, further
+    joins) don't need. Both agg branches group on the bucket key, so they
+    share one hash distribution and the final join is exchange-free.
     """
     bucketed = df.withColumn(bucket_name, bucket_expr)
     agg = bucketed.groupBy(bucket_name).agg(*metric_aggs)
     if mode_col is None:
-        return agg.orderBy(bucket_name)
+        return agg.orderBy(bucket_name) if sort else agg
     modal = mode_per_group(bucketed, [bucket_name], mode_col, mode_out)
-    return agg.join(modal, on=bucket_name, how="left").orderBy(bucket_name)
+    out = agg.join(modal, on=bucket_name, how="left")
+    return out.orderBy(bucket_name) if sort else out
 
 
 #: Convenience bucket expressions (sargable — see module docstring).
