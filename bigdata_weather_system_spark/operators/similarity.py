@@ -26,6 +26,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .latest import top_n_per_key
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to session parallelism before per-pair scoring stages.
+
+    Small corpora arrive as one parquet file → one partition → the scoring
+    join runs on a single core. The pre-shuffle moves only the raw vectors;
+    on a real multi-TB table the scan already yields thousands of partitions
+    and this is effectively free.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in doubles (order-deterministic)."""
     return F.aggregate(
@@ -58,11 +69,19 @@ def cosine_topk_bruteforce(
     for determinism. Cosine is rounded before ranking so results are stable
     across engines/accumulation orders.
     """
+    # Norms are precomputed once per row on each side — the per-pair work is
+    # a single dot fold instead of three (dot + 2 norms). The quotient is
+    # bit-identical to cosine(): sqrt(dot(v,v)) yields the same double
+    # whether evaluated per-row or per-pair.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -70,7 +89,10 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_digits).alias("cosine_sim"),
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
     )
     return top_n_per_key(
         scored,
@@ -133,9 +155,10 @@ def cosine_topk_lsh(
     buckets — an equi-join on an 8-byte key instead of a cross join.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
         lsh_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     base = lsh_sketch(F.col(vec_col), planes)
@@ -151,6 +174,7 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.explode(F.array(*probe_exprs)).alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), on="bucket").filter(
@@ -160,7 +184,10 @@ def cosine_topk_lsh(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_digits).alias("cosine_sim"),
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
     )
     return top_n_per_key(
         scored,
@@ -186,9 +213,11 @@ def embedding_near_dup_pairs(
     cosine_topk_lsh.
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    vectors = _spread(vectors)
     sk = vectors.select(
         F.col(id_col),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
         lsh_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     a = sk.alias("a")
@@ -200,7 +229,9 @@ def embedding_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
             ).alias("cosine_sim"),
         )
     )
