@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "order_lineitem_left_join",
     "topk_events_by_value",
     "mode_event_type_per_user",
+    # temporal operators
+    "asof_click_before_purchase",
+    "sessionize_events",
+    "events_value_band_join",
     # window analytics
     "running_sum_per_user",
     "sequence_window_stats",

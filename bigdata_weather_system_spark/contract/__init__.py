@@ -9,6 +9,7 @@ from .core import QUERIES, ORACLES, register, queries, oracle_sql  # noqa: F401
 # Register the remaining families (import order = registration order).
 from . import windows_setops  # noqa: F401, E402
 from . import scalars_grouping  # noqa: F401, E402
+from . import relational_ext  # noqa: F401, E402
 from . import llm_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

@@ -1,0 +1,144 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionization.
+
+The reference meets its "latest value at time T" needs with window-rank
+dedup (SURVEY §2.3, reference spark.py:256-267); these operators are the
+general forms a training-data pipeline needs, expressed as single-shuffle
+DataFrame plans:
+
+- **as-of join** (backward): for each left row, the latest right row with
+  the same key and ``right_ts <= left_ts``. Implemented as a tagged
+  union + forward-fill window — one shuffle on the join key, no range
+  explosion, no per-row driver work. This is the standard scalable shape
+  (a sort-merge within key partitions); a naive ``join + filter + argmax``
+  would materialize O(left × right-per-key) intermediates.
+- **sessionization**: gap-based session ids per key via lag + cumulative
+  sum — two window passes over one shuffle, the batch twin of Structured
+  Streaming's ``F.session_window``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row per key at or before each left row.
+
+    ``right`` must be unique per (``on``, ``right_ts``) — pre-dedup it
+    (e.g. ``dedup_latest``) for deterministic results. All ``right_cols``
+    (default: every non-key right column, including ``right_ts``) are
+    appended to the left rows; unmatched left rows keep them null.
+
+    Plan shape: union the two inputs tagged by side, sort within each key
+    partition by (event time, side) so right rows at an equal timestamp
+    sort first (the ``<=`` bound), forward-fill the right payload with
+    ``last(ignorenulls)``, keep left rows. One shuffle on ``on``; no
+    driver-side loops; works unchanged at any per-key history length.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    payload = F.struct(
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).alias("_matched_ts"),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rp"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+    )
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn("_rp", F.last("_rp", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_ats").cast("double") - F.col("_rp._matched_ts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.withColumn("_rp", F.when(within, F.col("_rp")))
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"_rp.{c}"))
+    return out.drop("_ats", "_side", "_rp")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key.
+
+    A row starts a new session when it is the first for its key or arrives
+    more than ``gap_seconds`` after the previous row. Adds ``session_id``
+    (1-based per key). Batch equivalent of ``F.session_window(ts, gap)``
+    but keyed by ordinal id so sessions are joinable/groupable directly.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_id", F.sum(new_session).over(wsum).cast("long"))
+
+
+def session_profiles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sessionize then aggregate one row per session (bounds, size, sum)."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds, tiebreak_cols)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )
+
+
+def range_band_join(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join rows to the band whose [lo, hi) interval contains ``value_col``.
+
+    The band table is broadcast — a non-equi broadcast nested-loop join,
+    which is the right physical plan when the band side is small (tiers,
+    histograms, SLA buckets). For two large interval sets, bucketize both
+    sides to an equi-join key first.
+    """
+    cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
+    return df.join(F.broadcast(bands), cond, "inner")

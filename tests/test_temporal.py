@@ -1,0 +1,115 @@
+"""Unit tests for operators/temporal.py — behaviors the DuckDB oracle
+can't pin: as-of tolerance, unmatched-left nulls, equal-timestamp bounds,
+session boundary determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from bigdata_weather_system_spark.operators.temporal import (
+    asof_join,
+    range_band_join,
+    session_profiles,
+    sessionize,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="a", ts=_ts("2024-01-01 12:00:00"), lid=2),
+            Row(k="a", ts=_ts("2024-01-01 09:00:00"), lid=3),  # before any right
+            Row(k="b", ts=_ts("2024-01-01 10:00:00"), lid=4),  # no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01 09:30:00"), rid=10),
+            Row(k="a", ts=_ts("2024-01-01 10:00:00"), rid=11),  # == left lid=1 ts
+            Row(k="a", ts=_ts("2024-01-01 11:59:00"), rid=12),
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r.lid: r.rid
+        for r in asof_join(left, right, on=["k"], right_cols=["rid"]).collect()
+    }
+    assert out[1] == 11  # equal timestamp counts (<= bound)
+    assert out[2] == 12  # latest of the three priors
+    assert out[3] is None  # left row precedes all right rows
+    assert out[4] is None  # key with no right side at all
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["rid"], tolerance_seconds=60
+        ).collect()
+    }
+    assert out[1] == 11  # 0 s gap, inside tolerance
+    assert out[2] == 12  # 60 s gap, inclusive bound
+    assert out[3] is None and out[4] is None
+
+
+def test_asof_preserves_left_rowcount(spark, asof_frames):
+    left, right = asof_frames
+    assert asof_join(left, right, on=["k"], right_cols=["rid"]).count() == left.count()
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        Row(k="u", ts=_ts("2024-01-01 10:00:00"), i=1),
+        Row(k="u", ts=_ts("2024-01-01 10:30:00"), i=2),  # 1800 s == gap → same
+        Row(k="u", ts=_ts("2024-01-01 11:00:01"), i=3),  # 1801 s > gap → new
+        Row(k="u", ts=_ts("2024-01-01 11:00:01"), i=4),  # tie ts → same session
+        Row(k="v", ts=_ts("2024-01-01 10:00:00"), i=5),  # other key restarts at 1
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.i: r.session_id
+        for r in sessionize(
+            df, ["k"], "ts", gap_seconds=1800, tiebreak_cols=["i"]
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_session_profiles_aggregates(spark):
+    rows = [
+        Row(k="u", ts=_ts("2024-01-01 10:00:00"), value=1.0, i=1),
+        Row(k="u", ts=_ts("2024-01-01 10:10:00"), value=2.0, i=2),
+        Row(k="u", ts=_ts("2024-01-01 20:00:00"), value=4.0, i=3),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.k, r.session_id): (r.n_events, r.total_value)
+        for r in session_profiles(
+            df, ["k"], "ts", gap_seconds=3600, value_col="value", tiebreak_cols=["i"]
+        ).collect()
+    }
+    assert out == {("u", 1): (2, 3.0), ("u", 2): (1, 4.0)}
+
+
+def test_range_band_join_half_open_intervals(spark):
+    df = spark.createDataFrame([Row(i=1, v=99.9), Row(i=2, v=100.0), Row(i=3, v=500.0)])
+    bands = spark.createDataFrame(
+        [Row(band="low", lo=0.0, hi=100.0), Row(band="high", lo=100.0, hi=500.0)]
+    )
+    out = {r.i: r.band for r in range_band_join(df, bands, "v").collect()}
+    assert out == {1: "low", 2: "high"}  # 500.0 falls outside every [lo, hi)
