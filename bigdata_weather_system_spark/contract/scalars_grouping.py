@@ -237,3 +237,93 @@ def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v * 9.0 / 5.0 + 32.0, 4).alias("value_f"),
         F.round(v + 273.15, 4).alias("value_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed JSON promotion, cyclic time features, forward fill
+# (P2-P4 / U3 / U5 — the reference's parse-and-feature core, in-plan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "props_map_promotion",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_promoted,
+           len(json_keys(props))         AS n_keys
+    FROM events
+    """,
+)
+def props_map_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer schema handling (SURVEY §1.3): from_json into an untyped
+    MAP<string,string> staging column, then explicit promotion + cast of
+    known keys (reference spark.py:131,186,219-245). Unknown keys survive
+    in the map — no schema-inference scan at any corpus size."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.from_json(
+        F.col("props"), T.MapType(T.StringType(), T.StringType())
+    )
+    staged = ev.withColumn("_payload", payload)
+    return staged.select(
+        "event_id",
+        F.col("_payload").getItem("k").cast("long").alias("k_promoted"),
+        F.size(F.map_keys("_payload")).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "event_cyclic_time_features",
+    oracle="""
+    SELECT event_id,
+           round(sin(2 * pi() * ((hour(ts)*3600 + minute(ts)*60
+                 + CAST(floor(second(ts)) AS BIGINT)) / 86400.0)), 6) + 0.0 AS tod_sin,
+           round(cos(2 * pi() * ((hour(ts)*3600 + minute(ts)*60
+                 + CAST(floor(second(ts)) AS BIGINT)) / 86400.0)), 6) + 0.0 AS tod_cos
+    FROM events
+    """,
+)
+def event_cyclic_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic time-of-day encodings in-plan (U3 — the reference computes
+    sin/cos driver-side per row, spark.py:48-71; pure column math here)."""
+    from ..functions import cyclic_time_features
+
+    ev = _t(spark, sf_dir, "events")
+    feats = cyclic_time_features(F.col("ts"))
+    # + 0.0 collapses IEEE negative zero (round can yield -0.0 on one engine
+    # and +0.0 on the other for the same input — hash-visible difference)
+    return ev.select(
+        "event_id",
+        (F.round(feats["tod_sin"], 6) + F.lit(0.0)).alias("tod_sin"),
+        (F.round(feats["tod_cos"], 6) + F.lit(0.0)).alias("tod_cos"),
+    )
+
+
+@register(
+    "forward_fill_values",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                 IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS filled_value
+    FROM events
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over per-key order (U5 — the reference ffills a numpy
+    matrix driver-side, spark.py:1420-1441; F.last(ignorenulls) keeps it
+    distributed). Error-row values are nulled first, mimicking sensor gaps."""
+    from ..functions import forward_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "filled_value",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    out = forward_fill(
+        ev, cols=["filled_value"], partition_cols=["user_id"], order_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("filled_value", 2).alias("filled_value")
+    )
