@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from ..operators.latest import dedup_latest
+from ..operators.skew import salted_aggregate
 from ..operators.temporal import asof_join, range_band_join, session_profiles
 from .core import register, _t
 
@@ -247,4 +248,45 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (operators/skew.py) — results identical to the
+# plain single-stage groupBy, which is exactly what the oracle pins.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS sum_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value,
+           count(*)             AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (worst-case
+    skew-prone) key: stage 1 groups on (key, salt) so no reducer sees a
+    whole hot key, stage 2 merges partials. Sum rounding happens after the
+    final merge so the result matches the plain groupBy bit-for-bit at the
+    compare precision."""
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        key_cols=["event_type"],
+        salt_source_col="event_id",
+        n_salts=16,
+        sum_cols=["value"],
+        min_cols=["value"],
+        max_cols=["value"],
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+        "n_rows",
     )

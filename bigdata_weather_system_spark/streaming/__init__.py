@@ -4,10 +4,12 @@ from .pipeline import (
     start_parquet_sink,
     streaming_hourly_profile,
 )
+from .stateful import running_value_profile
 
 __all__ = [
     "read_event_stream",
     "start_memory_sink",
     "start_parquet_sink",
     "streaming_hourly_profile",
+    "running_value_profile",
 ]

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in streaming aggregations (windowed aggs, dropDuplicates,
+stream-stream joins) cover most stateful needs; this module is the escape
+hatch for semantics they can't express — an ever-running per-key profile
+that survives across micro-batches and emits a fresh snapshot per batch
+(the streaming analog of the reference's "accumulate forever, query the
+running table" memory-sink pattern, reference spark.py:289-297, without
+unbounded memory: state is per-key and constant-width).
+
+State is a flat tuple of counters (count / sum / min / max / latest-ts) —
+Arrow-serialized, a few dozen bytes per key, so state size is
+O(distinct keys), not O(rows seen). At 100 TB-equivalent streams the
+bound that matters is key cardinality; add a timeout
+(``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle keys if the
+key space is unbounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output row per key per micro-batch that touched the key.
+RUNNING_PROFILE_SCHEMA = (
+    "location string, n_events long, sum_value double, "
+    "min_value double, max_value double, avg_value double"
+)
+#: Persistent per-key state: (count, sum, min, max).
+_STATE_SCHEMA = "n long, s double, mn double, mx double"
+
+
+def _update_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, s, mn, mx = state.get
+    else:
+        n, s, mn, mx = 0, 0.0, None, None
+    for pdf in pdfs:
+        vals = pdf["_value"].dropna()
+        if len(vals) == 0:
+            continue
+        n += int(len(vals))
+        s += float(vals.sum())
+        bmn, bmx = float(vals.min()), float(vals.max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, s, mn, mx))
+    yield pd.DataFrame(
+        [
+            {
+                "location": key[0],
+                "n_events": n,
+                "sum_value": s,
+                "min_value": mn,
+                "max_value": mx,
+                "avg_value": (s / n) if n else None,
+            }
+        ]
+    )
+
+
+def running_value_profile(
+    parsed_stream: DataFrame,
+    key_col: str = "location",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """Running per-key value profile maintained across micro-batches.
+
+    Emits one updated row per key per batch (update output mode). Unlike a
+    windowed aggregation, the state never resets — this is the "lifetime
+    stats" operator the built-ins can't express without re-scanning the
+    full history each query.
+    """
+    prepped = parsed_stream.selectExpr(
+        f"{key_col} AS location", f"CAST({value_col} AS double) AS _value"
+    )
+    return prepped.groupBy("location").applyInPandasWithState(
+        _update_profile,
+        outputStructType=RUNNING_PROFILE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

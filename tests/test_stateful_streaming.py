@@ -1,0 +1,66 @@
+"""applyInPandasWithState: per-key state must accumulate across
+micro-batches (not reset per batch) and emit updated snapshots."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
+from bigdata_weather_system_spark.streaming import (
+    read_event_stream,
+    running_value_profile,
+)
+
+from test_streaming import payload, stream_dir, wait_for, write_batch  # noqa: F401
+
+
+def test_running_profile_accumulates_across_batches(spark, stream_dir, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch(
+        stream_dir,
+        "b1.json",
+        [payload("hanoi", t0, 20.0), payload("hue", t0, 30.0)],
+        t0,
+    )
+    raw = read_event_stream(spark, path=stream_dir, max_files_per_trigger=1)
+    profile = running_value_profile(parse_raw_events(raw, keep_payload=False))
+    q = (
+        profile.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_profile")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.location: r
+            for r in spark.table("running_profile").collect()
+        }
+        assert rows["hanoi"].n_events == 1
+        assert rows["hanoi"].avg_value == 20.0
+
+        # second micro-batch touches hanoi again — state must carry over
+        t1 = t0 + dt.timedelta(minutes=5)
+        write_batch(
+            stream_dir,
+            "b2.json",
+            [payload("hanoi", t1, 40.0)],
+            t1,
+        )
+        q.processAllAvailable()
+        # update-mode memory sink appends updated rows; take the latest
+        # snapshot per key = the row with the highest n_events
+        latest = {}
+        for r in spark.table("running_profile").collect():
+            cur = latest.get(r.location)
+            if cur is None or r.n_events > cur.n_events:
+                latest[r.location] = r
+        assert latest["hanoi"].n_events == 2
+        assert latest["hanoi"].sum_value == 60.0
+        assert latest["hanoi"].avg_value == 30.0
+        assert latest["hanoi"].min_value == 20.0
+        assert latest["hanoi"].max_value == 40.0
+        assert latest["hue"].n_events == 1  # untouched key keeps its state
+    finally:
+        q.stop()
