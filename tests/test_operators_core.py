@@ -95,3 +95,21 @@ def test_bucketed_profile_hourly(spark):
     h1, h2 = out
     assert h1.n == 3 and h1.avg_value == 20.0 and h1.modal == "v"
     assert h2.n == 1 and h2.modal == "w"
+
+
+def test_csv_sink_and_scan_roundtrip(spark, tmp_path):
+    """S7 parity: header CSV write + schema'd read back (reference
+    weather_utils.py:115-139 does this with pandas; engine-side it's the
+    DataFrameWriter/Reader pair)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(location="hanoi", temperature=20.5), Row(location="hue", temperature=30.0)]
+    )
+    path = str(tmp_path / "csv_out")
+    df.write.mode("overwrite").csv(path, header=True)
+    back = spark.read.csv(path, header=True, schema="location string, temperature double")
+    assert sorted((r.location, r.temperature) for r in back.collect()) == [
+        ("hanoi", 20.5),
+        ("hue", 30.0),
+    ]
