@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "doc_quality_scores",
     "doc_language_id",
     "doc_fingerprints",

@@ -206,6 +206,19 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cosine_topk_ivf")  # rows-only: data-dependent centroids Spark-side
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: nearest-cell index + multi-cell probing
+    (recall vs brute force pinned in tests/test_llm_ops.py)."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

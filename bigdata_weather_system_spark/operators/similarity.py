@@ -238,6 +238,104 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine_sim") >= threshold).distinct()
 
 
+def _cell_assignment(
+    vec: Column, centroids: list[list[float]], n_probe: int = 1
+) -> Column:
+    """Ids of the ``n_probe`` centroids nearest (by dot product) to ``vec``.
+
+    Centroids are inlined as literal arrays (they are tiny — an IVF coarse
+    quantizer is dozens-to-thousands of cells); the per-row cost is
+    |centroids| codegen'd dot folds. Ties break toward the higher cell id
+    (struct max compares dot first, then id) — deterministic.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("cell"))
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the ``n_cells`` corpus
+    vectors ranked first by a seeded hash of their id (a k-means|| style
+    seeding without the iterative refinement — adequate as a cell
+    partitioner; swap in pyspark.ml KMeans offline for tighter cells).
+    Driver-side collect of n_cells rows only.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest coarse-quantizer cell; each query scores only the
+    corpus rows in its ``n_probe`` nearest cells.
+
+    Versus sign-bit LSH: cells adapt to the data distribution (centroids
+    are corpus vectors), and recall/cost trades via ``n_probe`` without
+    re-indexing. At 100 TB the corpus-side assignment is a narrow
+    one-pass projection; materialize it partitioned/bucketed by ``cell``
+    so each query probe is a pruned equi-join, not a scan.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+        F.element_at(_cell_assignment(F.col(vec_col), cents, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.explode(_cell_assignment(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(q), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
+    )
+    return top_n_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        n=k,
+    )
+
+
 def cosine_scores_pandas_udf(corpus: DataFrame, query_vec: list[float], vec_col: str = "embedding"):
     """Arrow-batched numpy scoring — the fast path for wide (≥512-dim)
     vectors where a per-element codegen fold is slower than BLAS.

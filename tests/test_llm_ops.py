@@ -154,3 +154,32 @@ def test_frame_sampling_fanout(docs):
         per.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in per.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_ivf_topk_recall_beats_floor(emb):
+    from bigdata_weather_system_spark.operators.similarity import cosine_topk_ivf
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    approx_rows = cosine_topk_ivf(emb, q, k=10, n_cells=16, n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"ivf recall too low: {recall}"
+    # per-query output is capped at k and sorted desc
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r.cosine_sim)
+    for sims in by_q.values():
+        assert len(sims) <= 10
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_centroids_deterministic(emb):
+    from bigdata_weather_system_spark.operators.similarity import ivf_centroids
+
+    a = ivf_centroids(emb, n_cells=8, seed=7)
+    b = ivf_centroids(emb, n_cells=8, seed=7)
+    assert a == b and len(a) == 8
