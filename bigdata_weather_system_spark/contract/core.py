@@ -394,3 +394,38 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+@register(
+    "part_type_supplier_revenue",
+    oracle="""
+    SELECT p.p_type AS part_type,
+           s.s_name AS supplier_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size >= 25
+    GROUP BY p.p_type, s.s_name
+    """,
+)
+def part_type_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-two-dims star join over the part and supplier tables. Both
+    dims are explicitly broadcast (part/supplier stay small relative to
+    lineitem at every scale factor) and the size filter sits on the dim so
+    it prunes before the join, leaving a single lineitem scan with two
+    map-side hash joins ahead of the aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    s = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("p_type").alias("part_type"), F.col("s_name").alias("supplier_name"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
