@@ -1,5 +1,6 @@
 from .pipeline import (
     read_event_stream,
+    streaming_dedup,
     start_memory_sink,
     start_parquet_sink,
     streaming_hourly_profile,
@@ -8,6 +9,7 @@ from .stateful import running_value_profile
 
 __all__ = [
     "read_event_stream",
+    "streaming_dedup",
     "start_memory_sink",
     "start_parquet_sink",
     "streaming_hourly_profile",

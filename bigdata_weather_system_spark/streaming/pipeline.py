@@ -107,6 +107,23 @@ def start_parquet_sink(
     return writer.start()
 
 
+def streaming_dedup(
+    raw_stream: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("location", "event_timestamp"),
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins, duplicates
+    arriving within the watermark horizon are dropped, and state for a key
+    is evicted once the watermark passes it — bounded state at any stream
+    length (vs. batch W2 dedup which re-ranks the full history, reference
+    getSample.py:128-136). Uses dropDuplicatesWithinWatermark so a late
+    duplicate is still caught even when it lands in a later micro-batch."""
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+    return parsed.withWatermark("event_timestamp", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_hourly_profile(
     raw_stream: DataFrame,
     watermark: str = "2 hours",

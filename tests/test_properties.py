@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2 item 4.
+
+Pure driver-side functions get full hypothesis fuzzing; Spark-side
+properties (mode tie-break determinism) run a bounded number of examples
+since each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from bigdata_weather_system_spark.service.weather import coerce_value
+
+
+@given(st.integers(min_value=-(10**15), max_value=10**15))
+def test_coerce_integer_strings_roundtrip(n):
+    out = coerce_value(str(n))
+    assert out == n and isinstance(out, int)
+
+
+@given(
+    st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+)
+def test_coerce_float_strings_roundtrip(f):
+    s = repr(f)
+    out = coerce_value(s)
+    assert isinstance(out, (int, float))
+    assert math.isclose(float(out), f, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(st.sampled_from(["true", "True", "TRUE", "false", "False", "FALSE"]))
+def test_coerce_booleans(s):
+    assert coerce_value(s) is (s.lower() == "true")
+
+
+@given(st.text(max_size=30))
+def test_coerce_never_raises_and_is_stable(s):
+    a = coerce_value(s)
+    b = coerce_value(s)
+    assert a == b
+    # non-numeric, non-boolean text passes through unchanged
+    try:
+        float(s)
+        numeric = True
+    except (TypeError, ValueError):
+        numeric = False
+    if not numeric and s.strip().lower() not in ("true", "false"):
+        assert a == s
+
+
+@given(st.integers())
+def test_coerce_non_strings_pass_through(n):
+    assert coerce_value(n) is n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)), min_size=1, max_size=40
+    )
+)
+def test_mode_tiebreak_smallest_value(spark, rows):
+    """Engine mode must equal: among max-count values per key, the smallest
+    (reference tie-break, spark.py:632-635) — for arbitrary multisets."""
+    from collections import Counter
+
+    from bigdata_weather_system_spark.operators.profile import mode_per_group
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r.k: r.modal for r in mode_per_group(df, ["k"], "v", "modal").collect()
+    }
+    for k in {k for k, _ in rows}:
+        counts = Counter(v for kk, v in rows if kk == k)
+        top = max(counts.values())
+        expected = min(v for v, c in counts.items() if c == top)
+        assert got[k] == expected, (k, counts, got[k])

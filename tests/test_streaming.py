@@ -140,3 +140,37 @@ def test_streaming_hourly_profile_is_stateful_with_watermark(spark, stream_dir, 
         assert r.hour_window.start == t0
     finally:
         q.stop()
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, stream_dir, tmp_path):
+    from bigdata_weather_system_spark.streaming import streaming_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch(
+        stream_dir,
+        "d1.json",
+        [payload("hanoi", t0, 20.0), payload("hanoi", t0, 20.0)],  # same-batch dup
+        t0,
+    )
+    raw = read_event_stream(spark, path=stream_dir, max_files_per_trigger=1)
+    deduped = streaming_dedup(raw, watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate of the same (location, event_timestamp) in a LATER batch
+        write_batch(stream_dir, "d2.json", [payload("hanoi", t0, 20.0)], t0)
+        # plus a genuinely new event that must survive
+        t1 = t0 + dt.timedelta(minutes=5)
+        write_batch(stream_dir, "d3.json", [payload("hanoi", t1, 21.0)], t1)
+        q.processAllAvailable()
+        rows = spark.table("dedup_stream").collect()
+        keys = [(r.location, r.event_timestamp) for r in rows]
+        assert len(keys) == len(set(keys)) == 2  # one per distinct event time
+    finally:
+        q.stop()
