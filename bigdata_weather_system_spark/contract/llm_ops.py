@@ -355,6 +355,44 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
+@register(
+    "doc_rolling_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split_regex({_NORM_TEXT}, ''), c -> c <> ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+             (acc, code) -> (acc * 31 + code) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash fingerprints over normalized
+    text — integer-exact on both engines (same left fold, same modulus)."""
+    from ..operators.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return rolling_fingerprint(d, "text").select("doc_id", "rolling_fp")
+
+
+@register("doc_bpe_token_counts")  # rows-only: lookaround regex (no RE2 oracle)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counts (split on whitespace + word/non-word
+    boundaries — a cheap byte-level-BPE proxy). DuckDB's RE2 regex lacks
+    the lookarounds, so this is a rows-only entry; exact values are pinned
+    on known strings in tests/test_llm_ops.py."""
+    from ..operators.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -141,6 +141,30 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
 
 
+def rolling_hash(text: Column, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over character code points —
+    the classic incremental document fingerprint. Left-fold
+    ``acc*base + code (mod m)`` via a codegen'd higher-order function; with
+    base=31 this reproduces Java's String.hashCode stream mod m, and the
+    same fold is expressible in ANSI-ish SQL (list_reduce) so it is
+    oracle-checkable, unlike engine-specific hash builtins."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "rolling_fp"
+) -> DataFrame:
+    """Rolling-hash fingerprint of the normalized text (the cheap
+    incremental cousin of the md5 ``fingerprint``)."""
+    return df.withColumn(out_col, rolling_hash(normalize_text(F.col(text_col))))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the unit set for Jaccard/MinHash)."""
     toks = tokens(text)

@@ -183,3 +183,32 @@ def test_ivf_centroids_deterministic(emb):
     a = ivf_centroids(emb, n_cells=8, seed=7)
     b = ivf_centroids(emb, n_cells=8, seed=7)
     assert a == b and len(a) == 8
+
+
+def test_rolling_hash_known_values(spark):
+    from pyspark.sql import Row
+    from bigdata_weather_system_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame([Row(t="abc"), Row(t=""), Row(t="aab")])
+    out = {r.t: r.h for r in df.select("t", rolling_hash(F.col("t")).alias("h")).collect()}
+    # base-31 polynomial == Java String.hashCode for short ASCII (mod 2^31-1)
+    assert out["abc"] == 96354
+    assert out[""] == 0
+    assert out["aab"] == ord("a") * 31 * 31 + ord("a") * 31 + ord("b")
+
+
+def test_bpe_ish_token_count_pinned(spark):
+    from pyspark.sql import Row
+    from bigdata_weather_system_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame([Row(t="Hello, world! 42 tokens?")])
+    r = df.select(
+        token_count(F.col("t")).alias("ws"),
+        bpe_ish_token_count(F.col("t")).alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    # hello | , | world | ! | 42 | tokens | ?  → punctuation runs split out
+    assert r.bpe == 7
