@@ -1,0 +1,47 @@
+"""Bucketed co-located joins must plan with zero Exchange operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.sources.bucketed import (
+    co_located_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    # session-scoped spark already has a warehouse dir; tables are dropped
+    # after each test to keep the catalog clean
+    yield
+    for t in ("b_orders", "b_lines"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lines = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(lines, "b_lines", ["o_orderkey"], n_buckets=8)
+
+    # disable broadcast so the test proves bucketing (not broadcast) removed
+    # the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "b_orders", "b_lines", on=["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+
+        # and the join result is correct vs. the plain join
+        expected = orders.join(lines, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
