@@ -402,7 +402,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'image' AS modality,
            count(*) AS n_items,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(octet_length(encode(text))) AS min_bytes,
            max(octet_length(encode(text))) AS max_bytes
     FROM documents

@@ -86,9 +86,9 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_id
+                  AS BIGINT) AS session_id
       FROM x
     )
     SELECT user_id, session_id,

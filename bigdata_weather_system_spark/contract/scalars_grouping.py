@@ -24,7 +24,7 @@ from .core import register, _t
            length(text)                                   AS n_chars_computed,
            length(trim(text))                             AS n_chars_trimmed,
            lower(substr(text, 1, 16))                     AS head_lower,
-           CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark,
+           CAST(CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS BIGINT) AS mentions_spark,
            length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonantish,
            split_part(text, ' ', 1)                       AS first_token
     FROM documents

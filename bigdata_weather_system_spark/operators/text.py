@@ -123,7 +123,8 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
     )
     out = df
     for lang, score in scores.items():
-        out = out.withColumn(f"score_{lang}", score)
+        # long, matching the BIGINT the SQL-side len() yields in the oracle
+        out = out.withColumn(f"score_{lang}", score.cast("long"))
     return out.withColumn(out_col, best)
 
 
