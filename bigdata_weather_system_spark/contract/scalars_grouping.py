@@ -327,3 +327,61 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("filled_value", 2).alias("filled_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode + unpivot (generator / reshape family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_shingle_explode",
+    oracle="""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def doc_shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral-view family: explode one row into one row per
+    3-word shingle (the fan-out primitive under MinHash/Jaccard dedup)."""
+    from ..operators.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+
+
+@register(
+    "unpivot_event_metrics",
+    oracle="""
+    SELECT event_id, 'value' AS metric, value AS metric_value FROM events
+    UNION ALL
+    SELECT event_id, 'user_id' AS metric, CAST(user_id AS DOUBLE) AS metric_value
+    FROM events
+    """,
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt/unpivot — the inverse of pivot_status_by_flag).
+    Spark plans this as a generator expansion, no shuffle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_id_d", F.col("user_id").cast("double")
+    )
+    return (
+        ev.withColumnRenamed("value", "value_m")
+        .melt(
+            ids=["event_id"],
+            values=["value_m", "user_id_d"],
+            variableColumnName="metric",
+            valueColumnName="metric_value",
+        )
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "value_m", "value").otherwise("user_id"),
+        )
+    )
