@@ -54,3 +54,25 @@ def co_located_join(
     tests/test_bucketed.py).
     """
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet hive-partitioned by the event date.
+
+    The 100 TB layout for time-series facts (SURVEY §4.3): a sargable
+    ``to_date(ts) = DATE '...'`` predicate then prunes whole directories at
+    planning time — the scan never opens files outside the requested dates
+    (pinned by tests/test_bucketed.py). The reference's
+    ``date_format(ts,'yyyy-MM-dd') == '<str>'`` filters defeat exactly this
+    pruning, which is why the engine's date predicates use ``to_date``.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(partition_col, F.to_date(ts_col))
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)

@@ -45,3 +45,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
         assert joined.count() == expected
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from bigdata_weather_system_spark.sources.bucketed import write_date_partitioned
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, path, ts_col="ts")
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # pruning actually happened: the filtered scan reads one partition dir
+    n_days = back.select("event_date").distinct().count()
+    assert n_days > 1
+    expected = ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date")).count()
+    assert one_day.count() == expected
