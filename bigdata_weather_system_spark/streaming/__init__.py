@@ -1,6 +1,7 @@
 from .pipeline import (
     read_event_stream,
     streaming_dedup,
+    stream_stream_interval_join,
     start_memory_sink,
     start_parquet_sink,
     streaming_hourly_profile,
@@ -10,6 +11,7 @@ from .stateful import running_value_profile
 __all__ = [
     "read_event_stream",
     "streaming_dedup",
+    "stream_stream_interval_join",
     "start_memory_sink",
     "start_parquet_sink",
     "streaming_hourly_profile",

@@ -124,6 +124,43 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row pairs with right
+    rows of the same key whose event time falls in
+    ``[left_ts - lookback, left_ts]``.
+
+    Both sides carry a watermark and the join condition bounds right-time
+    relative to left-time, so Spark can evict join state once the watermark
+    passes the interval — bounded state on unbounded streams (the
+    correctness condition for stream-stream joins; without the time bound
+    state grows forever). Right columns are prefixed to avoid collisions.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r_renamed = right.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    r = r_renamed.withWatermark(f"{right_prefix}{right_ts}", watermark).alias("r")
+    rk, rt = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{rk}"))
+        & (F.col(f"r.{rt}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{rt}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_hourly_profile(
     raw_stream: DataFrame,
     watermark: str = "2 hours",

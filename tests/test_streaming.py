@@ -174,3 +174,58 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, stream_dir, tmp_pat
         assert len(keys) == len(set(keys)) == 2  # one per distinct event time
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
+    from bigdata_weather_system_spark.streaming import stream_stream_interval_join
+
+    left_dir = tmp_path / "left_in"
+    right_dir = tmp_path / "right_in"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    # left: one observation at 10:00; right: one in-window (09:30) and one
+    # out-of-window (08:00, beyond the 1 h lookback)
+    write_batch(str(left_dir), "l1.json", [payload("hanoi", t0, 20.0)], t0)
+    write_batch(
+        str(right_dir),
+        "r1.json",
+        [
+            payload("hanoi", t0 - dt.timedelta(minutes=30), 18.0),
+            payload("hanoi", t0 - dt.timedelta(hours=2), 15.0),
+            payload("hue", t0 - dt.timedelta(minutes=10), 30.0),  # other key
+        ],
+        t0,
+    )
+    left = parse_raw_events(
+        read_event_stream(spark, path=str(left_dir)), keep_payload=False
+    ).select("location", "event_timestamp", "temperature")
+    right = parse_raw_events(
+        read_event_stream(spark, path=str(right_dir)), keep_payload=False
+    ).select("location", "event_timestamp", "temperature")
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="location",
+        left_ts="event_timestamp",
+        right_ts="event_timestamp",
+        lookback="1 hour",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("ss_join").collect()
+        # exactly the (10:00 hanoi) × (09:30 hanoi) pair survives
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.location == "hanoi" and r.r_location == "hanoi"
+        assert r.temperature == 20.0 and r.r_temperature == 18.0
+    finally:
+        q.stop()
