@@ -377,6 +377,22 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(d, "text").select("doc_id", "rolling_fp")
 
 
+@register("doc_winnow_fingerprints")  # rows-only: xxhash64-based selection
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (MOSS algorithm) per document — the
+    substring-match-guaranteeing rolling-hash selection; one codegen'd
+    array pipeline per row, exploded here for inverted-index shape.
+    Coverage/guarantee properties pinned in tests/test_llm_ops.py."""
+    from ..operators.dedup import _spread
+    from ..operators.text import normalize_text, winnow_fingerprints
+
+    # higher-order array lambdas run interpreted — spread the one-file scan
+    # across cores before the per-row O(len·window) fingerprint pipeline
+    d = _spread(_t(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(normalize_text(F.col("text")), k=5, window=4)
+    return d.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
 @register("doc_bpe_token_counts")  # rows-only: lookaround regex (no RE2 oracle)
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counts (split on whitespace + word/non-word

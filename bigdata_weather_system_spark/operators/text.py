@@ -166,6 +166,53 @@ def rolling_fingerprint(
     return df.withColumn(out_col, rolling_hash(normalize_text(F.col(text_col))))
 
 
+def kgram_hashes(text: Column, k: int = 5) -> Column:
+    """xxhash64 of every character k-gram, one array per row."""
+    empty = F.array().cast("array<bigint>")
+    n_grams = F.length(text) - F.lit(k - 1)
+    # sequence(1, n) DESCENDS when n < 1 — guard short texts explicitly
+    return F.when(n_grams < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+        )
+    )
+
+
+def sliding_min(hashes: Column, window: int) -> Column:
+    """Per-position minimum over a sliding window of ``window`` elements.
+
+    Formulated as a chain of ``window-1`` zip_with(least) merges of shifted
+    slices — O(window·n) per row. The naive nested form
+    ``transform(sequence(...), j -> array_min(slice(hashes, j, w)))``
+    re-evaluates the whole ``hashes`` expression for EVERY window position
+    (higher-order lambdas inline their free variables), which turns a 2 KB
+    document into millions of hash evaluations — O(n²) and unusable.
+    ``hashes`` here is referenced ``window`` times, which also stops
+    CollapseProject from re-inlining an expensive upstream expression.
+    """
+    out_len = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    cur = F.slice(hashes, F.lit(1), out_len)
+    for off in range(1, window):
+        shifted = F.slice(hashes, F.lit(1 + off), out_len)
+        cur = F.zip_with(cur, shifted, lambda a, b: F.least(a, b))
+    return cur
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum, dedupe.
+
+    Guarantees: every match of length ≥ k+window-1 between two documents
+    shares a fingerprint, while only ~2/(window+1) of hashes are kept.
+    Entirely codegen'd array expressions — no explode, no shuffle; the set
+    stays one array per row until the caller explodes it for an inverted
+    index.
+    """
+    return F.array_distinct(sliding_min(kgram_hashes(text, k), window))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the unit set for Jaccard/MinHash)."""
     toks = tokens(text)

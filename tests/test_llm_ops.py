@@ -212,3 +212,36 @@ def test_bpe_ish_token_count_pinned(spark):
     assert r.ws == 4
     # hello | , | world | ! | 42 | tokens | ?  → punctuation runs split out
     assert r.bpe == 7
+
+
+def test_winnowing_guarantee_and_degenerate_inputs(spark):
+    """Winnowing guarantee: any shared substring of length >= k+window-1
+    (here 8) between two texts yields at least one shared fingerprint;
+    texts shorter than k produce an empty set (not a crash)."""
+    from pyspark.sql import Row
+    from bigdata_weather_system_spark.operators.text import winnow_fingerprints
+
+    fp = lambda df: {
+        r[0]
+        for r in df.select(
+            F.explode(winnow_fingerprints(F.col("t"), k=5, window=4))
+        ).collect()
+    }
+    common = "the quick brown fox jumps"
+    a = fp(spark.createDataFrame([Row(t=f"XXXX {common} YYYY")]))
+    b = fp(spark.createDataFrame([Row(t=f"ZZ {common} WW")]))
+    assert a & b, "shared 25-char substring must share a fingerprint"
+
+    degenerate = spark.createDataFrame([Row(t=""), Row(t="abc"), Row(t="abcd")])
+    out = degenerate.select(
+        F.size(winnow_fingerprints(F.col("t"), k=5, window=4)).alias("n")
+    ).collect()
+    assert [r.n for r in out] == [0, 0, 0]
+
+    # determinism + density: selected set is stable and much smaller than
+    # the full k-gram hash set
+    long_text = spark.createDataFrame([Row(t="abcdefghij" * 30)])
+    n1 = long_text.select(F.size(winnow_fingerprints(F.col("t"))).alias("n")).collect()[0].n
+    n2 = long_text.select(F.size(winnow_fingerprints(F.col("t"))).alias("n")).collect()[0].n
+    assert n1 == n2
+    assert 0 < n1 < 300 - 4  # far fewer fingerprints than k-grams
