@@ -20,6 +20,7 @@ per-element codegen loses to BLAS.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -341,8 +342,11 @@ def cosine_scores_pandas_udf(corpus: DataFrame, query_vec: list[float], vec_col:
     vectors where a per-element codegen fold is slower than BLAS.
 
     Returns corpus with an appended ``cosine_sim`` column.
+
+    pandas is imported at module level so the UDF's ``pd.Series`` type
+    hints resolve under ``from __future__ import annotations`` (string
+    hints are looked up in the module globals at registration time).
     """
-    import pandas as pd
     from pyspark.sql.types import DoubleType
     from pyspark.sql.functions import pandas_udf
 

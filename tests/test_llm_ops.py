@@ -245,3 +245,31 @@ def test_winnowing_guarantee_and_degenerate_inputs(spark):
     n2 = long_text.select(F.size(winnow_fingerprints(F.col("t"))).alias("n")).collect()[0].n
     assert n1 == n2
     assert 0 < n1 < 300 - 4  # far fewer fingerprints than k-grams
+
+
+def test_pandas_udf_cosine_matches_fold_cosine(emb):
+    """The Arrow/numpy scoring path (wide-vector fast path) must agree with
+    the codegen'd fold cosine to float tolerance."""
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine,
+        cosine_scores_pandas_udf,
+    )
+
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow.embedding]
+    corpus = emb.filter(F.col("vec_id") < 50)
+
+    udf_scores = {
+        r.vec_id: r.cosine_sim
+        for r in cosine_scores_pandas_udf(corpus, qvec).collect()
+    }
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    fold_scores = {
+        r.vec_id: r.sim
+        for r in corpus.select(
+            "vec_id", cosine(qlit, F.col("embedding")).alias("sim")
+        ).collect()
+    }
+    assert set(udf_scores) == set(fold_scores)
+    for vid, s in fold_scores.items():
+        assert abs(udf_scores[vid] - s) < 1e-9, (vid, udf_scores[vid], s)
