@@ -432,6 +432,27 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata_summary(media)
 
 
+@register("score_event_sequences")  # mapInPandas inference → rows-only check
+def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model scoring (U4's scale path): trailing-24 sequences per
+    user through Arrow-batched mapInPandas with a deterministic linear
+    head — the distributed replacement for the reference's driver-side
+    per-request inference loop (spark.py:1370-1574)."""
+    from ..operators.inference import score_sequences
+    from ..operators.sequences import build_sequences
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    seqs = build_sequences(
+        ev,
+        key_cols=("user_id",),
+        ts_col="ts",
+        feature_cols=("value",),
+        seq_len=24,
+        forecast_len=1,
+    )
+    return score_sequences(seqs, ["user_id"], seq_len=24)
+
+
 @register("media_decode_features")  # mapInPandas fan-out → rows-only check
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake image decode (real plumbing, stubbed kernel)."""
