@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     # relational core
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "latest_event_per_user",
     "hourly_profile",
     "daily_profile",
