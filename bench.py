@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q18_large_volume_customers",
     "latest_event_per_user",
     "hourly_profile",
     "daily_profile",
@@ -45,6 +47,7 @@ BENCH_QUERIES = [
     "value_percentiles_per_type",
     # LLM-pipeline operators
     "dedup_exact_docs",
+    "near_dup_clusters",
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "cosine_topk_bruteforce",

@@ -96,6 +96,70 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+_JACCARD_PAIRS_CTE = f"""
+    {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(count(*)::DOUBLE /
+                   (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
+    ),
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT ce.src, r2.r FROM cc_edges ce JOIN reach r2 ON ce.dst = r2.node
+    ),
+    cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}
+    SELECT node AS doc_id, cluster_id FROM cc
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: Jaccard pairs → connected components
+    (iterative min-label propagation with pointer jumping — all DataFrame
+    joins, lineage cut per round). cluster_id = min doc_id in component.
+    The DuckDB oracle computes the same closure with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "dedup_survivors_near_dup",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cc WHERE cc.node = d.doc_id AND cc.node <> cc.cluster_id
+    )
+    """,
+)
+def dedup_survivors_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: keep the smallest-id doc per cluster,
+    drop the rest via a broadcast anti-join on the (tiny) loser list —
+    untouched rows pass through without shuffling the corpus."""
+    from ..operators.dedup import keep_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 @register("minhash_lsh_near_dups")  # xxhash64 signatures → Spark-only, rows-only check
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidates verified at Jaccard ≥ 0.5.

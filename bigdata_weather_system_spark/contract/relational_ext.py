@@ -290,3 +290,200 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes (TPC-H Q4/Q15/Q17/Q18/Q22): the decorrelation patterns a
+# warehouse engine must plan well — EXISTS → semi-join, correlated scalar
+# aggregate → agg + re-join, scalar subquery → broadcast cross join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: orders with a lineitem shipped
+    >60 days after order date, counted per priority. The EXISTS
+    decorrelates to a left-semi join with a non-equi conjunct; the
+    aggregation runs on the deduplicated order rows (never the multiplied
+    fact-fact join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped scalar subquery over an aggregate: supplier(s)
+    hitting the max quarterly revenue. The scalar max is a 1-row broadcast
+    cross join against the (small) per-supplier aggregate — no re-scan of
+    the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(top, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar aggregate: revenue from
+    below-half-average-quantity orders of one brand. Decorrelated as a
+    per-part avg aggregate joined back to the (brand-pruned) lineitems —
+    the brand filter semi-joins first so the avg runs only over the ~1/25
+    of parts that survive."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    brand_li = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    cut = brand_li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        brand_li.join(cut, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped IN-over-HAVING: big-volume orders with their
+    customers. The IN list is an aggregate → semi-join; it prunes orders
+    BEFORE the customer/lineitem joins, so the wide join only sees the
+    ~2% of orders that qualify."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            # parquet yields timestamp_ntz; align with the oracle's TIMESTAMP
+            # under the UTC session (value-preserving cast)
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped global scalar subquery + NOT EXISTS: above-average
+    balances with no recent orders, profiled per nation. The global avg is
+    a 1-row broadcast; the NOT EXISTS is an anti-join against the
+    date-pruned orders projection."""
+    c = _t(spark, sf_dir, "customer")
+    cut = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_cut"))
+    rich = c.crossJoin(F.broadcast(cut)).filter(F.col("c_acctbal") > F.col("_cut"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

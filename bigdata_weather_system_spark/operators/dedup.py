@@ -252,6 +252,104 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: pairs → components → canonical survivors
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``; cluster_id = min node
+    id in the node's connected component.
+
+    Near-dup pairs only say "these two match"; deduplication needs the
+    transitive closure (A≈B, B≈C ⇒ drop two of {A,B,C}). Iterative min-label
+    propagation, all DataFrame ops:
+
+    - each round every node takes the min of its own label and its
+      neighbors' labels (one shuffle keyed by node id, partial min map-side)
+      plus a pointer-jump through its current label's label, which
+      short-circuits long chains (near-logarithmic rounds instead of
+      O(diameter));
+    - lineage is truncated per round with ``localCheckpoint`` so the plan
+      doesn't grow exponentially across iterations;
+    - the edge list is cached once — it is re-joined every round;
+    - converges when a round changes nothing (monotone decreasing labels, so
+      a fixed point is global); near-dup graphs are unions of small
+      clusters, so this is 2-4 rounds in practice at any corpus size.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump: cluster_id ← its own current cluster_id (labels are
+        # always node ids, so the self-join is total)
+        parent = stepped.select(
+            F.col("node").alias("_pnode"), F.col("cluster_id").alias("_plabel")
+        )
+        jumped = (
+            stepped.join(parent, stepped["cluster_id"] == parent["_pnode"])
+            .select("node", F.least("cluster_id", "_plabel").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Apply a near-dup pair set to ``df``: keep the smallest-id document of
+    every connected component, drop the rest (anti-join on the loser list).
+
+    The loser list is tiny relative to the corpus (only near-dup members),
+    so the anti-join broadcasts; rows never touched by a pair pass through
+    untouched without shuffling the full table.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

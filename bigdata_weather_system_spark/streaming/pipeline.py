@@ -133,17 +133,25 @@ def stream_stream_interval_join(
     lookback: str = "1 hour",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left row pairs with right
-    rows of the same key whose event time falls in
-    ``[left_ts - lookback, left_ts]``.
+    """Watermarked stream-stream join: each left row pairs with right rows
+    of the same key whose event time falls in ``[left_ts - lookback,
+    left_ts]``.
 
     Both sides carry a watermark and the join condition bounds right-time
     relative to left-time, so Spark can evict join state once the watermark
     passes the interval — bounded state on unbounded streams (the
     correctness condition for stream-stream joins; without the time bound
     state grows forever). Right columns are prefixed to avoid collisions.
+
+    ``how="left_outer"`` additionally emits unmatched left rows
+    null-extended — but only once the watermark has passed their join
+    window (the engine must prove no matching right row can still arrive),
+    so outer results trail the inner ones by the watermark delay.
     """
+    if how not in ("inner", "left_outer", "leftOuter", "left"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r_renamed = right.select(
         [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
@@ -158,7 +166,7 @@ def stream_stream_interval_join(
             >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def streaming_hourly_profile(

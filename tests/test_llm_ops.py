@@ -273,3 +273,37 @@ def test_pandas_udf_cosine_matches_fold_cosine(emb):
     assert set(udf_scores) == set(fold_scores)
     for vid, s in fold_scores.items():
         assert abs(udf_scores[vid] - s) < 1e-9, (vid, udf_scores[vid], s)
+
+
+def test_connected_components_chain_and_canonical_keep(spark):
+    from bigdata_weather_system_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+
+    # chain 1-2-3-4 (transitive, no direct 1-4 edge), island pair 10-11,
+    # and long path 20..25 to exercise pointer jumping across rounds
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)]
+        + [(i, i + 1) for i in range(20, 25)],
+        ["id_a", "id_b"],
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {
+        **{n: 1 for n in (1, 2, 3, 4)},
+        **{n: 10 for n in (10, 11)},
+        **{n: 20 for n in range(20, 26)},
+    }
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_canonical(
+            docs, pairs.filter(F.col("id_a") < 20), "doc_id"
+        ).collect()
+    )
+    # one survivor per cluster (min id), untouched docs pass through
+    assert kept == [1, 5, 10, 99]

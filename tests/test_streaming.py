@@ -229,3 +229,77 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert r.temperature == 20.0 and r.r_temperature == 18.0
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_null_extended_rows(spark, tmp_path):
+    from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
+    from bigdata_weather_system_spark.streaming import stream_stream_interval_join
+
+    left_dir = tmp_path / "lo_left"
+    right_dir = tmp_path / "lo_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    # hanoi matches a right row in the lookback window; danang has no right
+    # counterpart and must surface null-extended once the watermark passes
+    write_batch(
+        str(left_dir),
+        "l1.json",
+        [payload("hanoi", t0, 20.0), payload("danang", t0, 25.0)],
+        t0,
+    )
+    write_batch(
+        str(right_dir),
+        "r1.json",
+        [payload("hanoi", t0 - dt.timedelta(minutes=30), 18.0)],
+        t0,
+    )
+    left = parse_raw_events(
+        read_event_stream(spark, path=str(left_dir), max_files_per_trigger=1),
+        keep_payload=False,
+    ).select("location", "event_timestamp", "temperature")
+    right = parse_raw_events(
+        read_event_stream(spark, path=str(right_dir), max_files_per_trigger=1),
+        keep_payload=False,
+    ).select("location", "event_timestamp", "temperature")
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="location",
+        left_ts="event_timestamp",
+        right_ts="event_timestamp",
+        lookback="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_lo_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        by_loc = {r.location: r for r in spark.table("ss_lo_join").collect()}
+        # inner result arrives immediately; the outer row cannot yet (a
+        # matching right row could still arrive inside the watermark)
+        assert by_loc["hanoi"].r_temperature == 18.0
+        assert "danang" not in by_loc
+        # push both watermarks far past danang's join window, then give the
+        # engine follow-up batches to evict state and emit the outer row
+        far = t0 + dt.timedelta(hours=12)
+        for i, t in enumerate((far, far + dt.timedelta(hours=1))):
+            write_batch(str(left_dir), f"l{i+2}.json", [payload("hanoi", t, 21.0)], t)
+            write_batch(str(right_dir), f"r{i+2}.json", [payload("hue", t, 19.0)], t)
+            q.processAllAvailable()
+
+        def outer_row():
+            rows = spark.table("ss_lo_join").collect()
+            return [r for r in rows if r.location == "danang"]
+
+        rows = wait_for(lambda: (q.processAllAvailable(), outer_row())[1])
+        assert rows, "outer row never emitted after watermark passed"
+        assert rows[0].r_temperature is None and rows[0].r_location is None
+    finally:
+        q.stop()
