@@ -214,9 +214,17 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (the unit set for Jaccard/MinHash)."""
+    """Distinct n-word shingles (the unit set for Jaccard/MinHash).
+
+    Texts with fewer than ``n`` tokens yield an empty array — the guard
+    matters: ``sequence(1, 0)`` DESCENDS in Spark, so without it a short
+    document generates index 0 and ``slice`` throws at runtime.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    n_shingles = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
+    return F.when(n_shingles < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
     )

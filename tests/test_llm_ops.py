@@ -307,3 +307,23 @@ def test_connected_components_chain_and_canonical_keep(spark):
     )
     # one survivor per cluster (min id), untouched docs pass through
     assert kept == [1, 5, 10, 99]
+
+
+def test_word_shingles_short_and_empty_texts(spark):
+    from bigdata_weather_system_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d"), (3, ""), (4, "   ")], ["id", "t"]
+    )
+    got = {
+        r.id: r.sh
+        for r in df.select("id", word_shingles(F.col("t"), 3).alias("sh")).collect()
+    }
+    assert got == {1: [], 2: ["a b c", "b c d"], 3: [], 4: []}
+
+    # shingle-consuming operators survive short docs end-to-end
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "a b c d e"), (3, "a b c d e")], ["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(2, 3)]
