@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "doc_quality_scores",
     "doc_language_id",
     "doc_fingerprints",
+    "doc_tfidf_top_terms",
+    "doc_train_test_split",
 ]
 
 

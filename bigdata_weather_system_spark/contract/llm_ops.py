@@ -533,3 +533,89 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media).drop("frame_bytes").withColumn(
         "frame_len", F.lit(64)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics / dataset assembly
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5({_NORM_TEXT}), 1, 15)) AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 content-hash split: stable across runs and
+    partitionings (no rand()), and keyed on content so byte-identical
+    duplicates can never straddle train/test."""
+    from ..operators.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "text").select("doc_id", "split")
+
+
+@register(
+    "doc_top_ngrams",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT shingle AS ngram, count(*) AS doc_freq
+    FROM e GROUP BY shingle
+    ORDER BY doc_freq DESC, ngram ASC LIMIT 20
+    """,
+)
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 3-gram document frequencies — the boilerplate
+    detector feeding hot-shingle drop lists (the skew guard for the
+    Jaccard self-join). explode → partial-agg count → TakeOrdered top-k;
+    deterministic ngram-asc tie-break."""
+    from ..operators.dedup import shingle_sets
+
+    d = _t(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", n=3)
+    return (
+        sets.select(F.explode("shingles").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfc USING (token), n
+    )
+    SELECT doc_id, token, tf, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    tie-break). Two hash aggs + a broadcast scalar + per-doc window top-k;
+    the df side joins back pre-aggregated (one row per term, not per
+    posting)."""
+    from ..operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)

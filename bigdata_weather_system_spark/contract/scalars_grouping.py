@@ -385,3 +385,33 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("metric") == "value_m", "value").otherwise("user_id"),
         )
     )
+
+
+@register(
+    "events_value_bins",
+    oracle="""
+    SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+           count(*) AS n_rows,
+           round(avg(value), 6) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (feature bucketing): clamp-floor bin
+    id — portable arithmetic (DuckDB has no width_bucket), single partial
+    hash agg keyed by 10 bins."""
+    ev = _t(spark, sf_dir, "events")
+    bin_col = (
+        F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    )
+    return ev.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

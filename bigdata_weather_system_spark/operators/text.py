@@ -228,3 +228,74 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "split",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Deterministic content-hash train/valid/test split.
+
+    Bucket = top 60 bits of md5(normalized text) mod 100 — stable across
+    runs, partitionings, and engines (no ``rand()``), and keyed on CONTENT
+    so byte-identical duplicates always land in the same split (the
+    train/test-leakage guard a sampling split doesn't give). Pure column
+    math; at 100 TB this is a free projection on the scan.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(normalize_text(F.col(text_col))), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = raw term count per (doc, term); idf = ln((N+1)/(df+1)) + 1
+    (smoothed); rank per doc on the ROUNDED score (desc) with term-asc
+    tie-break so the cut is deterministic at compare precision.
+
+    Shape: explode → two hash aggs (doc-term, term) → broadcast of the
+    1-row corpus count → per-doc window top-k. The term-df side aggregates
+    BEFORE joining back, so the join carries one row per distinct term,
+    not one per posting.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfc, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "token", "tf", "tfidf")
+    )
