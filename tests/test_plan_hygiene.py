@@ -71,3 +71,37 @@ def test_average_day_prunes_with_sargable_predicate(spark):
     # rows for other projections
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "event_type" not in scan and "props" not in scan
+
+
+def test_q18_semi_join_prunes_before_wide_join(spark):
+    plan = plan_of(spark, "q18_large_volume_customers")
+    # the IN-over-HAVING list must decorrelate to a semi join, and it must
+    # sit BELOW the customer join (prune early), not above it
+    assert "LeftSemi" in plan
+    semi_pos = plan.index("LeftSemi")
+    # customer join key only appears in join nodes above the semi
+    cust_join_pos = plan.index("c_custkey")
+    assert cust_join_pos < semi_pos  # plan prints top-down: customer join is downstream
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    plan = plan_of(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross join
+
+
+def test_tfidf_join_sides_preaggregated(spark):
+    plan = plan_of(spark, "doc_tfidf_top_terms")
+    # document-frequency side aggregates before joining back: at least two
+    # partial_count aggs (doc-term tf, term df) upstream of the join
+    assert plan.count("partial_count") >= 2
+
+
+def test_dedup_survivors_anti_join_broadcasts(spark):
+    plan = plan_of(spark, "dedup_survivors_near_dup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
