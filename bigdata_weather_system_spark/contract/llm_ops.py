@@ -619,3 +619,94 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens_r,
+                   count(*) AS n_distinct, max(c) AS max_tf
+            FROM tf GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> toks[i] || ' ' || toks[i+1]) AS bgs
+           FROM t),
+    bge AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+    bf AS (SELECT doc_id, b, count(*) AS c FROM bge GROUP BY doc_id, b),
+    bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_bf
+             FROM bf GROUP BY doc_id)
+    SELECT u.doc_id, u.n_tokens_r,
+           round(u.n_distinct::DOUBLE / u.n_tokens_r, 6) AS distinct_ratio,
+           round(u.max_tf::DOUBLE / u.n_tokens_r, 6) AS top_token_frac,
+           round(coalesce(b.max_bf::DOUBLE / b.n_bigrams, 0.0), 6) AS top_bigram_frac
+    FROM uni u LEFT JOIN bagg b USING (doc_id)
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token ratio +
+    most-frequent token/bigram fractions (the filters that catch
+    keyword-stuffed / looping documents)."""
+    from ..operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, "doc_id", "text")
+
+
+@register(
+    "source_corpus_profile",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus inventory (docs, bytes, language spread) — the
+    first query run against any new crawl dump."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM k)
+    SELECT user_id, n AS n_rows,
+           round(n::DOUBLE / total, 6) AS share,
+           round(n::DOUBLE * n_keys / total, 6) AS skew_factor
+    FROM k, tot ORDER BY n_rows DESC, user_id ASC LIMIT 10
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: top-10 hottest keys with their share
+    and skew factor (×uniform). The profile that decides whether a key
+    needs salting (operators/skew.py) before the real job runs."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = k.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -299,3 +299,59 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select(id_col, "token", "tf", "tfidf")
     )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All n-word grams IN ORDER, duplicates kept (unlike ``word_shingles``
+    which dedupes into a set) — the unit for repetition statistics, where
+    the duplicate count IS the signal. Same short-text guard."""
+    toks = tokens(text)
+    n_grams = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+    return F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token fraction, most-frequent-bigram fraction.
+
+    Shape: two explode → (doc, gram) hash-agg → per-doc hash-agg pipelines
+    joined on doc id. Each shuffle carries one row per DISTINCT gram per
+    doc (partial counts combine map-side), so a 100 TB corpus shuffles its
+    vocabulary, not its text. Documents with zero tokens drop out (no
+    repetition signal is defined for them).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = (
+        tok.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens_r"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_tf"),
+        )
+    )
+    big = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("b")
+    )
+    bagg = (
+        big.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bf"))
+    )
+    out = uni.join(bagg, on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens_r"),
+        F.round(F.col("n_distinct") / F.col("n_tokens_r"), 6).alias("distinct_ratio"),
+        F.round(F.col("max_tf") / F.col("n_tokens_r"), 6).alias("top_token_frac"),
+        F.round(
+            F.coalesce(F.col("max_bf") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
