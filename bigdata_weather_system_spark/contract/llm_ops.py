@@ -710,3 +710,21 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS v
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (long format): posexplode → key×dim hash
+    agg — the distributed vector mean whose shuffle is dims×keys partials,
+    independent of corpus size."""
+    from ..operators.similarity import vector_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return vector_centroids(e, "label", "embedding")

@@ -487,3 +487,50 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "session_window_profiles",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sid
+      FROM x
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 6 HOUR AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session_window aggregation in BATCH mode (the built-in
+    sibling of the lag+cumsum sessionizer in operators/temporal.py; same
+    gap semantics, session_end = last event + gap). One hash agg with
+    window merging — no analytic-window pre-pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

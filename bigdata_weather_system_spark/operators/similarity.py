@@ -362,3 +362,27 @@ def cosine_scores_pandas_udf(corpus: DataFrame, query_vec: list[float], vec_col:
         return pd.Series(np.where(norms > 0, dots / norms, 0.0))
 
     return corpus.withColumn("cosine_sim", score(F.col(vec_col)))
+
+
+def vector_centroids(
+    df: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per key, in long format (key, pos, v).
+
+    posexplode → (key, position) hash agg: the shuffle carries one partial
+    (sum, count) per key×dimension — dims × keys rows regardless of corpus
+    size, and the per-position averages combine map-side. The long format
+    IS the scalable representation; pivot back with ``array_agg`` ordered
+    by pos only for small outputs (the true-mean upgrade path for
+    ``ivf_centroids``' sampled cells).
+    """
+    pos = df.select(
+        F.col(key_col), F.posexplode(F.col(vec_col)).alias("pos", "_v")
+    )
+    return (
+        pos.groupBy(key_col, F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("_v"), round_digits).alias("v"))
+    )
