@@ -534,3 +534,53 @@ def session_window_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "asof_next_purchase_after_click",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_event_id, p.purchase_ts,
+           round(epoch(p.purchase_ts) - epoch(c.ts), 6) AS gap_seconds
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.purchase_ts >= c.ts
+    """,
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: attribute each click to the user's next purchase
+    at or after it (conversion attribution). Same single-shuffle tagged
+    union plan as the backward variant, filled from the future."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_cols=["purchase_event_id", "purchase_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_ts",
+        F.round(
+            F.col("purchase_ts").cast("double") - F.col("ts").cast("double"), 6
+        ).alias("gap_seconds"),
+    )

@@ -32,8 +32,11 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row per key at or before each left row.
+    """As-of join: the latest right row at or before each left row
+    (``direction="backward"``, the default) or the earliest right row at
+    or after it (``direction="forward"``).
 
     ``right`` must be unique per (``on``, ``right_ts``) — pre-dedup it
     (e.g. ``dedup_latest``) for deterministic results. All ``right_cols``
@@ -42,10 +45,14 @@ def asof_join(
 
     Plan shape: union the two inputs tagged by side, sort within each key
     partition by (event time, side) so right rows at an equal timestamp
-    sort first (the ``<=`` bound), forward-fill the right payload with
-    ``last(ignorenulls)``, keep left rows. One shuffle on ``on``; no
-    driver-side loops; works unchanged at any per-key history length.
+    sort toward the left row (inclusive bound), then fill the right
+    payload across the frame — ``last(ignorenulls)`` over the preceding
+    frame for backward, ``first(ignorenulls)`` over the following frame
+    for forward. One shuffle on ``on``; no driver-side loops; works
+    unchanged at any per-key history length.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported as-of direction: {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on]
@@ -65,18 +72,32 @@ def asof_join(
         F.lit(1).alias("_side"),
     )
     tagged = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = tagged.withColumn("_rp", F.last("_rp", ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows at an equal timestamp sort FIRST (side 0 < 1) so the
+        # <= bound is inclusive; fill from the past
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last("_rp", ignorenulls=True).over(w)
+        gap = F.col("_ats").cast("double") - F.col("_rp._matched_ts").cast("double")
+    else:
+        # right rows at an equal timestamp sort LAST so the >= bound is
+        # inclusive; fill from the future
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first("_rp", ignorenulls=True).over(w)
+        gap = F.col("_rp._matched_ts").cast("double") - F.col("_ats").cast("double")
+    filled = tagged.withColumn("_rp", fill)
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        within = (
-            F.col("_ats").cast("double") - F.col("_rp._matched_ts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        out = out.withColumn("_rp", F.when(within, F.col("_rp")))
+        out = out.withColumn(
+            "_rp", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_rp"))
+        )
     for c in right_cols:
         out = out.withColumn(c, F.col(f"_rp.{c}"))
     return out.drop("_ats", "_side", "_rp")

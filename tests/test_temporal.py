@@ -113,3 +113,29 @@ def test_range_band_join_half_open_intervals(spark):
     )
     out = {r.i: r.band for r in range_band_join(df, bands, "v").collect()}
     assert out == {1: "low", 2: "high"}  # 500.0 falls outside every [lo, hi)
+
+
+def test_asof_forward_direction(spark):
+    from bigdata_weather_system_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 25.0, 2), ("b", 5.0, 3)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [("a", 10.0, "same"), ("a", 20.0, "next"), ("a", 30.0, "later")],
+        ["k", "ts", "tag"],
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], direction="forward",
+    )
+    got = {r.lid: r.tag for r in out.collect()}
+    # equal timestamps match (inclusive >=); missing future → null
+    assert got == {1: "same", 2: "later", 3: None}
+
+    bounded = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], direction="forward", tolerance_seconds=4.0,
+    )
+    got_b = {r.lid: r.tag for r in bounded.collect()}
+    assert got_b == {1: "same", 2: None, 3: None}
