@@ -728,3 +728,75 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return vector_centroids(e, "label", "embedding")
+
+
+@register(
+    "embedding_nearest_centroid",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS v
+      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, i
+    ),
+    pe AS (
+      SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    dots AS (
+      SELECT pe.vec_id, cent.label, sum(pe.x * cent.v) AS dot
+      FROM pe JOIN cent USING (pos) GROUP BY pe.vec_id, cent.label
+    ),
+    en AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM pe GROUP BY vec_id),
+    cn AS (SELECT label, sqrt(sum(v * v)) AS nv FROM cent GROUP BY label),
+    scored AS (
+      SELECT d.vec_id, d.label,
+             round(d.dot / (en.nx * cn.nv), 6) AS cosine_sim
+      FROM dots d JOIN en USING (vec_id) JOIN cn USING (label)
+    )
+    SELECT vec_id, label AS assigned_label, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine_sim DESC, label ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the IVF cell-assignment / centroid
+    classification step) as a pure join plan: posexplode × broadcast
+    centroid-long join → (vec, label) dot-product hash agg → per-vec
+    argmax on the ROUNDED cosine with label tie-break. The matrix
+    multiply is a dims-keyed join — no per-row Python, corpus-size
+    independent broadcast."""
+    from ..operators.similarity import vector_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = vector_centroids(e, "label", "embedding")
+    pe = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), F.col("x").cast("double").alias("x")
+    )
+    dots = (
+        pe.join(F.broadcast(cent), on="pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("v")).alias("dot"))
+    )
+    en = pe.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"))
+    cn = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    scored = (
+        dots.join(en, on="vec_id")
+        .join(F.broadcast(cn), on="label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("dot") / (F.col("nx") * F.col("nv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("label").alias("assigned_label"), "cosine_sim")
+    )

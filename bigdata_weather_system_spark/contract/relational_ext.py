@@ -584,3 +584,45 @@ def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("purchase_ts").cast("double") - F.col("ts").cast("double"), 6
         ).alias("gap_seconds"),
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS growth_rate
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: date_trunc rollup + global lag
+    window. The unpartitioned window runs AFTER aggregation — one row per
+    month, so the single-partition sort is O(months) no matter the fact
+    size (the safe place for a global window, unlike W3's row-level one,
+    SURVEY §4.3)."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.to_date(
+                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            ).alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("growth_rate"),
+    )
