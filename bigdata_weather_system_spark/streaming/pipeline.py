@@ -190,3 +190,73 @@ def streaming_hourly_profile(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def start_incremental_snapshot_sink(
+    raw_stream: DataFrame,
+    log_path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...] = ("location",),
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """foreachBatch upsert pattern without a table format: each micro-batch
+    is deduped to its latest row per key, stamped with the batch id, and
+    APPENDED to a parquet log. The mutable-snapshot semantics live at read
+    time (``read_latest_snapshot``) — append-only storage, so restarts
+    re-appending a batch are harmless (the rank in the reader picks one
+    winner deterministically via the batch-id tie-break).
+
+    This is the engine-native stand-in for MERGE INTO where Delta/Iceberg
+    isn't available: writes stay append-only and atomic-per-file at any
+    scale; ``compact_snapshot`` folds the log down when it grows.
+    """
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.latest import latest_per_key
+
+        (
+            latest_per_key(batch_df, keys)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    writer = parsed.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_latest_snapshot(
+    spark: SparkSession,
+    log_path: str,
+    keys: tuple[str, ...] = ("location",),
+) -> DataFrame:
+    """Current upsert view of the append log: latest row per key, breaking
+    event-time ties by arrival order (kafka ts, then batch id)."""
+    from ..operators.latest import top_n_per_key
+
+    log = spark.read.parquet(log_path)
+    order = [
+        F.col("event_timestamp").desc(),
+        F.col("kafka_timestamp").desc(),
+        F.col("_batch_id").desc(),
+    ]
+    return top_n_per_key(log, list(keys), order).drop("_batch_id")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    log_path: str,
+    compacted_path: str,
+    keys: tuple[str, ...] = ("location",),
+) -> None:
+    """Fold the append log down to one row per key at ``compacted_path``
+    (a separate location — never overwrite a path being read). Run
+    periodically; readers switch paths atomically by convention."""
+    read_latest_snapshot(spark, log_path, keys).withColumn(
+        "_batch_id", F.lit(-1)
+    ).write.mode("overwrite").parquet(compacted_path)

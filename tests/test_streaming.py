@@ -303,3 +303,65 @@ def test_stream_stream_left_outer_join_emits_null_extended_rows(spark, tmp_path)
         assert rows[0].r_temperature is None and rows[0].r_location is None
     finally:
         q.stop()
+
+
+def test_incremental_snapshot_upsert_and_compaction(spark, tmp_path):
+    from bigdata_weather_system_spark.streaming import (
+        read_event_stream,
+    )
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        compact_snapshot,
+        read_latest_snapshot,
+        start_incremental_snapshot_sink,
+    )
+
+    in_dir = tmp_path / "upsert_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "upsert_log")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch(
+        str(in_dir),
+        "b1.json",
+        [payload("hanoi", t0, 20.0), payload("hue", t0, 28.0)],
+        t0,
+    )
+    q = start_incremental_snapshot_sink(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        log_path=log,
+        checkpoint_path=str(tmp_path / "upsert_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: hanoi advances, danang appears, plus a LATE hanoi row
+        # that must lose to the existing newer one
+        write_batch(
+            str(in_dir),
+            "b2.json",
+            [
+                payload("hanoi", t0 + dt.timedelta(minutes=10), 21.5),
+                payload("hanoi", t0 - dt.timedelta(hours=1), 15.0),
+                payload("danang", t0, 26.0),
+            ],
+            t0 + dt.timedelta(minutes=10),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = {
+        r.location: r.temperature
+        for r in read_latest_snapshot(spark, log).collect()
+    }
+    assert snap == {"hanoi": 21.5, "hue": 28.0, "danang": 26.0}
+    # the log keeps history (append-only): 2 hanoi rows survive per-batch dedup
+    log_rows = spark.read.parquet(log)
+    assert log_rows.filter(F.col("location") == "hanoi").count() == 2
+
+    compacted = str(tmp_path / "upsert_compacted")
+    compact_snapshot(spark, log, compacted)
+    comp = {
+        r.location: r.temperature
+        for r in read_latest_snapshot(spark, compacted).collect()
+    }
+    assert comp == snap
+    assert spark.read.parquet(compacted).count() == 3
