@@ -226,3 +226,35 @@ def clickers_minus_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "rolling_1h_value_stats",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour TIME-RANGE window frame (vs. the row-count frames in
+    rolling_avg_per_user): rangeBetween on unix_micros, inclusive [-1h, 0].
+    Range frames bound by event time, not row position, so sparse/ bursty
+    keys get correct physics — the shape behind rate limits and rolling
+    SLAs."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
