@@ -800,3 +800,27 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("vec_id", F.col("label").alias("assigned_label"), "cosine_sim")
     )
+
+
+@register(
+    "doc_systematic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substring(md5({_NORM_TEXT}), 1, 15)) AS BIGINT) % 20 = 0
+    """,
+)
+def doc_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample: content-hash bucket 0 of 20.
+    Unlike df.sample() this is reproducible across engines/runs/partition
+    layouts AND consistent for duplicate content — the sampling primitive
+    for eval-holdout carving and quick corpus estimates."""
+    from ..operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(normalize_text(F.col("text"))), 1, 15), 16, 10)
+        .cast("long")
+        % 20
+    )
+    return d.filter(bucket == 0).select("doc_id", "lang", "n_chars")

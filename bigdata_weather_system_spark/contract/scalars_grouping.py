@@ -9,6 +9,7 @@ reference (§2.4 note).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .core import register, _t
 
@@ -414,4 +415,37 @@ def events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "value_quartile_buckets",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, value,
+             ntile(4) OVER (ORDER BY value, event_id) AS quartile
+      FROM events
+    )
+    SELECT quartile, count(*) AS n_rows,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi,
+           round(avg(value), 6) AS avg_value
+    FROM q GROUP BY quartile
+    """,
+)
+def value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketing via ntile over a unique total order
+    — the data-adaptive twin of the fixed-width events_value_bins. The
+    global sort is the cost at scale; for 100 TB swap to approx quantile
+    cut points + the clamp-floor assignment (events_value_bins shape)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    q = ev.select(
+        "value", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
     )

@@ -79,3 +79,41 @@ def test_mode_tiebreak_smallest_value(spark, rows):
         top = max(counts.values())
         expected = min(v for v, c in counts.items() if c == top)
         assert got[k] == expected, (k, counts, got[k])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_match_union_find(spark, edges):
+    """DataFrame CC (min-label propagation + pointer jumping) must equal a
+    driver-side union-find on arbitrary graphs — including chains, cycles,
+    self-loops, and duplicate edges."""
+    from bigdata_weather_system_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in parent:
+        expected[n] = find(n)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    # find() compresses toward the min because unions always point the
+    # larger root at the smaller one
+    assert got == expected
