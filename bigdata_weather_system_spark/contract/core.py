@@ -483,3 +483,30 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@register("weather_sim_source_profile")  # custom Python data source → rows-only
+def weather_sim_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native replacement for the reference's REST crawler (S10,
+    producer_v2.py:47-228): a custom Python Data Source emitting the
+    kafka-shaped feed (one partition per location, key-equality partition
+    pruning, replayable stream offsets), profiled through the SAME parse
+    chain + per-location aggregation as every other source. Rows-only:
+    the source is Spark-side by definition."""
+    from ..sources.raw_events import parse_raw_events
+    from ..sources.weather_sim import register_weather_sim
+
+    register_weather_sim(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    raw = spark.read.format("weather_sim").option("cycles", "48").load()
+    parsed = parse_raw_events(raw, keep_payload=False)
+    return (
+        parsed.groupBy("location")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+            F.round(F.avg("windspeed"), 6).alias("avg_windspeed"),
+            F.min("event_timestamp").alias("first_seen"),
+            F.max("event_timestamp").alias("last_seen"),
+        )
+    )
