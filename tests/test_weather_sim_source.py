@@ -117,3 +117,11 @@ def test_streaming_read_feeds_parse_chain(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_arrow_batch_read_path_matches_row_path(spark):
+    rowpath = spark.read.format("weather_sim").load()
+    arrow = spark.read.format("weather_sim").option("arrow", "true").load()
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, rowpath.collect())
+    )
