@@ -125,3 +125,34 @@ def test_arrow_batch_read_path_matches_row_path(spark):
     assert sorted(map(tuple, arrow.collect())) == sorted(
         map(tuple, rowpath.collect())
     )
+
+
+def test_weather_feed_sink_two_phase_commit(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from bigdata_weather_system_spark.sources.feed_sink import (
+        register_weather_feed,
+    )
+
+    register_weather_feed(spark)
+    out = str(tmp_path / "feed_out")
+    src = spark.read.format("weather_sim").option("cycles", "6").load()
+    src.write.format("weather_feed").option("path", out).mode("append").save()
+
+    files = sorted(_os.listdir(out))
+    assert "_FEED_COMMITTED" in files
+    assert not any(f.startswith(".inprogress") for f in files)
+    with open(_os.path.join(out, "_FEED_COMMITTED")) as f:
+        manifest = _json.load(f)
+    assert sum(manifest.values()) == src.count()
+    # shards referenced by the manifest all exist and round-trip
+    rows = []
+    for shard in manifest:
+        with open(_os.path.join(out, shard)) as f:
+            rows += [_json.loads(line) for line in f]
+    assert len(rows) == src.count()
+    back = spark.createDataFrame(rows)
+    assert sorted(r.key for r in back.select("key").distinct().collect()) == sorted(
+        r.key for r in src.select("key").distinct().collect()
+    )
