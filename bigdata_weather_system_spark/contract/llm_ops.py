@@ -824,3 +824,38 @@ def doc_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 20
     )
     return d.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "doc_sentences_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        x -> trim(x)),
+                         x -> x <> '') AS parts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS sentence_idx,
+           unnest(parts) AS sentence,
+           CAST(len(list_filter(regexp_split_to_array(unnest(parts), '\\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_words
+    FROM s
+    """,
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) applied via LATERAL join — one row per
+    sentence with index and word count. Row-at-a-time Python: the point is
+    the extension surface (multi-row output per input row), not the hot
+    path; the oracle reproduces the same split relationally."""
+    from ..functions.python_udfs import SentenceSplit
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_words
+        FROM docs_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )

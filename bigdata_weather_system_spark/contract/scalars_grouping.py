@@ -449,3 +449,34 @@ def value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("hi"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "weighted_mean_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * user_id) / sum(user_id), 6) AS w_mean,
+           count(*) AS n_rows
+    FROM events
+    WHERE user_id > 0
+    GROUP BY event_type
+    """,
+)
+def weighted_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF (Arrow-vectorized
+    UDAF), oracled against the plain-SQL formulation — the pattern for
+    aggregates Spark lacks built-in. No partial agg for Python UDAFs:
+    bounded groups only (here: a handful of event types)."""
+    from ..functions.python_udfs import weighted_mean
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") > 0)
+    # a GROUPED_AGG pandas UDF cannot share an agg() with built-in
+    # aggregates — compute the count in a second agg and join (both sides
+    # reuse the same shuffle distribution on event_type)
+    wm = ev.groupBy("event_type").agg(
+        F.round(
+            weighted_mean(F.col("value"), F.col("user_id").cast("double")), 6
+        ).alias("w_mean")
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    return wm.join(counts, on="event_type")

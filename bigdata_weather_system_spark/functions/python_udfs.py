@@ -1,0 +1,64 @@
+"""Python UDTF + grouped-agg pandas UDF — the rest of the UDF surface.
+
+The reference registers zero UDFs (SURVEY §2.10); the engine's hot paths
+are all built-in column expressions. These two exist to pin the remaining
+extension points Spark offers when built-ins genuinely run out:
+
+- ``SentenceSplit``: a Python UDTF (table function) — one text row in,
+  one row per sentence out, usable via ``F.udtf`` call or ``LATERAL``
+  SQL. UDTFs run row-at-a-time in Python: keep them OFF the 100 TB hot
+  path (explode + split columns do this faster); the API matters for
+  logic that truly needs per-row Python with multi-row output.
+- ``weighted_mean``: a GROUPED_AGG pandas UDF (vectorized UDAF over
+  Arrow batches) — the scalable custom-aggregate shape; partial
+  aggregation is not available to Python UDAFs, so each group's values
+  ship to one executor: fine for bounded groups, use two-stage built-in
+  aggs otherwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SENTENCE_SCHEMA = StructType(
+    [
+        StructField("sentence_idx", IntegerType()),
+        StructField("sentence", StringType()),
+        StructField("n_words", IntegerType()),
+    ]
+)
+
+
+# NB: returnType must be DataType instances, not DDL strings — string DDL
+# is parsed through the active SparkContext AT IMPORT TIME, which breaks
+# any import that happens before the session exists.
+@udtf(returnType=_SENTENCE_SCHEMA)
+class SentenceSplit:
+    """Split text on sentence punctuation; emit one row per sentence."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        import re
+
+        parts = [p.strip() for p in re.split(r"[.!?]+", text) if p.strip()]
+        for i, p in enumerate(parts):
+            yield i, p, len(p.split())
+
+
+@pandas_udf(DoubleType())
+def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    """sum(v*w)/sum(w) over a group, vectorized via Arrow; zero total
+    weight yields NaN, which Arrow surfaces as SQL null."""
+    num = float((v * w).sum())
+    den = float(w.sum())
+    return num / den if den != 0.0 else float("nan")

@@ -77,3 +77,44 @@ def test_score_sequences_mapinpandas(spark):
         hours = int(r.end_timestamp[11:13])
         idx = hours * 12 + end_min // 5
         assert r.predicted_value == pytest.approx(float(idx))
+
+
+def test_sentence_split_udtf_multirow(spark):
+    from bigdata_weather_system_spark.functions.python_udfs import SentenceSplit
+
+    spark.udtf.register("sentence_split_t", SentenceSplit)
+    spark.createDataFrame(
+        [(1, "Hello world. How are you?  Fine!"), (2, "no punctuation"), (3, None)],
+        ["id", "txt"],
+    ).createOrReplaceTempView("udtf_in")
+    rows = spark.sql(
+        """
+        SELECT id, s.sentence_idx, s.sentence, s.n_words
+        FROM udtf_in, LATERAL sentence_split_t(txt) s
+        """
+    ).collect()
+    got = {(r.id, r.sentence_idx): (r.sentence, r.n_words) for r in rows}
+    assert got == {
+        (1, 0): ("Hello world", 2),
+        (1, 1): ("How are you", 3),
+        (1, 2): ("Fine", 1),
+        (2, 0): ("no punctuation", 2),
+    }  # NULL text emits no rows
+
+
+def test_weighted_mean_udaf_matches_exact(spark):
+    from bigdata_weather_system_spark.functions.python_udfs import weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0), ("c", 7.0, 0.0)],
+        ["k", "v", "w"],
+    )
+    got = {
+        r.k: r.wm
+        for r in df.groupBy("k")
+        .agg(weighted_mean(F.col("v"), F.col("w")).alias("wm"))
+        .collect()
+    }
+    assert got["a"] == (10.0 + 60.0) / 4.0
+    assert got["b"] == 5.0
+    assert got["c"] is None  # zero total weight → NaN → null via Arrow
