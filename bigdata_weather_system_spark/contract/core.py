@@ -510,3 +510,43 @@ def weather_sim_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_timestamp").alias("last_seen"),
         )
     )
+
+
+@register(
+    "incremental_profile_merge",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the table is split into a
+    'snapshot era' and a 'delta era' (date cutoff), each pre-aggregated
+    to mergeable partials (count/sum/min/max), then MERGED without
+    rescanning raw rows. The oracle aggregates directly over everything —
+    merged partials must be indistinguishable from a full recompute
+    (the algebraic-aggregate law incremental rollups rely on)."""
+    from ..operators.profile import merge_profiles, mergeable_profile
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-03-01").cast("timestamp")
+    snapshot = mergeable_profile(
+        ev.filter(F.col("ts") < cutoff), ["event_type"], "value"
+    )
+    delta = mergeable_profile(
+        ev.filter(F.col("ts") >= cutoff), ["event_type"], "value"
+    )
+    merged = merge_profiles(snapshot, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    )

@@ -101,3 +101,40 @@ def standard_metric_aggs(value_col: str = "value") -> list[Column]:
         F.max(v).alias("max_value"),
         F.round(F.sum(v), 2).alias("sum_value"),
     ]
+
+
+def mergeable_profile(df, key_cols, value_col):
+    """Pre-aggregate to the mergeable partial form: (count, sum, min, max)
+    per key. Two partials for the same key combine losslessly — the
+    algebraic-aggregate property incremental rollup maintenance relies on."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_profiles(snapshot, delta, key_cols):
+    """Merge two mergeable-profile frames (e.g. yesterday's snapshot + one
+    new partition's partial) WITHOUT touching raw rows: union + one re-agg
+    over count/sum/min/max, then derive avg. At 100 TB this is the
+    difference between rescanning the fact table and aggregating only the
+    new partition — the incremental-maintenance pattern for any algebraic
+    aggregate (avg decomposes into sum+count; medians/distincts need
+    sketches instead).
+    """
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    merged = snapshot.unionByName(delta).groupBy(*key_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return merged.withColumn(
+        "avg_value", F.col("sum_value") / F.col("n_rows")
+    )
