@@ -550,3 +550,34 @@ def incremental_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         F.round("avg_value", 6).alias("avg_value"),
     )
+
+
+@register(
+    "latest_event_via_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, printf('%020d%020d', epoch_us(ts), event_id))
+             AS last_event_id,
+           arg_max(value, printf('%020d%020d', epoch_us(ts), event_id))
+             AS last_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_event_via_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key as a pure AGGREGATION (max_by) instead of the W1
+    window rank — the documented pathological-skew path
+    (operators/latest.py): partial max_by combines map-side, so one hot
+    key never funnels through a single ranking task. Ordering key is a
+    zero-padded (epoch_us, event_id) string — totally ordered and
+    portable, where neither engine accepts a struct ordering key in
+    argmax."""
+    ev = _t(spark, sf_dir, "events")
+    okey = F.format_string(
+        "%020d%020d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", okey).alias("last_event_id"),
+        F.max_by("value", okey).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
