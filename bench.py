@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_late_shipment_priority",
+    "q7_volume_shipping",
     "q18_large_volume_customers",
     "latest_event_per_user",
     "hourly_profile",
