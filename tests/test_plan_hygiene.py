@@ -105,3 +105,15 @@ def test_tfidf_join_sides_preaggregated(spark):
 def test_dedup_survivors_anti_join_broadcasts(spark):
     plan = plan_of(spark, "dedup_survivors_near_dup")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q7_q9_broadcast_dims(spark):
+    p7 = plan_of(spark, "q7_volume_shipping")
+    assert p7.count("BroadcastHashJoin") >= 2  # both nation dims broadcast
+    p9 = plan_of(spark, "q9_profit_by_nation_year")
+    assert p9.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    # the LIKE filter must reach the part scan, not sit above the join
+    scan = next(
+        l for l in p9.splitlines() if "FileScan parquet" in l and "p_name" in l
+    )
+    assert "part.parquet" in scan

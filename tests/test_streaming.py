@@ -365,3 +365,33 @@ def test_incremental_snapshot_upsert_and_compaction(spark, tmp_path):
     }
     assert comp == snap
     assert spark.read.parquet(compacted).count() == 3
+
+
+def test_available_now_trigger_processes_backlog_and_stops(spark, tmp_path):
+    from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
+
+    in_dir = tmp_path / "avnow_in"
+    in_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    for i in range(3):
+        write_batch(
+            str(in_dir), f"f{i}.json", [payload(f"loc{i}", t0, 20.0 + i)], t0
+        )
+    parsed = parse_raw_events(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        keep_payload=False,
+    )
+    # availableNow: drain the whole backlog in rate-limited batches, then
+    # STOP — the batch-catchup trigger for periodic jobs over a stream
+    # source (no always-on cluster).
+    q = (
+        parsed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("avnow_out")
+        .option("checkpointLocation", str(tmp_path / "avnow_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert not q.isActive  # self-terminated after draining
+    assert spark.table("avnow_out").count() == 3
