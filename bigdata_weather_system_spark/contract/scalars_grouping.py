@@ -480,3 +480,27 @@ def weighted_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
     return wm.join(counts, on="event_type")
+
+
+@register(
+    "zscore_values_per_user",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+                ELSE round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6)
+           END AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def zscore_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via applyInPandas (grouped-map Arrow UDF), oracled
+    against the pure-window SQL formulation — pins that the pandas path
+    computes exactly what the relational path would."""
+    from ..functions.python_udfs import zscore_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = zscore_per_group(ev, ["user_id"], "value")
+    return out.select(
+        "event_id", "user_id", "value", F.round("zscore", 6).alias("zscore")
+    )

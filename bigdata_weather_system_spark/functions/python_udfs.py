@@ -62,3 +62,31 @@ def weighted_mean(v: pd.Series, w: pd.Series) -> float:
     num = float((v * w).sum())
     den = float(w.sum())
     return num / den if den != 0.0 else float("nan")
+
+
+def zscore_per_group(df, key_cols, value_col: str, out_col: str = "zscore"):
+    """Per-group z-score normalization via applyInPandas (grouped-map UDF).
+
+    Each group arrives as ONE pandas DataFrame over Arrow — the shape for
+    per-entity feature normalization where the whole group is needed at
+    once. Population std (ddof=0) to match SQL ``stddev_pop``;
+    zero-variance groups normalize to 0.0 (not NaN). The same math is
+    expressible with window functions (the oracle does) — applyInPandas
+    earns its keep only when the per-group logic outgrows column algebra;
+    groups must fit in executor memory.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        std = float(v.std(ddof=0))
+        mean = float(v.mean())
+        pdf = pdf.copy()
+        pdf[out_col] = 0.0 if std == 0.0 else (v - mean) / std
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_norm, schema=schema)
