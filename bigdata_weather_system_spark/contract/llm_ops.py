@@ -859,3 +859,66 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+_QUALITY_SCORE_SQL = f"""
+    round(least(len({_TOKS}) / 50.0, 1.0) * 0.4
+          + (1 - least(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\\[\\]{{}}<>-]', '', 'g')))::DOUBLE / length(text)
+                 ELSE 0.0 END * 5, 1.0)) * 0.2
+          + (1 - least(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                      / length(text)
+                 ELSE 0.0 END * 5, 1.0)) * 0.2
+          + least(CASE WHEN len({_TOKS}) > 0
+                 THEN len(list_filter({_TOKS},
+                       x -> list_contains(['the','and','of','to','is','a'], x)))::DOUBLE
+                      / len({_TOKS})
+                 ELSE 0.0 END * 4, 1.0) * 0.2, 4)
+"""
+
+
+@register(
+    "llm_pipeline_end_to_end",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, n_chars, {_QUALITY_SCORE_SQL} AS q
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    winners AS (
+      SELECT md5({_NORM_TEXT}) AS ck, min(doc_id) AS doc_id
+      FROM kept GROUP BY 1
+    ),
+    ded AS (SELECT k.* FROM kept k JOIN winners w ON k.doc_id = w.doc_id),
+    assigned AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substring(md5({_NORM_TEXT}), 1, 15)) AS BIGINT)
+                       % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5({_NORM_TEXT}), 1, 15)) AS BIGINT)
+                       % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM ded
+    )
+    SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline COMPOSED: quality filter (score ≥
+    0.5) → exact dedup (smallest-id winner) → deterministic hash split →
+    per-(split, lang) inventory. Every stage is the already-oracled
+    operator; this entry pins that they compose without interference —
+    one declarative plan end to end, no materialization between stages."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    kept = quality_score(d).filter(F.col("quality_score") >= 0.5)
+    ded = exact_dedup(kept, "doc_id", "text")
+    assigned = hash_split(ded, "text")
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
