@@ -395,3 +395,40 @@ def test_available_now_trigger_processes_backlog_and_stops(spark, tmp_path):
     q.awaitTermination(60)
     assert not q.isActive  # self-terminated after draining
     assert spark.table("avnow_out").count() == 3
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
+
+    in_dir = tmp_path / "ss_dim_in"
+    in_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch(
+        str(in_dir),
+        "b1.json",
+        [payload("hanoi", t0, 20.0), payload("nowhere", t0, 9.0)],
+        t0,
+    )
+    dim = spark.createDataFrame(
+        [("hanoi", "north", 21.03), ("hue", "central", 16.46)],
+        ["location", "region", "lat"],
+    )
+    stream = parse_raw_events(
+        read_event_stream(spark, path=str(in_dir)), keep_payload=False
+    ).select("location", "event_timestamp", "temperature")
+    # stream-static join: the dimension is re-resolved per micro-batch,
+    # no watermark or state needed — the standard enrichment shape
+    enriched = stream.join(dim, on="location", how="left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_dim_out")
+        .option("checkpointLocation", str(tmp_path / "ss_dim_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.location: (r.region, r.temperature) for r in spark.table("ss_dim_out").collect()}
+        assert got == {"hanoi": ("north", 20.0), "nowhere": (None, 9.0)}
+    finally:
+        q.stop()
