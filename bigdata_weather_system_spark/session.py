@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source filter pushdown (sources/weather_sim.py) —
+        # off by default in Spark 4.1; harmless when no Python source is used
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if master:
