@@ -432,3 +432,47 @@ def test_stream_static_dimension_join(spark, tmp_path):
         assert got == {"hanoi": ("north", 20.0), "nowhere": (None, 9.0)}
     finally:
         q.stop()
+
+
+def test_incremental_snapshot_sink_resumes_from_checkpoint(spark, tmp_path):
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_latest_snapshot,
+        start_incremental_snapshot_sink,
+    )
+
+    in_dir = tmp_path / "resume_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "resume_log")
+    ckpt = str(tmp_path / "resume_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    write_batch(str(in_dir), "b1.json", [payload("hanoi", t0, 20.0)], t0)
+    q1 = start_incremental_snapshot_sink(
+        read_event_stream(spark, path=str(in_dir)), log, ckpt
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # new data lands while the query is DOWN; restart must resume from the
+    # checkpoint and process only the unseen file (no duplicate batch 0)
+    write_batch(
+        str(in_dir),
+        "b2.json",
+        [payload("hanoi", t0 + dt.timedelta(minutes=5), 22.0)],
+        t0 + dt.timedelta(minutes=5),
+    )
+    q2 = start_incremental_snapshot_sink(
+        read_event_stream(spark, path=str(in_dir)), log, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    log_df = spark.read.parquet(log)
+    assert log_df.count() == 2  # one row per file, no reprocessing
+    assert log_df.select("_batch_id").distinct().count() == 2
+    snap = read_latest_snapshot(spark, log).collect()
+    assert len(snap) == 1 and snap[0].temperature == 22.0
