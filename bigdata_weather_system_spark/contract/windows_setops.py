@@ -258,3 +258,42 @@ def rolling_1h_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@register(
+    "click_user_bag_except_purchases",
+    oracle="""
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def click_user_bag_except_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each purchase cancels ONE click per
+    user — multiplicities survive, unlike the distinct except in
+    clickers_minus_purchasers. Spark plans this as a counted anti
+    pattern, no dedup of the surviving duplicates."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(purchases)
+
+
+@register(
+    "click_user_bag_intersect_purchases",
+    oracle="""
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def click_user_bag_intersect_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: min-multiplicity per user across the two bags."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersectAll(purchases)
