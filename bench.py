@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "q4_late_shipment_priority",
     "q7_volume_shipping",
     "q18_large_volume_customers",
