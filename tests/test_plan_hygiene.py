@@ -117,3 +117,11 @@ def test_q7_q9_broadcast_dims(spark):
         l for l in p9.splitlines() if "FileScan parquet" in l and "p_name" in l
     )
     assert "part.parquet" in scan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan  # range predicates reach the parquet reader
+    assert "partial_sum" in plan
