@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q4_late_shipment_priority",
     "q7_volume_shipping",
     "q18_large_volume_customers",
+    "q5_local_supplier_volume",
+    "q13_customer_order_distribution",
+    "q21_sole_returned_supplier",
     "latest_event_per_user",
     "hourly_profile",
     "daily_profile",

@@ -1,0 +1,177 @@
+"""Contract queries: extended window analytics, distribution statistics,
+deterministic stratified sampling, and higher-order array math.
+
+Fills the last gaps SURVEY §2.5/§2.8 note as "available built-in but
+unused by the reference": value-navigation window functions
+(first/last/nth/cume_dist), moment statistics per group, and
+lambda-based array expressions (transform/aggregate/zip_with) over the
+embeddings table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .core import register, _t
+
+
+@register(
+    "window_value_navigation",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           first_value(value) OVER w                   AS first_val,
+           last_value(value)  OVER w_full              AS last_val,
+           nth_value(value, 2) OVER w_full             AS second_val,
+           round(cume_dist() OVER w, 6)                AS cume,
+           round(percent_rank() OVER w, 6)             AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions: first/last/nth value and the
+    distribution ranks. ``last_value``/``nth_value`` use an explicit
+    UNBOUNDED-to-UNBOUNDED frame — the default frame stops at CURRENT ROW,
+    which makes last_value a running self-copy (classic footgun; both
+    engines agree on the default, so pinning the full frame is a semantic
+    choice, not an engine workaround). One shuffle on user_id serves all
+    five functions — same window spec, single WindowExec."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w_full).alias("second_val"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "grouped_distribution_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)                                    AS n,
+           round(stddev_samp(value), 6)                AS sd_value,
+           round(var_samp(value), 6)                   AS var_value,
+           round(covar_samp(value, epoch(ts)), 4)      AS cov_value_time,
+           round(corr(value, epoch(ts)), 6)            AS corr_value_time,
+           round((avg(value * value * value)
+                  - 3 * avg(value) * avg(value * value)
+                  + 2 * avg(value) * avg(value) * avg(value))
+                 / power(avg(value * value) - avg(value) * avg(value), 1.5),
+                 6)                                    AS skew_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def grouped_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution statistics (A9 generalized): sample
+    stddev/variance, covariance and correlation of value against event
+    time, and skewness. Skewness is computed from RAW MOMENTS
+    (E[x³] − 3E[x]E[x²] + 2E[x]³) / (E[x²] − E[x]²)^1.5 rather than the
+    engines' built-ins — Spark's ``skewness`` is the population estimator
+    while DuckDB's applies a sample bias correction, so the built-ins can
+    never hash-match; the moment formula is engine-portable and still one
+    map-side-combining aggregation pass."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    t = F.col("ts").cast("double")
+    m1, m2, m3 = F.avg(x), F.avg(x * x), F.avg(x * x * x)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(x), 6).alias("sd_value"),
+        F.round(F.var_samp(x), 6).alias("var_value"),
+        F.round(F.covar_samp(x, t), 4).alias("cov_value_time"),
+        F.round(F.corr(x, t), 6).alias("corr_value_time"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / F.pow(m2 - m1 * m1, F.lit(1.5)),
+            6,
+        ).alias("skew_value"),
+    )
+
+
+@register(
+    "stratified_event_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (
+      SELECT event_id, user_id, event_type, value,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS b
+      FROM events
+    )
+    WHERE b < CASE event_type WHEN 'purchase' THEN 100
+                              WHEN 'click' THEN 20
+                              ELSE 5 END
+    """,
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (keep all
+    purchases, 20% of clicks, 5% of the rest) decided by a CONTENT HASH
+    of the row key, not ``sampleBy``/``rand()`` — reproducible across
+    runs, engines, and partitionings, which is what makes a 100 TB
+    sample auditable. Pure projection + filter on the scan: no shuffle,
+    no state, trivially parallel."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("event_type") == "purchase", 100)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(5)
+    )
+    return ev.filter(bucket < rate).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(nrm), 4)  AS avg_norm,
+           min(nrm)            AS min_norm,
+           max(nrm)            AS max_norm
+    FROM (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS nrm
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array math in-plan: per-row L2 norm via
+    transform + aggregate lambdas (JVM-side, no UDF), then per-label
+    stats. Per-row norms are rounded to 6dp BEFORE aggregation so
+    min/max pick identical rows on both engines; the fold runs in
+    doubles to keep float32 accumulation error out of the comparison."""
+    from ..operators.similarity import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(F.col("embedding")), 6)
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
