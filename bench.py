@@ -70,9 +70,17 @@ def main() -> None:
     spark = get_spark(app_name="bdws-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Warm the JVM + parquet footers once so per-query timings measure the
-    # query, not session startup.
+    # Warm the JVM + parquet footers + Arrow Python-worker pool once so
+    # per-query timings measure the query, not session startup.
     contract.QUERIES["topk_events_by_value"](spark, SF_DIR).collect()
+    from pyspark.sql import functions as F  # noqa: E402
+    from pyspark.sql.types import LongType  # noqa: E402
+
+    @F.pandas_udf(LongType())
+    def _noop(s):
+        return s
+
+    spark.range(1000).select(_noop("id")).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -285,27 +285,63 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``; cluster_id = min node
     id in the node's connected component.
 
     Near-dup pairs only say "these two match"; deduplication needs the
-    transitive closure (A≈B, B≈C ⇒ drop two of {A,B,C}). Iterative min-label
-    propagation, all DataFrame ops:
+    transitive closure (A≈B, B≈C ⇒ drop two of {A,B,C}).
 
-    - each round every node takes the min of its own label and its
-      neighbors' labels (one shuffle keyed by node id, partial min map-side)
-      plus a pointer-jump through its current label's label, which
-      short-circuits long chains (near-logarithmic rounds instead of
-      O(diameter));
-    - lineage is truncated per round with ``localCheckpoint`` so the plan
-      doesn't grow exponentially across iterations;
-    - the edge list is cached once — it is re-joined every round;
-    - converges when a round changes nothing (monotone decreasing labels, so
-      a fixed point is global); near-dup graphs are unions of small
-      clusters, so this is 2-4 rounds in practice at any corpus size.
+    Two strategies, picked by EDGE COUNT (the same runtime-size decision
+    AQE makes for broadcast joins):
+
+    - **small edge set → driver union-find.** After LSH/Jaccard filtering
+      the match-pair list is orders of magnitude smaller than the corpus;
+      a union-find over ≤``driver_max_edges`` edges is a few hundred MB
+      and milliseconds of CPU, versus ~5 distributed jobs PER ROUND of
+      label propagation. Collecting a bounded, already-reduced edge list
+      is the same pattern as broadcasting a small join side — it is not a
+      driver-side loop over the corpus.
+    - **large edge set → iterative min-label propagation**, all DataFrame
+      ops: each round every node takes the min of its own and its
+      neighbors' labels (one shuffle, partial min map-side) plus a
+      pointer-jump through its current label's label (near-logarithmic
+      rounds instead of O(diameter)); lineage is truncated per round with
+      ``localCheckpoint``; the edge list is cached once; converges when a
+      round changes nothing (labels decrease monotonically, so a fixed
+      point is global).
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).cache()
+    n_edges = fwd.limit(driver_max_edges + 1).count()
+    if n_edges <= driver_max_edges:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for src, dst in fwd.collect():
+            if src not in parent:
+                parent[src] = src
+            if dst not in parent:
+                parent[dst] = dst
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                # union by min id keeps roots = component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(node, find(node)) for node in parent]
+        schema = fwd.select(
+            F.col("src").alias("node"), F.col("src").alias("cluster_id")
+        ).schema
+        fwd.unpersist()
+        return spark.createDataFrame(rows, schema)
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
@@ -350,6 +386,7 @@ def connected_components(
         if changed.isEmpty():
             break
     edges.unpersist()
+    fwd.unpersist()
     return labels
 
 

@@ -109,27 +109,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_sketch(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit sketch: bit_i = 1 iff dot(vec, plane_i) > 0 → packed long."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    """Sign-bit sketch: bit_i = 1 iff dot(vec, plane_i) > 0 → packed long.
+
+    Arrow-batched numpy GEMM — one ``(batch, dim) @ (dim, n_planes)`` BLAS
+    call per batch, sign bits packed with a shift-and-sum — replacing
+    n_planes interpreted zip_with folds per row (and the n_planes × dim
+    literal expression tree). The plane matrix travels in the UDF closure;
+    it is seed-derived and tiny.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    pmat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(pmat.shape[1], dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def sketch(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        bits = (mat @ pmat) > 0  # (b, n_planes) bool
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return sketch(vec)
 
 
 def cosine_topk_lsh(
@@ -244,22 +244,34 @@ def _cell_assignment(
 ) -> Column:
     """Ids of the ``n_probe`` centroids nearest (by dot product) to ``vec``.
 
-    Centroids are inlined as literal arrays (they are tiny — an IVF coarse
-    quantizer is dozens-to-thousands of cells); the per-row cost is
-    |centroids| codegen'd dot folds. Ties break toward the higher cell id
-    (struct max compares dot first, then id) — deterministic.
+    Arrow-batched numpy GEMM: each batch scores against the whole centroid
+    matrix in one BLAS call — ``(batch, dim) @ (dim, n_cells)`` — instead
+    of n_cells interpreted array folds per row (and an expression tree of
+    n_cells × dim literals whose compile time alone dominates small runs).
+    The centroid matrix rides into executors via the UDF closure — it is
+    the coarse quantizer, dozens-to-thousands of cells, broadcast-sized by
+    construction. Ties break toward the higher cell id, matching the
+    struct-max tie-break of the pure-expression formulation this replaces.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    ranked = F.reverse(F.array_sort(scored))
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("cell"))
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+    n_cells = cmat.shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)  # (b, dim)
+        dots = mat @ cmat  # (b, n_cells)
+        # desc by dot, ties → higher cell id: stable argsort over the
+        # column-reversed matrix, indices mapped back
+        order = (n_cells - 1) - np.argsort(
+            -dots[:, ::-1], axis=1, kind="stable"
+        )
+        probes = order[:, :n_probe].astype(np.int32)
+        return pd.Series(list(probes))
+
+    return cells(vec)
 
 
 def ivf_centroids(
