@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q13_customer_order_distribution",
     "q21_sole_returned_supplier",
+    "q2_min_cost_supplier",
+    "q20_excess_stock_suppliers",
     "latest_event_per_user",
     "hourly_profile",
     "daily_profile",
