@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "doc_tfidf_top_terms",
     "doc_train_test_split",
+    "doc_sequence_packing",
+    "doc_chunk_windows",
+    "doc_vocab_coverage",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Contract queries: training-data assembly operators.
+
+The steps between a deduplicated corpus and a training run: packing
+documents into fixed token budgets, chunking long documents into
+overlapping windows, and measuring vocabulary coverage — each a
+first-class 100 TB-shaped operator (scan-local token math, one bounded
+shuffle, no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.text import tokens
+from .core import register, _t
+
+#: DuckDB-side whitespace tokenization — identical to llm_ops._TOKS.
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor(
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT source, bin,
+           count(*)                  AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming concat-and-pack: documents are laid end-to-end per source
+    in doc_id order and cut into 2048-token bins — bin = exclusive-prefix
+    token offset div budget, the deterministic streaming packer training
+    pipelines use (greedy best-fit packing needs global state; offset
+    packing is order-stable, one window + one aggregate). Per-source
+    window partitioning keeps the prefix sums parallel; the doc_id
+    ordering makes the layout reproducible across runs and engines."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(floor((len(toks) - 1) / 24.0) AS BIGINT) + 1))
+               AS chunk_idx,
+             toks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, 1 + chunk_idx * 24,
+                               least(chunk_idx * 24 + 32, len(toks)))) AS INT)
+             AS chunk_tokens,
+           array_to_string(list_slice(toks, 1 + chunk_idx * 24,
+                                      least(chunk_idx * 24 + 32, len(toks))), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG / long-context prep): 32-token
+    chunks at stride 24 (8-token overlap), one row per chunk. The chunk
+    index range explodes from pure column math — no UDF, no shuffle at
+    all: chunking is scan-local and the operator stays a projection at
+    any corpus size. Tail chunks are kept (shorter than 32) so every
+    token lands in ≥1 chunk."""
+    chunk, stride = 32, 24
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size("toks") - 1) / F.lit(float(stride))).cast("int")
+    )
+    c = t.select("doc_id", F.explode(idx).alias("chunk_idx"), "toks")
+    sliced = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * stride + 1,
+        F.least(
+            F.lit(chunk),
+            F.size("toks") - F.col("chunk_idx") * stride,
+        ),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sliced).cast("int").alias("chunk_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )
+
+
+@register(
+    "doc_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS freq,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+        FROM tok GROUP BY token
+      ) WHERE rn <= 500
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           count(*)                            AS n_docs,
+           round(avg(n_oov * 1.0 / n_tokens), 6) AS avg_oov_rate,
+           CAST(sum(n_oov) AS BIGINT)          AS total_oov
+    FROM per_doc GROUP BY lang
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the corpus top-500 token vocabulary
+    (count desc, token asc — deterministic), then per-language
+    out-of-vocabulary rates. The vocab is top-k over a partial-aggregated
+    token count (TakeOrdered, no full sort) and is broadcast back —
+    the corpus-side pass stays a map-side join however large the corpus;
+    only the bounded token histogram shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(500)
+        .select("token")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), on="token", how="left"
+    )
+    per_doc = marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_tokens")), 6).alias("avg_oov_rate"),
+        F.sum("n_oov").cast("long").alias("total_oov"),
+    )
