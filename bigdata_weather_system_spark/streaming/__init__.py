@@ -6,7 +6,7 @@ from .pipeline import (
     start_parquet_sink,
     streaming_hourly_profile,
 )
-from .stateful import running_value_profile
+from .stateful import running_value_profile, running_value_profile_tws
 
 __all__ = [
     "read_event_stream",
@@ -16,4 +16,5 @@ __all__ = [
     "start_parquet_sink",
     "streaming_hourly_profile",
     "running_value_profile",
+    "running_value_profile_tws",
 ]

@@ -89,3 +89,92 @@ def running_value_profile(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+def running_value_profile_tws(
+    parsed_stream: DataFrame,
+    key_col: str = "location",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """The same lifetime per-key profile on the ``transformWithState``
+    API — Spark 4's successor to ``applyInPandasWithState``.
+
+    Differences that matter at scale: state lives in named, individually
+    addressable variables on the StatefulProcessorHandle (RocksDB-backed
+    with changelog checkpointing, so snapshot size tracks CHANGED keys
+    per batch, not total keys), timers replace the single timeout conf,
+    and initial state / state schema evolution are first-class. Keeping
+    both operators pins the migration path for the engine.
+
+    Runtime requirement: the transformWithState Python runner speaks
+    protobuf to the JVM state server — environments without
+    ``google.protobuf`` can build this plan but not execute it (the
+    conformance test skips itself there; ``running_value_profile`` is the
+    dependency-free fallback with identical semantics).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class RunningProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._agg.get() if self._agg.exists() else None
+            n, s, mn, mx = prior if prior is not None else (0, 0.0, None, None)
+            for pdf in rows:
+                vals = pdf["_value"].dropna()
+                if len(vals) == 0:
+                    continue
+                n += int(len(vals))
+                s += float(vals.sum())
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._agg.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "location": key[0],
+                        "n_events": n,
+                        "sum_value": s,
+                        "min_value": mn,
+                        "max_value": mx,
+                        "avg_value": (s / n) if n else None,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = parsed_stream.selectExpr(
+        f"{key_col} AS location", f"CAST({value_col} AS double) AS _value"
+    )
+    return prepped.groupBy("location").transformWithStateInPandas(
+        statefulProcessor=RunningProfile(),
+        outputStructType=RUNNING_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -125,3 +125,51 @@ def test_q6_all_predicates_pushed(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in scan  # range predicates reach the parquet reader
     assert "partial_sum" in plan
+
+
+# --- new TPC-H shapes (tpch_more / tpch_partsupp) ---------------------------
+
+
+def test_q5_broadcasts_all_dims(spark):
+    # c/s/n/r are explicitly broadcast; only orders<->lineitem may shuffle
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_ship_date_range_pushed_to_scan(spark):
+    plan = plan_of(spark, "q12_priority_by_linestatus")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    plan = plan_of(spark, "q21_sole_returned_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_dims_broadcast(spark):
+    # part/supplier/nation are explicitly broadcast around the supply agg
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+# --- sampling / chunking stay shuffle-free ----------------------------------
+
+
+def test_stratified_sample_is_scan_local(spark):
+    # hash-rate sampling must remain a pure projection+filter on the scan
+    plan = plan_of(spark, "stratified_event_sample")
+    assert "Exchange" not in plan
+
+
+def test_chunking_is_scan_local(spark):
+    plan = plan_of(spark, "doc_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_vocab_joined_back_via_broadcast(spark):
+    plan = plan_of(spark, "doc_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
