@@ -62,6 +62,44 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def pair_up(
+    df: DataFrame, bucket_cols: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """All i<j payload pairs sharing a bucket key, as struct columns
+    ``a`` / ``b``.
+
+    Grouped-postings formulation: groupBy the bucket → sorted postings
+    list → array-lambda combinations. One shuffle and ONE evaluation of
+    the upstream pipeline, where the equivalent self-join evaluates it on
+    both sides and shuffles both copies. ``payload_cols[0]`` must be the
+    id — the postings sort orders structs by it, so ``a < b`` holds by
+    construction.
+
+    Emitted pair count is Σ buckets c·(c−1)/2, identical to the
+    self-join; pathological bucket skew (hot LSH buckets) is inherent to
+    bucketed pairing in either formulation — cap or drop oversized
+    buckets upstream when the data demands it.
+    """
+    plist = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
+    )
+    g = (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(plist.alias("_ps"))
+        .filter(F.size("_ps") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return g.select(F.explode(combos).alias("p")).select("p.a", "p.b")
+
+
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -186,10 +224,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
-    band key = hash(band index, the band's slice of the signature); a
-    groupBy-free formulation: explode bands → self-join on (band, bucket).
-    The join keys are 8-byte hashes — this is the O(n²)→O(candidates)
-    reduction that makes near-dup feasible at 100 TB.
+    band key = hash(band index, the band's slice of the signature); pairs
+    come from the grouped-postings helper (``pair_up``) on (band, bucket)
+    — the signature pipeline is evaluated once, and the 8-byte bucket
+    keys are the O(n²)→O(candidates) reduction that makes near-dup
+    feasible at 100 TB.
     """
     bands = signatures.select(
         F.col(id_col),
@@ -213,11 +252,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pair_up(bands, ["band", "bucket"], [id_col])
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -458,8 +494,8 @@ def simhash_near_pairs(
     """Pairs with Hamming distance ≤ max_hamming between SimHashes.
 
     Banding: split the 64-bit signature into 4 16-bit blocks; any pair
-    within Hamming ≤ 3 shares at least one exact block (pigeonhole), so the
-    self-join runs on block values, never all pairs.
+    within Hamming ≤ 3 shares at least one exact block (pigeonhole), so
+    pairing happens per block bucket (``pair_up``), never all pairs.
     """
     sigs = simhash(df, id_col, text_col, n)
     blocks = sigs.select(
@@ -479,11 +515,8 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.block_idx", "bb.block")
-    a = blocks.alias("a")
-    b = blocks.alias("b")
     pairs = (
-        a.join(b, on=["block_idx", "block"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pair_up(blocks, ["block_idx", "block"], [id_col, "simhash"])
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -209,10 +209,13 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed.
 
-    Same-bucket self-join (near-identical vectors almost surely share all
-    sign bits), then exact cosine verification. The dedup analog of
-    cosine_topk_lsh.
+    Same-bucket pairing (near-identical vectors almost surely share all
+    sign bits) via the grouped-postings helper — the sketch pipeline runs
+    once, not on both sides of a self-join — then exact cosine
+    verification. The dedup analog of cosine_topk_lsh.
     """
+    from .dedup import pair_up
+
     planes = _hyperplanes(dim, n_planes, seed)
     vectors = _spread(vectors)
     sk = vectors.select(
@@ -221,20 +224,14 @@ def embedding_near_dup_pairs(
         norm(F.col(vec_col)).alias("_n"),
         lsh_sketch(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sk.alias("a")
-    b = sk.alias("b")
-    pairs = (
-        a.join(b, on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a._n") * F.col("b._n")),
-                6,
-            ).alias("cosine_sim"),
-        )
+    pairs = pair_up(sk, ["bucket"], [id_col, vec_col, "_n"]).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a._n") * F.col("b._n")),
+            6,
+        ).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold).distinct()
 
