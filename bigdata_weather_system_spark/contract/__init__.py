@@ -15,5 +15,6 @@ from . import tpch_more  # noqa: F401, E402
 from . import tpch_partsupp  # noqa: F401, E402
 from . import analytics_ext  # noqa: F401, E402
 from . import pipeline_ops  # noqa: F401, E402
+from . import sketch_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

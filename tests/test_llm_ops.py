@@ -29,6 +29,8 @@ from bigdata_weather_system_spark.operators.text import (
 )
 from bigdata_weather_system_spark.sources.tables import load_table
 
+from conftest import TEST_SF_DIR
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
@@ -327,3 +329,56 @@ def test_word_shingles_short_and_empty_texts(spark):
     )
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(2, 3)]
+
+
+def test_hll_rollup_matches_exact_within_tolerance(spark):
+    """Union-of-daily-sketches estimate must track the exact distinct count
+    (HLL standard error ~1.6% at default lgK; allow 5%)."""
+    from bigdata_weather_system_spark import contract
+
+    sf = TEST_SF_DIR
+    approx = {
+        r.event_type: r.approx_distinct_users
+        for r in contract.QUERIES["hll_distinct_users_rollup"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+
+def test_kll_quantiles_match_exact_within_tolerance(spark):
+    from bigdata_weather_system_spark import contract
+
+    sf = TEST_SF_DIR
+    sk = {
+        r.event_type: r
+        for r in contract.QUERIES["kll_value_quantiles"](spark, sf).collect()
+    }
+    # KLL guarantees RANK accuracy (±eps of the requested rank), not value
+    # accuracy — in a sparse tail a tiny rank error is a large value jump.
+    # So pin each sketch quantile inside the exact-value band of q ± 0.02.
+    bands = {
+        r.event_type: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.48)).alias("p50_lo"),
+            F.percentile("value", F.lit(0.52)).alias("p50_hi"),
+            F.percentile("value", F.lit(0.88)).alias("p90_lo"),
+            F.percentile("value", F.lit(0.92)).alias("p90_hi"),
+            F.percentile("value", F.lit(0.97)).alias("p99_lo"),
+            F.percentile("value", F.lit(1.0)).alias("p99_hi"),
+        )
+        .collect()
+    }
+    for et, b in bands.items():
+        assert b.p50_lo - 1e-4 <= sk[et].p50_value <= b.p50_hi + 1e-4, et
+        assert b.p90_lo - 1e-4 <= sk[et].p90_value <= b.p90_hi + 1e-4, et
+        assert b.p99_lo - 1e-4 <= sk[et].p99_value <= b.p99_hi + 1e-4, et
