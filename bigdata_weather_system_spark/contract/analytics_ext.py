@@ -175,3 +175,84 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+@register(
+    "sql_api_revenue_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path: registers the table as a temp view and runs
+    literal ANSI SQL through ``spark.sql`` — same Catalyst plan as the
+    DataFrame DSL (they meet at the unresolved logical plan), pinned here
+    so a user's existing SQL runs verbatim against this engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM orders_v GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "events_column_profile",
+    oracle="""
+    SELECT 'value' AS column_name,
+           count(*)                            AS n_rows,
+           count(value)                        AS n_non_null,
+           count(DISTINCT value)               AS n_distinct,
+           round(min(value), 6)                AS min_d,
+           round(max(value), 6)                AS max_d
+    FROM events
+    UNION ALL
+    SELECT 'user_id',
+           count(*), count(user_id), count(DISTINCT user_id),
+           round(min(user_id), 6), round(max(user_id), 6)
+    FROM events
+    UNION ALL
+    SELECT 'event_id',
+           count(*), count(event_id), count(DISTINCT event_id),
+           round(min(event_id), 6), round(max(event_id), 6)
+    FROM events
+    """,
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler: null/distinct/min/max per column in
+    ONE pass over the table (the UNION ALL in the oracle is three passes —
+    Spark-side all six aggregates per column share a single scan and a
+    single global aggregation; the per-column rows are unpivoted from one
+    aggregate row with a stack expression). The profile a pipeline runs
+    before trusting a new 100 TB drop."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("nn_value"),
+        F.count_distinct("value").alias("nd_value"),
+        F.round(F.min("value"), 6).alias("mn_value"),
+        F.round(F.max("value"), 6).alias("mx_value"),
+        F.count("user_id").alias("nn_user"),
+        F.count_distinct("user_id").alias("nd_user"),
+        F.round(F.min("user_id").cast("double"), 6).alias("mn_user"),
+        F.round(F.max("user_id").cast("double"), 6).alias("mx_user"),
+        F.count("event_id").alias("nn_event"),
+        F.count_distinct("event_id").alias("nd_event"),
+        F.round(F.min("event_id").cast("double"), 6).alias("mn_event"),
+        F.round(F.max("event_id").cast("double"), 6).alias("mx_event"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+             'value',    n_rows, nn_value, nd_value, mn_value, mx_value,
+             'user_id',  n_rows, nn_user,  nd_user,  mn_user,  mx_user,
+             'event_id', n_rows, nn_event, nd_event, mn_event, mx_event
+           ) AS (column_name, n_rows, n_non_null, n_distinct, min_d, max_d)"""
+    )

@@ -395,3 +395,81 @@ def vector_centroids(
         pos.groupBy(key_col, F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("_v"), round_digits).alias("v"))
     )
+
+
+def materialize_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Write the IVF index as parquet PARTITIONED BY cell; returns the
+    centroids (persist them alongside — they ARE the index metadata).
+
+    This is the materialized form of ``cosine_topk_ivf``'s corpus side:
+    assignment runs once at build time, and every later query reads only
+    its probe cells via partition pruning — at 100 TB a query touches
+    n_probe/n_cells of the files, no scan of the rest. Norms are
+    precomputed into the index so query-time work is one dot per
+    candidate.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vec_norm"),
+        F.element_at(_cell_assignment(F.col(vec_col), cents, 1), 1).alias("cell"),
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    return cents
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a materialized IVF index: probe-cell explode on the query
+    side, broadcast-join against the partitioned index — Spark's dynamic
+    partition pruning turns the probe list into a partition filter on the
+    index scan (pinned in tests), so only n_probe cells' files are read.
+    """
+    idx = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("vec_norm").alias("_cn"),
+        "cell",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.explode(_cell_assignment(F.col(vec_col), centroids, n_probe)).alias(
+            "cell"
+        ),
+    )
+    pairs = idx.join(F.broadcast(q), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
+    )
+    return top_n_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        n=k,
+    )

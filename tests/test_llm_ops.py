@@ -382,3 +382,28 @@ def test_kll_quantiles_match_exact_within_tolerance(spark):
         assert b.p50_lo - 1e-4 <= sk[et].p50_value <= b.p50_hi + 1e-4, et
         assert b.p90_lo - 1e-4 <= sk[et].p90_value <= b.p90_hi + 1e-4, et
         assert b.p99_lo - 1e-4 <= sk[et].p99_value <= b.p99_hi + 1e-4, et
+
+
+def test_ivf_index_partition_pruned_and_matches_inline(spark, tmp_path):
+    """Materialized IVF index: results must equal the inline IVF variant,
+    and the index scan must be partition-pruned to the probe cells
+    (dynamic partition pruning from the broadcast probe join)."""
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        materialize_ivf_index,
+    )
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf_index")
+    cents = materialize_ivf_index(emb, path, n_cells=16)
+
+    indexed = cosine_topk_ivf_indexed(spark, path, q, cents, k=10, n_probe=4)
+    inline = cosine_topk_ivf(emb, q, k=10, n_cells=16, n_probe=4)
+    got = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in indexed.collect()}
+    want = {(r.query_id, r.neighbor_id, r.cosine_sim) for r in inline.collect()}
+    assert got == want
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(cell" in plan
