@@ -21,16 +21,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The synthetic events table stores ts as TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects. Read nanos as long and convert
-        # to microsecond timestamps with integer division (a double division
-        # would lose precision: epoch-nanos ≈ 1.7e18 > 2^53).
+        # Older generations of the synthetic events table stored ts as
+        # TIMESTAMP(NANOS), which the vectorized parquet reader rejects.
+        # Read nanos as long and convert to microsecond timestamps with
+        # integer division (a double division would lose precision:
+        # epoch-nanos ≈ 1.7e18 > 2^53). Current generations store plain
+        # micros, so this shim no-ops.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Parquet isAdjustedToUTC=false columns surface as timestamp_ntz; the
+    # DuckDB oracle reads the same files as plain TIMESTAMP. Normalize to
+    # session-timezone timestamps (session tz is pinned UTC, so the cast is
+    # value-preserving) so epoch math and oracle dtype parity hold.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(
