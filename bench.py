@@ -3,9 +3,11 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized via a count-collapsing action (``.count()`` on
-cached result would hide exchange cost, so we use ``collect()`` — result
-sets are intentionally small/bounded).
+Each query is fully materialized to the driver via ``toPandas()`` (Arrow
+batch transfer — the engine's result-return surface). ``count()`` would
+hide exchange + result costs; py4j ``collect()`` measures per-row Python
+object decoding, which is harness overhead rather than engine work (3-7x
+slower than Arrow on the wide-result queries at sf0.1).
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def main() -> None:
 
     # Warm the JVM + parquet footers + Arrow Python-worker pool once so
     # per-query timings measure the query, not session startup.
-    contract.QUERIES["topk_events_by_value"](spark, SF_DIR).collect()
+    contract.QUERIES["topk_events_by_value"](spark, SF_DIR).toPandas()
     from pyspark.sql import functions as F  # noqa: E402
     from pyspark.sql.types import LongType  # noqa: E402
 
@@ -93,7 +95,7 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
+        rows = fn(spark, SF_DIR).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert rows is not None
     total = round(sum(timings.values()), 4)

@@ -53,13 +53,18 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's parallelism before CPU-heavy fan-out
-    stages. Small corpora arrive as a single parquet file → one partition →
-    the explode/hash pipeline runs on one core while the rest idle. The
-    pre-shuffle moves only the raw rows (cheap) and parallelizes everything
-    downstream; on a real 100 TB table the scan already yields thousands of
-    partitions and this is a no-op cost-wise."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Widen under-parallel inputs before CPU-heavy fan-out stages. Small
+    corpora arrive as a single parquet file → one partition → the
+    explode/hash pipeline runs on one core while the rest idle; the
+    pre-shuffle moves only the raw rows (cheap at that size) and
+    parallelizes everything downstream. A table whose scan already yields
+    >= session parallelism partitions (any real large table) is returned
+    untouched — an unconditional repartition would re-shuffle the whole
+    corpus for nothing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def pair_up(

@@ -31,11 +31,15 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition to session parallelism before per-pair scoring stages.
 
     Small corpora arrive as one parquet file → one partition → the scoring
-    join runs on a single core. The pre-shuffle moves only the raw vectors;
-    on a real multi-TB table the scan already yields thousands of partitions
-    and this is effectively free.
+    join runs on a single core; the pre-shuffle moves only the raw vectors.
+    A table whose scan already yields >= session parallelism partitions
+    (any real large table) is returned untouched — an unconditional
+    repartition would re-shuffle every vector for nothing.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def dot(a: Column, b: Column) -> Column:
