@@ -182,6 +182,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs (id_a < id_b) with shingle-Jaccard ≥ threshold —
+    EXACT (same output as ``ngram_jaccard_pairs``), via prefix filtering.
+
+    The inverted-index formulation generates Σ_shingle c·(c−1)/2 candidate
+    pairs — quadratic in the posting-list length of hot boilerplate
+    shingles, which is what blows up on a real corpus. Prefix filtering
+    (the SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08) is the published exact fix:
+
+    1. Order every document's shingle-hash set by a GLOBAL rarest-first
+       key ``(doc_frequency, hash)``.
+    2. A pair with ``J(a,b) ≥ t`` must share ≥ ``⌈t·|s|⌉`` elements with
+       any partner, so it must collide inside each set's first
+       ``|s| − ⌈t·|s|⌉ + 1`` elements (the *prefix*) — candidates are
+       generated from prefix postings only. Rarest-first ordering pushes
+       hot shingles OUT of prefixes, collapsing the quadratic term.
+    3. Candidates pass the size filter ``t·|a| ≤ |b| ≤ |a|/t`` (a pair
+       violating it cannot reach t), then are verified exactly with
+       ``array_intersect`` on the full sorted hash sets.
+
+    Extra linear costs vs the inverted index: one doc-frequency
+    aggregation, one join of the exploded shingles against it, one
+    per-doc window rank, and the two verification joins (candidate side
+    is small after filtering; AQE broadcasts it). Worth it exactly when
+    posting lists are skewed — i.e. on any real corpus. The shingle
+    pipeline feeding the three consumers should be persisted at scale;
+    at test scale recomputing it is cheaper than caching.
+    """
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, id_col, text_col, n)
+    hashed = sets.select(
+        F.col(id_col),
+        "set_size",
+        F.array_sort(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("_sh_set"),
+    )
+    ex = hashed.select(id_col, "set_size", F.explode("_sh_set").alias("_sh"))
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        + F.lit(1)
+    )
+    w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+    prefix = (
+        ex.join(freq, "_sh")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= prefix_len)
+    )
+    cand = (
+        pair_up(prefix, ["_sh"], [id_col, "set_size"])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .filter(
+            F.least("size_a", "size_b")
+            >= F.lit(threshold) * F.greatest("size_a", "size_b")
+        )
+        .distinct()
+    )
+    ver = cand.join(
+        hashed.select(F.col(id_col).alias("id_a"), F.col("_sh_set").alias("_sa")),
+        "id_a",
+    ).join(
+        hashed.select(F.col(id_col).alias("id_b"), F.col("_sh_set").alias("_sb")),
+        "id_b",
+    )
+    # bigint to match the counting formulation (F.size yields int)
+    n_common = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    scored = ver.withColumn("n_common", n_common).withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            6,
+        ),
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

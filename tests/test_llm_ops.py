@@ -66,6 +66,18 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.8, f"minhash recall too low: {recall} ({len(mh)}/{len(exact)})"
 
 
+def test_prefix_filter_pairs_equal_inverted_index(docs):
+    """Prefix filtering is an EXACT algorithm — its full (id_a, id_b,
+    n_common, jaccard) output must be row-identical to the inverted-index
+    formulation, not merely a high-recall subset."""
+    from bigdata_weather_system_spark.operators.dedup import jaccard_pairs_prefix
+
+    exact = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect()))
+    pref = sorted(map(tuple, jaccard_pairs_prefix(docs, threshold=0.5).collect()))
+    assert exact, "test data should contain near-dup clusters"
+    assert pref == exact
+
+
 def test_simhash_finds_near_identical(docs):
     exact = {
         (r.id_a, r.id_b)
