@@ -309,6 +309,21 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cosine_topk_ivf_kmeans")  # rows-only: iterative refinement Spark-side
+def cosine_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with distributed spherical-k-means-refined centroids
+    (operators/similarity.py kmeans_refine): 2 Lloyd's rounds — GEMM
+    assignment pass + mergeable (cell, dim) partial-mean shuffle per
+    round. Recall vs brute force pinned in tests/test_llm_ops.py."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(
+        e, q, k=10, n_cells=16, n_probe=4, refine_iters=2
+    ).select("query_id", "neighbor_id", "cosine_sim")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -307,6 +307,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
     to their nearest coarse-quantizer cell; each query scores only the
@@ -314,11 +315,15 @@ def cosine_topk_ivf(
 
     Versus sign-bit LSH: cells adapt to the data distribution (centroids
     are corpus vectors), and recall/cost trades via ``n_probe`` without
-    re-indexing. At 100 TB the corpus-side assignment is a narrow
+    re-indexing. ``refine_iters`` > 0 runs that many distributed
+    spherical-k-means rounds (``kmeans_refine``) over the sampled seeds
+    before indexing. At 100 TB the corpus-side assignment is a narrow
     one-pass projection; materialize it partitioned/bucketed by ``cell``
     so each query probe is a pruned equi-join, not a scan.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    if refine_iters > 0:
+        cents = kmeans_refine(corpus, cents, vec_col, refine_iters)
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -399,6 +404,66 @@ def vector_centroids(
         pos.groupBy(key_col, F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("_v"), round_digits).alias("v"))
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) refinement of coarse-quantizer
+    centroids — the "swap in real k-means" upgrade path named by
+    ``ivf_centroids``.
+
+    Distributed shape per iteration:
+
+    - **assign**: one narrow pass over the corpus via the Arrow-batched
+      GEMM assignment UDF. Centroids are L2-normalized, so the dot-product
+      argmax IS the cosine argmax — standard spherical k-means, the right
+      objective for a cosine/IP retrieval index.
+    - **update**: ``posexplode`` → ``groupBy(cell, pos)`` partial-avg.
+      The shuffle carries one (sum, count) partial per cell×dimension —
+      k·dim rows regardless of corpus size, map-side combined.
+    - **driver**: collect the k·dim means (the model state, a few KB),
+      re-normalize, loop. Empty cells keep their previous centroid.
+
+    The corpus DataFrame is re-evaluated once per iteration; persist it
+    when the scan is expensive. Convergence: the spherical k-means
+    objective Σ cos(v, c(v)) is non-decreasing per exact-arithmetic
+    iteration; we run a fixed small ``iters`` (IVF needs balanced cells,
+    not a converged clustering).
+    """
+
+    def _unit(vs: list[list[float]]) -> list[list[float]]:
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            n = float(np.linalg.norm(a))
+            out.append([float(x) for x in (a / n if n > 0 else a)])
+        return out
+
+    cents = _unit([list(c) for c in centroids])
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_cell_assignment(F.col(vec_col), cents, 1), 1).alias(
+                "cell"
+            ),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "_x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("_x").alias("_m"))
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            by_cell.setdefault(r.cell, {})[r.pos] = r._m
+        nxt = [list(c) for c in cents]
+        for cell, d in by_cell.items():
+            nxt[cell] = [d[p] for p in sorted(d)]
+        cents = _unit(nxt)
+    return cents
 
 
 def materialize_ivf_index(

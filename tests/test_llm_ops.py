@@ -191,6 +191,52 @@ def test_ivf_topk_recall_beats_floor(emb):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_kmeans_refine_improves_objective_and_recall_floor(emb):
+    """Spherical k-means: the mean cosine of each vector to its assigned
+    (unit) centroid must not decrease over Lloyd's rounds, and the refined
+    IVF index must still clear the recall floor."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    vecs = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def objective(cents):
+        c = np.asarray(cents, dtype=np.float64)
+        cu = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float((vn @ cu.T).max(axis=1).mean())
+
+    seeds = ivf_centroids(emb, n_cells=8, seed=7)
+    obj = [objective(seeds)]
+    cents = seeds
+    for _ in range(3):
+        cents = kmeans_refine(emb, cents, iters=1)
+        obj.append(objective(cents))
+    assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:])), obj
+    assert obj[-1] > obj[0], f"refinement should tighten cells: {obj}"
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            emb, q, k=10, n_cells=16, n_probe=4, refine_iters=2
+        ).collect()
+    }
+    recall = len(refined & exact) / len(exact)
+    assert recall >= 0.2, f"refined ivf recall too low: {recall}"
+
+
 def test_ivf_centroids_deterministic(emb):
     from bigdata_weather_system_spark.operators.similarity import ivf_centroids
 
