@@ -117,3 +117,67 @@ def test_connected_components_match_union_find(spark, edges):
     # find() compresses toward the min because unions always point the
     # larger root at the smaller one
     assert got == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_distributed_path_matches_union_find(spark, edges):
+    """Force the iterative min-label-propagation branch (driver_max_edges=0)
+    — the 100 TB path — on arbitrary graphs. The driver union-find branch
+    is what every small-scale run takes, so without this the distributed
+    branch would ship untested."""
+    from bigdata_weather_system_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_jaccard_equals_inverted_index_on_random_corpora(spark, word_lists):
+    """Prefix filtering must be EXACT on arbitrary corpora — including
+    short docs (< n tokens → empty shingle sets), identical docs, and
+    heavy token overlap that stresses the rarest-first prefix ordering."""
+    from bigdata_weather_system_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inv = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.5).collect()))
+    pref = sorted(map(tuple, jaccard_pairs_prefix(df, threshold=0.5).collect()))
+    assert pref == inv
