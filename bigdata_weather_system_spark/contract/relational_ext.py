@@ -113,6 +113,63 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_resampled_6h",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             make_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT * 1000000)
+               AS grid_ts,
+             value,
+             row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 21600)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, grid_ts, value FROM obs WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(grid_ts) AS mn, max(grid_ts) AS mx
+      FROM latest GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 21600 SECOND)) AS grid_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.grid_ts,
+           l.grid_ts IS NOT NULL AS is_observed,
+           round(last_value(l.value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.grid_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS value_ffill
+    FROM grid g LEFT JOIN latest l
+      ON g.user_id = l.user_id AND g.grid_ts = l.grid_ts
+    """,
+)
+def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 6-hour-grid resample per user with forward fill — dense
+    grid via per-key sequence() explode, latest-per-bucket dedup,
+    co-partitioned left join, last(ignorenulls) fill (operators/
+    temporal.py resample_to_grid). Gap-filling twin of the reference's
+    dense-cadence assumption (spark.py:809-810)."""
+    from ..operators.temporal import resample_to_grid
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_to_grid(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        step_seconds=21600,
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        "is_observed",
+        F.round("value_ffill", 6).alias("value_ffill"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range-band join (broadcast non-equi)
 # ---------------------------------------------------------------------------

@@ -163,3 +163,76 @@ def range_band_join(
     """
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
     return df.join(F.broadcast(bands), cond, "inner")
+
+
+def resample_to_grid(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    step_seconds: int,
+    value_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Regular-grid resample with forward fill per key — the gap-filling
+    twin of the reference's 12-events/hour cadence assumption
+    (`/root/reference/prediction/preprocessing/spark.py:809-810` treats
+    the feed as a dense grid; real crawls miss cycles, so a downstream
+    consumer needs the dense grid made explicit).
+
+    Stages, all partitioned by key (no global shuffle):
+
+    1. snap observations to the grid: ``floor(epoch/step)*step``; keep the
+       LATEST observation per (key, bucket) (desc rank over ts +
+       tiebreaks);
+    2. per-key dense grid: ``sequence(min_bucket, max_bucket, step)``
+       exploded — rows = span/step per key, generated executor-side;
+    3. left join observations onto the grid (co-partitioned equi-join on
+       (key, bucket) — AQE handles per-key skew);
+    4. forward-fill ``value_cols`` with ``last(ignorenulls)`` over the
+       key-partitioned grid order. The first grid point of every key is
+       an observation by construction, so filled columns have no leading
+       nulls.
+
+    Adds ``grid_ts``, ``is_observed``, and ``<c>_ffill`` per value col.
+    """
+    keys = [F.col(k) for k in key_cols]
+    epoch = F.col(ts_col).cast("double") / F.lit(step_seconds)
+    bucket = F.timestamp_seconds(
+        F.floor(epoch).cast("long") * F.lit(step_seconds)
+    )
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    wlatest = Window.partitionBy(*keys, F.col("grid_ts")).orderBy(*order)
+    latest = (
+        df.withColumn("grid_ts", bucket)
+        .withColumn("_rn", F.row_number().over(wlatest))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, "grid_ts", *[F.col(c) for c in value_cols])
+        .withColumn("_obs", F.lit(True))
+    )
+    bounds = latest.groupBy(*keys).agg(
+        F.min("grid_ts").alias("_mn"), F.max("grid_ts").alias("_mx")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("_mn"),
+                F.col("_mx"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias("grid_ts"),
+    )
+    joined = grid.join(latest, on=[*key_cols, "grid_ts"], how="left")
+    wfill = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("grid_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "is_observed", F.coalesce(F.col("_obs"), F.lit(False))
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_ffill", F.last(F.col(c), ignorenulls=True).over(wfill)
+        )
+    return out.drop("_obs", *value_cols)

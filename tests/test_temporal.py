@@ -139,3 +139,32 @@ def test_asof_forward_direction(spark):
     )
     got_b = {r.lid: r.tag for r in bounded.collect()}
     assert got_b == {1: "same", 2: None, 3: None}
+
+
+def test_resample_to_grid_fills_gaps_and_keeps_latest_per_bucket(spark):
+    from datetime import datetime
+
+    from bigdata_weather_system_spark.operators.temporal import resample_to_grid
+
+    rows = [
+        # user a: buckets 0h and 3h observed, 1h/2h gaps; two obs in
+        # bucket 0 — the later one (v=2.0, id=11) must win
+        ("a", datetime(2024, 1, 1, 0, 10), 1.0, 10),
+        ("a", datetime(2024, 1, 1, 0, 50), 2.0, 11),
+        ("a", datetime(2024, 1, 1, 3, 5), 9.0, 12),
+        # user b: single observation → single grid row
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0, 13),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid long")
+    out = resample_to_grid(
+        df, key_cols=["k"], ts_col="ts", step_seconds=3600,
+        value_cols=["v"], tiebreak_cols=["eid"],
+    ).orderBy("k", "grid_ts")
+    got = [(r.k, r.grid_ts.hour, r.is_observed, r.v_ffill) for r in out.collect()]
+    assert got == [
+        ("a", 0, True, 2.0),
+        ("a", 1, False, 2.0),
+        ("a", 2, False, 2.0),
+        ("a", 3, True, 9.0),
+        ("b", 5, True, 7.0),
+    ]
