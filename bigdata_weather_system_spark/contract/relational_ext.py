@@ -170,6 +170,81 @@ def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_resampled_6h_lerp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             make_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT * 1000000)
+               AS grid_ts,
+             value,
+             row_number() OVER (PARTITION BY user_id, floor(epoch(ts) / 21600)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, grid_ts, value FROM obs WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(grid_ts) AS mn, max(grid_ts) AS mx
+      FROM latest GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 21600 SECOND)) AS grid_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.grid_ts,
+             l.grid_ts IS NOT NULL AS is_observed,
+             l.value AS v,
+             CASE WHEN l.grid_ts IS NOT NULL THEN g.grid_ts END AS ots
+      FROM grid g LEFT JOIN latest l
+        ON g.user_id = l.user_id AND g.grid_ts = l.grid_ts
+    ),
+    w AS (
+      SELECT user_id, grid_ts, is_observed,
+             last_value(v IGNORE NULLS) OVER wp   AS prev_v,
+             epoch(last_value(ots IGNORE NULLS) OVER wp)  AS prev_t,
+             first_value(v IGNORE NULLS) OVER wn  AS next_v,
+             epoch(first_value(ots IGNORE NULLS) OVER wn) AS next_t
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY grid_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY grid_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, grid_ts, is_observed,
+           round(CASE WHEN is_observed OR next_v IS NULL THEN prev_v
+                      ELSE prev_v + (next_v - prev_v)
+                           * ((epoch(grid_ts) - prev_t) / (next_t - prev_t))
+                 END, 6) AS value_lerp
+    FROM w
+    """,
+)
+def events_resampled_6h_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 6-hour grid with time-weighted LINEAR INTERPOLATION across
+    gaps (forward fill past the last observation) — one extra backward
+    window pass over the same key partitioning as the ffill variant."""
+    from ..operators.temporal import resample_to_grid
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_to_grid(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        step_seconds=21600,
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+        interpolate=True,
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        "is_observed",
+        F.round("value_lerp", 6).alias("value_lerp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range-band join (broadcast non-equi)
 # ---------------------------------------------------------------------------

@@ -172,6 +172,7 @@ def resample_to_grid(
     step_seconds: int,
     value_cols: Sequence[str],
     tiebreak_cols: Sequence[str] = (),
+    interpolate: bool = False,
 ) -> DataFrame:
     """Regular-grid resample with forward fill per key — the gap-filling
     twin of the reference's 12-events/hour cadence assumption
@@ -193,7 +194,13 @@ def resample_to_grid(
        an observation by construction, so filled columns have no leading
        nulls.
 
-    Adds ``grid_ts``, ``is_observed``, and ``<c>_ffill`` per value col.
+    Adds ``grid_ts``, ``is_observed``, and ``<c>_ffill`` per value col;
+    with ``interpolate=True`` also ``<c>_lerp`` — linear interpolation
+    between the surrounding observations (time-weighted over the grid
+    epoch), falling back to forward fill after the last observation.
+    Interpolation adds one backward window pass (``first(ignorenulls)``
+    over the following frame) on the same key partitioning — no extra
+    shuffle.
     """
     keys = [F.col(k) for k in key_cols]
     epoch = F.col(ts_col).cast("double") / F.lit(step_seconds)
@@ -235,4 +242,24 @@ def resample_to_grid(
         out = out.withColumn(
             f"{c}_ffill", F.last(F.col(c), ignorenulls=True).over(wfill)
         )
+    if interpolate:
+        wback = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("grid_ts").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        gts = F.col("grid_ts").cast("double")
+        obs_ts = F.when(F.col("is_observed"), F.col("grid_ts"))
+        prev_t = F.last(obs_ts, ignorenulls=True).over(wfill).cast("double")
+        next_t = F.first(obs_ts, ignorenulls=True).over(wback).cast("double")
+        for c in value_cols:
+            prev_v = F.last(F.col(c), ignorenulls=True).over(wfill)
+            next_v = F.first(F.col(c), ignorenulls=True).over(wback)
+            frac = (gts - prev_t) / (next_t - prev_t)
+            out = out.withColumn(
+                f"{c}_lerp",
+                F.when(
+                    F.col("is_observed") | next_v.isNull(), prev_v
+                ).otherwise(prev_v + (next_v - prev_v) * frac),
+            )
     return out.drop("_obs", *value_cols)

@@ -168,3 +168,28 @@ def test_resample_to_grid_fills_gaps_and_keeps_latest_per_bucket(spark):
         ("a", 3, True, 9.0),
         ("b", 5, True, 7.0),
     ]
+
+
+def test_resample_lerp_interpolates_time_weighted(spark):
+    from datetime import datetime
+
+    from bigdata_weather_system_spark.operators.temporal import resample_to_grid
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 10.0, 1),
+        ("a", datetime(2024, 1, 1, 3, 0), 40.0, 2),  # 3-bucket gap: 1h, 2h
+        ("a", datetime(2024, 1, 1, 4, 0), 0.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid long")
+    out = resample_to_grid(
+        df, key_cols=["k"], ts_col="ts", step_seconds=3600,
+        value_cols=["v"], tiebreak_cols=["eid"], interpolate=True,
+    ).orderBy("grid_ts")
+    got = [(r.grid_ts.hour, r.is_observed, r.v_lerp) for r in out.collect()]
+    assert got == [
+        (0, True, 10.0),
+        (1, False, 20.0),  # 1/3 of the way 10 → 40
+        (2, False, 30.0),  # 2/3
+        (3, True, 40.0),
+        (4, True, 0.0),
+    ]
