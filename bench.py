@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "asof_click_before_purchase",
     "sessionize_events",
     "events_value_band_join",
+    "events_resampled_6h",
     # window analytics
     "running_sum_per_user",
     "sequence_window_stats",
