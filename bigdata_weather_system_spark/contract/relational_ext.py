@@ -196,12 +196,12 @@ def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.user_id, g.grid_ts,
              l.grid_ts IS NOT NULL AS is_observed,
              l.value AS v,
-             CASE WHEN l.grid_ts IS NOT NULL THEN g.grid_ts END AS ots
+             CASE WHEN l.value IS NOT NULL THEN g.grid_ts END AS ots
       FROM grid g LEFT JOIN latest l
         ON g.user_id = l.user_id AND g.grid_ts = l.grid_ts
     ),
     w AS (
-      SELECT user_id, grid_ts, is_observed,
+      SELECT user_id, grid_ts, is_observed, v,
              last_value(v IGNORE NULLS) OVER wp   AS prev_v,
              epoch(last_value(ots IGNORE NULLS) OVER wp)  AS prev_t,
              first_value(v IGNORE NULLS) OVER wn  AS next_v,
@@ -214,7 +214,8 @@ def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, grid_ts, is_observed,
-           round(CASE WHEN is_observed OR next_v IS NULL THEN prev_v
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN next_v IS NULL THEN prev_v
                       ELSE prev_v + (next_v - prev_v)
                            * ((epoch(grid_ts) - prev_t) / (next_t - prev_t))
                  END, 6) AS value_lerp

@@ -229,9 +229,15 @@ def jaccard_pairs_prefix(
     )
     ex = hashed.select(id_col, "set_size", F.explode("_sh_set").alias("_sh"))
     freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # The final filter compares round(J, 6) >= threshold (matching the
+    # inverted-index formulation), which admits true J down to
+    # threshold - 5e-7; derive prefix lengths and the size filter from a
+    # threshold relaxed past that boundary so no such pair is pruned
+    # before exact verification.
+    t_relaxed = threshold - 1e-6
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        - F.ceil(F.lit(t_relaxed) * F.col("set_size")).cast("int")
         + F.lit(1)
     )
     w = Window.partitionBy(id_col).orderBy("_df", "_sh")
@@ -250,7 +256,7 @@ def jaccard_pairs_prefix(
         )
         .filter(
             F.least("size_a", "size_b")
-            >= F.lit(threshold) * F.greatest("size_a", "size_b")
+            >= F.lit(t_relaxed) * F.greatest("size_a", "size_b")
         )
         .distinct()
     )

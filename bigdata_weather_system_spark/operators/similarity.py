@@ -422,11 +422,17 @@ def kmeans_refine(
       GEMM assignment UDF. Centroids are L2-normalized, so the dot-product
       argmax IS the cosine argmax — standard spherical k-means, the right
       objective for a cosine/IP retrieval index.
-    - **update**: ``posexplode`` → ``groupBy(cell, pos)`` partial-avg.
-      The shuffle carries one (sum, count) partial per cell×dimension —
-      k·dim rows regardless of corpus size, map-side combined.
+    - **update**: mean of the members' UNIT vectors (the closed-form
+      maximizer of the within-cell cosine sum — averaging raw vectors
+      would weight members by norm and break the objective guarantee),
+      via ``vector_centroids`` keyed by cell: the shuffle carries one
+      (sum, count) partial per cell×dimension — k·dim rows regardless of
+      corpus size, map-side combined. Zero-norm vectors have no
+      direction and are excluded from updates.
     - **driver**: collect the k·dim means (the model state, a few KB),
       re-normalize, loop. Empty cells keep their previous centroid.
+      Means are rounded to 9 decimals so partition-order float jitter in
+      the distributed avg cannot leak into the returned centroids.
 
     The corpus DataFrame is re-evaluated once per iteration; persist it
     when the scan is expensive. Convergence: the spherical k-means
@@ -445,20 +451,26 @@ def kmeans_refine(
 
     cents = _unit([list(c) for c in centroids])
     for _ in range(iters):
-        assigned = corpus.select(
-            F.element_at(_cell_assignment(F.col(vec_col), cents, 1), 1).alias(
-                "cell"
-            ),
-            F.col(vec_col).alias("_v"),
+        assigned = (
+            corpus.select(
+                F.element_at(
+                    _cell_assignment(F.col(vec_col), cents, 1), 1
+                ).alias("cell"),
+                F.col(vec_col).alias("_raw"),
+                norm(F.col(vec_col)).alias("_n"),
+            )
+            .filter(F.col("_n") > 0)
+            .select(
+                "cell",
+                F.transform(
+                    "_raw", lambda x: x.cast("double") / F.col("_n")
+                ).alias("_v"),
+            )
         )
-        means = (
-            assigned.select("cell", F.posexplode("_v").alias("pos", "_x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("_x").alias("_m"))
-        )
+        means = vector_centroids(assigned, "cell", "_v", round_digits=9)
         by_cell: dict[int, dict[int, float]] = {}
         for r in means.collect():
-            by_cell.setdefault(r.cell, {})[r.pos] = r._m
+            by_cell.setdefault(r.cell, {})[int(r.pos)] = r.v
         nxt = [list(c) for c in cents]
         for cell, d in by_cell.items():
             nxt[cell] = [d[p] for p in sorted(d)]

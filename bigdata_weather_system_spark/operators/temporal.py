@@ -175,10 +175,9 @@ def resample_to_grid(
     interpolate: bool = False,
 ) -> DataFrame:
     """Regular-grid resample with forward fill per key — the gap-filling
-    twin of the reference's 12-events/hour cadence assumption
-    (`/root/reference/prediction/preprocessing/spark.py:809-810` treats
-    the feed as a dense grid; real crawls miss cycles, so a downstream
-    consumer needs the dense grid made explicit).
+    twin of the reference's 12-events/hour cadence assumption (reference
+    spark.py:809-810 treats the feed as a dense grid; real crawls miss
+    cycles, so a downstream consumer needs the dense grid made explicit).
 
     Stages, all partitioned by key (no global shuffle):
 
@@ -196,11 +195,12 @@ def resample_to_grid(
 
     Adds ``grid_ts``, ``is_observed``, and ``<c>_ffill`` per value col;
     with ``interpolate=True`` also ``<c>_lerp`` — linear interpolation
-    between the surrounding observations (time-weighted over the grid
-    epoch), falling back to forward fill after the last observation.
-    Interpolation adds one backward window pass (``first(ignorenulls)``
-    over the following frame) on the same key partitioning — no extra
-    shuffle.
+    between the surrounding NON-NULL observations of that column
+    (anchors are tracked per column, so a bucket observed with a null
+    value is interpolated across, not used as an anchor), falling back
+    to forward fill after the last observation. Interpolation adds one
+    backward window pass (``first(ignorenulls)`` over the following
+    frame) on the same key partitioning — no extra shuffle.
     """
     keys = [F.col(k) for k in key_cols]
     epoch = F.col(ts_col).cast("double") / F.lit(step_seconds)
@@ -209,8 +209,13 @@ def resample_to_grid(
     )
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     wlatest = Window.partitionBy(*keys, F.col("grid_ts")).orderBy(*order)
+    # project before the rank window: the (key, bucket) shuffle should
+    # carry only the columns this operator needs, not the full input row
+    src = df.select(
+        *key_cols, ts_col, *tiebreak_cols, *[F.col(c) for c in value_cols]
+    )
     latest = (
-        df.withColumn("grid_ts", bucket)
+        src.withColumn("grid_ts", bucket)
         .withColumn("_rn", F.row_number().over(wlatest))
         .filter(F.col("_rn") == 1)
         .select(*key_cols, "grid_ts", *[F.col(c) for c in value_cols])
@@ -249,17 +254,20 @@ def resample_to_grid(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         gts = F.col("grid_ts").cast("double")
-        obs_ts = F.when(F.col("is_observed"), F.col("grid_ts"))
-        prev_t = F.last(obs_ts, ignorenulls=True).over(wfill).cast("double")
-        next_t = F.first(obs_ts, ignorenulls=True).over(wback).cast("double")
         for c in value_cols:
+            # per-column anchors: a bucket observed with a NULL value for
+            # this column is not an anchor — its timestamp must not skew
+            # the interpolation weight of the surrounding real values
+            anchor_ts = F.when(F.col(c).isNotNull(), F.col("grid_ts"))
+            prev_t = F.last(anchor_ts, ignorenulls=True).over(wfill).cast("double")
+            next_t = F.first(anchor_ts, ignorenulls=True).over(wback).cast("double")
             prev_v = F.last(F.col(c), ignorenulls=True).over(wfill)
             next_v = F.first(F.col(c), ignorenulls=True).over(wback)
             frac = (gts - prev_t) / (next_t - prev_t)
             out = out.withColumn(
                 f"{c}_lerp",
-                F.when(
-                    F.col("is_observed") | next_v.isNull(), prev_v
-                ).otherwise(prev_v + (next_v - prev_v) * frac),
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(next_v.isNull(), prev_v)
+                .otherwise(prev_v + (next_v - prev_v) * frac),
             )
     return out.drop("_obs", *value_cols)

@@ -465,3 +465,42 @@ def test_ivf_index_partition_pruned_and_matches_inline(spark, tmp_path):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(cell" in plan
+
+
+def test_kmeans_refine_monotone_on_non_unit_norm_corpus(spark, emb):
+    """The unit-mean update must keep the spherical objective monotone
+    even when corpus norms vary wildly (a raw-vector mean would let
+    large-norm outliers drag centroids)."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x * (1.0 + (F.col("vec_id") % 7).cast("double") * 13.0),
+        ).alias("embedding"),
+    )
+    vecs = np.vstack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in scaled.select("embedding").collect()
+        ]
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def objective(cents):
+        c = np.asarray(cents, dtype=np.float64)
+        cu = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float((vn @ cu.T).max(axis=1).mean())
+
+    cents = ivf_centroids(scaled, n_cells=8, seed=7)
+    obj = [objective(cents)]
+    for _ in range(3):
+        cents = kmeans_refine(scaled, cents, iters=1)
+        obj.append(objective(cents))
+    assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:])), obj

@@ -193,3 +193,31 @@ def test_resample_lerp_interpolates_time_weighted(spark):
         (3, True, 40.0),
         (4, True, 0.0),
     ]
+
+
+def test_resample_lerp_skips_null_valued_observation_anchors(spark):
+    """A bucket observed with a NULL value must be interpolated across —
+    its timestamp must not become an interpolation anchor."""
+    from datetime import datetime
+
+    from bigdata_weather_system_spark.operators.temporal import resample_to_grid
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 10.0, 1),
+        ("a", datetime(2024, 1, 1, 1, 0), None, 2),  # observed, null value
+        ("a", datetime(2024, 1, 1, 4, 0), 50.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid long")
+    out = resample_to_grid(
+        df, key_cols=["k"], ts_col="ts", step_seconds=3600,
+        value_cols=["v"], tiebreak_cols=["eid"], interpolate=True,
+    ).orderBy("grid_ts")
+    got = [(r.grid_ts.hour, r.is_observed, r.v_lerp) for r in out.collect()]
+    # anchors are 0h (10.0) and 4h (50.0): 10 + 10*h at every grid point
+    assert got == [
+        (0, True, 10.0),
+        (1, True, 20.0),   # observed but null → interpolated, not anchored
+        (2, False, 30.0),
+        (3, False, 40.0),
+        (4, True, 50.0),
+    ]
