@@ -25,6 +25,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import normalize_text, word_shingles
 
 
+#: Jaccard scores are rounded to this many digits before the threshold
+#: compare (keeps Spark/DuckDB float agreement); the prefix-filter
+#: relaxation below is derived from it — change them together.
+_ROUND_DIGITS = 6
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -176,7 +182,7 @@ def ngram_jaccard_pairs(
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
     return (
-        common.withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, _ROUND_DIGITS))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
@@ -229,12 +235,12 @@ def jaccard_pairs_prefix(
     )
     ex = hashed.select(id_col, "set_size", F.explode("_sh_set").alias("_sh"))
     freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    # The final filter compares round(J, 6) >= threshold (matching the
-    # inverted-index formulation), which admits true J down to
-    # threshold - 5e-7; derive prefix lengths and the size filter from a
-    # threshold relaxed past that boundary so no such pair is pruned
-    # before exact verification.
-    t_relaxed = threshold - 1e-6
+    # The final filter compares round(J, _ROUND_DIGITS) >= threshold
+    # (matching the inverted-index formulation), which admits true J down
+    # to threshold - 0.5*10^-digits; derive prefix lengths and the size
+    # filter from a threshold relaxed past that boundary so no such pair
+    # is pruned before exact verification.
+    t_relaxed = threshold - 10.0 ** (-_ROUND_DIGITS)
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(t_relaxed) * F.col("set_size")).cast("int")
@@ -274,7 +280,7 @@ def jaccard_pairs_prefix(
         F.round(
             F.col("n_common")
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-            6,
+            _ROUND_DIGITS,
         ),
     )
     return scored.filter(F.col("jaccard") >= threshold).select(
@@ -408,7 +414,7 @@ def minhash_dedup_pairs(
     paired = cands.join(a, on="id_a").join(b, on="id_b")
     n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
     jac = F.round(
-        n_common / (F.col("_sz_a") + F.col("_sz_b") - n_common), 6
+        n_common / (F.col("_sz_a") + F.col("_sz_b") - n_common), _ROUND_DIGITS
     )
     return (
         paired.withColumn("jaccard", jac)

@@ -432,13 +432,17 @@ def kmeans_refine(
     - **driver**: collect the k·dim means (the model state, a few KB),
       re-normalize, loop. Empty cells keep their previous centroid.
       Means are rounded to 9 decimals so partition-order float jitter in
-      the distributed avg cannot leak into the returned centroids.
+      the distributed avg stays out of the returned centroids except in
+      the measure-zero case of a mean within half an ulp of a rounding
+      boundary.
 
-    The corpus DataFrame is re-evaluated once per iteration; persist it
-    when the scan is expensive. Convergence: the spherical k-means
-    objective Σ cos(v, c(v)) is non-decreasing per exact-arithmetic
-    iteration; we run a fixed small ``iters`` (IVF needs balanced cells,
-    not a converged clustering).
+    The unit-normalized projection is built ONCE above the loop (the
+    assignment argmax is scale-invariant, so assigning on unit vectors is
+    equivalent) — each iteration re-evaluates it unless persisted, so
+    persist THAT when the corpus scan is expensive. Convergence: the
+    spherical k-means objective Σ cos(v, c(v)) is non-decreasing per
+    exact-arithmetic iteration; we run a fixed small ``iters`` (IVF needs
+    balanced cells, not a converged clustering).
     """
 
     def _unit(vs: list[list[float]]) -> list[list[float]]:
@@ -449,23 +453,24 @@ def kmeans_refine(
             out.append([float(x) for x in (a / n if n > 0 else a)])
         return out
 
+    unit = (
+        corpus.select(
+            F.col(vec_col).alias("_raw"), norm(F.col(vec_col)).alias("_n")
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            F.transform(
+                "_raw", lambda x: x.cast("double") / F.col("_n")
+            ).alias("_v")
+        )
+    )
     cents = _unit([list(c) for c in centroids])
     for _ in range(iters):
-        assigned = (
-            corpus.select(
-                F.element_at(
-                    _cell_assignment(F.col(vec_col), cents, 1), 1
-                ).alias("cell"),
-                F.col(vec_col).alias("_raw"),
-                norm(F.col(vec_col)).alias("_n"),
-            )
-            .filter(F.col("_n") > 0)
-            .select(
-                "cell",
-                F.transform(
-                    "_raw", lambda x: x.cast("double") / F.col("_n")
-                ).alias("_v"),
-            )
+        assigned = unit.select(
+            F.element_at(_cell_assignment(F.col("_v"), cents, 1), 1).alias(
+                "cell"
+            ),
+            "_v",
         )
         means = vector_centroids(assigned, "cell", "_v", round_digits=9)
         by_cell: dict[int, dict[int, float]] = {}

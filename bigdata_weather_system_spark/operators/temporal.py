@@ -211,9 +211,12 @@ def resample_to_grid(
     wlatest = Window.partitionBy(*keys, F.col("grid_ts")).orderBy(*order)
     # project before the rank window: the (key, bucket) shuffle should
     # carry only the columns this operator needs, not the full input row
-    src = df.select(
-        *key_cols, ts_col, *tiebreak_cols, *[F.col(c) for c in value_cols]
-    )
+    # (deduped — ts/value columns may double as tiebreaks)
+    needed: list[str] = []
+    for c in (*key_cols, ts_col, *tiebreak_cols, *value_cols):
+        if c not in needed:
+            needed.append(c)
+    src = df.select(*needed)
     latest = (
         src.withColumn("grid_ts", bucket)
         .withColumn("_rn", F.row_number().over(wlatest))

@@ -221,3 +221,20 @@ def test_resample_lerp_skips_null_valued_observation_anchors(spark):
         (3, False, 40.0),
         (4, True, 50.0),
     ]
+
+
+def test_resample_accepts_overlapping_column_roles(spark):
+    """ts/value columns may double as tiebreaks — the internal projection
+    must dedupe or the rank window hits AMBIGUOUS_REFERENCE."""
+    from datetime import datetime
+
+    from bigdata_weather_system_spark.operators.temporal import resample_to_grid
+
+    rows = [("a", datetime(2024, 1, 1, 0, 0), 1.0), ("a", datetime(2024, 1, 1, 2, 0), 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_to_grid(
+        df, key_cols=["k"], ts_col="ts", step_seconds=3600,
+        value_cols=["v"], tiebreak_cols=["v", "ts"],
+    ).orderBy("grid_ts")
+    got = [(r.grid_ts.hour, r.v_ffill) for r in out.collect()]
+    assert got == [(0, 1.0), (1, 1.0), (2, 3.0)]
