@@ -224,7 +224,12 @@ def resample_to_grid(
         .select(*key_cols, "grid_ts", *[F.col(c) for c in value_cols])
         .withColumn("_obs", F.lit(True))
     )
-    bounds = latest.groupBy(*keys).agg(
+    # bounds come from the RAW rows, not from `latest`: per-key min/max
+    # bucket is invariant under the latest-per-bucket dedup, and deriving
+    # it upstream keeps the rank-window subtree out of this branch (plans
+    # as a cheap partial-agg scan; Catalyst cannot share the window
+    # diamond otherwise)
+    bounds = src.select(*key_cols, bucket.alias("grid_ts")).groupBy(*keys).agg(
         F.min("grid_ts").alias("_mn"), F.max("grid_ts").alias("_mx")
     )
     grid = bounds.select(
