@@ -554,6 +554,7 @@ def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_cols=("value",),
         seq_len=24,
         forecast_len=1,
+        tiebreak_cols=("event_id",),
     )
     return score_sequences(seqs, ["user_id"], seq_len=24)
 

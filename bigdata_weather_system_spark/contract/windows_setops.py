@@ -176,6 +176,7 @@ def build_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cols=("value",),
         seq_len=24,
         forecast_len=3,
+        tiebreak_cols=("event_id",),
     )
 
 

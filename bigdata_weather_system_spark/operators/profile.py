@@ -72,7 +72,12 @@ def bucketed_profile(
     if mode_col is None:
         return agg.orderBy(bucket_name) if sort else agg
     modal = mode_per_group(bucketed, [bucket_name], mode_col, mode_out)
-    out = agg.join(modal, on=bucket_name, how="left")
+    # null-safe join key: a NULL bucket (null timestamps) groups into its
+    # own row on both branches, but a plain equi-join would never match it
+    # and silently drop its modal value
+    out = agg.join(
+        modal, on=agg[bucket_name].eqNullSafe(modal[bucket_name]), how="left"
+    ).drop(modal[bucket_name])
     return out.orderBy(bucket_name) if sort else out
 
 
@@ -103,12 +108,12 @@ def standard_metric_aggs(value_col: str = "value") -> list[Column]:
     ]
 
 
-def mergeable_profile(df, key_cols, value_col):
+def mergeable_profile(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
     """Pre-aggregate to the mergeable partial form: (count, sum, min, max)
     per key. Two partials for the same key combine losslessly — the
     algebraic-aggregate property incremental rollup maintenance relies on."""
-    from pyspark.sql import functions as F
-
     return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(value_col).alias("sum_value"),
@@ -117,7 +122,9 @@ def mergeable_profile(df, key_cols, value_col):
     )
 
 
-def merge_profiles(snapshot, delta, key_cols):
+def merge_profiles(
+    snapshot: DataFrame, delta: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
     """Merge two mergeable-profile frames (e.g. yesterday's snapshot + one
     new partition's partial) WITHOUT touching raw rows: union + one re-agg
     over count/sum/min/max, then derive avg. At 100 TB this is the
@@ -125,10 +132,15 @@ def merge_profiles(snapshot, delta, key_cols):
     new partition — the incremental-maintenance pattern for any algebraic
     aggregate (avg decomposes into sum+count; medians/distincts need
     sketches instead).
-    """
-    from pyspark.sql import functions as F
 
+    Closed over its own output: the derived ``avg_value`` (not a mergeable
+    partial) is dropped from either input if present, so yesterday's
+    MERGED snapshot can be merged again tomorrow.
+    """
     key_cols = list(key_cols)
+    partial_cols = [*key_cols, "n_rows", "sum_value", "min_value", "max_value"]
+    snapshot = snapshot.select(*partial_cols)
+    delta = delta.select(*partial_cols)
     merged = snapshot.unionByName(delta).groupBy(*key_cols).agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_value").alias("sum_value"),

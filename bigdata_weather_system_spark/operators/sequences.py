@@ -36,6 +36,7 @@ def build_sequences(
     seq_len: int = 24,
     forecast_len: int = 1,
     ts_as_string: bool = True,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Build (sequence, target, target_sequence) training rows.
 
@@ -43,6 +44,12 @@ def build_sequences(
     ``sequence`` (array<struct>, exactly ``seq_len`` elements),
     ``target`` (struct, = first forecast step),
     ``target_sequence`` (array<struct>, ``forecast_len`` elements).
+
+    Ordering within a key is ``ts_col`` then ``tiebreak_cols``. If
+    duplicate (key, timestamp) rows can exist, pass a unique tiebreak
+    (e.g. kafka_timestamp / event_id) or dedup upstream (W2,
+    ``dedup_latest``) — with an ambiguous order, window contents and
+    ``lead`` targets vary run to run.
     """
     feature_cols = list(feature_cols) or [
         c for c in df.columns if c not in (*key_cols, ts_col)
@@ -53,7 +60,8 @@ def build_sequences(
         F.col(ts_col).cast("string") if ts_as_string else F.col(ts_col)
     ).alias("event_timestamp")
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     frame = w.rowsBetween(-(seq_len - 1), 0)
 
     entry = F.struct(ts_out, *[F.col(c) for c in feature_cols])

@@ -47,6 +47,11 @@ def salted_aggregate(
     ``salt_source_col`` must be a high-cardinality column (a row id) so the
     salt spreads rows evenly within each key.
     """
+    if not (sum_cols or min_cols or max_cols or count):
+        raise ValueError(
+            "salted_aggregate: no aggregates requested "
+            "(sum_cols/min_cols/max_cols empty and count=False)"
+        )
     keys = list(key_cols)
     salted = df.withColumn("_salt", deterministic_salt(salt_source_col, n_salts))
     stage1_aggs = [F.sum(c).alias(f"_s_{c}") for c in sum_cols]
@@ -78,7 +83,22 @@ def salted_join(
     over ``n_salts`` reducers. Build-side replication costs
     |build| × n_salts shuffled rows: keep n_salts modest and the build side
     the smaller input.
+
+    Only probe-side-preserving join types are legal: replication breaks
+    build-side preservation (every unmatched (key, salt) copy would
+    surface as its own spurious null-extended row), so right/full outer
+    joins are rejected rather than silently corrupted.
     """
+    salt_safe = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in salt_safe:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not salt-safe — build-side "
+            "replication corrupts build-preserving joins (use inner/left/"
+            "semi/anti, or salt the other side)"
+        )
     on = list(on)
     salted_probe = probe.withColumn(
         "_salt", deterministic_salt(salt_source_col, n_salts)

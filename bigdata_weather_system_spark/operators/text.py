@@ -283,11 +283,11 @@ def tfidf_top_terms(
     tie-break so the cut is deterministic at compare precision.
 
     Shape: explode → two hash aggs (doc-term, term) → broadcast of the
-    1-row corpus count → per-doc window top-k. The term-df side aggregates
-    BEFORE joining back, so the join carries one row per distinct term,
-    not one per posting.
+    1-row corpus count → per-doc window top-k (``top_n_per_key``). The
+    term-df side aggregates BEFORE joining back, so the join carries one
+    row per distinct term, not one per posting.
     """
-    from pyspark.sql.window import Window
+    from .latest import top_n_per_key
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -305,24 +305,28 @@ def tfidf_top_terms(
             ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(id_col, "token", "tf", "tfidf")
-    )
+    return top_n_per_key(
+        scored, [id_col], [F.desc("tfidf"), F.asc("token")], n=k
+    ).select(id_col, "token", "tf", "tfidf")
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All n-word grams IN ORDER, duplicates kept (unlike ``word_shingles``
     which dedupes into a set) — the unit for repetition statistics, where
-    the duplicate count IS the signal. Same short-text guard."""
+    the duplicate count IS the signal. Same short-text guard, same
+    shifted-zip construction (per-index ``slice`` in an interpreted lambda
+    re-copies a sub-array per gram and measured ~10× slower)."""
     toks = tokens(text)
     n_grams = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
-    return F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    width = F.greatest(n_grams, F.lit(1))
+    acc = F.slice(toks, 1, width)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k, width),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(acc)
 
 
 def repetition_features(

@@ -113,3 +113,55 @@ def test_csv_sink_and_scan_roundtrip(spark, tmp_path):
         ("hanoi", 20.5),
         ("hue", 30.0),
     ]
+
+
+def test_bucketed_profile_keeps_mode_for_null_bucket(spark):
+    """Rows with a NULL bucket expression (null timestamps) must still get
+    their modal value — a plain equi-join would drop it."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.profile import (
+        bucketed_profile,
+        day_bucket,
+        standard_metric_aggs,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 5), 1.0, "X"),
+        (None, 2.0, "Y"),
+        (None, 3.0, "Y"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, cat string")
+    out = bucketed_profile(
+        df, day_bucket("ts"), "day", standard_metric_aggs("value"), mode_col="cat"
+    )
+    by_day = {r.day: r for r in out.collect()}
+    assert by_day[None].n_events == 2
+    assert by_day[None].modal_cat == "Y"
+
+
+def test_merge_profiles_closed_over_own_output(spark):
+    """Yesterday's MERGED snapshot (which carries the derived avg_value)
+    must merge again with a fresh partial."""
+    from bigdata_weather_system_spark.operators.profile import (
+        merge_profiles,
+        mergeable_profile,
+    )
+
+    p1 = mergeable_profile(
+        spark.createDataFrame([("a", 1.0), ("a", 3.0)], "k string, v double"),
+        ["k"], "v",
+    )
+    p2 = mergeable_profile(
+        spark.createDataFrame([("a", 5.0)], "k string, v double"), ["k"], "v"
+    )
+    p3 = mergeable_profile(
+        spark.createDataFrame([("a", 7.0)], "k string, v double"), ["k"], "v"
+    )
+    twice = merge_profiles(merge_profiles(p1, p2, ["k"]), p3, ["k"])
+    r = twice.collect()[0]
+    assert (r.n_rows, r.sum_value, r.min_value, r.max_value, r.avg_value) == (
+        4, 16.0, 1.0, 7.0, 4.0,
+    )

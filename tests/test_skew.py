@@ -68,3 +68,23 @@ def test_salted_join_matches_plain_join(spark):
         ).collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_build_preserving_types(spark):
+    import pytest
+
+    from bigdata_weather_system_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    probe = spark.createDataFrame([("a", 1)], "k string, i long")
+    build = spark.createDataFrame([("a",)], "k string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(probe, build, on=["k"], salt_source_col="i", how=how)
+    # left join stays legal and build-replication-free in its output
+    out = salted_join(probe, build, on=["k"], salt_source_col="i", how="left")
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="no aggregates"):
+        salted_aggregate(probe, ["k"], "i", count=False)
