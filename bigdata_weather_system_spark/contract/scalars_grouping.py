@@ -455,7 +455,9 @@ def value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_mean_value_by_type",
     oracle="""
     SELECT event_type,
-           round(sum(value * user_id) / sum(user_id), 6) AS w_mean,
+           round(sum(value * user_id)
+                 / sum(CASE WHEN value IS NOT NULL THEN user_id END), 6)
+             AS w_mean,
            count(*) AS n_rows
     FROM events
     WHERE user_id > 0

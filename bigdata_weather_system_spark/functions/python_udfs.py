@@ -57,10 +57,14 @@ class SentenceSplit:
 
 @pandas_udf(DoubleType())
 def weighted_mean(v: pd.Series, w: pd.Series) -> float:
-    """sum(v*w)/sum(w) over a group, vectorized via Arrow; zero total
-    weight yields NaN, which Arrow surfaces as SQL null."""
-    num = float((v * w).sum())
-    den = float(w.sum())
+    """sum(v*w)/sum(w) over the rows where BOTH are non-null (pandas
+    skipna on the raw sums would keep a null value's weight in the
+    denominator and skew toward zero), vectorized via Arrow; zero total
+    weight — including an all-null group — yields NaN, which Arrow
+    surfaces as SQL null."""
+    m = v.notna() & w.notna()
+    num = float((v[m] * w[m]).sum())
+    den = float(w[m].sum())
     return num / den if den != 0.0 else float("nan")
 
 

@@ -46,9 +46,11 @@ def score_sequences(
     arrive as Arrow record batches.
     """
     model = model_fn or linear_model(np.full(seq_len, 1.0 / seq_len))
+    # end_timestamp's type follows the input (string for the default
+    # ts_as_string sequences, timestamp when built with ts_as_string=False)
     out_schema = T.StructType(
         [seq_df.schema[c] for c in key_cols]
-        + [T.StructField("end_timestamp", T.StringType(), True)]
+        + [seq_df.schema["end_timestamp"]]
         + SCORE_SCHEMA_SUFFIX
     )
 

@@ -102,9 +102,13 @@ def decode_image_features(media: DataFrame, use_real_codec: bool = False) -> Dat
                     "byte_len": pdf["byte_len"],
                 }
             )
-            # fake decode: dims derived deterministically from content size
-            out["width"] = (pdf["byte_len"] % 640 + 16).astype("int32")
-            out["height"] = (pdf["byte_len"] % 480 + 16).astype("int32")
+            # fake decode: dims derived deterministically from content size.
+            # byte_len is nullable — a null row makes the pandas column
+            # float64 with NaN, which .astype("int32") rejects; treat null
+            # as 0 bytes (matching the `c or b""` content fallback below)
+            blen = pdf["byte_len"].fillna(0)
+            out["width"] = (blen % 640 + 16).astype("int32")
+            out["height"] = (blen % 480 + 16).astype("int32")
             out["feature"] = [
                 np.frombuffer(
                     (bytes(c or b"") + b"\x00" * 16)[:16], dtype=np.uint8
@@ -130,7 +134,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content or b"")
-                for i in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
+                # ceil division: the partial tail chunk is a frame too
+                n_frames = max(1, -(-len(blob) // every_n_bytes))
+                for i in range(min(max_frames, n_frames)):
                     rows.append(
                         {
                             "media_id": mid,

@@ -195,8 +195,12 @@ class WeatherService:
         )
         agg = bucketed.groupBy(name).agg(*aggs)
         modal = mode_per_group(bucketed, [name], "weathercode", "weathercode_mode")
+        # null-safe join key, matching operators/profile.py bucketed_profile:
+        # a NULL bucket (null event_timestamp) would lose its modal code to
+        # plain equi-join semantics
         out = (
-            agg.join(modal, on=name, how="left")
+            agg.join(modal, on=agg[name].eqNullSafe(modal[name]), how="left")
+            .drop(modal[name])
             .orderBy(name)
             .collect()
         )
@@ -264,10 +268,7 @@ class WeatherService:
             .filter(F.col("_rn") <= n_events)
         )
         bucket = F.floor((F.col("_rn") - 1) / F.lit(step_events)).cast("long")
-        recs = self._profile(idx, bucket.alias("bucket"), "bucket")
-        for r in recs:
-            r.pop("_rn", None)
-        return recs
+        return self._profile(idx, bucket.alias("bucket"), "bucket")
 
     # -- inference support (§2.11 predict; U4) -----------------------------
 

@@ -79,6 +79,14 @@ class WeatherFeedWriter(DataSourceWriter):
                 os.path.join(self._path, m.final_name),
             )
             manifest[m.final_name] = m.n_rows
+        if self._overwrite:
+            # honor mode("overwrite"): clear shards from prior commits so
+            # directory-globbing readers can't see stale rows alongside
+            # the new manifest (deleted AFTER the renames — a crash here
+            # leaves extra files but never a manifest naming missing ones)
+            for name in os.listdir(self._path):
+                if name.startswith("feed-") and name not in manifest:
+                    os.remove(os.path.join(self._path, name))
         with open(os.path.join(self._path, "_FEED_COMMITTED"), "w") as f:
             json.dump(manifest, f, sort_keys=True)
 

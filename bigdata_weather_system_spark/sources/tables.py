@@ -26,11 +26,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Read nanos as long and convert to microsecond timestamps with
         # integer division (a double division would lose precision:
         # epoch-nanos ≈ 1.7e18 > 2^53). Current generations store plain
-        # micros, so this shim no-ops.
+        # micros, so this shim no-ops — and the legacy conf is restored,
+        # because leaking it session-wide would make OTHER tables' nanos
+        # columns silently surface as bigint. When the shim DOES engage
+        # (ts came back bigint) the conf must stay set: executions read
+        # SQLConf per query, not at DataFrame creation, so restoring it
+        # would fail the scan at collect time.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     else:
         df = spark.read.parquet(path)
     # Parquet isAdjustedToUTC=false columns surface as timestamp_ntz; the
