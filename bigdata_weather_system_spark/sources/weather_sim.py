@@ -115,6 +115,11 @@ class WeatherSimBatchReader(DataSourceReader):
         return [InputPartition(loc) for loc in self._locs]
 
     def read(self, partition: InputPartition) -> Iterator:
+        if partition is None:
+            # pushFilters can prune every location; Spark plans the empty
+            # partition list as a single None partition — an empty result,
+            # not an error
+            return
         loc = partition.value
         rows = [_event(loc, cycle, self._start) for cycle in range(self._cycles)]
         if not self._arrow:

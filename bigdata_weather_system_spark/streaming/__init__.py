@@ -4,6 +4,9 @@ from .pipeline import (
     stream_stream_interval_join,
     start_memory_sink,
     start_parquet_sink,
+    start_incremental_snapshot_sink,
+    read_latest_snapshot,
+    compact_snapshot,
     streaming_hourly_profile,
 )
 from .stateful import running_value_profile, running_value_profile_tws
@@ -14,6 +17,9 @@ __all__ = [
     "stream_stream_interval_join",
     "start_memory_sink",
     "start_parquet_sink",
+    "start_incremental_snapshot_sink",
+    "read_latest_snapshot",
+    "compact_snapshot",
     "streaming_hourly_profile",
     "running_value_profile",
     "running_value_profile_tws",

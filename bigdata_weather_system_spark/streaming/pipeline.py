@@ -54,6 +54,11 @@ def read_event_stream(
 ) -> DataFrame:
     """Unbounded stream of raw (key, value, timestamp) event rows."""
     if source == "kafka":
+        if not kafka_bootstrap or not topic:
+            raise ValueError(
+                "read_event_stream(source='kafka') requires kafka_bootstrap "
+                "and topic (a None option dies as an opaque JVM error)"
+            )
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_bootstrap)
@@ -61,6 +66,8 @@ def read_event_stream(
             .option("startingOffsets", starting_offsets)
         )
         return reader.load().select("key", "value", "timestamp")
+    if not path:
+        raise ValueError("read_event_stream(source='files') requires path")
     reader = spark.readStream.schema(RAW_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -34,15 +34,13 @@ RUNNING_PROFILE_SCHEMA = (
 _STATE_SCHEMA = "n long, s double, mn double, mx double"
 
 
-def _update_profile(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        n, s, mn, mx = state.get
-    else:
-        n, s, mn, mx = 0, 0.0, None, None
+def _fold_profile(
+    prior: tuple | None, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, float, float | None, float | None]:
+    """Fold a micro-batch's ``_value`` batches into the (n, s, mn, mx)
+    running state — the single accumulation shared by BOTH stateful-API
+    twins, so their semantics cannot drift."""
+    n, s, mn, mx = prior if prior is not None else (0, 0.0, None, None)
     for pdf in pdfs:
         vals = pdf["_value"].dropna()
         if len(vals) == 0:
@@ -52,8 +50,11 @@ def _update_profile(
         bmn, bmx = float(vals.min()), float(vals.max())
         mn = bmn if mn is None else min(mn, bmn)
         mx = bmx if mx is None else max(mx, bmx)
-    state.update((n, s, mn, mx))
-    yield pd.DataFrame(
+    return n, s, mn, mx
+
+
+def _profile_row(key: tuple, n: int, s: float, mn, mx) -> pd.DataFrame:
+    return pd.DataFrame(
         [
             {
                 "location": key[0],
@@ -65,6 +66,16 @@ def _update_profile(
             }
         ]
     )
+
+
+def _update_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s, mn, mx = _fold_profile(state.get if state.exists else None, pdfs)
+    state.update((n, s, mn, mx))
+    yield _profile_row(key, n, s, mn, mx)
 
 
 def running_value_profile(
@@ -142,29 +153,9 @@ def running_value_profile_tws(
 
         def handleInputRows(self, key, rows, timerValues):
             prior = self._agg.get() if self._agg.exists() else None
-            n, s, mn, mx = prior if prior is not None else (0, 0.0, None, None)
-            for pdf in rows:
-                vals = pdf["_value"].dropna()
-                if len(vals) == 0:
-                    continue
-                n += int(len(vals))
-                s += float(vals.sum())
-                bmn, bmx = float(vals.min()), float(vals.max())
-                mn = bmn if mn is None else min(mn, bmn)
-                mx = bmx if mx is None else max(mx, bmx)
+            n, s, mn, mx = _fold_profile(prior, rows)
             self._agg.update((n, s, mn, mx))
-            yield pd.DataFrame(
-                [
-                    {
-                        "location": key[0],
-                        "n_events": n,
-                        "sum_value": s,
-                        "min_value": mn,
-                        "max_value": mx,
-                        "avg_value": (s / n) if n else None,
-                    }
-                ]
-            )
+            yield _profile_row(key, n, s, mn, mx)
 
         def close(self) -> None:
             pass

@@ -156,3 +156,19 @@ def test_weather_feed_sink_two_phase_commit(spark, tmp_path):
     assert sorted(r.key for r in back.select("key").distinct().collect()) == sorted(
         r.key for r in src.select("key").distinct().collect()
     )
+
+
+def test_filter_pruning_all_partitions_yields_empty_not_crash(spark):
+    """When pushFilters prunes every location, Spark plans the empty
+    partition list as a single None partition — the read must return an
+    empty result, not AttributeError on partition.value."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("weather_sim")
+        .option("locations", "Hanoi,Hue")
+        .option("cycles", "2")
+        .load()
+        .filter(F.col("key") == "Nowhere")
+    )
+    assert df.count() == 0
