@@ -20,9 +20,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
-from ..operators.latest import latest_per_key, dedup_latest, top_n_per_key
+from ..operators.latest import latest_per_key, dedup_latest
 from ..operators.profile import (
     bucketed_profile,
     day_bucket,
@@ -497,6 +496,11 @@ def weather_sim_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.weather_sim import register_weather_sim
 
     register_weather_sim(spark)
+    # Deliberately left set for the session (matching the session
+    # factory's default): the conf is read lazily at EXECUTION of the
+    # returned DataFrame, so restoring it here would disable the pushdown
+    # this query exists to exercise. It changes plan shape only, never
+    # results, for other Python-source reads.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     raw = spark.read.format("weather_sim").option("cycles", "48").load()
     parsed = parse_raw_events(raw, keep_payload=False)
@@ -534,7 +538,10 @@ def incremental_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import merge_profiles, mergeable_profile
 
     ev = _t(spark, sf_dir, "events")
-    cutoff = F.lit("2024-03-01").cast("timestamp")
+    # mid-range cutoff: both eras must be NON-EMPTY or the merge is
+    # vacuously equal to a recompute and the check proves nothing
+    # (events span 2024-01-01 .. 2024-01-30 at every SF)
+    cutoff = F.lit("2024-01-15").cast("timestamp")
     snapshot = mergeable_profile(
         ev.filter(F.col("ts") < cutoff), ["event_type"], "value"
     )

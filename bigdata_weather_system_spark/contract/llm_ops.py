@@ -55,6 +55,21 @@ _SHINGLES_CTE = f"""
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+#: Exact shingle-Jaccard pair list (shared by the inverted-index and
+#: prefix-filtered formulations -- ONE string so the "identical oracle"
+#: guarantee cannot drift by copy-edit).
+_JACCARD_PAIRS_ORACLE = f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_common,
+           round(count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
+    """
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -78,17 +93,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_near_dups",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           count(*) AS n_common,
-           round(count(*)::DOUBLE /
-                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
-    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING round(count(*)::DOUBLE /
-                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
-    """,
+    oracle=_JACCARD_PAIRS_ORACLE,
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs ≥ 0.5 (explode + self-join)."""
@@ -98,17 +103,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_near_dups_prefix",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           count(*) AS n_common,
-           round(count(*)::DOUBLE /
-                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
-    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING round(count(*)::DOUBLE /
-                 (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
-    """,
+    oracle=_JACCARD_PAIRS_ORACLE,
 )
 def ngram_jaccard_near_dups_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same exact Jaccard-pair semantics as ``ngram_jaccard_near_dups``

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
-from ..operators.latest import dedup_latest
 from ..operators.skew import salted_aggregate
 from ..operators.temporal import asof_join, range_band_join, session_profiles
 from .core import register, _t
@@ -628,7 +627,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 21600
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -649,9 +648,12 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session_window aggregation in BATCH mode (the built-in
-    sibling of the lag+cumsum sessionizer in operators/temporal.py; same
-    gap semantics, session_end = last event + gap). One hash agg with
-    window merging — no analytic-window pre-pass."""
+    sibling of the lag+cumsum sessionizer in operators/temporal.py;
+    session_end = last event + gap). Boundary semantics: session windows
+    are half-open [ts, ts+gap), so a successor EXACTLY gap seconds later
+    starts a NEW session (oracle uses >=) — unlike the sessionizer's
+    strictly-greater rule. One hash agg with window merging — no
+    analytic-window pre-pass."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "6 hours"))
@@ -996,7 +998,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity >= 1 AND l.l_quantity <= 21)
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
            AND l.l_quantity >= 10 AND l.l_quantity <= 30)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
            AND l.l_quantity >= 20 AND l.l_quantity <= 40)
     """,
 )
@@ -1020,7 +1022,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(10, 30)
         )
         | (
-            (F.col("p_brand") == "Brand#34")
+            (F.col("p_brand") == "Brand#24")
             & F.col("p_size").between(1, 35)
             & F.col("l_quantity").between(20, 40)
         )

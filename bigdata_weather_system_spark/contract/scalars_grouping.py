@@ -318,9 +318,14 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed). Error-row values are nulled first, mimicking sensor gaps."""
     from ..functions import forward_fill
 
+    # when(== 'error', NULL).otherwise(value), NOT when(!= 'error', value):
+    # for a NULL event_type the latter nulls the value (condition unknown →
+    # no branch) while the oracle's CASE keeps it — invert to match
     ev = _t(spark, sf_dir, "events").withColumn(
         "filled_value",
-        F.when(F.col("event_type") != "error", F.col("value")),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
     )
     out = forward_fill(
         ev, cols=["filled_value"], partition_cols=["user_id"], order_col="event_id"
