@@ -139,6 +139,51 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_event_sample",
+    oracle="""
+    SELECT event_id, user_id, weight, round(sample_key, 6) AS sample_key
+    FROM (
+      SELECT event_id, user_id, value AS weight,
+             ln((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 16777216 + 1) / 16777217.0) / value
+               AS sample_key
+      FROM events
+      WHERE value > 0
+    )
+    ORDER BY sample_key DESC, event_id
+    LIMIT 200
+    """,
+)
+def weighted_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = ln(u)/w with u a CONTENT-HASH-
+    derived uniform in (0, 1] (md5 bits, no ``rand()``), and the k
+    largest keys are the weighted sample — inclusion probability scales
+    with weight, reruns/engines/partitionings agree bit-for-bit. Plan:
+    scan-local projection + TakeOrderedAndProject top-k; no shuffle
+    beyond the top-k merge, the same one-pass shape at any corpus size.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    u = (h % 16777216 + 1) / F.lit(16777217.0)
+    key = F.ln(u) / F.col("value")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("event_id"))
+        .limit(200)
+        .withColumn("sample_key", F.round("sample_key", 6))
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
     SELECT label,
