@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "events_value_band_join",
     "events_resampled_6h",
+    "events_resampled_6h_lerp",
     # window analytics
     "running_sum_per_user",
     "sequence_window_stats",
@@ -58,11 +59,14 @@ BENCH_QUERIES = [
     # LLM-pipeline operators
     "dedup_exact_docs",
     "near_dup_clusters",
+    "ngram_jaccard_near_dups_prefix",
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_kmeans",
+    "weighted_event_sample",
     "doc_quality_scores",
     "doc_language_id",
     "doc_fingerprints",
