@@ -184,6 +184,47 @@ def weighted_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_per_type",
+    oracle="""
+    SELECT event_id, event_type, weight
+    FROM (
+      SELECT event_id, event_type, value AS weight,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ln((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 16777216 + 1) / 16777217.0) / value DESC,
+                        event_id
+             ) AS rn
+      FROM events
+      WHERE value > 0
+    ) WHERE rn <= 50
+    """,
+)
+def weighted_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise A-ES: the 50 largest ln(u)/w keys PER event_type — the
+    balanced-training-mix shape (k weighted picks per class in one pass).
+    Window rank over the key partitioned by class; WindowGroupLimit keeps
+    per-partition state at k rows before the shuffle."""
+    from ..operators.latest import top_n_per_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    u = (h % 16777216 + 1) / F.lit(16777217.0)
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("weight"),
+        (F.ln(u) / F.col("value")).alias("_key"),
+    )
+    return top_n_per_key(
+        scored, ["event_type"], [F.desc("_key"), F.asc("event_id")], n=50
+    ).select("event_id", "event_type", "weight")
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
     SELECT label,
