@@ -101,6 +101,49 @@ def grouped_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "per_user_value_trend",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(covar_pop(value, epoch(ts)) / var_pop(epoch(ts)), 6) + 0.0
+             AS slope_per_sec,
+           round(avg(value)
+                 - covar_pop(value, epoch(ts)) / var_pop(epoch(ts)) * avg(epoch(ts)),
+                 4) + 0.0 AS intercept
+    FROM events
+    GROUP BY user_id
+    HAVING var_pop(epoch(ts)) > 0
+    """,
+)
+def per_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key simple linear regression (value ~ time) in closed form:
+    slope = cov(x,y)/var(x), intercept = ȳ − slope·x̄ — one partial-agg
+    hash aggregation over built-in covar/var/avg, no Python in the plan.
+    The per-entity trend-feature shape for ML prep: fitting a million
+    per-key models costs exactly one shuffle of constant-width partials.
+    Keys with a degenerate time axis (a single distinct ts) are dropped."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")
+    y = F.col("value")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+            # on one engine and 0.0 on the other; -0.0 + 0.0 == 0.0)
+            (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_sec"),
+            (F.round(F.avg(y) - slope * F.avg(x), 4) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+            F.var_pop(x).alias("_vx"),
+        )
+        .filter(F.col("_vx") > 0)
+        .drop("_vx")
+    )
+
+
+@register(
     "stratified_event_sample",
     oracle="""
     SELECT event_id, user_id, event_type, value
