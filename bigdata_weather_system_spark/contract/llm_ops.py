@@ -864,6 +864,55 @@ def doc_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mix_to_spec",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= CASE source WHEN 'src0' THEN 20
+                            WHEN 'src1' THEN 12
+                            ELSE 3 END
+    """,
+)
+def doc_mix_to_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing to target proportions — the data-mix
+    step of a training pipeline (upweight src0, downweight the long
+    tail): per-source quotas filled in content-hash order via the shared
+    WindowGroupLimit rank, so the same spec always selects the same
+    documents on any engine or partition layout. Sources with fewer docs
+    than quota contribute everything they have (under-sampling is
+    visible, not silently repaired)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    quota = (
+        F.when(F.col("source") == "src0", 20)
+        .when(F.col("source") == "src1", 12)
+        .otherwise(3)
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        quota.alias("_q"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    )
+    return (
+        ranked.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_q"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
     "doc_sentences_udtf",
     oracle="""
     WITH s AS (
