@@ -913,6 +913,69 @@ def doc_mix_to_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_cross_split_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*)::DOUBLE /
+                   (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(count(*)::DOUBLE /
+                   (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5({_NORM_TEXT}), 1, 15)) AS BIGINT)
+                 % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT p.id_a, sa.split AS split_a, p.id_b, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+)
+def doc_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination check: near-dup pairs whose members landed
+    in DIFFERENT splits. Exact duplicates cannot straddle a content-hash
+    split by construction (doc_train_test_split), but near-duplicates get
+    distinct hashes and can — these pairs are exactly the train→eval
+    leakage a decontamination pass must drop. Broadcast-joins the (tiny)
+    pair list against the split projection; the corpus is never
+    re-shuffled."""
+    from ..operators.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    splits = hash_split(d, "text", "split").select("doc_id", "split")
+    out = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select("id_a", "split_a", "id_b", "split_b", "jaccard")
+
+
+@register(
     "doc_sentences_udtf",
     oracle="""
     WITH s AS (
