@@ -400,7 +400,8 @@ def oracle_sql() -> dict[str, str]:
     oracle="""
     SELECT p.p_type AS part_type,
            s.s_name AS supplier_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000))
+             / 10000.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -414,7 +415,15 @@ def part_type_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims are explicitly broadcast (part/supplier stay small relative to
     lineitem at every scale factor) and the size filter sits on the dim so
     it prunes before the join, leaving a single lineitem scan with two
-    map-side hash joins ahead of the aggregation."""
+    map-side hash joins ahead of the aggregation.
+
+    Revenue sums exact integer ten-thousandths: price×(1−discount) lies
+    on a 4-decimal grid, so per-row round(x·10⁴) is an exact integer, the
+    sum is order-independent, and the result is returned UNROUNDED — a
+    raw double sum can land half an ulp either side of a .xx5 boundary
+    depending on combine order, and even on the same double Spark's
+    round() (shortest-decimal-repr HALF_UP) and DuckDB's (binary-value)
+    disagree at exact boundaries (both observed at sf0.01)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
     s = _t(spark, sf_dir, "supplier")
@@ -424,7 +433,7 @@ def part_type_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("p_type").alias("part_type"), F.col("s_name").alias("supplier_name"))
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            (F.sum(F.round(revenue * 10000, 0)) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
