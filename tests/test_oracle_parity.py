@@ -29,7 +29,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(rows, cols):
-    """Sort columns by name, stringify values with float rounding."""
+    """Sort columns by name, stringify values STRICTLY (raw repr, no float
+    leniency) — the driver hashes raw values, so a mirror that rounds to 6
+    significant digits would hide exactly the half-ulp/rounding-boundary
+    divergences that flip the gate (observed: IEEE -0.0 vs 0.0, and
+    engine round() disagreement on exact .xx5 doubles). Queries are
+    responsible for emitting bit-identical values on both engines."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -37,12 +42,9 @@ def normalize(rows, cols):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v:.6g}")
+                vals.append("nan" if math.isnan(v) else repr(v))
             elif isinstance(v, (list, tuple)):
-                vals.append(repr([x if not isinstance(x, float) else round(x, 6) for x in v]))
+                vals.append(repr(list(v)))
             else:
                 vals.append(repr(v))
         out.append(tuple(vals))
