@@ -113,6 +113,75 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_to_session_intervals",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM x
+    ),
+    iv AS (
+      SELECT user_id, session_id,
+             epoch(min(ts)) AS lo, epoch(max(ts)) + 1 AS hi
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT e.event_id, e.user_id, iv.session_id
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND epoch(e.ts) >= iv.lo AND epoch(e.ts) < iv.hi
+    """,
+)
+def events_to_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval containment join via bucketization
+    (operators/temporal.py interval_containment_join): each session
+    interval explodes to its covered 6-hour buckets, each event maps to
+    one bucket, and the containment join becomes a shuffled equi-join on
+    (user, bucket) with the exact range predicate as a post-filter — the
+    scale path range_band_join's broadcast nested loop cannot take.
+    Self-consistency oracle: intervals are the sessionizer's own bounds,
+    so each event lands back in its session."""
+    from ..operators.temporal import interval_containment_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_profiles(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        gap_seconds=21600,
+        value_col="value",
+        tiebreak_cols=["event_id"],
+    )
+    intervals = sessions.select(
+        "user_id",
+        "session_id",
+        F.col("session_start").cast("double").alias("lo"),
+        (F.col("session_end").cast("double") + 1).alias("hi"),
+    )
+    points = ev.select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("_p")
+    )
+    out = interval_containment_join(
+        points,
+        intervals,
+        key_cols=["user_id"],
+        point_col="_p",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=21600.0,
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+@register(
     "events_resampled_6h",
     oracle="""
     WITH obs AS (

@@ -279,3 +279,59 @@ def resample_to_grid(
                 .otherwise(prev_v + (next_v - prev_v) * frac),
             )
     return out.drop("_obs", *value_cols)
+
+
+def interval_containment_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join-shaped containment join of points against intervals
+    ``[lo, hi)`` sharing the key — the LARGE×LARGE path that
+    ``range_band_join``'s broadcast nested loop cannot take.
+
+    Both sides are bucketized on ``floor(x / bucket_width)``: each
+    interval explodes to the buckets it covers (executor-side
+    ``sequence``), each point maps to its single bucket, and the join
+    becomes a plain shuffled equi-join on (keys..., bucket) with the
+    exact ``lo <= p < hi`` predicate as a post-filter. A point matches an
+    interval in exactly ONE bucket (its own), so no dedup pass is needed.
+    Cost scales with Σ interval_span/bucket_width — size the width near
+    the typical interval span so most intervals explode to O(1) buckets.
+    ``how='left'`` keeps unmatched points (interval columns null).
+    """
+    keys = list(key_cols)
+    pb = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                # floor(hi/width) may cover one bucket past an exclusive
+                # hi that sits exactly on a boundary — a harmless
+                # candidate superset; the exact containment filter below
+                # removes false matches
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    contained = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    if how == "inner":
+        return pb.join(ib, on=keys + ["_bucket"]).filter(contained).drop("_bucket")
+    if how == "left":
+        matched = pb.join(ib, on=keys + ["_bucket"]).filter(contained)
+        icols = [c for c in ib.columns if c not in keys + ["_bucket"]]
+        return (
+            pb.drop("_bucket")
+            .join(matched.select(*keys, point_col, *icols), on=keys + [point_col], how="left")
+        )
+    raise ValueError(f"interval_containment_join: unsupported how={how!r}")

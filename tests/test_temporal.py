@@ -238,3 +238,36 @@ def test_resample_accepts_overlapping_column_roles(spark):
     ).orderBy("grid_ts")
     got = [(r.grid_ts.hour, r.v_ffill) for r in out.collect()]
     assert got == [(0, 1.0), (1, 1.0), (2, 3.0)]
+
+
+def test_interval_containment_join_buckets_and_bounds(spark):
+    """Bucketized containment: exclusive hi, multi-bucket intervals, and
+    the left variant keeping unmatched points."""
+    from bigdata_weather_system_spark.operators.temporal import (
+        interval_containment_join,
+    )
+
+    points = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 10.0), ("a", 3, 25.0), ("b", 4, 5.0)],
+        "k string, pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        # [0,10) and a 3-bucket-wide [8,26) for key a; none for b
+        [("a", 100, 0.0, 10.0), ("a", 200, 8.0, 26.0)],
+        "k string, iid long, lo double, hi double",
+    )
+    inner = interval_containment_join(
+        points, intervals, ["k"], "p", "lo", "hi", bucket_width=10.0
+    )
+    got = sorted((r.pid, r.iid) for r in inner.collect())
+    # p=10.0 is NOT in [0,10) (exclusive hi) but IS in [8,26)
+    assert got == [(1, 100), (2, 200), (3, 200)]
+
+    left = interval_containment_join(
+        points, intervals, ["k"], "p", "lo", "hi", bucket_width=10.0, how="left"
+    )
+    by_pid = {}
+    for r in left.collect():
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert by_pid[4] == [None]  # unmatched point survives
+    assert sorted(by_pid[1]) == [100]
