@@ -5,6 +5,7 @@ from .pipeline import (
     start_memory_sink,
     start_parquet_sink,
     start_incremental_snapshot_sink,
+    streaming_session_profile,
     read_latest_snapshot,
     compact_snapshot,
     streaming_hourly_profile,
@@ -18,6 +19,7 @@ __all__ = [
     "start_memory_sink",
     "start_parquet_sink",
     "start_incremental_snapshot_sink",
+    "streaming_session_profile",
     "read_latest_snapshot",
     "compact_snapshot",
     "streaming_hourly_profile",

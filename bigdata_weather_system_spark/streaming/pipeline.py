@@ -199,6 +199,33 @@ def streaming_hourly_profile(
     )
 
 
+def streaming_session_profile(
+    raw_stream: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming SESSION windows: per-location gap-based sessions
+    via ``F.session_window`` — the streaming twin of the batch
+    sessionizers (operators/temporal.py sessionize and the batch
+    session_window query). Sessions merge across micro-batches while
+    open; the watermark closes a session once event time passes its end,
+    bounding state. Spark only supports APPEND output for streaming
+    session aggregations — a session is emitted exactly once, when it
+    closes — so downstream sees final sessions, never partials."""
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+    return (
+        parsed.withWatermark("event_timestamp", watermark)
+        .groupBy(
+            F.session_window("event_timestamp", gap).alias("session"),
+            F.col("location"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("temperature").alias("avg_temperature"),
+        )
+    )
+
+
 def start_incremental_snapshot_sink(
     raw_stream: DataFrame,
     log_path: str,

@@ -476,3 +476,61 @@ def test_incremental_snapshot_sink_resumes_from_checkpoint(spark, tmp_path):
     assert log_df.select("_batch_id").distinct().count() == 2
     snap = read_latest_snapshot(spark, log).collect()
     assert len(snap) == 1 and snap[0].temperature == 22.0
+
+
+def test_streaming_session_profile_merges_and_splits_sessions(spark, stream_dir):
+    """Streaming session windows: in-gap events merge into the open
+    session across micro-batches, a past-gap event starts a new one, and
+    sessions emit exactly once (append) when the watermark closes them."""
+    from bigdata_weather_system_spark.streaming import streaming_session_profile
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(
+        stream_dir,
+        "s1.json",
+        [payload("C", t0, 20.0), payload("C", t0 + dt.timedelta(minutes=30), 30.0)],
+        t0,
+    )
+    raw = read_event_stream(spark, "files", stream_dir)
+    agg = streaming_session_profile(raw, gap="1 hour", watermark="1 seconds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_profile_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # open sessions emit nothing in append mode
+        assert spark.table("session_profile_test").count() == 0
+
+        # in-gap event merges; a far-later event opens a second session
+        write_batch(
+            stream_dir,
+            "s2.json",
+            [
+                payload("C", t0 + dt.timedelta(minutes=60), 40.0),
+                payload("C", t0 + dt.timedelta(hours=3), 50.0),
+            ],
+            t0 + dt.timedelta(hours=3),
+        )
+        q.processAllAvailable()
+        # watermark-advancing batch closes both C sessions
+        write_batch(
+            stream_dir,
+            "s3.json",
+            [payload("D", t0 + dt.timedelta(days=2), 10.0)],
+            t0 + dt.timedelta(days=2),
+        )
+        q.processAllAvailable()
+        rows = [
+            r for r in spark.table("session_profile_test").collect()
+            if r.location == "C"
+        ]
+        sessions = sorted(rows, key=lambda r: r.session.start)
+        assert [s.n_events for s in sessions] == [3, 1]
+        assert sessions[0].avg_temperature == 30.0
+        assert sessions[0].session.start == t0
+        assert sessions[1].session.start == t0 + dt.timedelta(hours=3)
+    finally:
+        q.stop()
