@@ -159,16 +159,53 @@ def sequence_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("build_training_sequences")  # nested output → rows-only check
+@register(
+    "build_training_sequences",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) AS us,
+             CAST(CAST(round(value, 6) AS DECIMAL(20,6)) AS VARCHAR) AS v6,
+             event_type
+      FROM events
+    )
+    SELECT user_id, start_us, end_us, sequence_repr, target_repr
+    FROM (
+      SELECT user_id,
+             first_value(us) OVER w24 AS start_us,
+             us AS end_us,
+             count(*) OVER w24 AS cnt,
+             string_agg(us || '|' || v6 || '|' || event_type, ';') OVER w24
+               AS sequence_repr,
+             concat_ws(';',
+               lead(us || '|' || v6, 1) OVER wo,
+               lead(us || '|' || v6, 2) OVER wo,
+               lead(us || '|' || v6, 3) OVER wo) AS target_repr,
+             lead(us, 3) OVER wo AS t3
+      FROM e
+      WINDOW
+        w24 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        wo  AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE cnt = 24 AND t3 IS NOT NULL
+    """,
+)
 def build_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full nested sequence builder (array<struct> windows + lead targets).
+    """Full nested sequence builder (array<struct> windows + lead targets),
+    serialized to deterministic strings for the driver's canonicalizer.
 
-    Nested list-of-struct values don't hash portably across Spark/DuckDB, so
-    this is a rows-only contract entry; its semantics are pinned by
-    tests/test_sequences.py invariants and by sequence_window_stats above.
+    The query exercises the real nested operator
+    (``operators.sequences.build_sequences`` — reference parity:
+    ``/root/reference/prediction/preprocessing/getSample.py:150-214``) and
+    then flattens each ``array<struct>`` column into a pipe/semicolon string:
+    nested list-of-struct values are unhashable in the driver's pandas canon
+    (the round-1 red row) and don't hash portably across Spark/DuckDB anyway.
+    Timestamps are rendered as ``unix_micros`` longs and floats through a
+    DECIMAL(20,6) cast so both engines print bit-identical tokens. The raw
+    nested output stays covered by tests/test_sequences.py.
     """
     ev = _t(spark, sf_dir, "events")
-    return build_sequences(
+    seq = build_sequences(
         ev,
         key_cols=("user_id",),
         ts_col="ts",
@@ -176,7 +213,32 @@ def build_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cols=("value",),
         seq_len=24,
         forecast_len=3,
+        ts_as_string=False,
         tiebreak_cols=("event_id",),
+    )
+
+    def _v6(col):
+        return F.round(col, 6).cast("decimal(20,6)").cast("string")
+
+    elem = lambda s: F.concat_ws(  # noqa: E731
+        "|",
+        F.unix_micros(s["event_timestamp"]).cast("string"),
+        _v6(s["value"]),
+        s["event_type"],
+    )
+    telem = lambda s: F.concat_ws(  # noqa: E731
+        "|",
+        F.unix_micros(s["event_timestamp"]).cast("string"),
+        _v6(s["value"]),
+    )
+    return seq.select(
+        "user_id",
+        F.unix_micros("start_timestamp").alias("start_us"),
+        F.unix_micros("end_timestamp").alias("end_us"),
+        F.array_join(F.transform("sequence", elem), ";").alias("sequence_repr"),
+        F.array_join(F.transform("target_sequence", telem), ";").alias(
+            "target_repr"
+        ),
     )
 
 
