@@ -305,8 +305,19 @@ def interval_containment_join(
     the typical interval span so most intervals explode to O(1) buckets.
     ``how='left'`` keeps unmatched points (interval columns null).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_containment_join: unsupported how={how!r}")
     keys = list(key_cols)
-    pb = points.withColumn(
+    # 'left' rejoins matched rows back onto the point side; (keys, point)
+    # is NOT unique in general (two events can share a timestamp), so tag
+    # each point row with a unique id and rejoin on that — joining on the
+    # point value would cross-multiply duplicate (key, point) rows.
+    src = (
+        points
+        if how == "inner"
+        else points.withColumn("_pid", F.monotonically_increasing_id())
+    )
+    pb = src.withColumn(
         "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
     ib = intervals.withColumn(
@@ -325,13 +336,11 @@ def interval_containment_join(
     contained = (F.col(point_col) >= F.col(lo_col)) & (
         F.col(point_col) < F.col(hi_col)
     )
+    matched = pb.join(ib, on=keys + ["_bucket"]).filter(contained).drop("_bucket")
     if how == "inner":
-        return pb.join(ib, on=keys + ["_bucket"]).filter(contained).drop("_bucket")
-    if how == "left":
-        matched = pb.join(ib, on=keys + ["_bucket"]).filter(contained)
-        icols = [c for c in ib.columns if c not in keys + ["_bucket"]]
-        return (
-            pb.drop("_bucket")
-            .join(matched.select(*keys, point_col, *icols), on=keys + [point_col], how="left")
-        )
-    raise ValueError(f"interval_containment_join: unsupported how={how!r}")
+        return matched
+    icols = [c for c in ib.columns if c not in keys + ["_bucket"]]
+    return (
+        src.join(matched.select("_pid", *icols), on="_pid", how="left")
+        .drop("_pid")
+    )

@@ -271,3 +271,37 @@ def test_interval_containment_join_buckets_and_bounds(spark):
         by_pid.setdefault(r.pid, []).append(r.iid)
     assert by_pid[4] == [None]  # unmatched point survives
     assert sorted(by_pid[1]) == [100]
+
+
+def test_interval_containment_left_duplicate_points(spark):
+    """Two distinct point rows with the same (key, point value) must each
+    match exactly their own intervals — no cross-multiplication through
+    the rejoin (regression: joining back on (keys, point) fanned each
+    duplicate out by the other's match count)."""
+    from bigdata_weather_system_spark.operators.temporal import (
+        interval_containment_join,
+    )
+
+    points = spark.createDataFrame(
+        # duplicate (k='a', p=5.0) with distinct pids, plus one unmatched dup
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 99.0), ("a", 4, 99.0)],
+        "k string, pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 100, 0.0, 10.0), ("a", 200, 4.0, 6.0)],
+        "k string, iid long, lo double, hi double",
+    )
+    left = interval_containment_join(
+        points, intervals, ["k"], "p", "lo", "hi", bucket_width=10.0, how="left"
+    )
+    rows = left.collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    # each duplicate point matches both intervals ONCE (2 rows, not 4)
+    assert sorted(by_pid[1]) == [100, 200]
+    assert sorted(by_pid[2]) == [100, 200]
+    # unmatched duplicates each survive as a single null row
+    assert by_pid[3] == [None]
+    assert by_pid[4] == [None]
+    assert len(rows) == 6
