@@ -213,16 +213,19 @@ def weighted_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (h % 16777216 + 1) / F.lit(16777217.0)
     key = F.ln(u) / F.col("value")
+    # Round BEFORE the top-k cut: the oracle's ORDER BY sample_key binds
+    # to the rounded output alias, so cutting on the unrounded key could
+    # admit a different row at the rank-200 boundary when two keys differ
+    # by <1e-6 (or by a last-ulp ln() difference between libms).
     return (
         ev.select(
             "event_id",
             "user_id",
             F.col("value").alias("weight"),
-            key.alias("sample_key"),
+            F.round(key, 6).alias("sample_key"),
         )
         .orderBy(F.desc("sample_key"), F.asc("event_id"))
         .limit(200)
-        .withColumn("sample_key", F.round("sample_key", 6))
     )
 
 
