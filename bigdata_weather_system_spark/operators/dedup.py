@@ -66,15 +66,26 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelizes everything downstream. A table whose scan already yields
     >= session parallelism partitions (any real large table) is returned
     untouched — an unconditional repartition would re-shuffle the whole
-    corpus for nothing."""
+    corpus for nothing.
+
+    The probe uses the scan's file listing (``inputFiles`` — plan
+    metadata, no job, no DataFrame→RDD conversion, which the previous
+    ``df.rdd.getNumPartitions()`` probe forced on every call). In-memory
+    frames (no files) are already spread across default parallelism by
+    ``createDataFrame`` and pass through untouched."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    files = df.inputFiles()
+    if not files or len(files) >= par:
         return df
     return df.repartition(par)
 
 
 def pair_up(
-    df: DataFrame, bucket_cols: list[str], payload_cols: list[str]
+    df: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: list[str],
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """All i<j payload pairs sharing a bucket key, as struct columns
     ``a`` / ``b``.
@@ -87,9 +98,15 @@ def pair_up(
     construction.
 
     Emitted pair count is Σ buckets c·(c−1)/2, identical to the
-    self-join; pathological bucket skew (hot LSH buckets) is inherent to
-    bucketed pairing in either formulation — cap or drop oversized
-    buckets upstream when the data demands it.
+    self-join. ``max_bucket_size`` is the hot-bucket guard: buckets with
+    more members are DROPPED entirely (a bucket that hot — boilerplate
+    text, a degenerate LSH band — carries ~zero similarity signal but
+    c²/2 pair cost, the one shape that goes quadratic at corpus scale).
+    Dropping whole buckets keeps the output deterministic and unbiased
+    within kept buckets, where truncating postings would silently prefer
+    low ids. Pass a ``pyspark.sql.Observation`` to read how much was
+    dropped (``dropped_buckets`` / ``dropped_rows``) from the same pass —
+    no extra job.
     """
     plist = F.array_sort(
         F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
@@ -99,6 +116,17 @@ def pair_up(
         .agg(plist.alias("_ps"))
         .filter(F.size("_ps") > 1)
     )
+    if max_bucket_size is not None:
+        hot = F.size("_ps") > max_bucket_size
+        if observation is not None:
+            g = g.observe(
+                observation,
+                F.sum(hot.cast("long")).alias("dropped_buckets"),
+                F.sum(F.when(hot, F.size("_ps")).otherwise(0)).alias(
+                    "dropped_rows"
+                ),
+            )
+        g = g.filter(~hot)
     combos = F.flatten(
         F.transform(
             F.col("_ps"),
@@ -332,6 +360,8 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -339,7 +369,9 @@ def lsh_candidate_pairs(
     come from the grouped-postings helper (``pair_up``) on (band, bucket)
     — the signature pipeline is evaluated once, and the 8-byte bucket
     keys are the O(n²)→O(candidates) reduction that makes near-dup
-    feasible at 100 TB.
+    feasible at 100 TB. ``max_bucket_size`` drops pathologically hot
+    buckets (boilerplate that collapses a band) before pairing — see
+    ``pair_up``.
     """
     bands = signatures.select(
         F.col(id_col),
@@ -364,7 +396,13 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     return (
-        pair_up(bands, ["band", "bucket"], [id_col])
+        pair_up(
+            bands,
+            ["band", "bucket"],
+            [id_col],
+            max_bucket_size=max_bucket_size,
+            observation=observation,
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -380,6 +418,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -392,7 +431,9 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     # candidate pairs are consumed by two joins and are tiny relative to the
     # corpus — cache them instead of re-running the LSH join
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band).cache()
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size=max_bucket_size
+    ).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select("id_b"))
@@ -601,12 +642,15 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ max_hamming between SimHashes.
 
     Banding: split the 64-bit signature into 4 16-bit blocks; any pair
     within Hamming ≤ 3 shares at least one exact block (pigeonhole), so
     pairing happens per block bucket (``pair_up``), never all pairs.
+    ``max_bucket_size`` drops degenerate blocks (e.g. the all-zeros block
+    every near-empty doc shares) before pairing — see ``pair_up``.
     """
     sigs = simhash(df, id_col, text_col, n)
     blocks = sigs.select(
@@ -627,7 +671,12 @@ def simhash_near_pairs(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.block_idx", "bb.block")
     pairs = (
-        pair_up(blocks, ["block_idx", "block"], [id_col, "simhash"])
+        pair_up(
+            blocks,
+            ["block_idx", "block"],
+            [id_col, "simhash"],
+            max_bucket_size=max_bucket_size,
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -35,9 +35,16 @@ def _spread(df: DataFrame) -> DataFrame:
     A table whose scan already yields >= session parallelism partitions
     (any real large table) is returned untouched — an unconditional
     repartition would re-shuffle every vector for nothing.
+
+    The probe uses the scan's file listing (``inputFiles`` — plan
+    metadata, no job, no DataFrame→RDD conversion, which the previous
+    ``df.rdd.getNumPartitions()`` probe forced on every call). In-memory
+    frames (no files) are already spread across default parallelism by
+    ``createDataFrame`` and pass through untouched.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    files = df.inputFiles()
+    if not files or len(files) >= par:
         return df
     return df.repartition(par)
 
@@ -210,6 +217,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed.
 
@@ -217,6 +225,8 @@ def embedding_near_dup_pairs(
     sign bits) via the grouped-postings helper — the sketch pipeline runs
     once, not on both sides of a self-join — then exact cosine
     verification. The dedup analog of cosine_topk_lsh.
+    ``max_bucket_size`` drops pathologically hot sketch buckets before
+    pairing — see ``dedup.pair_up``.
     """
     from .dedup import pair_up
 
@@ -228,7 +238,9 @@ def embedding_near_dup_pairs(
         norm(F.col(vec_col)).alias("_n"),
         lsh_sketch(F.col(vec_col), planes).alias("bucket"),
     )
-    pairs = pair_up(sk, ["bucket"], [id_col, vec_col, "_n"]).select(
+    pairs = pair_up(
+        sk, ["bucket"], [id_col, vec_col, "_n"], max_bucket_size=max_bucket_size
+    ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(

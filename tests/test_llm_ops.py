@@ -52,6 +52,41 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == [1, 2]
 
 
+def test_pair_up_hot_bucket_cap(spark):
+    """A synthetic hot bucket (one bucket shared by many rows) must be
+    dropped by max_bucket_size — and the drop must be visible through the
+    Observation — while normal buckets pair as before."""
+    from pyspark.sql import Observation
+
+    from bigdata_weather_system_spark.operators.dedup import pair_up
+
+    rows = [("hot", i) for i in range(50)] + [("cold", 100), ("cold", 101)]
+    df = spark.createDataFrame(rows, "bucket string, doc_id long")
+
+    obs = Observation("pair_up_drops")
+    pairs = pair_up(
+        df, ["bucket"], ["doc_id"], max_bucket_size=10, observation=obs
+    )
+    got = sorted((r.a.doc_id, r.b.doc_id) for r in pairs.collect())
+    # hot bucket (50 > 10) contributes nothing; cold pairs normally
+    assert got == [(100, 101)]
+    assert obs.get["dropped_buckets"] == 1
+    assert obs.get["dropped_rows"] == 50
+
+    # no cap → unchanged quadratic behavior (50*49/2 + 1 pairs)
+    n_uncapped = pair_up(df, ["bucket"], ["doc_id"]).count()
+    assert n_uncapped == 50 * 49 // 2 + 1
+
+
+def test_minhash_cap_drops_hot_band_pairs(docs):
+    """Capping LSH buckets can only shrink the candidate set, and a cap of
+    1 removes every pair."""
+    all_pairs = minhash_dedup_pairs(docs, threshold=0.5).count()
+    capped = minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=1).count()
+    assert capped == 0
+    assert all_pairs >= 0
+
+
 def test_minhash_recall_vs_exact(docs):
     exact = {
         (r.id_a, r.id_b)
