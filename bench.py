@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # window analytics
     "running_sum_per_user",
     "sequence_window_stats",
+    "build_training_sequences",
     "rollup_returnflag_status",
     "value_percentiles_per_type",
     # LLM-pipeline operators
@@ -76,6 +77,45 @@ BENCH_QUERIES = [
     "doc_chunk_windows",
     "doc_vocab_coverage",
 ]
+
+
+def previous_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Per-query timings from the newest BENCH_r{N}.json in the repo root —
+    the regression baseline (the reference publishes no numbers, so each
+    round is graded against the previous one)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None, {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if "queries" not in data and isinstance(data.get("tail"), str):
+            # the driver records bench stdout inside a "tail" field; our
+            # metrics line is the last {"metric": ...} object in it
+            tail = data["tail"]
+            start = tail.rfind('{"metric"')
+            if start < 0:
+                return None, {}
+            data = json.loads(tail[start:].strip().splitlines()[0])
+        return n, {k: float(v) for k, v in data.get("queries", {}).items()}
+    except (OSError, ValueError):
+        return None, {}
+
+
+#: Flag a query only when it is BOTH >1.5x slower and >0.5s absolute worse —
+#: per-query wall time at sf0.1 is dominated by fixed JVM/planning overhead,
+#: so sub-0.5s movement is noise.
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.5
 
 
 def main() -> None:
@@ -120,17 +160,29 @@ def main() -> None:
             assert rows is not None
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    prev_round, prev = previous_round_queries()
+    regressions = {
+        name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
+        for name, t in timings.items()
+        if name in prev
+        and prev[name] > 0
+        and t > prev[name] * REGRESSION_RATIO
+        and t - prev[name] > REGRESSION_FLOOR_SEC
+    }
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if prev_round is not None:
+        out["prev_round"] = prev_round
+        out["prev_total"] = round(
+            sum(v for k, v in prev.items() if k in timings), 4
         )
-    )
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 
