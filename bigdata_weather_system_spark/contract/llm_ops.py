@@ -304,6 +304,154 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_contract",
+    oracle="""
+    SELECT m AS method,
+           (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20)
+             AS n_queries,
+           TRUE AS recall_floor_met
+    FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh')) t(m)
+    """,
+)
+def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the approximate top-k family.
+
+    Each ANN variant's recall@10 against the exact brute-force baseline
+    is computed IN the query and reduced to a boolean against its floor;
+    the oracle asserts TRUE, so an ANN regression (bad sketch, broken
+    probe, degenerate centroids) flips the driver's hash gate even though
+    the raw neighbor lists are engine-specific. n_queries is exact and
+    cross-checked. Floors are deliberately below typical observed recall
+    (small-probe IVF / 4-plane LSH land well above them at test scales)
+    so the contract pins 'works at all', not hash luck.
+    """
+    from ..operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = (
+        cosine_topk_bruteforce(e, q, k=10).select("query_id", "neighbor_id").cache()
+    )
+    base = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("_n_exact"),
+    )
+
+    def row(method: str, approx: DataFrame, floor: float) -> DataFrame:
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "inner")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        return base.crossJoin(hits).select(
+            F.lit(method).alias("method"),
+            "n_queries",
+            (F.col("_hits") / F.col("_n_exact") >= floor).alias(
+                "recall_floor_met"
+            ),
+        )
+
+    methods = [
+        ("ivf", cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4), 0.15),
+        (
+            "ivf_kmeans",
+            cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4, refine_iters=2),
+            0.15,
+        ),
+        ("lsh", cosine_topk_lsh(e, q, k=10, n_planes=4), 0.15),
+    ]
+    out = None
+    for m, df, fl in methods:
+        r = row(m, df, fl)
+        out = r if out is None else out.union(r)
+    return out
+
+
+@register(
+    "dedup_accuracy_contract",
+    oracle="""
+    SELECT m AS method, TRUE AS no_false_positives, TRUE AS recall_floor_met
+    FROM (VALUES ('embedding_lsh'), ('minhash'), ('simhash')) t(m)
+    """,
+)
+def dedup_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the approximate dedup family.
+
+    - minhash: emitted pairs are exact-Jaccard-verified, so they must be
+      a SUBSET of the exact pair set (zero false positives — a hard
+      invariant, not a probabilistic one), with recall ≥ floor.
+    - simhash: every emitted pair must respect the Hamming bound, with
+      recall vs near-identical (J ≥ 0.9) exact pairs ≥ floor.
+    - embedding_lsh: cosine-verified, so subset of the exact
+      embedding-near-dup set, with recall ≥ floor.
+    The oracle asserts all booleans TRUE.
+    """
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+
+    def pair_set(df: DataFrame) -> DataFrame:
+        return df.select("id_a", "id_b")
+
+    def contract_row(
+        method: str,
+        approx: DataFrame,
+        exact: DataFrame,
+        floor: float,
+        fp_ok: DataFrame | None = None,
+    ) -> DataFrame:
+        ok = (
+            fp_ok
+            if fp_ok is not None
+            else pair_set(approx)
+            .join(exact, ["id_a", "id_b"], "left_anti")
+            .agg((F.count(F.lit(1)) == 0).alias("_ok"))
+        )
+        hits = (
+            pair_set(approx)
+            .join(exact, ["id_a", "id_b"], "inner")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        n = exact.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            ok.crossJoin(hits)
+            .crossJoin(n)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("_ok").alias("no_false_positives"),
+                (F.col("_hits") / F.col("_n") >= floor).alias(
+                    "recall_floor_met"
+                ),
+            )
+        )
+
+    exact_j5 = pair_set(ngram_jaccard_pairs(d, threshold=0.5)).cache()
+    exact_j9 = pair_set(ngram_jaccard_pairs(d, threshold=0.9)).cache()
+    exact_emb = pair_set(embedding_near_dup_exact(spark, sf_dir)).cache()
+
+    mh = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    sh = simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    el = embedding_near_dup_pairs(e, threshold=0.44, n_planes=4)
+
+    # simhash's no-false-positive invariant is its own Hamming bound
+    sh_ok = sh.agg(
+        F.coalesce(F.max("hamming") <= 3, F.lit(True)).alias("_ok")
+    )
+
+    # floors sit well under observed recall at sf0.001/sf0.01 (embedding
+    # LSH with 4 planes recalls ~0.18-0.2 of the 0.44-threshold pairs;
+    # minhash 1.0; simhash 0.52-0.70) — they pin 'works', not hash luck
+    rows = [
+        contract_row("embedding_lsh", el, exact_emb, 0.1),
+        contract_row("minhash", mh, exact_j5, 0.7),
+        contract_row("simhash", sh, exact_j9, 0.4, fp_ok=sh_ok),
+    ]
+    out = None
+    for r in rows:
+        out = r if out is None else out.union(r)
+    return out
+
+
 @register("cosine_topk_ivf_kmeans")  # rows-only: iterative refinement Spark-side
 def cosine_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with distributed spherical-k-means-refined centroids
@@ -493,12 +641,24 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
-@register("doc_bpe_token_counts")  # rows-only: lookaround regex (no RE2 oracle)
+@register(
+    "doc_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counts (split on whitespace + word/non-word
-    boundaries — a cheap byte-level-BPE proxy). DuckDB's RE2 regex lacks
-    the lookarounds, so this is a rows-only entry; exact values are pinned
-    on known strings in tests/test_llm_ops.py."""
+    boundaries — a cheap byte-level-BPE proxy). The Spark side uses
+    lookaround splits, which RE2 lacks — but the resulting count equals
+    the number of maximal word / non-word-non-space runs, which IS
+    RE2-expressible (``\\w+|[^\\w\\s]+``), so the oracle counts matches of
+    that alternation; exact values are also pinned on known strings in
+    tests/test_llm_ops.py."""
     from ..operators.text import bpe_ish_token_count, token_count
 
     d = _t(spark, sf_dir, "documents")
@@ -532,12 +692,33 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata_summary(media)
 
 
-@register("score_event_sequences")  # mapInPandas inference → rows-only check
+@register(
+    "score_event_sequences",
+    oracle="""
+    SELECT user_id, end_us, round(pred, 6) AS predicted_value
+    FROM (
+      SELECT user_id, epoch_us(ts) AS end_us,
+             avg(value) OVER w AS pred,
+             count(*)   OVER w AS cnt,
+             lead(ts, 1) OVER wo AS nxt
+      FROM events WHERE user_id < 20
+      WINDOW
+        w  AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE cnt = 24 AND nxt IS NOT NULL
+    """,
+)
 def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch model scoring (U4's scale path): trailing-24 sequences per
     user through Arrow-batched mapInPandas with a deterministic linear
     head — the distributed replacement for the reference's driver-side
-    per-request inference loop (spark.py:1370-1574)."""
+    per-request inference loop (spark.py:1370-1574).
+
+    The bundled head is uniform weights 1/24, i.e. the window mean — so
+    the whole mapInPandas inference path is oracle-checkable against a
+    SQL trailing-mean at 6-decimal rounding (numpy's pairwise summation
+    vs SQL's sequential sum differ only at ~1e-13)."""
     from ..operators.inference import score_sequences
     from ..operators.sequences import build_sequences
 
@@ -549,9 +730,15 @@ def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_cols=("value",),
         seq_len=24,
         forecast_len=1,
+        ts_as_string=False,
         tiebreak_cols=("event_id",),
     )
-    return score_sequences(seqs, ["user_id"], seq_len=24)
+    scored = score_sequences(seqs, ["user_id"], seq_len=24)
+    return scored.select(
+        "user_id",
+        F.unix_micros("end_timestamp").alias("end_us"),
+        F.round("predicted_value", 6).alias("predicted_value"),
+    )
 
 
 @register("media_decode_features")  # mapInPandas fan-out → rows-only check

