@@ -287,18 +287,46 @@ class WeatherService:
         key: str,
         steps: int = 1,
         predictor: Callable[[list[dict], int], list[dict]] | None = None,
-    ) -> list[dict]:
+    ) -> dict:
         """GET /weather/predict/{key}?steps — autoregressive inference over
         the trailing-24 context, rolled up hourly (U4 shape). The model is
         pluggable; default = persistence forecast (last value + modal code),
         deterministic and dependency-free. A trained model drops in as
-        ``predictor`` without touching query code."""
+        ``predictor`` without touching query code.
+
+        Returns the reference's response envelope
+        (spark.py:1559-1574): key/location/steps/predictions/based_on/
+        details, or an ``{"error": ...}`` dict (steps < 1, insufficient
+        context) that the HTTP layer maps to 400.
+        """
+        if steps < 1:
+            return {"error": "Steps must be at least 1"}
         context = self.get_sequence_for_location(key, 24)
-        if not context:
-            return []
+        if not context or len(context) < 24:
+            got = len(context) if context else 0
+            return {
+                "error": f"Insufficient data for location '{key}'. Need at "
+                f"least 24 data points, got {got}."
+            }
         predictor = predictor or persistence_predictor
         per_step = predictor(context, steps * self._eph)
-        return hourly_rollup(per_step)
+        last = context[-1]
+        details = {
+            k: last.get("details", {}).get(k)
+            for k in ("latitude", "longitude")
+            if last.get("details", {}).get(k) is not None
+        }
+        return {
+            "key": key,
+            "location": key,
+            "steps": steps,
+            "predictions": hourly_rollup(per_step),
+            "based_on": {
+                "sequence_length": len(context),
+                "last_timestamp": last.get("event_timestamp"),
+            },
+            "details": details,
+        }
 
 
 def persistence_predictor(context: list[dict], n_steps: int) -> list[dict]:

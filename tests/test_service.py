@@ -162,12 +162,20 @@ def test_sequence_and_prediction(service):
     assert len(seq) == 24
     times = [r["event_timestamp"] for r in seq]
     assert times == sorted(times)
-    preds = service.predict_weather(LOCS[2], steps=2)
+    env = service.predict_weather(LOCS[2], steps=2)
+    # reference envelope (spark.py:1559-1574)
+    assert env["key"] == env["location"] == LOCS[2]
+    assert env["steps"] == 2
+    assert env["based_on"]["sequence_length"] == 24
+    preds = env["predictions"]
     assert len(preds) == 2  # hourly rollup of 24 5-min steps
     assert all(p["n_steps"] == 12 for p in preds)
     assert preds[0]["weathercode"] == 0
     last_temp = seq[-1]["temperature"]
     assert preds[0]["temperature"] == pytest.approx(last_temp)
+    # error branches map to the reference's {"error": ...} contract
+    assert "error" in service.predict_weather(LOCS[2], steps=0)
+    assert "error" in service.predict_weather("NOPE")
 
 
 def test_coerce_value_table():
