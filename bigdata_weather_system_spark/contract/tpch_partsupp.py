@@ -79,26 +79,25 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2-shaped: cheapest supplier per size-15 part. The correlated
-    MIN subquery decorrelates to a per-part aggregate self-joined back on
-    (partkey, min-cost) — Catalyst plans both sides off one shuffle of
-    ``supply``, and the p_size filter broadcasts to prune before the
-    heavy join. Top-100 ends in the unique p_partkey so LIMIT is
+    MIN subquery decorrelates to a per-part window min filtered back on
+    the same pass (ties kept, as Q2 requires) — ONE lineitem scan and one
+    extra partkey exchange, where the agg-then-self-join form scanned and
+    shuffled lineitem twice (AQE does not reuse the exchange across the
+    join's two sub-plans). The p_size filter broadcasts to prune before
+    the heavy join. Top-100 ends in the unique p_partkey so LIMIT is
     deterministic."""
+    from pyspark.sql.window import Window
+
     supply = _supply(spark, sf_dir)
-    best = supply.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
+    best = supply.withColumn(
+        "_min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("_min_cost"))
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        supply.join(
-            best,
-            (supply.ps_partkey == best.ps_partkey)
-            & (supply.ps_supplycost == best.min_cost),
-        )
-        .drop(best.ps_partkey)
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        best.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
@@ -132,17 +131,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-shaped: parts whose stock value exceeds a fraction of the
     GLOBAL stock value — a HAVING gated on a scalar subquery. The global
-    sum is a one-row aggregate cross-joined into the per-part HAVING
-    (broadcast by construction); the supply derivation is shared by both
-    branches and AQE reuses its exchange."""
+    sum rolls up from the PER-PART aggregates (same value, associative
+    sum) instead of from raw supply, so the scalar branch re-aggregates
+    the small per-part relation rather than re-deriving supply from
+    lineitem; the one-row threshold broadcasts into the HAVING filter."""
     supply = _supply(spark, sf_dir).withColumn(
         "_value", F.col("ps_supplycost") * F.col("ps_availqty")
     )
     per_part = supply.groupBy("ps_partkey").agg(
         F.sum("_value").alias("_part_value")
     )
-    threshold = supply.agg(
-        (F.sum("_value") * F.lit(0.001)).alias("_threshold")
+    threshold = per_part.agg(
+        (F.sum("_part_value") * F.lit(0.001)).alias("_threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(threshold))
@@ -223,27 +223,29 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped: suppliers holding excess stock of matching parts —
     a semi-join chain where the inner predicate compares the supply row
     against a CORRELATED aggregate (half the 1996 shipped quantity for
-    that part+supplier). Decorrelated as: aggregate shipped once, join on
-    the composite key, filter, then left-semi into supplier. Both heavy
-    sides are groupBys of the same lineitem scan on the same key — AQE
-    reuses the shuffle."""
-    supply = _supply(spark, sf_dir)
+    that part+supplier). Decorrelated as CONDITIONAL aggregation: the
+    1996-shipped sum is a filtered sum in the SAME groupBy that derives
+    supply — one lineitem scan and one (partkey, suppkey) shuffle where
+    the aggregate-then-join form scanned and shuffled lineitem twice.
+    A conditional sum with no matching rows is NULL, which the excess
+    filter rejects — identical to the inner join's drop semantics."""
     li = _t(spark, sf_dir, "lineitem")
-    shipped = (
-        li.filter(
-            F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty_1996"))
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").alias("ps_availqty"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01").cast("timestamp"),
+                F.col("l_quantity"),
+            )
+        ).alias("qty_1996"),
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     qualifying = (
         supply.join(F.broadcast(p), supply.ps_partkey == p.p_partkey)
-        .join(
-            shipped,
-            (supply.ps_partkey == shipped.l_partkey)
-            & (supply.ps_suppkey == shipped.l_suppkey),
-        )
         .filter(F.col("ps_availqty") > 0.5 * F.col("qty_1996"))
         .select("ps_suppkey")
     )

@@ -450,8 +450,10 @@ def kmeans_refine(
 
     The unit-normalized projection is built ONCE above the loop (the
     assignment argmax is scale-invariant, so assigning on unit vectors is
-    equivalent) — each iteration re-evaluates it unless persisted, so
-    persist THAT when the corpus scan is expensive. Convergence: the
+    equivalent) and PERSISTED across iterations when iters > 1 —
+    otherwise every Lloyd round re-scans the corpus and re-runs the
+    normalization lineage; memory-and-disk so a 100 TB corpus spills
+    instead of OOMing, released before returning. Convergence: the
     spherical k-means objective Σ cos(v, c(v)) is non-decreasing per
     exact-arithmetic iteration; we run a fixed small ``iters`` (IVF needs
     balanced cells, not a converged clustering).
@@ -476,23 +478,33 @@ def kmeans_refine(
             ).alias("_v")
         )
     )
-    cents = _unit([list(c) for c in centroids])
-    for _ in range(iters):
-        assigned = unit.select(
-            F.element_at(_cell_assignment(F.col("_v"), cents, 1), 1).alias(
-                "cell"
-            ),
-            "_v",
-        )
-        means = vector_centroids(assigned, "cell", "_v", round_digits=9)
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means.collect():
-            by_cell.setdefault(r.cell, {})[int(r.pos)] = r.v
-        nxt = [list(c) for c in cents]
-        for cell, d in by_cell.items():
-            nxt[cell] = [d[p] for p in sorted(d)]
-        cents = _unit(nxt)
-    return cents
+    persisted = None
+    if iters > 1:
+        from pyspark import StorageLevel
+
+        unit = unit.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = unit
+    try:
+        cents = _unit([list(c) for c in centroids])
+        for _ in range(iters):
+            assigned = unit.select(
+                F.element_at(_cell_assignment(F.col("_v"), cents, 1), 1).alias(
+                    "cell"
+                ),
+                "_v",
+            )
+            means = vector_centroids(assigned, "cell", "_v", round_digits=9)
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means.collect():
+                by_cell.setdefault(r.cell, {})[int(r.pos)] = r.v
+            nxt = [list(c) for c in cents]
+            for cell, d in by_cell.items():
+                nxt[cell] = [d[p] for p in sorted(d)]
+            cents = _unit(nxt)
+        return cents
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def materialize_ivf_index(
