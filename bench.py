@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "doc_sequence_packing",
     "doc_chunk_windows",
     "doc_vocab_coverage",
+    # corpus cleaning + behavioral analytics (round 2)
+    "doc_segment_dedup",
+    "doc_pii_redaction",
+    "doc_fuzzy_match_pairs",
+    "funnel_signup_click_purchase",
 ]
 
 

@@ -1,0 +1,299 @@
+"""Contract queries: corpus-cleaning + behavioral-analytics operators.
+
+Round-2 additions on top of the dedup/text families:
+
+- sub-document (segment-level) dedup — CCNet/RefinedWeb-style boilerplate
+  detection that whole-document dedup misses;
+- PII redaction (email/URL/IP/phone) as pure regexp column expressions;
+- blocked fuzzy matching (record linkage via in-block Levenshtein);
+- winsorized per-group robust statistics;
+- multi-step funnel conversion (signup → click → purchase) over event time.
+
+Oracle notes: every regex stays in the RE2 ∩ java.util.regex common
+subset; DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+replace-all semantics; segment hashing uses md5 (bit-identical on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.cleaning import (
+    PII_PATTERNS,
+    fuzzy_blocked_pairs,
+    pii_counts,
+    redact_pii,
+    segment_dedup_stats,
+    winsorized_stats,
+)
+from .core import register, _t
+
+# --------------------------------------------------------------------------
+# Segment-level corpus dedup
+# --------------------------------------------------------------------------
+
+_SEG_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sg AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, cast(ceil(len(toks) / 10.0) AS INT)),
+           i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS segs
+  FROM t
+),
+e AS (SELECT doc_id, md5(unnest(segs)) AS h FROM sg),
+c AS (SELECT h, count(*) AS c FROM e GROUP BY h),
+d AS (
+  SELECT e.doc_id,
+         count(*)                                        AS n_segments,
+         cast(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_dup_segments
+  FROM e JOIN c USING (h)
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_segments, n_dup_segments,
+       round(n_dup_segments * 1.0 / n_segments, 6)       AS dup_fraction,
+       (n_dup_segments * 1.0 / n_segments) <= 0.5        AS keep
+FROM d
+"""
+
+
+@register("doc_segment_dedup", oracle=_SEG_ORACLE)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: per-doc fraction of 10-token segments whose
+    exact text recurs anywhere in the corpus (CCNet-style boilerplate
+    removal). Segmentation is pure array lambdas (narrow); the corpus
+    count shuffles 16-byte md5 keys, never segment text."""
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup_stats(
+        docs, id_col="doc_id", text_col="text", seg_tokens=10,
+        max_dup_fraction=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+_EMAIL, _URL, _IP, _PHONE = (p for _n, p, _t2 in PII_PATTERNS)
+
+_PII_ORACLE = (
+    """
+WITH s AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           'contact user' || doc_id || '@example.com',
+           'https://site' || doc_id || '.example.org/page?x=1',
+           'host 10.0.' || (doc_id % 256) || '.25',
+           'call +1 555-01' || lpad(cast(doc_id % 100 AS VARCHAR), 2, '0')
+             || ' now') AS seeded
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(seeded, '"""
+    + _EMAIL
+    + """')) AS n_email,
+       len(regexp_extract_all(seeded, '"""
+    + _URL
+    + """')) AS n_url,
+       len(regexp_extract_all(seeded, '"""
+    + _IP
+    + """')) AS n_ip,
+       len(regexp_extract_all(seeded, '"""
+    + _PHONE
+    + """')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             seeded, '"""
+    + _EMAIL
+    + """', '<EMAIL>', 'g'), '"""
+    + _URL
+    + """', '<URL>', 'g'), '"""
+    + _IP
+    + """', '<IP>', 'g'), '"""
+    + _PHONE
+    + """', '<PHONE>', 'g')) AS redacted_md5
+FROM s
+"""
+)
+
+
+@register("doc_pii_redaction", oracle=_PII_ORACLE)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: seed each doc with deterministic synthetic PII (the
+    corpus itself is clean word soup), then count matches per class and
+    hash the redacted text. The whole pass is chained ``regexp_replace``
+    / ``regexp_count`` column expressions — JVM-side, codegen, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact user"), did.cast("string"),
+                 F.lit("@example.com")),
+        F.concat(F.lit("https://site"), did.cast("string"),
+                 F.lit(".example.org/page?x=1")),
+        F.concat(F.lit("host 10.0."), (did % 256).cast("string"),
+                 F.lit(".25")),
+        F.concat(F.lit("call +1 555-01"),
+                 F.lpad((did % 100).cast("string"), 2, "0"), F.lit(" now")),
+    )
+    s = docs.select(did, seeded.alias("seeded"))
+    return s.select(
+        "doc_id",
+        *pii_counts(F.col("seeded")),
+        F.md5(redact_pii(F.col("seeded"))).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (record linkage)
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH k AS (
+  SELECT lang || cast(n_chars // 16 AS VARCHAR) AS block,
+         doc_id, substr(text, 1, 48) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS distance
+FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+"""
+
+
+@register("doc_fuzzy_match_pairs", oracle=_FUZZY_ORACLE)
+def doc_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: Levenshtein near-matches computed only WITHIN
+    (lang, length-bucket) blocks — the classic blocking-key bound on the
+    quadratic term, riding the grouped-postings ``pair_up`` (one shuffle,
+    one pipeline evaluation; the uncapped call keeps the DuckDB self-join
+    oracle exact — the hot-block cap is unit-tested separately)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.floor(F.col("n_chars") / 16).cast("long").alias("len_bucket"),
+    )
+    return fuzzy_blocked_pairs(
+        docs,
+        block_cols=["lang", "len_bucket"],
+        id_col="doc_id",
+        text_col="text",
+        prefix_len=48,
+        max_distance=20,
+        max_block_size=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust stats
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, least(greatest(e.value, b.lo), b.hi) AS cv,
+         b.lo, b.hi
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       count(*)                       AS n,
+       round(min(lo), 6)              AS lo_bound,
+       round(min(hi), 6)              AS hi_bound,
+       round(avg(cv), 6)              AS winsorized_mean,
+       round(stddev_samp(cv), 6)      AS winsorized_stddev
+FROM c GROUP BY event_type
+"""
+
+
+@register("winsorized_value_stats", oracle=_WINSOR_ORACLE)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group stats: clamp to in-group p05/p95 then aggregate.
+    The window pass and the agg share one hash partitioning on the group
+    key — a single shuffle end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_stats(ev, "event_type", "value", lo=0.05, hi=0.95)
+
+
+# --------------------------------------------------------------------------
+# Multi-step funnel conversion
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT cast(s.t_signup AS DATE)                       AS cohort_day,
+       count(*)                                       AS n_signup,
+       count(c.user_id)                               AS n_click,
+       count(p.user_id)                               AS n_purchase,
+       round(count(c.user_id) * 1.0 / count(*), 6)    AS click_rate,
+       round(count(p.user_id) * 1.0 / count(*), 6)    AS purchase_rate
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY cast(s.t_signup AS DATE)
+"""
+
+
+@register("funnel_signup_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → click-after-signup →
+    purchase-after-click) rolled up by signup cohort day. Each step is a
+    min-timestamp agg keyed on user_id — three aggs and two joins, all on
+    the SAME user_id partitioning, so AQE coalesces them onto one
+    exchange chain; the cohort rollup is the only re-key."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.groupBy(
+        F.to_date("t_signup").alias("cohort_day")
+    ).agg(
+        F.count("*").alias("n_signup"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        F.round(F.count("t_click") / F.count("*"), 6).alias("click_rate"),
+        F.round(F.count("t_purchase") / F.count("*"), 6).alias(
+            "purchase_rate"
+        ),
+    )
