@@ -29,6 +29,31 @@ def default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
+def runtime_filter_conf(
+    creation_side_threshold: str = "10GB",
+    application_side_threshold: str = "10GB",
+) -> dict[str, str]:
+    """Configs that let Catalyst inject runtime bloom-filter semi-join
+    reduction: when a join's build side is selective (a filtered dim or
+    fact slice), a bloom filter built from its join keys is pushed into
+    the probe side's scan, cutting the shuffled volume BEFORE the join.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~1% that can match. Thresholds gate injection
+    to joins where it pays (probe side large, build side bounded); tests
+    set ``application_side_threshold='0'`` so the rewrite is observable at
+    local scale.
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            creation_side_threshold
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_threshold,
+    }
+
+
 def get_spark(
     app_name: str = "bigdata-weather-system-spark",
     master: str | None = None,

@@ -173,3 +173,46 @@ def test_vocab_joined_back_via_broadcast(spark):
     plan = plan_of(spark, "doc_vocab_coverage")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- runtime bloom-filter semi-join reduction -------------------------------
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """With runtime filters enabled, a selective dim-side filter sprouts a
+    bloom filter on the fact side's scan (shuffle sees ~matching rows
+    only). Thresholds are floored so the rewrite is visible at test scale;
+    production keeps the 10GB gates from runtime_filter_conf()."""
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.session import runtime_filter_conf
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    conf = runtime_filter_conf(application_side_threshold="0")
+    before = {
+        k: spark.conf.get(k, None)
+        for k in list(conf) + ["spark.sql.autoBroadcastJoinThreshold"]
+    }
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # force a shuffle join so the bloom path (not broadcast) is taken
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+        assert j.count() > 0
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
