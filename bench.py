@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "doc_pii_redaction",
     "doc_fuzzy_match_pairs",
     "funnel_signup_click_purchase",
+    "scd2_user_state_history",
+    "ohlc_6h_bars",
 ]
 
 

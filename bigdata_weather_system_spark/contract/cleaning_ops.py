@@ -297,3 +297,97 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval build + OHLC downsampling (warehouse temporal shapes)
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM r
+),
+seg AS (
+  SELECT user_id, run, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM g GROUP BY user_id, run, event_type
+)
+SELECT user_id, event_type AS state,
+       cast(row_number() OVER w2 AS BIGINT)  AS version,
+       valid_from,
+       lead(valid_from) OVER w2              AS valid_to,
+       n_events,
+       (lead(valid_from) OVER w2 IS NULL)    AS is_current
+FROM seg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+"""
+
+
+@register("scd2_user_state_history", oracle=_SCD2_ORACLE)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build over each user's event-type stream:
+    consecutive identical states collapse into one validity interval;
+    ``valid_to`` is the next interval's start (null = current). All
+    windows + the agg ride one user_id partitioning — a single shuffle."""
+    from ..operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(
+        ev,
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("version").cast("long").alias("version"),
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "is_current",
+    )
+
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       cast(floor(epoch(ts) / 21600) AS BIGINT)  AS bucket,
+       arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+       max(value)                                AS high,
+       min(value)                                AS low,
+       arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close,
+       count(*)                                  AS n,
+       round(avg(value), 6)                      AS avg_value
+FROM events
+GROUP BY event_type, cast(floor(epoch(ts) / 21600) AS BIGINT)
+"""
+
+
+@register("ohlc_6h_bars", oracle=_OHLC_ORACLE)
+def ohlc_6h_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling to 6-hour bars per event type: open/close ride
+    mergeable min_by/max_by on a zero-padded (epoch_us, event_id) string
+    key — one partial-aggregable pass, no window, no second shuffle."""
+    from ..operators.temporal import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev,
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        bucket_secs=21600,
+    )

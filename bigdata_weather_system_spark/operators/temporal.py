@@ -344,3 +344,99 @@ def interval_containment_join(
         src.join(matched.select("_pid", *icols), on="_pid", how="left")
         .drop("_pid")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each key's ordered
+    state stream into validity intervals ``[valid_from, valid_to)``,
+    merging CONSECUTIVE rows with an unchanged state (the classic SCD2
+    compaction a warehouse runs on a mutation/event log).
+
+    Change detection (lag), run-grouping (cumulative sum), the interval
+    agg, and the valid_to/version windows all share ONE hash partitioning
+    on the key — a single shuffle end-to-end regardless of history depth.
+    Output per interval: keys, ``state``, ``version`` (1-based per key),
+    ``valid_from``, ``valid_to`` (null = current), ``n_events``,
+    ``is_current``.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.col(state_col)
+    changed = (
+        F.lag(state).over(w).isNull() | (state != F.lag(state).over(w))
+    ).cast("long")
+    run = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = (
+        df.select(
+            *keys,
+            state,
+            F.col(ts_col),
+            *[F.col(c) for c in tiebreak_cols],
+            changed.alias("_chg"),
+        )
+        .withColumn("_run", run)
+        .groupBy(*key_cols, "_run", state_col)
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return (
+        seg.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_run")
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_secs: int = 21600,
+) -> DataFrame:
+    """Open/high/low/close (+count/avg) bars per key and fixed time bucket
+    — the downsampling shape time-series stores call a rollup.
+
+    One partial-aggregable pass: open/close ride ``min_by``/``max_by`` on
+    a zero-padded ``(epoch_us, tiebreak)`` string key (totally ordered and
+    mergeable, so map-side combine still applies — no window, no second
+    shuffle). Bucket is an epoch-derived long, scale-safe like the epoch
+    bucketing in ``operators/profile.py``.
+    """
+    okey = F.format_string(
+        "%020d%020d", F.unix_micros(F.col(ts_col)), F.col(tiebreak_col)
+    )
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast(
+        "long"
+    )
+    v = F.col(value_col)
+    return (
+        df.select(
+            *[F.col(k) for k in key_cols],
+            bucket.alias("bucket"),
+            v.alias("_v"),
+            okey.alias("_ok"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.min_by("_v", "_ok").alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max_by("_v", "_ok").alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.avg("_v"), 6).alias("avg_value"),
+        )
+    )

@@ -305,3 +305,60 @@ def test_interval_containment_left_duplicate_points(spark):
     assert by_pid[3] == [None]
     assert by_pid[4] == [None]
     assert len(rows) == 6
+
+
+def test_scd2_intervals_collapse_consecutive_states(spark):
+    from bigdata_weather_system_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "a", 10, 100),
+        (1, "a", 20, 101),  # same state → same interval
+        (1, "b", 30, 102),  # change
+        (1, "a", 40, 103),  # back to a → NEW interval (not merged with v1)
+        (2, "x", 10, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts long, event_id long"
+    )
+    out = scd2_intervals(
+        df, ["user_id"], "state", "ts", tiebreak_cols=["event_id"]
+    ).collect()
+    u1 = sorted(
+        [r for r in out if r.user_id == 1], key=lambda r: r.version
+    )
+    assert [(r.state, r.valid_from, r.valid_to, r.n_events) for r in u1] == [
+        ("a", 10, 30, 2),
+        ("b", 30, 40, 1),
+        ("a", 40, None, 1),
+    ]
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+
+
+def test_ohlc_bars_open_close_ordering_and_ties(spark):
+    import datetime as dt
+
+    from bigdata_weather_system_spark.operators.temporal import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", t0, 5.0, 2),          # same ts as event 1 — higher id
+        ("k", t0, 3.0, 1),          # tie on ts → open decided by event_id
+        ("k", t0 + dt.timedelta(hours=1), 9.0, 3),
+        ("k", t0 + dt.timedelta(hours=7), 1.0, 4),  # next 6h bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id long"
+    )
+    out = {
+        r.bucket: r
+        for r in ohlc_bars(
+            df, ["k"], "ts", "value", "event_id", bucket_secs=21600
+        ).collect()
+    }
+    b0, b1 = sorted(out)
+    assert out[b0].open == 3.0  # lowest (ts, event_id), not lowest value
+    assert out[b0].close == 9.0
+    assert out[b0].high == 9.0 and out[b0].low == 3.0 and out[b0].n == 3
+    assert out[b1].open == out[b1].close == 1.0 and out[b1].n == 1
