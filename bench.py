@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "funnel_signup_click_purchase",
     "scd2_user_state_history",
     "ohlc_6h_bars",
+    "events_quality_report",
 ]
 
 

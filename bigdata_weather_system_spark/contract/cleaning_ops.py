@@ -391,3 +391,82 @@ def ohlc_6h_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         bucket_secs=21600,
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report (Deequ-style, one aggregation pass)
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH m AS (
+  SELECT
+    count(DISTINCT event_id) * 1.0 / count(*)              AS event_id_unique,
+    count(ts) * 1.0 / count(*)                             AS ts_complete,
+    count(value) * 1.0 / count(*)                          AS value_complete,
+    avg(CAST(event_type IN ('click','purchase','error','signup','view')
+             AS DOUBLE))                                   AS event_type_domain,
+    avg(CAST(value BETWEEN -100 AND 1000 AS DOUBLE))       AS value_in_range,
+    CAST(count(*) AS DOUBLE)                               AS min_row_count,
+    avg(CASE WHEN props IS NOT NULL
+             THEN CAST(regexp_matches(props, '^\\{.*\\}$') AS DOUBLE)
+        END)                                               AS props_json_shaped
+  FROM events
+),
+r AS (
+  SELECT 'event_id_unique' AS "constraint", event_id_unique AS metric,
+         CAST(1.0 AS DOUBLE) AS threshold, '>=' AS direction FROM m
+  UNION ALL SELECT 'ts_complete', ts_complete, CAST(1.0 AS DOUBLE), '>=' FROM m
+  UNION ALL SELECT 'value_complete', value_complete, CAST(0.99 AS DOUBLE), '>=' FROM m
+  UNION ALL SELECT 'event_type_domain', event_type_domain, CAST(1.0 AS DOUBLE), '>=' FROM m
+  UNION ALL SELECT 'value_in_range', value_in_range, CAST(0.99 AS DOUBLE), '>=' FROM m
+  UNION ALL SELECT 'min_row_count', min_row_count, CAST(100.0 AS DOUBLE), '>=' FROM m
+  UNION ALL SELECT 'props_json_shaped', props_json_shaped, CAST(0.9 AS DOUBLE), '>=' FROM m
+)
+SELECT "constraint", round(metric, 6) AS metric, threshold,
+       (CASE WHEN direction = '>=' THEN metric >= threshold
+             ELSE metric <= threshold END) AS passed
+FROM r
+"""
+
+
+@register("events_quality_report", oracle=_QUALITY_ORACLE)
+def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: uniqueness, completeness, domain
+    membership, range conformance, row-count floor, and JSON shape — ALL
+    evaluated in one aggregation pass (one scan + one reduce however many
+    constraints are declared), then unpivoted into a tidy report."""
+    from ..operators.quality import (
+        Constraint,
+        check_constraints,
+        completeness,
+        in_range_fraction,
+        in_set_fraction,
+        matches_fraction,
+        row_count,
+        uniqueness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    checks = [
+        Constraint("event_id_unique", uniqueness("event_id"), 1.0),
+        Constraint("ts_complete", completeness("ts"), 1.0),
+        Constraint("value_complete", completeness("value"), 0.99),
+        Constraint(
+            "event_type_domain",
+            in_set_fraction(
+                "event_type",
+                ("click", "purchase", "error", "signup", "view"),
+            ),
+            1.0,
+        ),
+        Constraint(
+            "value_in_range", in_range_fraction("value", -100, 1000), 0.99
+        ),
+        Constraint("min_row_count", row_count(), 100.0),
+        Constraint(
+            "props_json_shaped",
+            matches_fraction("props", r"^\{.*\}$"),
+            0.9,
+        ),
+    ]
+    return check_constraints(ev, checks)

@@ -173,3 +173,45 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_oov") / F.col("n_tokens")), 6).alias("avg_oov_rate"),
         F.sum("n_oov").cast("long").alias("total_oov"),
     )
+
+
+@register(
+    "doc_length_bucketed_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           cast(row_number() OVER (PARTITION BY shard
+                                   ORDER BY n_tokens, doc_id) AS BIGINT)
+             AS position
+    FROM t
+    """,
+)
+def doc_length_bucketed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed shard layout for training-batch efficiency:
+    deterministic content-hash shard assignment (same md5-derived uniform
+    as the split/sampling family — reshuffling-proof across reruns), then
+    a length-sorted position WITHIN each shard so batches drawn
+    sequentially have near-uniform lengths (minimal padding waste). One
+    shuffle on the shard id; the within-shard sort is the window's local
+    sort, never a global orderBy."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 8
+    )
+    t = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
+    return t.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    )
