@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "scd2_user_state_history",
     "ohlc_6h_bars",
     "events_quality_report",
+    "doc_length_bucketed_shards",
+    "media_raw_decode",
 ]
 
 

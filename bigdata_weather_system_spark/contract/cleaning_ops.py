@@ -470,3 +470,90 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return check_constraints(ev, checks)
+
+
+# --------------------------------------------------------------------------
+# RAW multimodal decode — REAL pixel math with a closed-form oracle
+# --------------------------------------------------------------------------
+
+# Fabrication rule (operators/multimodal.py fabricate_raw_media):
+# h = 16+id%16, w = 16+id%24, c = 3, pixel[i] = (id+i) % 256. The oracle
+# predicts the decoded mean brightness in closed form: per 256-cycle the
+# ramp sums to 32640; the partial tail is an arithmetic series split at
+# the wrap point. If the numpy decode misreads a single byte, the means
+# diverge — this checks REAL pixel decoding end-to-end, not a stub.
+_RAW_DECODE_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 16 AS h,
+         16 + doc_id % 24 AS w,
+         doc_id % 256     AS s0
+  FROM documents
+),
+m AS (
+  SELECT media_id, h, w, h * w * 3 AS n, s0,
+         (h * w * 3) // 256 AS cyc, (h * w * 3) % 256 AS r
+  FROM t
+)
+SELECT media_id,
+       CAST(w AS BIGINT)  AS width,
+       CAST(h AS BIGINT)  AS height,
+       CAST(3 AS BIGINT)  AS channels,
+       CAST(n AS BIGINT)  AS n_pixels,
+       (cyc * 32640 + CASE WHEN s0 + r <= 256
+           THEN r * s0 + r * (r - 1) // 2
+           ELSE (256 - s0) * s0 + (256 - s0) * (255 - s0) // 2
+                + (r - 256 + s0) * (r - 256 + s0 - 1) // 2
+       END) / n AS mean_brightness
+FROM m
+"""
+
+
+@register("media_raw_decode", oracle=_RAW_DECODE_ORACLE)
+def media_raw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: fabricate RAW bitmap blobs (header + uint8
+    pixel ramp) with numpy, then decode the actual bytes back — header
+    parse, buffer reshape, exact float64 pixel means — through Arrow
+    ``mapInPandas`` batches. The oracle predicts every decoded statistic
+    in closed form, so a one-byte decode error fails the gate."""
+    from ..operators.multimodal import (
+        decode_raw_features,
+        fabricate_raw_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_raw_media(docs, "doc_id", video=False)
+    return decode_raw_features(media).drop("channel_means")
+
+
+_RAW_FRAMES_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 16 AS h,
+         16 + doc_id % 24 AS w,
+         2 + doc_id % 4   AS f
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(range(0, f, 2)) AS BIGINT) AS frame_idx,
+       CAST(12 + h * w * 3 AS BIGINT)         AS frame_len
+FROM t
+"""
+
+
+@register("media_raw_frame_samples", oracle=_RAW_FRAMES_ORACLE)
+def media_raw_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame striding: fabricate multi-frame RAW containers,
+    decode, keep every 2nd frame, re-encode each kept frame as a
+    standalone RAW image. The oracle predicts the kept frame indices and
+    each emitted blob's exact byte length (header + h·w·c)."""
+    from ..operators.multimodal import fabricate_raw_media, sample_raw_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_raw_media(docs, "doc_id", video=True)
+    frames = sample_raw_frames(media, stride=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+    )

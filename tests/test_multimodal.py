@@ -1,0 +1,93 @@
+"""RAW-codec multimodal tests: real numpy decode/resize/frame-stride
+paths (compressed-format kernels remain gated behind require_codec)."""
+
+from __future__ import annotations
+
+# --- RAW codec: the real (numpy-only) decode path ---------------------------
+
+
+def test_raw_blob_roundtrip_and_malformed(spark):
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_raw_blob,
+        encode_raw_blob,
+    )
+
+    pix = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    blob = encode_raw_blob(pix, 2)
+    back = decode_raw_blob(blob)
+    assert back.shape == (2, 3, 4, 3)
+    assert (back == pix).all()
+    assert decode_raw_blob(b"JUNK" + blob[4:]) is None  # bad magic
+    assert decode_raw_blob(blob[:-5]) is None  # truncated payload
+    assert decode_raw_blob(None) is None
+
+
+def test_decode_raw_features_exact_means(spark):
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_raw_features,
+        encode_raw_blob,
+    )
+
+    pix = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    pix[0, :, :, 0] = 10  # R plane
+    pix[0, :, :, 1] = 20  # G plane
+    pix[0, :, :, 2] = 60  # B plane
+    rows = [(1, encode_raw_blob(pix, 1)), (2, b"not a raw blob")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_raw_features(df).collect()}
+    ok = out[1]
+    assert (ok.width, ok.height, ok.channels, ok.n_pixels) == (2, 2, 3, 12)
+    assert ok.mean_brightness == 30.0
+    assert ok.channel_means == [10.0, 20.0, 60.0]
+    bad = out[2]
+    assert bad.width is None and bad.mean_brightness is None
+
+
+def test_resize_raw_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_raw_blob,
+        encode_raw_blob,
+        resize_raw_images,
+    )
+
+    # 4x4 single-channel checkerboard of 2x2 blocks → 2x2 resize picks the
+    # top-left pixel of each block
+    pix = np.zeros((4, 4, 1), dtype=np.uint8)
+    pix[:2, 2:, 0] = 255
+    pix[2:, :2, 0] = 100
+    df = spark.createDataFrame(
+        [(7, encode_raw_blob(pix, 1))], "media_id long, content binary"
+    )
+    out = resize_raw_images(df, 2, 2).head()
+    arr = decode_raw_blob(out.content)
+    assert arr.shape == (1, 2, 2, 1)
+    assert arr[0, :, :, 0].tolist() == [[0, 255], [100, 0]]
+    assert out.byte_len == 12 + 4
+
+
+def test_sample_raw_frames_strides_and_reencodes(spark):
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_raw_blob,
+        encode_raw_blob,
+        sample_raw_frames,
+    )
+
+    pix = np.stack(
+        [np.full((2, 2, 1), i * 10, dtype=np.uint8) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        [(3, encode_raw_blob(pix, 5))], "media_id long, content binary"
+    )
+    frames = sample_raw_frames(df, stride=2).collect()
+    assert [f.frame_idx for f in frames] == [0, 2, 4]
+    decoded = [decode_raw_blob(f.frame_bytes) for f in frames]
+    assert [d[0, 0, 0, 0] for d in decoded] == [0, 20, 40]
+    assert all(d.shape == (1, 2, 2, 1) for d in decoded)
