@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivf_kmeans",
+    "cosine_topk_pq",
     "weighted_event_sample",
     "doc_quality_scores",
     "doc_language_id",

@@ -304,6 +304,21 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cosine_topk_pq")  # rows-only: codebooks are data-dependent
+def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 (Jégou et al. 2011): ADC
+    scan over 8-byte PQ codes (32× compression) + exact rerank of the
+    top-40 candidates, so reported similarities are true cosines. Recall
+    vs brute force driver-checked in ann_recall_contract ('pq' row)."""
+    from ..operators.similarity import cosine_topk_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_pq(
+        e, q, k=10, m_sub=8, n_codes=16, iters=1, rerank_factor=4
+    ).select("query_id", "neighbor_id", "cosine_sim")
+
+
 @register(
     "ann_recall_contract",
     oracle="""
@@ -311,7 +326,7 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20)
              AS n_queries,
            TRUE AS recall_floor_met
-    FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh')) t(m)
+    FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh'), ('pq')) t(m)
     """,
 )
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +367,8 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    from ..operators.similarity import cosine_topk_pq
+
     methods = [
         ("ivf", cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4), 0.15),
         (
@@ -360,6 +377,13 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.15,
         ),
         ("lsh", cosine_topk_lsh(e, q, k=10, n_planes=4), 0.15),
+        (
+            "pq",
+            cosine_topk_pq(
+                e, q, k=10, m_sub=8, n_codes=16, iters=1, rerank_factor=4
+            ),
+            0.15,
+        ),
     ]
     out = None
     for m, df, fl in methods:

@@ -545,3 +545,40 @@ def test_kmeans_refine_monotone_on_non_unit_norm_corpus(spark, emb):
         cents = kmeans_refine(scaled, cents, iters=1)
         obj.append(objective(cents))
     assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:])), obj
+
+
+def test_pq_codebooks_encode_and_recall(spark, sf_dir):
+    """PQ: codebook tensor shape, code range, and ADC+rerank recall
+    against brute force on the test embeddings."""
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train_codebooks(e, m_sub=8, n_codes=16, iters=1)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(code) == 8 for cb in cbs for code in cb)  # 64/8 dims
+
+    enc = pq_encode(e, cbs)
+    row = enc.head()
+    assert len(row.codes) == 8
+    assert all(0 <= c < 16 for c in row.codes)
+    assert enc.count() == e.count()
+
+    q = e.filter(F.col("vec_id") < 10)
+    approx = cosine_topk_pq(e, q, k=10, iters=1, rerank_factor=4)
+    got = approx.collect()
+    assert {r.query_id for r in got} == set(range(10))
+    assert all(r.query_id != r.neighbor_id for r in got)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(e, q, k=10).collect()
+    }
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
+    assert hits / len(exact) >= 0.15  # same floor the driver contract pins
