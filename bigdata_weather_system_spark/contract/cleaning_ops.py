@@ -262,9 +262,10 @@ GROUP BY cast(s.t_signup AS DATE)
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-step funnel (signup → click-after-signup →
     purchase-after-click) rolled up by signup cohort day. Each step is a
-    min-timestamp agg keyed on user_id — three aggs and two joins, all on
-    the SAME user_id partitioning, so AQE coalesces them onto one
-    exchange chain; the cohort rollup is the only re-key."""
+    min-timestamp agg keyed on user_id over a pushed-down event-type
+    slice; each agg's output is per-user (bounded), so AQE broadcast-joins
+    the step relations instead of shuffling the fact side again; the
+    cohort rollup is the only re-key."""
     ev = _t(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
