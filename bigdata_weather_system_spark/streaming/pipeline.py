@@ -294,3 +294,51 @@ def compact_snapshot(
     read_latest_snapshot(spark, log_path, keys).withColumn(
         "_batch_id", F.lit(-1)
     ).write.mode("overwrite").parquet(compacted_path)
+
+
+def start_quality_gated_sink(
+    stream: DataFrame,
+    constraints,
+    good_path: str,
+    quarantine_path: str,
+    report_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Quality-gated ingest: every micro-batch is evaluated against the
+    declarative constraint list (``operators.quality``) in one aggregation
+    pass; batches where every constraint passes append to ``good_path``,
+    failing batches land in ``quarantine_path`` INTACT (append-only, so a
+    fixed upstream can replay them), and the per-batch constraint report
+    is appended to ``report_path`` stamped with the batch id — the
+    quality history table an on-call engineer actually pages through.
+
+    This is the streaming twin of the batch gate: same Constraint objects,
+    same single-pass metric evaluation, applied per micro-batch inside
+    ``foreachBatch``. The gate decision collects only the (tiny) report
+    relation — never batch rows.
+    """
+    from ..operators.quality import check_constraints
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        report = check_constraints(batch_df, constraints)
+        rows = report.collect()  # n_constraints rows — bounded
+        spark = batch_df.sparkSession
+        (
+            spark.createDataFrame(rows, report.schema)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(report_path)
+        )
+        ok = all(r.passed for r in rows)
+        dest = good_path if ok else quarantine_path
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dest)
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

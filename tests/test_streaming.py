@@ -534,3 +534,70 @@ def test_streaming_session_profile_merges_and_splits_sessions(spark, stream_dir)
         assert sessions[1].session.start == t0 + dt.timedelta(hours=3)
     finally:
         q.stop()
+
+
+def test_quality_gated_sink_routes_batches(spark, stream_dir, tmp_path):
+    """Per-micro-batch constraint gate: a clean batch lands in good/, a
+    batch violating the temperature range lands in quarantine/ intact,
+    and every batch appends a stamped constraint report."""
+    from bigdata_weather_system_spark.operators.quality import (
+        Constraint,
+        completeness,
+        in_range_fraction,
+    )
+    from bigdata_weather_system_spark.sources.raw_events import (
+        parse_raw_events,
+    )
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        start_quality_gated_sink,
+    )
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(stream_dir, "b1.json", [payload("G", t0, 21.0)], t0)
+
+    checks = [
+        Constraint("temp_complete", completeness("temperature"), 1.0),
+        Constraint(
+            "temp_range", in_range_fraction("temperature", -60, 60), 1.0
+        ),
+    ]
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    rep = str(tmp_path / "report")
+    raw = read_event_stream(spark, "files", stream_dir)
+    q = start_quality_gated_sink(
+        parse_raw_events(raw, keep_payload=False),
+        checks,
+        good,
+        quar,
+        rep,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(good).count() == 1
+        assert not os.path.exists(quar)  # nothing quarantined yet
+
+        # batch 2: an out-of-range reading → whole batch quarantined
+        write_batch(
+            stream_dir,
+            "b2.json",
+            [payload("G", t0 + dt.timedelta(hours=1), 250.0)],
+            t0,
+        )
+        q.processAllAvailable()
+        assert spark.read.parquet(good).count() == 1  # unchanged
+        quarantined = spark.read.parquet(quar).collect()
+        assert len(quarantined) == 1
+        assert quarantined[0].temperature == 250.0
+
+        report = spark.read.parquet(rep)
+        assert report.count() == 4  # 2 batches × 2 constraints
+        failed = {
+            (r._batch_id, r.constraint)
+            for r in report.filter(~F.col("passed")).collect()
+        }
+        assert failed == {(1, "temp_range")}
+    finally:
+        q.stop()
