@@ -558,3 +558,123 @@ def media_raw_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection + cohort retention
+# --------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH w AS (
+  SELECT event_id, event_type, ts, value,
+         avg(value)  OVER pre AS mu,
+         stddev_samp(value) OVER pre AS sd,
+         count(*)    OVER pre AS n_prior
+  FROM events
+  WINDOW pre AS (PARTITION BY event_type ORDER BY epoch(ts)
+                 RANGE BETWEEN 21600 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value,
+       round((value - mu) / sd, 4) AS zscore
+FROM w
+WHERE n_prior >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3
+"""
+
+
+@register("rolling_zscore_anomalies", oracle=_ANOMALY_ORACLE)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flagging in batch: each event's value is
+    z-scored against the PRIOR 6 hours of its type (rangeBetween on event
+    time, excluding the current row — no label leakage), flagging |z|>3
+    with at least 5 prior observations. One window pass per type
+    partition; the range frame keeps state bounded by the time horizon,
+    the same shape a watermarked streaming agg maintains."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    pre = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-21600, -1)
+    )
+    v = F.col("value")
+    w = ev.select(
+        "event_id",
+        "event_type",
+        v,
+        F.avg(v).over(pre).alias("mu"),
+        F.stddev_samp(v).over(pre).alias("sd"),
+        F.count(F.lit(1)).over(pre).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter(
+            (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "event_id", "event_type", "value", F.round(z, 4).alias("zscore")
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first_week AS (
+  SELECT user_id,
+         min(cast(floor(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         cast(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size
+  FROM first_week GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       a.week - f.cohort_week                          AS week_offset,
+       count(DISTINCT a.user_id)                       AS n_active,
+       round(count(DISTINCT a.user_id) * 1.0 / s.cohort_size, 6)
+                                                        AS retention_rate
+FROM first_week f
+JOIN activity a USING (user_id)
+JOIN sizes s ON s.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, a.week - f.cohort_week, s.cohort_size
+"""
+
+
+@register("weekly_cohort_retention", oracle=_RETENTION_ORACLE)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-activity
+    week, retention = distinct actives at each week offset over cohort
+    size. Shape: a per-user min agg (partial-combining), a distinct
+    projection, and the rollup — the cohort-size side is tiny and
+    broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    joined = first.join(activity, "user_id").join(
+        F.broadcast(sizes), "cohort_week"
+    )
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
