@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "events_quality_report",
     "doc_length_bucketed_shards",
     "media_raw_decode",
+    "rolling_zscore_anomalies",
+    "weekly_cohort_retention",
 ]
 
 

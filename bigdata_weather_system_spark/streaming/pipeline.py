@@ -342,3 +342,33 @@ def start_quality_gated_sink(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def streaming_ohlc_bars(
+    raw_stream: DataFrame,
+    bar: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.ohlc_bars``: watermarked
+    tumbling event-time windows with open/close via ``min_by``/``max_by``
+    on the event timestamp — the same mergeable-aggregate trick, so
+    incremental state per (location, window) is O(1): four scalars and
+    two (value, ts) argmax pairs, merged across micro-batches exactly
+    like map-side combine merges partials in batch."""
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+    v = F.col("temperature")
+    ts = F.col("event_timestamp")
+    return (
+        parsed.withWatermark("event_timestamp", watermark)
+        .groupBy(
+            F.window("event_timestamp", bar).alias("bar_window"),
+            F.col("location"),
+        )
+        .agg(
+            F.min_by(v, ts).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ts).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -601,3 +601,102 @@ def test_quality_gated_sink_routes_batches(spark, stream_dir, tmp_path):
         assert failed == {(1, "temp_range")}
     finally:
         q.stop()
+
+
+def test_streaming_ohlc_bars_merge_across_batches(spark, stream_dir, tmp_path):
+    """OHLC state must merge across micro-batches: open stays the earliest
+    reading even when a later batch carries earlier-arriving higher/lower
+    values within the same event-time bar."""
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        streaming_ohlc_bars,
+    )
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(
+        stream_dir,
+        "b1.json",
+        [payload("O", t0 + dt.timedelta(minutes=10), 20.0)],
+        t0,
+    )
+    q = (
+        streaming_ohlc_bars(read_event_stream(spark, "files", stream_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ohlc_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: earlier event-time (becomes open) and a late high
+        write_batch(
+            stream_dir,
+            "b2.json",
+            [
+                payload("O", t0 + dt.timedelta(minutes=5), 25.0),
+                payload("O", t0 + dt.timedelta(minutes=50), 31.0),
+            ],
+            t0,
+        )
+        q.processAllAvailable()
+        rows = spark.table("ohlc_test").collect()
+        latest = {}
+        for r in rows:  # update mode re-emits; keep the last per window
+            latest[(r.location, r.bar_window.start)] = r
+        r = latest[("O", t0)]
+        assert (r.open, r.high, r.low, r.close, r.n) == (
+            25.0,
+            31.0,
+            20.0,
+            31.0,
+            3,
+        )
+    finally:
+        q.stop()
+
+
+def test_quality_gated_sink_resumes_from_checkpoint(spark, stream_dir, tmp_path):
+    """Restarting the gated sink from its checkpoint must not re-process
+    (and thus double-append) already-gated batches."""
+    from bigdata_weather_system_spark.operators.quality import (
+        Constraint,
+        completeness,
+    )
+    from bigdata_weather_system_spark.sources.raw_events import (
+        parse_raw_events,
+    )
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        start_quality_gated_sink,
+    )
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    write_batch(stream_dir, "b1.json", [payload("R", t0, 21.0)], t0)
+    args = (
+        [Constraint("temp_complete", completeness("temperature"), 1.0)],
+        str(tmp_path / "good"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "report"),
+        str(tmp_path / "ckpt"),
+    )
+
+    raw = read_event_stream(spark, "files", stream_dir)
+    q = start_quality_gated_sink(parse_raw_events(raw, keep_payload=False), *args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: nothing new → no duplicate rows; then a new batch flows
+    raw2 = read_event_stream(spark, "files", stream_dir)
+    q2 = start_quality_gated_sink(parse_raw_events(raw2, keep_payload=False), *args)
+    try:
+        q2.processAllAvailable()
+        assert spark.read.parquet(str(tmp_path / "good")).count() == 1
+        write_batch(
+            stream_dir, "b2.json",
+            [payload("R", t0 + dt.timedelta(hours=1), 22.0)], t0,
+        )
+        q2.processAllAvailable()
+        assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+    finally:
+        q2.stop()
