@@ -319,6 +319,21 @@ def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
+@register("cosine_topk_ivf_pq")  # rows-only: codebooks+cells data-dependent
+def cosine_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse cells prune which rows get scored, PQ codes make
+    each scored row cost m lookups, exact rerank fixes the ordering —
+    the canonical billion-scale ANN shape. Recall floor driver-checked in
+    ann_recall_contract ('ivf_pq' row)."""
+    from ..operators.similarity import cosine_topk_ivf_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf_pq(
+        e, q, k=10, n_cells=16, n_probe=4, m_sub=8, n_codes=16, iters=1
+    ).select("query_id", "neighbor_id", "cosine_sim")
+
+
 @register(
     "ann_recall_contract",
     oracle="""
@@ -326,7 +341,7 @@ def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20)
              AS n_queries,
            TRUE AS recall_floor_met
-    FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh'), ('pq')) t(m)
+    FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh'), ('pq'), ('ivf_pq')) t(m)
     """,
 )
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +382,7 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    from ..operators.similarity import cosine_topk_pq
+    from ..operators.similarity import cosine_topk_ivf_pq, cosine_topk_pq
 
     methods = [
         ("ivf", cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4), 0.15),
@@ -381,6 +396,14 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq",
             cosine_topk_pq(
                 e, q, k=10, m_sub=8, n_codes=16, iters=1, rerank_factor=4
+            ),
+            0.15,
+        ),
+        (
+            "ivf_pq",
+            cosine_topk_ivf_pq(
+                e, q, k=10, n_cells=16, n_probe=4, m_sub=8, n_codes=16,
+                iters=1,
             ),
             0.15,
         ),

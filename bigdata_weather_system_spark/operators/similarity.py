@@ -823,3 +823,125 @@ def cosine_topk_pq(
         [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
         n=k,
     )
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    iters: int = 1,
+    rerank_factor: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN shape — coarse cells prune
+    WHICH rows get scored, PQ codes make each scored row cost ``m_sub``
+    lookups, and an exact rerank fixes the final ordering.
+
+    Versus plain PQ (``cosine_topk_pq``) the ADC scan touches only the
+    rows inside each query's ``n_probe`` cells: the scored-pair relation
+    comes from a cell equi-join of the encoded corpus against the (tiny,
+    broadcast) exploded probe list, so cost scales with
+    ``n_probe / n_cells`` of the corpus per query instead of all of it.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    cb_list = pq_train_codebooks(
+        corpus, vec_col, id_col, m_sub, n_codes, seed, iters
+    )
+    cb = np.asarray(cb_list, dtype=np.float64)
+    d = cb.shape[2]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    ).collect()
+    if not qrows:
+        raise ValueError("cosine_topk_ivf_pq: empty query side")
+    qmat = np.asarray(
+        [[float(x) for x in r._qvec] for r in qrows], dtype=np.float64
+    )
+    n_q = len(qrows)
+    luts = np.einsum(
+        "qmd,mcd->qmc", qmat.reshape(n_q, m_sub, d), cb
+    )  # (n_q, m_sub, n_codes)
+
+    @pandas_udf(DoubleType())
+    def adc_pair(codes: pd.Series, qidx: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy())  # (b, m_sub)
+        qi = qidx.to_numpy()
+        acc = np.zeros(len(C), dtype=np.float64)
+        for m_i in range(m_sub):
+            acc += luts[qi, m_i, C[:, m_i]]
+        return pd.Series(acc)
+
+    enc = pq_encode(corpus, cb_list, id_col, vec_col).withColumn(
+        "cell",
+        F.element_at(_cell_assignment(F.col("_cvec"), cents, 1), 1),
+    )
+    probe_rows = []
+    qcells = _probe_cells(qmat, cents, n_probe)
+    for i, r in enumerate(qrows):
+        for cell in qcells[i]:
+            probe_rows.append((int(cell), i, r.query_id, float(r._qn)))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "cell int, qidx int, query_id long, _qn double"
+    )
+    pairs = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "_cvec",
+        "_cn",
+        "_qn",
+        (
+            adc_pair(F.col("codes"), F.col("qidx"))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("_approx"),
+    )
+    cand = top_n_per_key(
+        scored,
+        ["query_id"],
+        [F.col("_approx").desc(), F.col("neighbor_id").asc()],
+        n=k * rerank_factor,
+    )
+    qvecs = corpus.sparkSession.createDataFrame(
+        [(r.query_id, [float(x) for x in r._qvec]) for r in qrows],
+        "query_id long, _qvec array<double>",
+    )
+    exact = cand.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
+    )
+    return top_n_per_key(
+        exact,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        n=k,
+    )
+
+
+def _probe_cells(qmat, centroids: list[list[float]], n_probe: int):
+    """Driver-side probe-cell selection for a collected query matrix —
+    same dot-product ordering and higher-id tie-break as
+    ``_cell_assignment``."""
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+    n_cells = cmat.shape[1]
+    dots = qmat @ cmat
+    order = (n_cells - 1) - np.argsort(-dots[:, ::-1], axis=1, kind="stable")
+    return order[:, :n_probe]

@@ -582,3 +582,36 @@ def test_pq_codebooks_encode_and_recall(spark, sf_dir):
     }
     hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
     assert hits / len(exact) >= 0.15  # same floor the driver contract pins
+
+
+def test_ivf_pq_prunes_cells_and_meets_recall_floor(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_pq,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    got = cosine_topk_ivf_pq(
+        e, q, k=10, n_cells=16, n_probe=4, iters=1
+    ).collect()
+    assert {r.query_id for r in got} == set(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(e, q, k=10).collect()
+    }
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
+    assert hits / len(exact) >= 0.15
+    # reported similarities are exact cosines (rerank), so every kept
+    # neighbor that is also in the exact set has the same rounded score
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_bruteforce(e, q, k=10).collect()
+    }
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cosine_sim == exact_scores[key]
