@@ -678,3 +678,44 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation (accuracy contract)
+# --------------------------------------------------------------------------
+
+_JOINCARD_ORACLE = """
+SELECT (SELECT count(*) FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey)     AS exact_rows,
+       TRUE                                 AS within_40pct
+"""
+
+
+@register("join_cardinality_estimate", oracle=_JOINCARD_ORACLE)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for pre-flight join-size estimation: the
+    key-synchronized 10% sample's scaled estimate must land within ±40%
+    of the exact orders⋈lineitem count (the oracle asserts the boolean;
+    the exact count is cross-checked value-for-value). Universe sampling
+    keeps matching keys on BOTH sides, so the estimate is unbiased at
+    cost ~f of the join."""
+    from ..operators.estimate import estimate_join_cardinality
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    est = estimate_join_cardinality(
+        orders.select(F.col("o_orderkey").alias("k")),
+        li.select(F.col("l_orderkey").alias("k")),
+        "k",
+        fraction=0.10,
+    )
+    exact = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).agg(F.count(F.lit(1)).alias("exact_rows"))
+    return exact.crossJoin(est).select(
+        "exact_rows",
+        (
+            (F.col("estimated_rows") >= F.col("exact_rows") * 0.6)
+            & (F.col("estimated_rows") <= F.col("exact_rows") * 1.4)
+        ).alias("within_40pct"),
+    )

@@ -94,3 +94,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    n_files: int,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ``n_files`` files (optionally
+    re-clustered on ``sort_col``), replacing the directory atomically via
+    rename — the small-files compaction every streaming/append pipeline
+    eventually needs (thousands of KB-sized files turn scans into
+    metadata storms and break row-group pruning).
+
+    Returns the row count. Rename-swap is atomic on POSIX filesystems;
+    on object stores run the same logic against a manifest/table format
+    instead. The old directory is kept as ``<path>.pre-compact`` until
+    the swap completes, then removed — a crash mid-compaction leaves
+    either the old or the new directory intact, never a mix.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    if sort_col is not None:
+        df = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".pre-compact"
+    df.write.mode("overwrite").parquet(tmp)
+    import os
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

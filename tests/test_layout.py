@@ -88,3 +88,54 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
 
     # the clustered write must not lose or duplicate rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_compact_small_files_preserves_rows_and_clustering(spark, tmp_path):
+    import glob
+    import os as _os
+
+    from bigdata_weather_system_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select(
+        "event_id", F.col("ts").cast("double").alias("tsd"), "value"
+    )
+    path = str(tmp_path / "shards")
+    ev.repartition(16).write.parquet(path)
+    assert len(glob.glob(_os.path.join(path, "*.parquet"))) == 16
+
+    before = sorted(r.event_id for r in spark.read.parquet(path).collect())
+    n = compact_small_files(spark, path, n_files=2, sort_col="tsd")
+    files = glob.glob(_os.path.join(path, "*.parquet"))
+    assert len(files) == 2
+    after_df = spark.read.parquet(path)
+    assert n == len(before)
+    assert sorted(r.event_id for r in after_df.collect()) == before
+    # re-clustered: a narrow tsd range must overlap few row groups again
+    stats = after_df.agg(F.min("tsd"), F.max("tsd")).head()
+    lo, hi = stats[0], stats[0] + (stats[1] - stats[0]) * 0.05
+    assert _overlap_fraction(path, "tsd", lo, hi) <= 0.5
+    assert not _os.path.exists(path + ".pre-compact")
+    assert not _os.path.exists(path + ".compact-tmp")
+
+
+def test_estimate_join_cardinality_unbiased_band(spark):
+    """Universe sampling at several fractions: the scaled estimate tracks
+    the exact join size (within a generous band at this tiny scale)."""
+    from bigdata_weather_system_spark.operators.estimate import (
+        estimate_join_cardinality,
+    )
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select(
+        F.col("user_id").alias("k")
+    )
+    exact = ev.alias("a").join(ev.alias("b"), "k").count()
+    for frac in (0.25, 0.5):
+        est = estimate_join_cardinality(ev, ev, "k", fraction=frac).head()
+        assert est.estimated_rows > 0
+        assert 0.3 * exact <= est.estimated_rows <= 2.5 * exact, (
+            frac,
+            est.estimated_rows,
+            exact,
+        )
