@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "media_raw_decode",
     "rolling_zscore_anomalies",
     "weekly_cohort_retention",
+    "daily_rollup_from_hourly",
+    "join_cardinality_estimate",
 ]
 
 

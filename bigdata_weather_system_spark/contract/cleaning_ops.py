@@ -588,7 +588,10 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, excluding the current row — no label leakage), flagging |z|>3
     with at least 5 prior observations. One window pass per type
     partition; the range frame keeps state bounded by the time horizon,
-    the same shape a watermarked streaming agg maintains."""
+    the same shape a watermarked streaming agg maintains. Scale caveat:
+    the partition key's cardinality bounds parallelism — for a
+    low-cardinality key over a huge table, window per (key, calendar
+    period) and stitch period boundaries, or run the streaming twin."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -718,4 +721,90 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("estimated_rows") >= F.col("exact_rows") * 0.6)
             & (F.col("estimated_rows") <= F.col("exact_rows") * 1.4)
         ).alias("within_40pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation-tree rollup reuse (daily from hourly partials)
+# --------------------------------------------------------------------------
+
+_ROLLUP_TREE_ORACLE = """
+SELECT event_type,
+       cast(ts AS DATE)         AS day,
+       count(*)                 AS n_rows,
+       round(sum(value), 2)     AS sum_value,
+       min(value)               AS min_value,
+       max(value)               AS max_value
+FROM events
+GROUP BY event_type, cast(ts AS DATE)
+"""
+
+
+@register("daily_rollup_from_hourly", oracle=_ROLLUP_TREE_ORACLE)
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-tree rollup reuse: the daily profile is computed by
+    MERGING hourly mergeable partials, never re-touching raw rows — the
+    materialized-rollup chain (raw → hourly → daily → monthly) that lets
+    a 100 TB warehouse serve every coarser grain from the next finer one.
+    The oracle aggregates raw directly: merged partials must be
+    indistinguishable from a full recompute."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_sum"),
+        F.min("value").alias("_min"),
+        F.max("value").alias("_max"),
+    )
+    return (
+        hourly.groupBy("event_type", F.to_date("hour").alias("day"))
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.round(F.sum("_sum"), 2).alias("sum_value"),
+            F.min("_min").alias("min_value"),
+            F.max("_max").alias("max_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate frequent items (freqItems accuracy contract)
+# --------------------------------------------------------------------------
+
+_FREQ_ORACLE = """
+SELECT count(*) AS n_frequent_exact, TRUE AS all_found
+FROM (
+  SELECT event_type FROM events GROUP BY event_type
+  HAVING count(*) >= 0.15 * (SELECT count(*) FROM events)
+)
+"""
+
+
+@register("frequent_items_contract", oracle=_FREQ_ORACLE)
+def frequent_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for single-pass approximate frequent items
+    (``DataFrame.freqItems``, the Karp-Shenker-Papadimitriou algorithm):
+    the returned candidate set may contain false POSITIVES but never
+    misses a truly frequent item — so every exact-frequent event type
+    must appear in it. n_frequent_exact is cross-checked exactly."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    exact = (
+        ev.groupBy("event_type")
+        .count()
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("count") >= 0.15 * F.col("_total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frequent_exact"),
+            F.sort_array(F.collect_list("event_type")).alias("_exact"),
+        )
+    )
+    freq = ev.stat.freqItems(["event_type"], 0.15)
+    return exact.crossJoin(freq).select(
+        "n_frequent_exact",
+        F.forall(
+            "_exact",
+            lambda x: F.array_contains(F.col("event_type_freqItems"), x),
+        ).alias("all_found"),
     )
