@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import (
     exact_dedup,
+    jaccard_pairs_prefix,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -150,11 +151,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: Jaccard pairs → connected components
     (iterative min-label propagation with pointer jumping — all DataFrame
     joins, lineage cut per round). cluster_id = min doc_id in component.
-    The DuckDB oracle computes the same closure with a recursive CTE."""
+    The DuckDB oracle computes the same closure with a recursive CTE.
+    Pairs come from the prefix-filtered generator (exact-identical output
+    to the inverted index, measured ~1.3-2x faster end-to-end and the
+    variant that survives boilerplate skew)."""
     from ..operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -177,7 +181,7 @@ def dedup_survivors_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import keep_canonical
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
     return keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
@@ -1189,7 +1193,7 @@ def doc_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.text import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
     splits = hash_split(d, "text", "split").select("doc_id", "split")
     out = (
         pairs.join(
