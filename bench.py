@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "weekly_cohort_retention",
     "daily_rollup_from_hourly",
     "join_cardinality_estimate",
+    "incremental_dedup_contract",
 ]
 
 

@@ -808,3 +808,48 @@ def frequent_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.array_contains(F.col("event_type_freqItems"), x),
         ).alias("all_found"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup vs a materialized LSH index (accuracy contract)
+# --------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = """
+SELECT count(*) AS n_incoming, TRUE AS recall_floor_met
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register("incremental_dedup_contract", oracle=_INCR_DEDUP_ORACLE)
+def incremental_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-dedup accuracy contract: materialize the corpus LSH index
+    once, then match an incoming batch of near-copies (every 50th doc
+    with one appended token) WITHOUT rescanning the corpus. Each
+    incoming doc's true Jaccard to its source is >= 6/7, so with 8 bands
+    of 4 hashes the per-doc miss probability is ~2e-4; the contract
+    asserts >= 0.9 of sources are recovered (precision is exact by
+    construction — candidates are verified with exact shingle Jaccard).
+    """
+    import tempfile
+
+    from ..operators.dedup import dedup_incoming, materialize_lsh_index
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="lsh_contract_")
+    idx, sets = f"{tmp}/index", f"{tmp}/sets"
+    materialize_lsh_index(docs, idx, sets)
+    incoming = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    matches = dedup_incoming(spark, incoming, idx, sets)
+    self_hits = matches.filter(
+        F.col("new_id") - 1_000_000 == F.col("corpus_id")
+    ).agg(F.count_distinct("new_id").alias("_hits"))
+    total = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
+    return total.crossJoin(self_hits).select(
+        "n_incoming",
+        (F.col("_hits") >= F.col("n_incoming") * 0.9).alias(
+            "recall_floor_met"
+        ),
+    )

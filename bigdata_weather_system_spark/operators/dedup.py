@@ -698,3 +698,142 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: materialized LSH index + incoming-batch matching
+# ---------------------------------------------------------------------------
+
+
+def materialize_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    sets_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> None:
+    """Persist the corpus' dedup state once: the LSH band index
+    ``(id, band, bucket)`` partitioned by band (a probe touches only its
+    band partitions) and the per-doc shingle sets used for exact
+    verification. This is what turns near-dup detection from a
+    corpus×corpus batch job into an incremental ``incoming × candidates``
+    lookup — the production shape for deduping a continuous crawl
+    against a 100 TB corpus without ever rescanning it.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    bands.write.mode("overwrite").partitionBy("band").parquet(index_path)
+    shingle_sets(df, id_col, text_col, n).write.mode("overwrite").parquet(
+        sets_path
+    )
+
+
+def dedup_incoming(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    sets_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Match an incoming batch against the materialized corpus index:
+    signatures + band keys for the (small) incoming side, broadcast-join
+    them against the stored band index — only colliding corpus rows
+    leave the scan — then verify candidates exactly against the stored
+    shingle sets. Returns ``(new_id, corpus_id, jaccard)`` with exact
+    ``jaccard >= threshold``: precision is exact by construction, recall
+    is the LSH band guarantee.
+
+    Cost scales with the INCOMING batch and its collisions, never the
+    corpus: the corpus-side relations are scanned with the broadcast
+    band/candidate filters applied, not rebuilt.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes)
+    new_bands = sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("new_id", "bb.band", "bb.bucket")
+    index = spark.read.parquet(index_path)
+    cands = (
+        index.join(F.broadcast(new_bands), ["band", "bucket"])
+        .select("new_id", F.col(id_col).alias("corpus_id"))
+        .distinct()
+    )
+    corpus_sets = spark.read.parquet(sets_path)
+    new_sets = shingle_sets(new_docs, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"),
+        F.col("shingles").alias("_sh_n"),
+        F.col("set_size").alias("_sz_n"),
+    )
+    paired = (
+        cands.join(F.broadcast(new_sets), "new_id")
+        .join(
+            corpus_sets.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("shingles").alias("_sh_c"),
+                F.col("set_size").alias("_sz_c"),
+            ),
+            "corpus_id",
+        )
+    )
+    n_common = F.size(F.array_intersect("_sh_n", "_sh_c"))
+    jac = F.round(
+        n_common / (F.col("_sz_n") + F.col("_sz_c") - n_common), _ROUND_DIGITS
+    )
+    return (
+        paired.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

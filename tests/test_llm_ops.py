@@ -615,3 +615,50 @@ def test_ivf_pq_prunes_cells_and_meets_recall_floor(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert r.cosine_sim == exact_scores[key]
+
+
+def test_incremental_dedup_against_materialized_index(spark, sf_dir, tmp_path):
+    """Build the LSH index once over the corpus, then match an incoming
+    batch (near-copies + novel docs) without rescanning the corpus:
+    near-copies must hit their source doc; novel docs must come back
+    clean; precision is exact by construction."""
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.dedup import (
+        dedup_incoming,
+        materialize_lsh_index,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "lsh_index")
+    sets = str(tmp_path / "lsh_sets")
+    materialize_lsh_index(docs, idx, sets)
+
+    # incoming: 5 corpus docs with one appended token (near-dups) and
+    # 5 synthetic novel docs that share no 3-gram with the corpus
+    near = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    novel = spark.createDataFrame(
+        [(2_000_000 + i,
+          f"qqq{i} www{i} eee{i} rrr{i} ttt{i} yyy{i} uuu{i} iii{i}")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    incoming = near.unionByName(novel)
+    matches = dedup_incoming(spark, incoming, idx, sets).collect()
+
+    hit_by_new = {}
+    for m in matches:
+        hit_by_new.setdefault(m.new_id, set()).add(m.corpus_id)
+        assert m.jaccard >= 0.5  # exact verification
+    for i in range(5):
+        assert i in hit_by_new.get(1_000_000 + i, set()), (
+            f"near-copy of doc {i} not matched"
+        )
+    assert not any(k >= 2_000_000 for k in hit_by_new), "novel doc matched"
