@@ -853,3 +853,79 @@ def incremental_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_floor_met"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Direct n-gram decontamination (GPT-3/PaLM-style 13-gram overlap)
+# --------------------------------------------------------------------------
+
+_NGRAM_DECON_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         (doc_id % 10 = 0) AS is_eval,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_eval,
+         md5(array_to_string(toks[i:(i+12)], ' ')) AS h
+  FROM t, unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS u(i)
+),
+eval_grams AS (SELECT DISTINCT h FROM g WHERE is_eval),
+flagged AS (
+  SELECT DISTINCT g.doc_id
+  FROM g JOIN eval_grams USING (h)
+  WHERE NOT g.is_eval
+)
+SELECT (SELECT count(*) FROM t WHERE NOT is_eval)  AS n_train,
+       (SELECT count(*) FROM t WHERE is_eval)      AS n_eval,
+       (SELECT count(*) FROM flagged)              AS n_contaminated
+"""
+
+
+@register("doc_ngram_decontamination", oracle=_NGRAM_DECON_ORACLE)
+def doc_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct 13-gram decontamination (the GPT-3/PaLM recipe): a train
+    doc is contaminated if it shares ANY exact 13-token gram with any
+    eval doc (here eval = every 10th doc). Grams ship as md5 hashes —
+    16-byte shuffle keys — and the eval-gram side is tiny, so the
+    overlap check is a broadcast semi-join against the train grams, not
+    an all-pairs comparison. Complements the near-dup-based
+    ``doc_cross_split_contamination`` (overlap ≠ similarity: one shared
+    quote flags a doc even at low whole-doc Jaccard)."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    k = 13
+    n_gram = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_eval"),
+        F.explode(
+            # sequence(1, 0) would generate a DESCENDING range for short
+            # docs — emit an empty gram list instead
+            F.when(
+                n_gram >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_gram),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    eval_grams = grams.filter("is_eval").select("h").distinct()
+    flagged = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    base = docs.agg(
+        F.sum((~(F.col("doc_id") % 10 == 0)).cast("long")).alias("n_train"),
+        F.sum((F.col("doc_id") % 10 == 0).cast("long")).alias("n_eval"),
+    )
+    return base.crossJoin(
+        flagged.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
