@@ -41,3 +41,21 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
     # column pruning: the scan must not read props/user_id
     assert "props" not in scan and "user_id" not in scan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended batches with an evolved schema (new column) must read back
+    as the union schema under mergeSchema, old rows null-filled — the
+    contract a long-lived ingest directory relies on."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
