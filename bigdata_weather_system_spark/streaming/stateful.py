@@ -169,3 +169,79 @@ def running_value_profile_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online anomaly flags (running Welford-style state per key)
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = (
+    "location string, event_timestamp timestamp, value double, zscore double"
+)
+
+_ANOM_STATE = "n long, s double, s2 double"
+
+
+def _flag_anomalies(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_timestamp")
+        for ts, v in zip(pdf["event_timestamp"], pdf["_value"]):
+            v = float(v)
+            if n >= 5:
+                mu = s / n
+                var = max((s2 - s * s / n) / (n - 1), 0.0)
+                sd = math.sqrt(var)
+                if sd > 0 and abs(v - mu) > 3 * sd:
+                    out.append(
+                        {
+                            "location": key[0],
+                            "event_timestamp": ts,
+                            "value": v,
+                            "zscore": round((v - mu) / sd, 4),
+                        }
+                    )
+            n, s, s2 = n + 1, s + v, s2 + v * v
+    state.update((n, s, s2))
+    yield pd.DataFrame(
+        out, columns=["location", "event_timestamp", "value", "zscore"]
+    )
+
+
+def streaming_anomaly_flags(
+    parsed_stream: DataFrame,
+    key_col: str = "location",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """Online anomaly detection: each arriving value is z-scored against
+    its key's RUNNING (lifetime) mean/std maintained as (n, Σv, Σv²)
+    state — three scalars per key, merged incrementally, never a history
+    buffer. Points further than 3σ with ≥5 prior observations are
+    emitted; everything else produces no output. The streaming twin of
+    the batch ``rolling_zscore_anomalies`` (which scopes the baseline to
+    a trailing window instead of the lifetime — both shapes are standard;
+    swap the state update for a decayed pair to get an EWMA baseline).
+
+    Ordering note: state folds arrivals in event-time order WITHIN a
+    micro-batch; across batches it is arrival order, as with any
+    streaming accumulator.
+    """
+    prepped = parsed_stream.selectExpr(
+        f"{key_col} AS location",
+        "event_timestamp",
+        f"CAST({value_col} AS double) AS _value",
+    )
+    return prepped.groupBy("location").applyInPandasWithState(
+        _flag_anomalies,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -126,3 +126,53 @@ def test_transform_with_state_profile_accumulates(spark, stream_dir, tmp_path):
         assert latest["hue"].n_events == 1
     finally:
         q.stop()
+
+
+def test_streaming_anomaly_flags_running_state(spark, stream_dir):
+    """Online 3-sigma flags against lifetime per-key state: a spike after
+    enough baseline observations is emitted with its z-score; baseline
+    points and early points (n_prior < 5) are not."""
+    import datetime as dt
+
+    from bigdata_weather_system_spark.sources.raw_events import (
+        parse_raw_events,
+    )
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.stateful import (
+        streaming_anomaly_flags,
+    )
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    base = [
+        payload("A", t0 + dt.timedelta(minutes=i), 20.0 + (i % 3) * 0.5)
+        for i in range(6)
+    ]
+    write_batch(stream_dir, "b1.json", base, t0)
+
+    raw = read_event_stream(spark, "files", stream_dir)
+    flags = streaming_anomaly_flags(parse_raw_events(raw, keep_payload=False))
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anomaly_flags_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("anomaly_flags_test").count() == 0  # baseline only
+
+        write_batch(
+            stream_dir,
+            "b2.json",
+            [
+                payload("A", t0 + dt.timedelta(minutes=10), 100.0),  # spike
+                payload("A", t0 + dt.timedelta(minutes=11), 20.5),  # normal
+            ],
+            t0,
+        )
+        q.processAllAvailable()
+        rows = spark.table("anomaly_flags_test").collect()
+        assert len(rows) == 1
+        assert rows[0].value == 100.0 and rows[0].zscore > 3
+    finally:
+        q.stop()
