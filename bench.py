@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "daily_rollup_from_hourly",
     "join_cardinality_estimate",
     "incremental_dedup_contract",
+    "doc_ngram_decontamination",
 ]
 
 
@@ -164,18 +165,24 @@ def main() -> None:
         fn = contract.QUERIES.get(name)
         if fn is None:
             continue
-        # Best-of-2: the first execution of a query shape pays one-time
+        # Best-of-N: the first execution of a query shape pays one-time
         # driver costs (Janino codegen compile, broadcast warm-up) of up
-        # to several seconds that land unpredictably; the second run
-        # measures the engine's steady-state throughput for the plan.
-        best = None
+        # to several seconds that land unpredictably, and this host has
+        # noisy-neighbor CPU contention that can inflate any single run
+        # several-fold. Run twice; if the two samples disagree by >30%
+        # the box was loaded during one of them — take a third. Report
+        # the min (steady-state engine throughput for the plan).
+        samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).toPandas()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            samples.append(time.perf_counter() - t0)
             assert rows is not None
-        timings[name] = round(best, 4)
+        if max(samples) > 1.3 * min(samples):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).toPandas()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
     total = round(sum(timings.values()), 4)
     prev_round, prev = previous_round_queries()
     regressions = {
