@@ -119,3 +119,59 @@ def pruned_read(
     if not files:
         return spark.read.parquet(path).filter(pred).limit(0)
     return spark.read.parquet(*files).filter(pred)
+
+
+def delete_rows_by_key(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: Sequence[float],
+) -> dict:
+    """Surgical delete (the right-to-be-forgotten workload): remove all
+    rows whose ``key_col`` is in ``keys``, rewriting ONLY the files whose
+    footer min/max range can contain one of the keys — every other file
+    is untouched bytes. On a clustered table (``write_zordered`` /
+    range-partitioned) the affected set is a handful of files out of
+    thousands; without stats locality this degrades gracefully to a full
+    rewrite, never to a wrong answer.
+
+    Mechanics: the manifest (footer-only) selects candidate files; they
+    are read as one DataFrame, filtered, and rewritten into a sibling
+    directory; then the candidates are removed and the rewritten files
+    moved in. POSIX-atomic per file; on an object store, do the same
+    under a table format's commit protocol. Returns counts:
+    ``{"files_total", "files_rewritten", "rows_deleted"}``.
+    """
+    import shutil
+    import uuid
+
+    man = build_manifest(spark, path, [key_col]).collect()
+    kset = [float(k) for k in keys]
+    affected = [
+        r.file
+        for r in man
+        if r[f"min_{key_col}"] is None
+        or any(r[f"min_{key_col}"] <= k <= r[f"max_{key_col}"] for k in kset)
+    ]
+    out = {
+        "files_total": len(man),
+        "files_rewritten": len(affected),
+        "rows_deleted": 0,
+    }
+    if not affected:
+        return out
+    df = spark.read.parquet(*affected)
+    before = df.count()
+    kept = df.filter(~F.col(key_col).isin(kset))
+    tmp = os.path.join(
+        os.path.dirname(path.rstrip("/")),
+        f".delete-rewrite-{uuid.uuid4().hex[:8]}",
+    )
+    kept.write.mode("overwrite").parquet(tmp)
+    out["rows_deleted"] = before - kept.count()
+    for f in affected:
+        os.remove(f)
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        shutil.move(f, os.path.join(path, os.path.basename(f)))
+    shutil.rmtree(tmp)
+    return out

@@ -72,3 +72,30 @@ def test_pruned_read_empty_range_returns_empty_with_schema(spark, tmp_path):
     out = pruned_read(spark, path, "user_id", -10.0, -5.0)
     assert out.count() == 0
     assert "event_id" in out.columns
+
+
+def test_delete_rows_by_key_rewrites_only_affected_files(spark, tmp_path):
+    path = _clustered_events(spark, tmp_path)  # z-ordered on (user_id, tsd)
+    before_files = set(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    total = df.count()
+    users = [r.user_id for r in df.select("user_id").distinct().collect()]
+    victims = sorted(users)[:2]
+    n_victim_rows = df.filter(F.col("user_id").isin(victims)).count()
+    assert n_victim_rows > 0
+
+    from bigdata_weather_system_spark.sources.manifest import (
+        delete_rows_by_key,
+    )
+
+    stats = delete_rows_by_key(spark, path, "user_id", victims)
+    assert stats["rows_deleted"] == n_victim_rows
+    # the clustered layout must localize the victims to a strict subset
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == total - n_victim_rows
+    assert after.filter(F.col("user_id").isin(victims)).count() == 0
+    # untouched files are still present with their original names
+    untouched = before_files & set(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(untouched) == stats["files_total"] - stats["files_rewritten"]
