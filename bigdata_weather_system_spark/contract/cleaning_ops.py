@@ -929,3 +929,55 @@ def doc_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(
         flagged.agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: embedding clusters → survivors)
+# --------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.44
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r2.r FROM edges e JOIN reach r2 ON e.dst = r2.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id, v.label
+FROM embeddings v
+WHERE NOT EXISTS (
+  SELECT 1 FROM cc WHERE cc.node = v.vec_id AND cc.node <> cc.cluster_id
+)
+"""
+
+
+@register("semantic_dedup_survivors", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding space: exact
+    cosine near-dup pairs (threshold 0.44, the corpus' near-dup band) →
+    transitive clusters via the distributed connected-components operator
+    → keep the smallest-id member per cluster, dropping the rest through
+    a broadcast anti-join on the (tiny) loser list. Composes the same
+    three stages as the text-side near-dup dedup, but over semantic
+    similarity — the modern pipeline stage that removes paraphrased
+    redundancy exact dedup can't see. (At corpus scale swap the exact
+    pair stage for the LSH/IVF-bucketed variant; the closure + keep
+    stages are unchanged.)"""
+    from ..operators.dedup import keep_canonical
+    from .llm_ops import embedding_near_dup_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_exact(spark, sf_dir).select("id_a", "id_b")
+    survivors = keep_canonical(
+        e.withColumnRenamed("vec_id", "doc_id"), pairs, "doc_id"
+    )
+    return survivors.select(F.col("doc_id").alias("vec_id"), "label")
