@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "incremental_dedup_contract",
     "doc_ngram_decontamination",
+    "doc_hashing_tf",
+    "event_transition_matrix",
+    # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
+    # the verify baseline (11s at sf0.1); the benched scale path is the
+    # LSH/IVF-bucketed pair family above
 ]
 
 

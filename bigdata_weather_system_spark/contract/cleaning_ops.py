@@ -981,3 +981,144 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumnRenamed("vec_id", "doc_id"), pairs, "doc_id"
     )
     return survivors.select(F.col("doc_id").alias("vec_id"), "label")
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick TF vectorization (model-free featurizer)
+# --------------------------------------------------------------------------
+
+_HASHING_TF_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT) % 64
+           AS bucket
+  FROM t
+),
+c AS (SELECT doc_id, bucket, count(*) AS n FROM e GROUP BY doc_id, bucket),
+g AS (
+  SELECT d.doc_id, i.i AS bucket, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT doc_id FROM t) d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  LEFT JOIN c ON c.doc_id = d.doc_id AND c.bucket = i.i
+)
+SELECT doc_id,
+       cast(sum(n) AS BIGINT)                       AS n_tokens,
+       cast(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                    AS n_active_buckets,
+       md5(string_agg(cast(n AS VARCHAR), ',' ORDER BY bucket)) AS tf_md5
+FROM g GROUP BY doc_id
+"""
+
+
+@register("doc_hashing_tf", oracle=_HASHING_TF_ORACLE)
+def doc_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency vectorization (HashingTF): tokens
+    hash into 64 buckets (md5-derived so both engines agree), giving
+    every doc a fixed-width count vector with NO vocabulary pass — the
+    model-free featurizer that scales to any corpus because the
+    'vocabulary' is the hash function. The dense vector is built with
+    array lambdas (no per-doc pivot join); the oracle cross-checks token
+    totals, active-bucket counts, and an md5 of the full vector."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 64
+    )
+    counts = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # dense 64-wide vector per doc: collect (bucket, n) pairs and fill
+    # misses with array lambdas — no 64-way pivot join
+    vec = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "n"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i.cast("bigint")), F.lit(0)
+                ),
+            ).alias("tf"),
+        )
+    )
+    return vec.select(
+        "doc_id",
+        F.aggregate(
+            "tf", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("n_tokens"),
+        F.size(F.filter("tf", lambda x: x > 0))
+        .cast("long")
+        .alias("n_active_buckets"),
+        F.md5(
+            F.array_join(F.transform("tf", lambda x: x.cast("string")), ",")
+        ).alias("tf_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session transition matrix (Markov counts over event paths)
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*)                                       AS n_transitions,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+                                                      AS p_next
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's ordered
+    event path, normalized into per-source transition probabilities —
+    the product-analytics 'what happens after X' matrix. One window pass
+    on user_id, a tiny (types × types) agg, and a post-agg window for
+    the row-normalization."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(total), 6
+        ).alias("p_next"),
+    )
