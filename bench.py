@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "doc_ngram_decontamination",
     "doc_hashing_tf",
     "event_transition_matrix",
+    "frequent_event_paths",
+    "snapshot_diff_users",
+    "doc_text_normalize",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

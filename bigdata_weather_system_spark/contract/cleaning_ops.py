@@ -1122,3 +1122,183 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(total), 6
         ).alias("p_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent event paths (ordered 3-step n-gram mining)
+# --------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       count(*) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
+@register("frequent_event_paths", oracle=_PATHS_ORACLE)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered path mining: the top-20 most frequent 3-step event-type
+    sequences across all users (sliding, not tumbling — every position
+    starts a path). One window pass per user partition + a tiny
+    (types³-bounded) agg + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        o.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC-style added/removed/changed between two eras)
+# --------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH a AS (
+  SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+  FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY user_id
+)
+SELECT
+  (SELECT count(*) FROM b WHERE user_id NOT IN (SELECT user_id FROM a))
+    AS n_added,
+  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+    AS n_removed,
+  (SELECT count(*) FROM a JOIN b USING (user_id)
+   WHERE a.n <> b.n OR a.sv <> b.sv)                      AS n_changed,
+  (SELECT count(*) FROM a JOIN b USING (user_id)
+   WHERE a.n = b.n AND a.sv = b.sv)                       AS n_unchanged
+"""
+
+
+@register("snapshot_diff_users", oracle=_SNAPDIFF_ORACLE)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two snapshot eras of the per-user profile
+    (cutoffs one week apart): keys added, removed, changed, unchanged.
+    Both sides aggregate before diffing, so the comparison joins two
+    per-key relations — never raw rows — and a full-outer join classifies
+    every key in one pass."""
+    ev = _t(spark, sf_dir, "events")
+
+    def era(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sv"),
+            )
+        )
+
+    a = era("2024-01-15").select(
+        "user_id", F.col("n").alias("an"), F.col("sv").alias("asv")
+    )
+    b = era("2024-01-22").select(
+        "user_id", F.col("n").alias("bn"), F.col("sv").alias("bsv")
+    )
+    j = a.join(b, "user_id", "full_outer")
+    return j.agg(
+        F.sum((F.col("an").isNull()).cast("long")).alias("n_added"),
+        F.sum((F.col("bn").isNull()).cast("long")).alias("n_removed"),
+        F.sum(
+            (
+                F.col("an").isNotNull()
+                & F.col("bn").isNotNull()
+                & ((F.col("an") != F.col("bn")) | (F.col("asv") != F.col("bsv")))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum(
+            (
+                F.col("an").isNotNull()
+                & F.col("bn").isNotNull()
+                & (F.col("an") == F.col("bn"))
+                & (F.col("asv") == F.col("bsv"))
+            ).cast("long")
+        ).alias("n_unchanged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization (control chars, zero-width, whitespace, punct runs)
+# --------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         text || chr(9) || ' x' || chr(11) || 'y  z!!!' AS dirty
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+           dirty,
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '!{3,}', '!!', 'g'),
+           '\\?{3,}', '??', 'g'),
+           '\\.{3,}', '..', 'g'),
+           ',{3,}', ',,', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM s
+)
+SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS clean_len
+FROM n
+"""
+
+
+@register("doc_text_normalize", oracle=_NORMALIZE_ORACLE)
+def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup: strip control characters (keeping tab/LF
+    as whitespace to collapse), cap runs of repeated punctuation at two,
+    collapse whitespace, trim. The dirt is seeded deterministically
+    (tab, vertical-tab, doubled spaces, a '!!!' run) so the oracle
+    replays the exact same pipeline; patterns stay in the RE2 ∩ Java
+    common subset — run caps are per-character because RE2 has no
+    backreferences."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("\t x\x0by  z!!!"),
+    )
+    out = F.regexp_replace(
+        dirty, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+    )
+    # explicit per-char run caps — RE2 (the oracle's engine) has no
+    # backreferences, so '([!?.,])\1{2,}' is not portable
+    for pat, repl in (
+        (r"!{3,}", "!!"),
+        (r"\?{3,}", "??"),
+        (r"\.{3,}", ".."),
+        (r",{3,}", ",,"),
+    ):
+        out = F.regexp_replace(out, pat, repl)
+    clean = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
