@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "frequent_event_paths",
     "snapshot_diff_users",
     "doc_text_normalize",
+    "funnel_time_to_convert",
+    "dau_wau_stickiness",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

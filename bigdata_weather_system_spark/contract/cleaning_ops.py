@@ -1302,3 +1302,110 @@ def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel latency percentiles + DAU/WAU stickiness
+# --------------------------------------------------------------------------
+
+_LATENCY_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         epoch_us(min(e.ts)) - epoch_us(s.t_signup) AS us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+  GROUP BY e.user_id, s.t_signup
+)
+SELECT count(*)                            AS n_converted,
+       round(median(us), 4)                AS median_us,
+       round(quantile_cont(us, 0.90), 4)   AS p90_us
+FROM p
+"""
+
+
+@register("funnel_time_to_convert", oracle=_LATENCY_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per converting user, seconds from
+    first signup to first subsequent purchase, reduced to median/p90
+    hours — the funnel's 'how long' companion to its 'how many' rates.
+    Two min-ts aggs on user_id and one global percentile reduce."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+            ).alias("us")
+        )
+    )
+    # latency stays in integer MICROSECONDS: unix_timestamp would truncate
+    # the sub-second part the oracle's epoch keeps, and a post-hoc unit
+    # division can land the 4-digit round on a half-ulp boundary (both
+    # observed); percentile interpolation over identical integers is
+    # bit-identical across engines
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.median("us"), 4).alias("median_us"),
+        F.round(F.percentile("us", 0.90), 4).alias("p90_us"),
+    )
+
+
+_STICKINESS_ORACLE = """
+WITH d AS (
+  SELECT cast(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT cast(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         count(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT d.day,
+       d.dau,
+       w.wau,
+       round(d.dau * 1.0 / w.wau, 6) AS stickiness
+FROM d JOIN w ON cast(floor(epoch(cast(d.day AS TIMESTAMP)) / 604800)
+                 AS BIGINT) = w.week
+"""
+
+
+@register("dau_wau_stickiness", oracle=_STICKINESS_ORACLE)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: daily active users over their week's weekly
+    actives (the DAU/WAU ratio) — two distinct-count aggs joined on the
+    day's epoch week; the weekly side is tiny and broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    w = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    keyed = d.withColumn(
+        "week",
+        F.floor(
+            F.unix_timestamp(F.col("day").cast("timestamp")) / 604800
+        ).cast("long"),
+    )
+    return (
+        keyed.join(F.broadcast(w), "week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
