@@ -705,28 +705,21 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
-def materialize_lsh_index(
-    df: DataFrame,
-    index_path: str,
-    sets_path: str,
+def lsh_band_keys(
+    sigs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
-) -> None:
-    """Persist the corpus' dedup state once: the LSH band index
-    ``(id, band, bucket)`` partitioned by band (a probe touches only its
-    band partitions) and the per-doc shingle sets used for exact
-    verification. This is what turns near-dup detection from a
-    corpus×corpus batch job into an incremental ``incoming × candidates``
-    lookup — the production shape for deduping a continuous crawl
-    against a 100 TB corpus without ever rescanning it.
-    """
+    id_alias: str | None = None,
+) -> DataFrame:
+    """(id, band, bucket) band postings for MinHash signatures — the
+    shared banding step of the batch LSH join, the materialized index,
+    and incoming-batch probing (one definition so the band hash can
+    never drift between writer and prober)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = sigs.select(
-        F.col(id_col),
+    out_id = id_alias or id_col
+    return sigs.select(
+        F.col(id_col).alias(out_id),
         F.explode(
             F.array(
                 *[
@@ -748,7 +741,29 @@ def materialize_lsh_index(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(out_id, "bb.band", "bb.bucket")
+
+
+def materialize_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    sets_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> None:
+    """Persist the corpus' dedup state once: the LSH band index
+    ``(id, band, bucket)`` partitioned by band (a probe touches only its
+    band partitions) and the per-doc shingle sets used for exact
+    verification. This is what turns near-dup detection from a
+    corpus×corpus batch job into an incremental ``incoming × candidates``
+    lookup — the production shape for deduping a continuous crawl
+    against a 100 TB corpus without ever rescanning it.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = lsh_band_keys(sigs, id_col, num_hashes, num_bands)
     bands.write.mode("overwrite").partitionBy("band").parquet(index_path)
     shingle_sets(df, id_col, text_col, n).write.mode("overwrite").parquet(
         sets_path
@@ -779,32 +794,10 @@ def dedup_incoming(
     corpus: the corpus-side relations are scanned with the broadcast
     band/candidate filters applied, not rebuilt.
     """
-    rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes)
-    new_bands = sigs.select(
-        F.col(id_col).alias("new_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        "signature", b * rows_per_band + r + 1
-                                    )
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("new_id", "bb.band", "bb.bucket")
+    new_bands = lsh_band_keys(
+        sigs, id_col, num_hashes, num_bands, id_alias="new_id"
+    )
     index = spark.read.parquet(index_path)
     cands = (
         index.join(F.broadcast(new_bands), ["band", "bucket"])

@@ -372,3 +372,89 @@ def streaming_ohlc_bars(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def start_online_dedup_sink(
+    doc_stream: DataFrame,
+    index_path: str,
+    sets_path: str,
+    clean_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Online corpus dedup: every micro-batch of incoming documents is
+    matched against the MATERIALIZED LSH index
+    (``operators.dedup.materialize_lsh_index``), survivors append to the
+    clean corpus, and — the part that makes it *online* — the survivors'
+    band postings and shingle sets append to the index, so batch N+1
+    dedups against everything batch N admitted. Within a batch,
+    exact-duplicate content is collapsed first (smallest id wins).
+
+    Scale shape per batch: cost tracks the BATCH and its index
+    collisions (broadcast band keys against the band-partitioned index),
+    never the corpus; index growth is append-only parquet — compact with
+    ``operators.layout.compact_small_files`` on a maintenance cadence.
+    """
+    from ..operators.dedup import (
+        dedup_incoming,
+        exact_dedup,
+        materialize_lsh_index,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch = exact_dedup(batch_df, id_col, text_col)
+        if not os.path.exists(index_path):
+            # first batch bootstraps the index
+            clean = batch
+        else:
+            matches = dedup_incoming(
+                spark,
+                batch,
+                index_path,
+                sets_path,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+                threshold=threshold,
+            )
+            losers = matches.select(
+                F.col("new_id").alias(id_col)
+            ).distinct()
+            clean = batch.join(losers, id_col, "left_anti")
+        clean = clean.persist()
+        try:
+            if clean.limit(1).count() == 0:
+                return
+            clean.write.mode("append").parquet(clean_path)
+            if not os.path.exists(index_path):
+                materialize_lsh_index(
+                    clean, index_path, sets_path, id_col, text_col, n
+                )
+            else:
+                # append the survivors' postings + sets — batch-sized I/O
+                from ..operators.dedup import lsh_band_keys
+
+                lsh_band_keys(
+                    minhash_signatures(clean, id_col, text_col, n), id_col
+                ).write.mode("append").partitionBy("band").parquet(index_path)
+                shingle_sets(clean, id_col, text_col, n).write.mode(
+                    "append"
+                ).parquet(sets_path)
+        finally:
+            clean.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

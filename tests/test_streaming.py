@@ -700,3 +700,61 @@ def test_quality_gated_sink_resumes_from_checkpoint(spark, stream_dir, tmp_path)
         assert spark.read.parquet(str(tmp_path / "good")).count() == 2
     finally:
         q2.stop()
+
+
+def test_online_dedup_sink_drops_cross_batch_near_dups(spark, tmp_path):
+    """Online corpus dedup: batch 1 bootstraps the index; batch 2's
+    near-copy of a batch-1 doc is dropped while its novel doc is kept
+    AND indexed, so batch 3's near-copy of the batch-2 novel doc is
+    dropped too (the index grows with every admitted survivor)."""
+    import json as _json
+
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        start_online_dedup_sink,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+
+    def write_docs(name, docs):
+        with open(src / name, "w") as f:
+            for did, text in docs:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words populate this second document body"
+    write_docs("b1.jsonl", [(1, base), (2, other)])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    idx = str(tmp_path / "idx")
+    sets = str(tmp_path / "sets")
+    clean = str(tmp_path / "clean")
+    q = start_online_dedup_sink(
+        stream, idx, sets, clean, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(clean).collect()
+        ) == [1, 2]
+
+        novel = "fresh unrelated content arrives with wholly new vocabulary here"
+        write_docs(
+            "b2.jsonl",
+            [(3, base + " zz"), (4, novel)],  # 3 ≈ doc 1; 4 novel
+        )
+        q.processAllAvailable()
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(clean).collect()
+        ) == [1, 2, 4]
+
+        write_docs("b3.jsonl", [(5, novel + " yy")])  # ≈ doc 4 (batch 2!)
+        q.processAllAvailable()
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(clean).collect()
+        ) == [1, 2, 4]
+    finally:
+        q.stop()
