@@ -380,28 +380,9 @@ def lsh_candidate_pairs(
     buckets (boilerplate that collapses a band) before pairing — see
     ``pair_up``.
     """
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands = lsh_band_keys(
+        signatures, id_col, num_bands * rows_per_band, num_bands
+    )
     return (
         pair_up(
             bands,
