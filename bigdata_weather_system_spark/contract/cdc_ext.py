@@ -1,0 +1,183 @@
+"""Contract queries: CDC merge application, weighted moving averages, and
+per-key distribution profiling (entropy / concentration).
+
+Extensions beyond the reference's §2 inventory (SURVEY §8): snapshot
+maintenance from a change feed (the MERGE-INTO shape every warehouse
+rebuild needs), a linear-weight moving average expressed purely with
+window sums (no per-row Python), and Shannon-entropy / HHI profiling of
+per-user event mixes — the distribution-skew diagnostics a corpus
+curation pass runs per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core import register, _t
+
+
+@register(
+    "cdc_apply_user_state",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    base AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cutoff WHERE ts < c
+      ) WHERE rn = 1
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cutoff WHERE ts >= c
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_id
+                ELSE b.event_id END AS event_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                ELSE b.event_type END AS event_type,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value
+                ELSE b.value END AS value
+    FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    WHERE NOT COALESCE(c.event_type = 'error', FALSE)
+    """,
+)
+def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot maintenance: the first 15 days of events form
+    the base per-user state snapshot; the rest is the change feed. The
+    latest change per user upserts the state, and a user whose LATEST
+    change is an ``error`` event is tombstone-deleted. Both the snapshot
+    collapse and the merge shuffle on the same key (user_id), so AQE
+    reuses the exchange; the rank-1 filters compile to WindowGroupLimit.
+    """
+    from ..operators.cdc import apply_changes, latest_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("_cut")
+    )
+    ev = ev.crossJoin(F.broadcast(cut))
+    base = latest_changes(
+        ev.filter(F.col("ts") < F.col("_cut")).drop("_cut"),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    changes = ev.filter(F.col("ts") >= F.col("_cut")).drop("_cut")
+    return apply_changes(
+        base,
+        changes,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_values=("error",),
+    )
+
+
+@register(
+    "wma_values_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round((s2 - (rn - cnt) * s1) * 2 / (cnt * (cnt + 1)), 6)
+             AS wma_value
+    FROM (
+      SELECT event_id, user_id, rn,
+             count(*)       OVER w AS cnt,
+             sum(value)     OVER w AS s1,
+             sum(value * rn) OVER w AS s2
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def wma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-weight moving average over the trailing 8 events per user
+    (newest weight 8, oldest 1), computed from TWO plain window sums:
+    with rn the per-key row number, Σ wⱼxⱼ = Σ xⱼ·rnⱼ − (rn−cnt)·Σ xⱼ —
+    so the position-weighted average needs no per-row weight array, no
+    UDF, and only the one shuffle every per-key window shares. The same
+    algebra holds at any partition count and any history length (weights
+    are frame-relative, so nothing grows with absolute row position)."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+    )
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("rn").asc())
+        .rowsBetween(-7, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w8)
+    s1 = F.sum("value").over(w8)
+    s2 = F.sum(F.col("value") * F.col("rn")).over(w8)
+    return r.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (s2 - (F.col("rn") - cnt) * s1) * 2 / (cnt * (cnt + 1)), 6
+        ).alias("wma_value"),
+    )
+
+
+@register(
+    "user_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           count(*) AS n_types,
+           round(-sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot)) + 0, 6)
+             AS entropy,
+           round(sum((n::DOUBLE / tot) * (n::DOUBLE / tot)), 6) AS hhi
+    FROM (
+      SELECT user_id, event_type, n,
+             sum(n) OVER (PARTITION BY user_id) AS tot
+      FROM c
+    )
+    GROUP BY user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-mix profiling: Shannon entropy and Herfindahl
+    concentration (HHI) of the event-type distribution — the skew
+    diagnostic a curation pass computes per source/domain before
+    sampling. Count-group, window-total, final agg: all three stages
+    shuffle on user_id once (exchange reuse), counts stay exact and only
+    the float ratios are rounded."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("user_id"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            # +0.0 folds IEEE −0.0 (single-type users: p=1, ln p = 0) to
+            # +0.0 so both engines hash the same bit pattern
+            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+        )
+    )

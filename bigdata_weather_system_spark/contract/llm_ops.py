@@ -118,6 +118,32 @@ def ngram_jaccard_near_dups_prefix(spark: SparkSession, sf_dir: str) -> DataFram
     return jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_common,
+           round(greatest(count(*)::DOUBLE / any_value(a.sz),
+                          count(*)::DOUBLE / any_value(b.sz)), 6)
+             AS containment
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(greatest(count(*)::DOUBLE / any_value(a.sz),
+                          count(*)::DOUBLE / any_value(b.sz)), 6) >= 0.8
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: max(c/|A|, c/|B|) ≥ 0.8 — the
+    quoted-paragraph / doc-embedded-in-doc case Jaccard misses (a short
+    doc inside a long one has tiny union-normalized similarity but
+    containment ≈ 1). Same inverted-index core as the Jaccard join."""
+    from ..operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
 _JACCARD_PAIRS_CTE = f"""
     {_SHINGLES_CTE},
     pairs AS (
@@ -794,10 +820,30 @@ def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_decode_features")  # mapInPandas fan-out → rows-only check
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake image decode (real plumbing, stubbed kernel)."""
+    """Arrow-batched fake image decode (real plumbing, stubbed kernel).
+
+    The raw op returns an ``array<float>`` feature column; the driver's
+    pandas canonicalizer cannot sort list cells (round 1's only red row was
+    exactly this shape), so the contract entry projects scalar summaries —
+    dim, L2 norm, element sum — and leaves the raw vector output to
+    tests/test_multimodal.py.
+    """
     d = _t(spark, sf_dir, "documents")
     media = to_media_table(d, "doc_id", "text", "image")
-    return decode_image_features(media)
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "width",
+        "height",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("feature_l2"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+    )
 
 
 @register("media_frame_samples")  # mapInPandas fan-out → rows-only check

@@ -173,6 +173,22 @@ def ngram_jaccard_pairs(
     path when approximation is acceptable.
     """
     sets = shingle_sets(df, id_col, text_col, n)
+    common = _pair_overlap_stats(sets, id_col)
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        common.withColumn("jaccard", F.round(jac, _ROUND_DIGITS))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def _pair_overlap_stats(sets: DataFrame, id_col: str) -> DataFrame:
+    """(id_a < id_b, size_a, size_b, n_common) for every document pair
+    sharing ≥1 shingle — the shared grouped-inverted-index core of the
+    exact Jaccard and containment joins. One explode, one
+    map-side-combining groupBy per shingle hash, one per-pair count."""
     exploded = sets.select(
         F.col(id_col), "set_size", F.explode("shingles").alias("shingle")
     )
@@ -201,18 +217,41 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    common = (
+    return (
         postings.select(F.explode(combos).alias("p"))
         .groupBy("p.id_a", "p.id_b", "p.size_a", "p.size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Document pairs where the SMALLER shingle set is ≥ ``threshold``
+    contained in the other: max(c/|A|, c/|B|) ≥ t.
+
+    Containment is the asymmetric near-dup relation Jaccard misses: a
+    paragraph quoted inside a much longer article has tiny Jaccard (union
+    is dominated by the long side) but containment ≈ 1 on the short side
+    — exactly the "document embedded in another" case a corpus-dedup
+    pass wants to catch. Same inverted-index core as the Jaccard join
+    (one explode + two grouped aggregations, never an all-pairs join);
+    only the final ratio differs.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    common = _pair_overlap_stats(sets, id_col)
+    cont = F.greatest(
+        F.col("n_common") / F.col("size_a"),
+        F.col("n_common") / F.col("size_b"),
     )
     return (
-        common.withColumn("jaccard", F.round(jac, _ROUND_DIGITS))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
+        common.withColumn("containment", F.round(cont, _ROUND_DIGITS))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
     )
 
 

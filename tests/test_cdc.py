@@ -1,0 +1,87 @@
+"""CDC merge application (operators/cdc.py) and containment pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.operators.cdc import (
+    apply_changes,
+    latest_changes,
+)
+from bigdata_weather_system_spark.operators.dedup import containment_pairs
+
+
+def _state(rows):
+    return {r["k"]: (r["v"], r["op"]) for r in rows}
+
+
+def test_latest_changes_picks_highest_seq(spark):
+    chg = spark.createDataFrame(
+        [(1, 10, "a", "up"), (1, 20, "b", "up"), (2, 5, "c", "up")],
+        "k int, seq int, v string, op string",
+    )
+    out = latest_changes(chg, ["k"], ["seq"]).collect()
+    assert {(r["k"], r["v"]) for r in out} == {(1, "b"), (2, "c")}
+
+
+def test_apply_changes_upsert_delete_insert_keep(spark):
+    base = spark.createDataFrame(
+        [(1, 0, "old1", "up"), (2, 0, "old2", "up"), (3, 0, "old3", "up")],
+        "k int, seq int, v string, op string",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 1, "new1", "up"),      # update
+            (2, 1, None, "delete"),    # tombstone → key dropped
+            (4, 1, "new4", "up"),      # insert (not in base)
+        ],
+        "k int, seq int, v string, op string",
+    )
+    out = apply_changes(
+        base, chg, ["k"], ["seq"], op_col="op", delete_values=("delete",)
+    )
+    st = _state(out.collect())
+    assert st == {
+        1: ("new1", "up"),
+        3: ("old3", "up"),  # untouched base row survives
+        4: ("new4", "up"),
+    }
+
+
+def test_apply_changes_later_upsert_resurrects_tombstoned_key(spark):
+    base = spark.createDataFrame([(1, 0, "old", "up")], "k int, seq int, v string, op string")
+    chg = spark.createDataFrame(
+        [(1, 1, None, "delete"), (1, 2, "back", "up")],
+        "k int, seq int, v string, op string",
+    )
+    out = apply_changes(
+        base, chg, ["k"], ["seq"], op_col="op", delete_values=("delete",)
+    )
+    assert _state(out.collect()) == {1: ("back", "up")}
+
+
+def test_apply_changes_null_payload_from_change_wins(spark):
+    # a change row with NULL payload must overwrite, not fall back to base
+    base = spark.createDataFrame([(1, 0, "old", "up")], "k int, seq int, v string, op string")
+    chg = spark.createDataFrame([(1, 1, None, "up")], "k int, seq int, v string, op string")
+    out = apply_changes(base, chg, ["k"], ["seq"], op_col="op").collect()
+    assert out[0]["v"] is None
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " trailing filler tokens close out"
+    other = "completely different text with no overlap at all whatsoever yes"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8  # short ⊂ long
+    assert all(3 not in p for p in pairs)
+    # Jaccard on the same pair is small — containment is the only lens
+    # that flags it
+    from bigdata_weather_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 0
