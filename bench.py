@@ -101,6 +101,15 @@ BENCH_QUERIES = [
     "doc_text_normalize",
     "funnel_time_to_convert",
     "dau_wau_stickiness",
+    # CDC / time-series / graph family (round 2, second batch)
+    "cdc_apply_user_state",
+    "wma_values_per_user",
+    "user_event_entropy",
+    "doc_containment_pairs",
+    "part_copurchase_edges",
+    "part_copurchase_pagerank",
+    "part_degree_distribution",
+    "part_copurchase_triangles",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -1,0 +1,138 @@
+"""Contract queries: graph analytics over the part co-purchase graph.
+
+The graph is derived from lineitem: parts are nodes, and two parts that
+appear in the same order share an undirected edge (weight = number of
+co-occurring orders). PageRank runs a FIXED 3 iterations so the oracle
+can unroll the recurrence as three chained CTEs — iterative graph
+algorithms are normally outside SQL's reach, but a fixed unrolling is
+exactly expressible, which turns the usual rows-only check into a full
+value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .core import register, _t
+from ..operators.graph import (
+    cooccurrence_edges,
+    degree_stats,
+    pagerank,
+    triangle_stats,
+)
+
+_EDGES_CTE = """
+    items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    pairs AS (
+      SELECT a.i AS src, b.i AS dst, count(*) AS weight
+      FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+"""
+
+_PR_STEP = """
+    r{k} AS (
+      SELECT e.dst AS src,
+             0.15 * any_value(1.0 / n.n)
+               + 0.85 * sum(r.rank / d.deg) AS rank
+      FROM edges e
+      JOIN r{p} r ON e.src = r.src
+      JOIN deg d ON e.src = d.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    )
+"""
+
+
+@register(
+    "part_copurchase_edges",
+    oracle=f"""
+    WITH {_EDGES_CTE}
+    SELECT src, dst, weight FROM pairs WHERE weight >= 2
+    """,
+)
+def part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edge build (weight ≥ 2 — repeated co-occurrence only):
+    grouped-postings pair generation (one shuffle on the order key, no
+    self-join), then a weight aggregation on the canonical (src < dst)
+    pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return edges.filter(F.col("weight") >= 2)
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT src, any_value(1.0 / n.n) AS rank FROM deg CROSS JOIN n
+           GROUP BY src),
+    {_PR_STEP.format(k=1, p=0)},
+    {_PR_STEP.format(k=2, p=1)},
+    {_PR_STEP.format(k=3, p=2)}
+    SELECT r3.src AS node, round(r3.rank * n.n, 6) AS rank_x_n
+    FROM r3 CROSS JOIN n
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the co-purchase graph.
+    Output is rank × N (≈1.0 scale) rounded to 6 — raw ranks are ~1/N and
+    would lose all significance to a fixed-decimal round. Each iteration
+    is one shuffle; degree and edge relations are cached across
+    iterations."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    n = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return ranks.crossJoin(F.broadcast(n)).select(
+        "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")
+    )
+
+
+@register(
+    "part_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_CTE}
+    SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg
+    """,
+)
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the skew diagnostic
+    run before any per-node iteration (a hub-heavy histogram means the
+    wedge/join fan-outs need the degree-ordered guards)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return degree_stats(edges)
+
+
+@register(
+    "part_copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    tri AS (
+      SELECT count(*) AS t
+      FROM pairs p1
+      JOIN pairs p2 ON p2.src = p1.src AND p2.dst > p1.dst
+      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           tri.t AS n_triangles,
+           round(3.0 * tri.t /
+                 (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6)
+             AS global_clustering
+    FROM tri
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census + clustering coefficient. The Spark side
+    uses the degree-ordered orientation (out-degree bounded by
+    O(sqrt(m))) — the oracle's naive a<b<c three-way join is the
+    same count by id-ordering, feasible at oracle scale only."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges)

@@ -1,0 +1,67 @@
+"""Graph operators (operators/graph.py) on hand-checked tiny graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.operators.graph import (
+    cooccurrence_edges,
+    degree_stats,
+    pagerank,
+    triangle_stats,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cooccurrence_edges_dedupes_and_weights(spark):
+    fact = spark.createDataFrame(
+        # group 1: items {1,2,3} (2 listed twice → still one incidence);
+        # group 2: items {1,2}
+        [(1, 1), (1, 2), (1, 2), (1, 3), (2, 1), (2, 2)],
+        "g long, i long",
+    )
+    out = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in cooccurrence_edges(fact, "g", "i").collect()
+    }
+    assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_triangle_stats_counts_exactly(spark):
+    # K4 minus one edge: nodes 1-4, edges of the square + one diagonal
+    # → exactly 2 triangles (1,2,3) and (1,3,4)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+    row = triangle_stats(e).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 5
+    assert row["n_triangles"] == 2
+    # wedges: degrees (3,2,3,2) → 3+1+3+1 = 8; clustering = 6/8
+    assert row["global_clustering"] == pytest.approx(0.75)
+
+
+def test_triangle_stats_hub_graph_no_false_triangles(spark):
+    # star graph: hub 1 with 4 leaves — many wedges, zero triangles
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 0 and row["global_clustering"] == 0.0
+
+
+def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
+    # hub-and-spoke plus one outer edge: hub must outrank every leaf
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (3, 4)])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    hub = ranks[1]
+    assert all(hub > v for k, v in ranks.items() if k != 1)
+    # symmetric leaves 3 and 4 get identical rank
+    assert ranks[3] == pytest.approx(ranks[4], abs=1e-12)
+
+
+def test_degree_stats_histogram(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    hist = {r["degree"]: r["n_nodes"] for r in degree_stats(e).collect()}
+    assert hist == {3: 1, 1: 3}
