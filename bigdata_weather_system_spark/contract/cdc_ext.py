@@ -181,3 +181,48 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * p), 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "cusum_change_points",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, avg(value) AS mu,
+             coalesce(stddev_samp(value), 0.0) AS sigma
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.event_id, e.user_id, e.ts, st.sigma,
+             sum(e.value - st.mu - 0.5 * st.sigma) OVER w AS pk
+      FROM events e JOIN st ON e.user_id = st.user_id
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           round(pk - least(0.0, min(pk) OVER w), 6) AS cusum,
+           round(pk - least(0.0, min(pk) OVER w), 6) > round(4.0 * sigma, 6)
+             AND sigma > 0 AS cusum_flag
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector per user, as pure window
+    algebra: the sequential reset-at-zero recurrence is rewritten to
+    prefix-sum minus running-min (closed form), so the whole detector is
+    one shuffle on user_id — a stateful-looking scan with a fully
+    declarative plan, and the oracle can express it too."""
+    from ..operators.temporal import cusum_flags
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_flags(
+        ev,
+        key_cols=("user_id",),
+        ts_col="ts",
+        value_col="value",
+        slack_sigmas=0.5,
+        threshold_sigmas=4.0,
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "user_id", "cusum", "cusum_flag")

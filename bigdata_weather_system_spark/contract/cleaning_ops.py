@@ -1409,3 +1409,154 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse integrity + MDM survivorship (round-2, second batch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE s.s_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK audit in one job: every parent→child relation of
+    the TPC-H-ish schema checked with key-pruned LeftAnti joins (small
+    parents broadcast), one summary row each. The all-zero orphan result
+    is the point — the audit proves integrity; a broken load would
+    surface here before any downstream join silently dropped rows."""
+    from ..operators.quality import fk_orphan_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return fk_orphan_audit(
+        [
+            ("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+            ("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+            ("supplier.nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+            ("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+        ]
+    )
+
+
+@register(
+    "golden_user_profile",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type <> 'error' THEN value END AS value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS _seq
+      FROM events
+    )
+    SELECT user_id,
+           max_by(value, CASE WHEN value IS NOT NULL THEN _seq END)
+             AS last_value,
+           max_by(event_type, CASE WHEN event_type IS NOT NULL THEN _seq END)
+             AS last_event_type,
+           min_by(ts, _seq) AS first_ts,
+           max(value) AS max_value,
+           round(sum(value), 6) AS lifetime_value
+    FROM e GROUP BY user_id
+    """,
+)
+def golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship merge: collapse each user's event records into
+    one golden profile under per-field rules — freshest-non-null for
+    state fields (error events carry no value, so the rule back-fills
+    from the latest non-error row), earliest for provenance, max/sum for
+    lifetime counters. ONE hash aggregation (max_by/min_by argmax with a
+    null-guarded key), no window, no self-join. The sequence key is a
+    fixed-width epoch||id string so both engines order identically."""
+    from ..operators.cleaning import survivorship_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("_seq"),
+    )
+    ev = ev.withColumn("max_value", F.col("value")).withColumn(
+        "lifetime_value", F.col("value")
+    )
+    merged = survivorship_merge(
+        ev,
+        key_cols=["user_id"],
+        seq_col="_seq",
+        rules={
+            "value": "latest_non_null",
+            "event_type": "latest_non_null",
+            "ts": "earliest",
+            "max_value": "max",
+            "lifetime_value": "sum",
+        },
+    )
+    return merged.select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("first_ts"),
+        "max_value",
+        F.round("lifetime_value", 6).alias("lifetime_value"),
+    )

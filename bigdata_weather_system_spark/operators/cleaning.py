@@ -238,3 +238,48 @@ def winsorized_stats(
             F.round(F.stddev_samp("_cv"), 6).alias("winsorized_stddev"),
         )
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Golden-record survivorship: collapse duplicate records per key into
+    one, field by field, under per-field rules — the MDM merge step that
+    follows entity resolution (``fuzzy_blocked_pairs`` finds the
+    duplicates; this decides what survives).
+
+    ``rules`` maps field → rule:
+
+    - ``latest_non_null``: value from the highest-``seq_col`` row where
+      the field is non-null (the standard freshest-wins rule that still
+      back-fills from older duplicates when the newest is sparse);
+    - ``earliest``: value from the lowest-``seq_col`` row (provenance
+      fields like first-seen);
+    - ``max`` / ``min`` / ``sum``: plain aggregates (lifetime counters).
+
+    Everything compiles to ONE hash aggregation — ``max_by``/``min_by``
+    argmax aggregates with a null-guarded key, no window, no self-join —
+    so the merge is a single shuffle on the entity key and map-side
+    combines like any other agg.
+    """
+    aggs = []
+    for field, rule in rules.items():
+        c = F.col(field)
+        if rule == "latest_non_null":
+            aggs.append(
+                F.max_by(c, F.when(c.isNotNull(), F.col(seq_col))).alias(field)
+            )
+        elif rule == "earliest":
+            aggs.append(F.min_by(c, F.col(seq_col)).alias(field))
+        elif rule == "max":
+            aggs.append(F.max(c).alias(field))
+        elif rule == "min":
+            aggs.append(F.min(c).alias(field))
+        elif rule == "sum":
+            aggs.append(F.sum(c).alias(field))
+        else:
+            raise ValueError(f"survivorship_merge: unknown rule {rule!r}")
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)

@@ -103,3 +103,40 @@ def check_constraints(
         "threshold",
         passed.alias("passed"),
     )
+
+
+def fk_orphan_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit: for each
+    ``(name, child, child_key, parent, parent_key)`` relation, one output
+    row (relation, n_child_rows, n_orphans) where an orphan is a child
+    row whose key has no parent (NULL keys are not orphans — SQL FK
+    semantics).
+
+    Each relation is a LeftAnti join of the child's key projection
+    against the parent's key — column-pruned to the key on both sides, so
+    the scan reads one column, and small parents broadcast. The per-
+    relation single-row summaries are unioned into one DataFrame: the
+    whole audit is a single job with every branch running in parallel,
+    not a driver-side loop of ``count()`` actions.
+    """
+    parts = []
+    for name, child, ckey, parent, pkey in relations:
+        ck = child.select(F.col(ckey).alias("_k"))
+        pk = parent.select(F.col(pkey).alias("_k"))
+        orphans = (
+            ck.filter(F.col("_k").isNotNull())
+            .join(pk, "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = ck.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relation"), "n_child_rows", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -440,3 +440,62 @@ def ohlc_bars(
             F.round(F.avg("_v"), 6).alias("avg_value"),
         )
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided upper CUSUM change-point detection per key, computed
+    entirely with window algebra — no recursion, no UDF, no state store.
+
+    The textbook recurrence S_k = max(0, S_{k-1} + (x_k − μ − kσ)) looks
+    sequential, but has the closed form
+
+        S_k = P_k − min(0, min_{j≤k} P_j),   P_k = Σ_{i≤k} (x_i − μ − kσ)
+
+    (the reset-at-zero is exactly "subtract the running minimum of the
+    prefix sum, floored at the implicit P₀ = 0"). That turns a stateful
+    scan into: per-key mean/stddev (one unordered window), a running sum,
+    and a running min — all on ONE (key) partitioning, so the whole
+    detector costs a single shuffle at any scale. A point is flagged when
+    S_k exceeds ``threshold_sigmas``·σ.
+
+    Output adds ``cusum`` (rounded, 6dp) and ``cusum_flag`` columns.
+    Constant series (σ = 0 or a single row) never flag.
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    wstat = Window.partitionBy(*keys)
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mu = F.avg(value_col).over(wstat)
+    sigma = F.coalesce(F.stddev_samp(value_col).over(wstat), F.lit(0.0))
+    d = F.col(value_col) - F.col("_mu") - F.lit(slack_sigmas) * F.col("_sigma")
+    out = (
+        df.withColumn("_mu", mu)
+        .withColumn("_sigma", sigma)
+        .withColumn("_p", F.sum(d).over(wrun))
+        .withColumn("_rmin", F.least(F.lit(0.0), F.min("_p").over(wrun)))
+    )
+    s = F.col("_p") - F.col("_rmin")
+    # flag compares ROUNDED statistic to ROUNDED threshold: the raw
+    # comparison could flip between engines when S sits within an ulp of
+    # the threshold (different partial-agg orders for mu/sigma)
+    return (
+        out.withColumn("cusum", F.round(s, 6))
+        .withColumn(
+            "cusum_flag",
+            (F.round(s, 6) > F.round(F.lit(threshold_sigmas) * F.col("_sigma"), 6))
+            & (F.col("_sigma") > 0),
+        )
+        .drop("_mu", "_sigma", "_p", "_rmin")
+    )
