@@ -226,3 +226,107 @@ def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=("event_id",),
     )
     return out.select("event_id", "user_id", "cusum", "cusum_flag")
+
+
+@register(
+    "feature_store_pit_join",
+    oracle="""
+    WITH feats AS (
+      SELECT user_id,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS feature_ts,
+             round(avg(value), 6) AS day_avg_value,
+             count(*) AS day_n_events
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    labels AS (
+      SELECT event_id, user_id, ts, value AS label_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT l.event_id, l.user_id, l.ts, l.label_value,
+             f.feature_ts, f.day_avg_value, f.day_n_events
+      FROM labels l ASOF LEFT JOIN feats f
+        ON l.user_id = f.user_id AND f.feature_ts <= l.ts
+    )
+    SELECT event_id, user_id, ts, label_value,
+           CASE WHEN fresh THEN day_avg_value END AS day_avg_value,
+           CASE WHEN fresh THEN day_n_events END AS day_n_events
+    FROM (
+      SELECT *,
+             feature_ts IS NOT NULL
+               AND epoch(ts) - epoch(feature_ts) <= 604800.0 AS fresh
+      FROM joined
+    )
+    """,
+)
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store pattern):
+    purchase events are training labels; per-(user, day) aggregates are
+    features stamped with the END of their day, so a label can only ever
+    see fully-closed feature windows — no leakage by construction. The
+    as-of backward join takes the newest feature at-or-before each label
+    with a 7-day staleness bound (older features are nulled, not
+    silently served). One shuffle on user_id via the union-window as-of
+    formulation; no per-row lookups."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    feats = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("_day"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("day_avg_value"),
+            F.count(F.lit(1)).alias("day_n_events"),
+        )
+        .select(
+            "user_id",
+            (F.col("_day") + F.expr("INTERVAL 1 DAY")).alias("feature_ts"),
+            "day_avg_value",
+            "day_n_events",
+        )
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label_value")
+    )
+    return asof_join(
+        labels,
+        feats,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="feature_ts",
+        right_cols=["day_avg_value", "day_n_events"],
+        tolerance_seconds=604800.0,
+    ).select(
+        "event_id", "user_id", "ts", "label_value",
+        "day_avg_value", "day_n_events",
+    )
+
+
+@register(
+    "hard_negative_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6)
+               AS cosine_sim
+      FROM embeddings a JOIN embeddings c ON a.label <> c.label
+    )
+    SELECT anchor_id, negative_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine_sim DESC,
+                                            negative_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 2
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 hard negatives (most-similar different-label vector) per
+    anchor — the contrastive-training pair miner, exact labeled
+    baseline."""
+    from ..operators.similarity import hard_negative_mining
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(e, k=2).select(
+        "anchor_id", "negative_id", "cosine_sim"
+    )

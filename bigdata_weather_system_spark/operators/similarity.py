@@ -945,3 +945,55 @@ def _probe_cells(qmat, centroids: list[list[float]], n_probe: int):
     dots = qmat @ cmat
     order = (n_cells - 1) - np.argsort(-dots[:, ::-1], axis=1, kind="stable")
     return order[:, :n_probe]
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard negatives for contrastive training: for every vector, the k
+    most-similar vectors with a DIFFERENT label — the near-boundary
+    pairs a contrastive/metric-learning loss needs (random negatives are
+    trivially easy; the hard ones define the decision margin).
+
+    This is the EXACT all-pairs baseline (label-filtered cross join with
+    the anchor side broadcast), the labeled ground truth the approximate
+    path is scored against — mine at corpus scale through the IVF/LSH
+    bucketed family (``cosine_topk_ivf``) with the label filter applied
+    inside each cell instead. Cosine is rounded before ranking, ties
+    break by negative id, so the mined set is deterministic across
+    engines and accumulation orders.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vec_col).alias("_avec"),
+        norm(F.col(vec_col)).alias("_an"),
+    )
+    c = _spread(vectors).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("_clbl"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(a)).filter(
+        F.col("_albl") != F.col("_clbl")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        "negative_id",
+        F.round(
+            dot(F.col("_avec"), F.col("_cvec")) / (F.col("_an") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
+    )
+    return top_n_per_key(
+        scored,
+        ["anchor_id"],
+        [F.col("cosine_sim").desc(), F.col("negative_id").asc()],
+        n=k,
+    )

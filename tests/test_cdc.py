@@ -85,3 +85,33 @@ def test_containment_pairs_catches_embedded_doc(spark):
 
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     assert jac.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 0
+
+
+def test_pit_join_never_leaks_same_day_features(spark):
+    """A label mid-day must see features only through the END of the
+    previous day — the same-day aggregate (which includes the label row
+    itself) is not yet closed and must not be served."""
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        feature_store_pit_join,
+    )
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = feature_store_pit_join(spark, sf)
+    ev = spark.read.parquet  # noqa: F841  (features derive from events)
+    # every served feature timestamp is at or before the label ts, and
+    # strictly before the label's own day could have closed
+    from pyspark.sql import functions as F
+
+    served = out.filter(F.col("day_n_events").isNotNull())
+    assert served.count() > 0
+    # no served feature window may END after the label timestamp: verify
+    # via reconstruction — a same-day leak would mean avg includes rows
+    # with ts >= label ts. Cheap proxy: labels on the dataset's first day
+    # must have NULL features (no closed window exists yet).
+    first_day = out.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    leaked = out.filter(
+        (F.to_date("ts") == F.lit(first_day))
+        & F.col("day_n_events").isNotNull()
+    ).count()
+    assert leaked == 0
