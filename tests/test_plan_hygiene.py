@@ -216,3 +216,49 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_merge_uses_window_group_limit_and_one_agg(spark):
+    # the latest-change collapse must compile to WindowGroupLimit (rank-1
+    # filter pushed into the shuffle), not a full sort + filter
+    plan = plan_of(spark, "cdc_apply_user_state")
+    assert "WindowGroupLimit" in plan
+
+
+def test_survivorship_is_single_aggregation(spark):
+    # golden-record merge: one partial + one final aggregate pair on the
+    # entity key (max_by lowers to SortAggregate — still map-side
+    # combined), ONE exchange, no Window, no Join
+    plan = plan_of(spark, "golden_user_profile")
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+    assert "Join" not in plan
+    assert "partial_max_by" in plan  # map-side combine present
+    assert plan.count("Exchange") == 1
+
+
+def test_fk_audit_broadcasts_parents(spark):
+    # every parent side is broadcast (dims are small); the anti joins
+    # must not sort-merge
+    plan = plan_of(spark, "referential_integrity_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cusum_single_exchange_per_key(spark):
+    # the closed-form CUSUM shares ONE hash partitioning on user_id for
+    # the stats window, prefix sum, and running min
+    plan = plan_of(spark, "cusum_change_points")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_pagerank_reuses_cached_edges(spark):
+    # the degree/edge relations feed every iteration from the in-memory
+    # cache, not a re-scan
+    plan = plan_of(spark, "part_copurchase_pagerank")
+    assert "InMemoryTableScan" in plan
+
+
+def test_hard_negatives_broadcast_anchor_side(spark):
+    plan = plan_of(spark, "hard_negative_pairs")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
