@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "part_copurchase_pagerank",
     "part_degree_distribution",
     "part_copurchase_triangles",
+    "cusum_change_points",
+    "golden_user_profile",
+    "referential_integrity_audit",
+    "feature_store_pit_join",
+    "hard_negative_pairs",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -1560,3 +1560,119 @@ def golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         F.round("lifetime_value", 6).alias("lifetime_value"),
     )
+
+
+@register(
+    "doc_quality_classifier_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT) % 64
+               AS bucket
+      FROM t
+    ),
+    c AS (SELECT doc_id, bucket, count(*) AS n FROM e GROUP BY doc_id, bucket),
+    z AS (
+      SELECT doc_id,
+             sum(n * (((bucket * 2654435761) % 4096) / 4096.0 - 0.5))
+               / sum(n) - 0.05 AS logit
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS quality_score,
+           round(1.0 / (1.0 + exp(-logit)), 6) > 0.5 AS keep
+    FROM z
+    """,
+)
+def doc_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality classifier scored ENTIRELY in-plan:
+    hashed-bucket term frequencies × a broadcast weight vector →
+    length-normalized logit → sigmoid → keep flag. The weight per bucket
+    is a deterministic integer-hash expression here (a stand-in for real
+    trained weights — which would arrive as a broadcast 64-float map and
+    change nothing about the plan). Cost: one token explode + two grouped
+    sums — no UDF, no dense-vector materialization, no model server. The
+    keep flag compares the ROUNDED score so engines cannot disagree at
+    the 0.5 boundary."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+        % 64
+    )
+    weight = ((F.col("bucket") * F.lit(2654435761)) % 4096) / F.lit(
+        4096.0
+    ) - F.lit(0.5)
+    c = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    z = c.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("n") * weight) / F.sum("n") - F.lit(0.05)
+        ).alias("logit")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    return z.select(
+        "doc_id",
+        F.round("logit", 6).alias("logit"),
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) > 0.5).alias("keep"),
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    v AS (SELECT tok, count(*) AS n FROM e GROUP BY tok),
+    tot AS (SELECT sum(n)::DOUBLE AS total FROM v)
+    SELECT e.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(v.n / tot.total)), 6) AS avg_logprob
+    FROM e JOIN v ON e.tok = v.tok CROSS JOIN tot
+    GROUP BY e.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability per document — the SQL-exact core of
+    perplexity filtering (CCNet-style quality gating scores documents by
+    LM likelihood; the unigram model is the declarative proxy and the
+    calibration baseline for it). Two aggregations on the token key (the
+    corpus LM and the per-doc average share the exploded relation) and
+    one scalar broadcast — at corpus scale the vocabulary relation is
+    Zipf-skewed but the join is a plain shuffled equi-join on the token,
+    with AQE skew splitting covering the head words."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    v = e.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = v.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        e.join(v, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
