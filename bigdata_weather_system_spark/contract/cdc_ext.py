@@ -330,3 +330,107 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(e, k=2).select(
         "anchor_id", "negative_id", "cosine_sim"
     )
+
+
+@register(
+    "twap_6h_bars",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             date_trunc('hour', ts)
+               - INTERVAL (EXTRACT(hour FROM ts)::INT % 6) HOUR AS bucket,
+             epoch(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+               - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT user_id, bucket,
+           round(sum(value * dt) / sum(dt), 6) AS twap,
+           count(*) AS n_periods,
+           round(sum(dt), 3) AS covered_seconds
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id, bucket
+    """,
+)
+def twap_6h_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per (user, 6h bucket) over an
+    IRREGULAR event stream: each observation holds until the next one,
+    so its weight is its holding duration — the correct downsample when
+    sampling is bursty (a plain avg over-weights the bursts; see also
+    ``events_resampled_6h`` which solves this by gridding instead).
+    Holding periods are attributed to the bucket they START in; each
+    key's final observation has no duration and is excluded. One window
+    (lead) + one agg, both on the user_id partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600) * 21600
+    )
+    d = ev.select(
+        "user_id",
+        bucket.alias("bucket"),
+        "value",
+        (
+            F.lead(F.unix_micros("ts")).over(w).cast("double") / 1e6
+            - F.unix_micros("ts").cast("double") / 1e6
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return d.groupBy("user_id", "bucket").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias(
+            "twap"
+        ),
+        F.count(F.lit(1)).alias("n_periods"),
+        F.round(F.sum("dt"), 3).alias("covered_seconds"),
+    )
+
+
+@register(
+    "user_time_in_state",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_type,
+             epoch(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+               - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           round(sum(dt), 3) AS total_seconds,
+           count(*) AS n_periods,
+           round(sum(dt) / sum(sum(dt)) OVER (PARTITION BY user_id), 6)
+             AS time_share
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def user_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration attribution: how long each user SPENDS in each state
+    (event type), treating every event as a state transition that holds
+    until the next — the dwell-time model behind engagement and
+    state-machine analytics. The share denominator is a window sum over
+    the aggregate (no second shuffle: same user_id partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.lead(F.unix_micros("ts")).over(w).cast("double") / 1e6
+            - F.unix_micros("ts").cast("double") / 1e6
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    agg = d.groupBy("user_id", "event_type").agg(
+        F.sum("dt").alias("_tot"), F.count(F.lit(1)).alias("n_periods")
+    )
+    share = F.col("_tot") / F.sum("_tot").over(Window.partitionBy("user_id"))
+    return agg.select(
+        "user_id",
+        "event_type",
+        F.round("_tot", 3).alias("total_seconds"),
+        "n_periods",
+        F.round(share, 6).alias("time_share"),
+    )
