@@ -1676,3 +1676,88 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "entity_resolution_golden_docs",
+    oracle="""
+    WITH RECURSIVE k AS (
+      SELECT lang || cast(n_chars // 16 AS VARCHAR) AS block,
+             doc_id, substr(text, 1, 48) AS prefix
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.prefix, b.prefix) <= 20
+    ),
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT ce.src, r2.r FROM cc_edges ce JOIN reach r2 ON ce.dst = r2.node
+    ),
+    cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(cc.cluster_id, d.doc_id) AS entity_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+    SELECT entity_id,
+           cast(count(*) AS BIGINT) AS n_members,
+           max_by(doc_id, lpad(cast(n_chars AS VARCHAR), 12, '0') ||
+                          lpad(cast(doc_id AS VARCHAR), 12, '0'))
+             AS canonical_doc_id,
+           cast(sum(n_chars) AS BIGINT) AS total_chars
+    FROM lab GROUP BY entity_id
+    """,
+)
+def entity_resolution_golden_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching → transitive
+    closure (connected components) → golden-record selection per entity
+    (longest member wins, id as tiebreak, encoded in a fixed-width
+    argmax key). Unmatched documents are their own entity (left join +
+    coalesce, the canonical-keep pattern). This is the MDM pipeline
+    composed from three already-verified operators — the contract pins
+    the COMPOSITION, which is where key/column mismatches hide."""
+    from ..operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.floor(F.col("n_chars") / 16).cast("long").alias("len_bucket"),
+    )
+    pairs = fuzzy_blocked_pairs(
+        docs,
+        block_cols=["lang", "len_bucket"],
+        id_col="doc_id",
+        text_col="text",
+        prefix_len=48,
+        max_distance=20,
+        max_block_size=None,
+    )
+    cc = connected_components(pairs)
+    lab = (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "entity_id"
+            ),
+        )
+    )
+    key = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    return lab.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", key).alias("canonical_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )
