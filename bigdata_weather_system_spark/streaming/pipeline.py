@@ -458,3 +458,37 @@ def start_online_dedup_sink(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def apply_log_to_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    log_path: str,
+    out_path: str,
+    keys: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    op_col: str | None = None,
+    delete_values: tuple[str, ...] = ("delete",),
+) -> None:
+    """Tombstone-aware snapshot maintenance: fold the streaming append
+    log into the base snapshot with the SAME ``operators.cdc.apply_changes``
+    the batch path uses — latest change per key upserts, a tombstone op
+    deletes, untouched base rows survive. Batch/stream duality means the
+    merge semantics are defined (and tested) exactly once.
+
+    Writes to ``out_path`` (never in place — readers switch paths
+    atomically by convention, as with ``compact_snapshot``).
+    """
+    from ..operators.cdc import apply_changes
+
+    base = spark.read.parquet(base_path)
+    log = spark.read.parquet(log_path)
+    drop = [c for c in ("_batch_id",) if c in log.columns]
+    apply_changes(
+        base,
+        log.drop(*drop),
+        key_cols=list(keys),
+        seq_cols=list(seq_cols),
+        op_col=op_col,
+        delete_values=delete_values,
+    ).write.mode("overwrite").parquet(out_path)

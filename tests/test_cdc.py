@@ -115,3 +115,29 @@ def test_pit_join_never_leaks_same_day_features(spark):
         & F.col("day_n_events").isNotNull()
     ).count()
     assert leaked == 0
+
+
+def test_apply_log_to_snapshot_roundtrip(spark, tmp_path):
+    """The streaming maintenance job folds an append log into a snapshot
+    with the SAME batch apply_changes semantics (duality pin)."""
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        apply_log_to_snapshot,
+    )
+
+    base_p, log_p, out_p = (
+        str(tmp_path / "base"), str(tmp_path / "log"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(
+        [(1, 0, "a", "up"), (2, 0, "b", "up")],
+        "k int, seq int, v string, op string",
+    ).write.parquet(base_p)
+    spark.createDataFrame(
+        [(1, 1, "a2", "up", 7), (2, 1, None, "delete", 7), (3, 1, "c", "up", 8)],
+        "k int, seq int, v string, op string, _batch_id int",
+    ).write.parquet(log_p)
+    apply_log_to_snapshot(
+        spark, base_p, log_p, out_p,
+        keys=("k",), seq_cols=("seq",), op_col="op",
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out_p).collect()}
+    assert got == {1: "a2", 3: "c"}  # 2 tombstoned, 3 inserted, 1 updated
