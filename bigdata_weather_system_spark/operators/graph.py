@@ -108,11 +108,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     once — and out-degrees are bounded by O(sqrt(m)) on any graph,
     which is what keeps the wedge join from exploding on hubs.
     """
+    # the (possibly expensive) edge-build pipeline feeds FOUR consumers —
+    # degree agg, both wedge sides, and the closing-edge probe — so pin it
+    # in memory once instead of re-evaluating the upstream per consumer
+    edges = edges.select("src", "dst").cache()
     deg = (
         _directed(edges)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "v")
+        .cache()
     )
     e = (
         edges.select("src", "dst")
@@ -123,7 +128,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-    )
+    ).cache()
     w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     # wedges at the oriented apex (b != c once), closed by an edge b–c in
