@@ -1355,3 +1355,92 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+@register(
+    "doc_span_corruption",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(
+               list_transform(range(1, len(toks) + 1), i ->
+                 CASE WHEN (i - 1) % 13 BETWEEN 5 AND 7 THEN
+                   CASE WHEN (i - 1) % 13 = 5
+                        THEN '<extra_id_' || cast((i - 1) // 13 AS VARCHAR) || '>'
+                   END
+                 ELSE toks[i] END),
+               x -> x IS NOT NULL) AS inp,
+             list_filter(
+               list_transform(range(1, len(toks) + 1), i ->
+                 CASE WHEN (i - 1) % 13 = 5
+                      THEN '<extra_id_' || cast((i - 1) // 13 AS VARCHAR) || '> ' || toks[i]
+                      WHEN (i - 1) % 13 BETWEEN 6 AND 7 THEN toks[i]
+                 END),
+               x -> x IS NOT NULL) AS tgt
+      FROM t
+    )
+    SELECT doc_id,
+           md5(array_to_string(inp, ' ')) AS input_md5,
+           md5(array_to_string(tgt, ' ')) AS target_md5,
+           cast((n + 7) // 13 AS BIGINT) AS n_spans,
+           cast(len(toks) - len(inp) + (n + 7) // 13 AS BIGINT)
+             AS n_masked_tokens
+    FROM m
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption as PURE array algebra: deterministic
+    3-token spans (positions ≡ 5,6,7 mod 13) are cut from the token
+    stream; the input keeps one ``<extra_id_k>`` sentinel per span, the
+    target is the sentinel-tagged masked text — the (input, target)
+    pair a denoising LM trains on. Deterministic positions (not rand())
+    make the pairs reproducible across engines/runs/partitionings; a
+    seeded-hash mask would slot into the same expressions. No UDF: two
+    positional transforms + filters per doc, embarrassingly parallel.
+
+    Hashes (not raw strings) are emitted so the gate compares bytes
+    without shipping whole corrupted documents through the canon.
+    """
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size("toks")
+    pos = F.sequence(F.lit(1), n)
+    span_id = lambda i: ((i - 1) / 13).cast("int")  # noqa: E731
+    off = lambda i: (i - 1) % 13  # noqa: E731
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), span_id(i).cast("string"), F.lit(">")
+    )
+    tok_at = lambda i: F.element_at("toks", i)  # noqa: E731
+    inp = F.filter(
+        F.transform(
+            pos,
+            lambda i: F.when(off(i) == 5, sentinel(i))
+            .when(off(i).between(6, 7), F.lit(None))
+            .otherwise(tok_at(i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tgt = F.filter(
+        F.transform(
+            pos,
+            lambda i: F.when(
+                off(i) == 5, F.concat(sentinel(i), F.lit(" "), tok_at(i))
+            ).when(off(i).between(6, 7), tok_at(i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(inp, " ")).alias("input_md5"),
+            F.md5(F.array_join(tgt, " ")).alias("target_md5"),
+            ((n + 7) / 13).cast("long").alias("n_spans"),
+            (n - F.size(inp) + ((n + 7) / 13).cast("long")).cast("long").alias(
+                "n_masked_tokens"
+            ),
+        )
+    )
