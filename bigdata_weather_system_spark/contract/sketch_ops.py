@@ -113,3 +113,51 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.9).between(F.col("_b85"), F.col("_b95")).alias("p90_in_band"),
         est(0.99).between(F.col("_b97"), F.col("_vmax")).alias("p99_in_band"),
     )
+
+
+@register(
+    "approx_overlap_users",
+    oracle="""
+    SELECT (SELECT count(DISTINCT c.user_id)
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+             AS exact_overlap,
+           TRUE AS within_15pct
+    """,
+)
+def approx_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-operation accuracy contract: |clickers ∩ purchasers|
+    estimated by HLL inclusion-exclusion (|A| + |B| − |A∪B|, three
+    mergeable approx_count_distinct sketches, no join) must land within
+    ±15% of the exact join-based overlap. This is the composition HLL
+    users actually run — sketches only union natively, so intersections
+    go through inclusion-exclusion and inherit BOTH sketches' error;
+    the contract pins that the composed error stays inside the bound at
+    this precision (rsd 0.01)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    a = clicks.agg(F.approx_count_distinct("user_id", 0.01).alias("na"))
+    b = buys.agg(F.approx_count_distinct("user_id", 0.01).alias("nb"))
+    u = (
+        clicks.select("user_id")
+        .unionAll(buys.select("user_id"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("nu"))
+    )
+    est = (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select((F.col("na") + F.col("nb") - F.col("nu")).alias("est"))
+    )
+    exact = (
+        clicks.select("user_id")
+        .intersect(buys.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_overlap",
+        (
+            (F.col("est") >= F.col("exact_overlap") * 0.85)
+            & (F.col("est") <= F.col("exact_overlap") * 1.15)
+        ).alias("within_15pct"),
+    )
