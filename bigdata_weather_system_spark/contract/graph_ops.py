@@ -136,3 +136,41 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return triangle_stats(edges)
+
+
+@register(
+    "part_khop_reachability",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    src AS (SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT 3),
+    h0 AS (SELECT node, 0 AS hop FROM src),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN h0 ON e.src = h0.node
+           WHERE e.dst NOT IN (SELECT node FROM h0)),
+    h1 AS (SELECT * FROM h0 UNION ALL SELECT node, 1 FROM f1),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f1 ON e.src = f1.node
+           WHERE e.dst NOT IN (SELECT node FROM h1)),
+    h2 AS (SELECT * FROM h1 UNION ALL SELECT node, 2 FROM f2),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f2 ON e.src = f2.node
+           WHERE e.dst NOT IN (SELECT node FROM h2)),
+    h3 AS (SELECT * FROM h2 UNION ALL SELECT node, 3 FROM f3)
+    SELECT hop, cast(count(*) AS BIGINT) AS n_nodes
+    FROM h3 GROUP BY hop
+    """,
+)
+def part_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability from the three lowest-id parts in the
+    co-purchase graph, reported as nodes-per-hop — the frontier-join BFS
+    whose per-hop cost is the frontier's edge boundary (visited set
+    anti-joined out, lineage truncated per hop). The oracle unrolls the
+    same three frontier expansions as chained CTEs."""
+    from ..operators.graph import bfs_layers
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    nodes = edges.select("src").union(edges.select("dst")).distinct()
+    sources = nodes.orderBy("src").limit(3)
+    layers = bfs_layers(edges, sources, max_hops=3)
+    return layers.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -151,3 +151,42 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-depth BFS over an undirected edge list: (node, hop) with
+    hop = shortest distance from any source node (hop 0), up to
+    ``max_hops``.
+
+    Each hop is one join (frontier × directed edges) plus an anti-join
+    against the visited set — the standard distributed BFS where work is
+    proportional to the frontier's edge boundary, not the graph. The
+    visited set is re-cached per hop and lineage-truncated so deep
+    traversals don't accumulate a quadratic plan. Bounded depth keeps
+    the loop deterministic and driver-collect-free.
+    """
+    directed = _directed(edges).cache()
+    frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    visited = frontier.select("node", F.lit(0).alias("hop")).cache()
+    visited.count()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            directed.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(h).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -65,3 +65,23 @@ def test_degree_stats_histogram(spark):
     e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
     hist = {r["degree"]: r["n_nodes"] for r in degree_stats(e).collect()}
     assert hist == {3: 1, 1: 3}
+
+
+def test_bfs_layers_shortest_hop_wins(spark):
+    from bigdata_weather_system_spark.operators.graph import bfs_layers
+
+    # path 1-2-3-4 plus shortcut 1-3: node 3 must be hop 1, node 4 hop 2
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 3)])
+    src = spark.createDataFrame([(1,)], "node long")
+    hops = {r["node"]: r["hop"] for r in bfs_layers(e, src, max_hops=3).collect()}
+    assert hops == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_layers_respects_max_hops_and_disconnection(spark):
+    from bigdata_weather_system_spark.operators.graph import bfs_layers
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
+    src = spark.createDataFrame([(1,)], "node long")
+    out = bfs_layers(e, src, max_hops=1).collect()
+    assert {r["node"] for r in out} == {1, 2}          # depth bound holds
+    assert all(r["node"] not in (5, 6) for r in out)   # other component
