@@ -115,6 +115,14 @@ BENCH_QUERIES = [
     "referential_integrity_audit",
     "feature_store_pit_join",
     "hard_negative_pairs",
+    "doc_span_corruption",
+    "doc_quality_classifier_scores",
+    "doc_unigram_logprob",
+    "entity_resolution_golden_docs",
+    "twap_6h_bars",
+    "user_time_in_state",
+    "part_khop_reachability",
+    "approx_overlap_users",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above
