@@ -537,3 +537,36 @@ def zscore_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", F.round("zscore", 6).alias("zscore")
     )
+
+
+@register(
+    "props_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS BIGINT)
+             AS k_mod10,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: ``parse_json`` → binary variant →
+    typed ``try_variant_get`` extraction. Variant is the engine-native
+    answer to schemaless JSON columns at scale — parsed ONCE into a
+    binary form that supports typed path access without re-tokenizing
+    the string per expression (the ``from_json``-with-full-schema
+    alternative needs the schema up front; the per-expression
+    ``get_json_object`` re-parses every call). The oracle reads the same
+    paths with DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        (k % 10).cast("long").alias("k_mod10"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )
