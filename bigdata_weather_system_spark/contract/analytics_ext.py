@@ -388,3 +388,45 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              'event_id', n_rows, nn_event, nd_event, mn_event, mx_event
            ) AS (column_name, n_rows, n_non_null, n_distinct, min_d, max_d)"""
     )
+
+
+@register(
+    "part_price_volume_skyline",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_partkey, p.p_retailprice AS price,
+             cast(count(*) AS BIGINT) AS n_lineitems
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_partkey, p.p_retailprice
+    )
+    SELECT p_partkey, price, n_lineitems FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.price <= a.price AND b.n_lineitems >= a.n_lineitems
+        AND (b.price < a.price OR b.n_lineitems > a.n_lineitems)
+    )
+    """,
+)
+def part_price_volume_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of parts under (minimize retail price,
+    maximize order volume) — multi-objective shortlisting without an
+    ad-hoc combined score. Two-phase distributed skyline: per-partition
+    local fronts (dominance is transitive, so local filtering never
+    drops a true skyline row), then one small global merge. The oracle
+    is the NOT-EXISTS dominance definition itself — quadratic, exact,
+    oracle-scale only."""
+    from ..operators.pareto import skyline
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        part.join(li, part["p_partkey"] == li["l_partkey"])
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            "n_lineitems",
+        )
+    )
+    return skyline(s, max_cols=["n_lineitems"], min_cols=["price"])
