@@ -430,3 +430,39 @@ def part_price_volume_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return skyline(s, max_cols=["n_lineitems"], min_cols=["price"])
+
+
+@register(
+    "rolling_1h_distinct_types",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           cast(count(DISTINCT b.event_type) AS BIGINT) AS distinct_types_1h
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts
+     AND b.ts >= a.ts - INTERVAL 1 HOUR
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def rolling_1h_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT count: how many distinct event types each
+    user produced in the trailing hour, per event. Distinct aggregates
+    are not natively windowable in either engine; the Spark side builds
+    ``size(array_distinct(collect_list))`` over a RANGE frame — one
+    shuffle, state bounded by the window's row count — while the oracle
+    takes the self-join + COUNT DISTINCT definition (quadratic, oracle
+    scale only). At corpus scale swap the exact set for an HLL sketch
+    column merged over the same frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).cast(
+            "long"
+        ).alias("distinct_types_1h"),
+    )
