@@ -466,3 +466,56 @@ def rolling_1h_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("distinct_types_1h"),
     )
+
+
+@register(
+    "event_pattern_matches",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(regexp_extract_all(seq, 'click,purchase')) AS click_then_buy,
+           len(regexp_extract_all(seq, 'error,error')) AS error_bursts,
+           regexp_matches(seq, 'signup.*click.*purchase') AS funnel_complete
+    FROM s
+    """,
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite pattern matching (the MATCH_RECOGNIZE shape Spark lacks):
+    each user's history collapses to an ordered type string — one
+    ordered aggregation per key — and patterns become plain regexes over
+    it: adjacent click→purchase conversions, error bursts, and a
+    whole-funnel containment check. Scale note: the per-key sequence
+    string is bounded by that key's history; for unbounded keys, window
+    the sequence by day/session first (doc_chunk_windows shape). Regexes
+    stay in the RE2 ∩ Java common subset.
+
+    Non-overlapping match semantics: both engines scan left-to-right and
+    consume matched text ('error,error,error' counts ONE error burst),
+    which is what makes the two counts comparable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(seq.alias("seq")).select(
+        "user_id",
+        F.regexp_count("seq", F.lit("click,purchase")).cast("long").alias(
+            "click_then_buy"
+        ),
+        F.regexp_count("seq", F.lit("error,error")).cast("long").alias(
+            "error_bursts"
+        ),
+        F.col("seq").rlike("signup.*click.*purchase").alias("funnel_complete"),
+    )
