@@ -519,3 +519,93 @@ def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("seq").rlike("signup.*click.*purchase").alias("funnel_complete"),
     )
+
+
+@register(
+    "type_weekday_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*)::DOUBLE AS obs
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    t AS (
+      SELECT event_type, dow, obs,
+             sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+             sum(obs) OVER (PARTITION BY dow) AS col_tot,
+             sum(obs) OVER () AS n
+      FROM o
+    )
+    SELECT round(sum((obs - row_tot * col_tot / n)
+                     * (obs - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           cast((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM t
+    """,
+)
+def type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event type × weekday — the
+    contingency screening a feature pipeline runs before trusting a
+    categorical interaction. Observed cell counts, marginal expectations
+    via three window sums over the SAME small contingency relation, one
+    final reduction — nothing touches the raw table twice."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    t = (
+        o.withColumn("row_tot", F.sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("col_tot", F.sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return t.agg(
+        F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "source_lang_divergence",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*)::DOUBLE AS n
+      FROM documents GROUP BY source, lang
+    ),
+    p AS (
+      SELECT source, lang, n,
+             n / sum(n) OVER (PARTITION BY source) AS p,
+             sum(n) OVER (PARTITION BY lang) / sum(n) OVER () AS q
+      FROM c
+    )
+    SELECT source,
+           round(sum(p * ln(p / q)) + 0, 6) AS kl_vs_corpus,
+           cast(count(*) AS BIGINT) AS n_langs
+    FROM p GROUP BY source
+    """,
+)
+def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screening: KL(source language mix ‖ corpus
+    mix) per source — the shard-vs-corpus divergence a curation pass
+    monitors to catch a feed whose language balance shifted. KL is
+    finite here by construction (every (source, lang) cell contributes
+    to the corpus marginal, so q > 0 wherever p > 0). Window sums over
+    the tiny contingency relation; the raw corpus is read once."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("source"))
+    q = F.sum("n").over(Window.partitionBy("lang")) / F.sum("n").over(
+        Window.partitionBy()
+    )
+    t = c.withColumn("p", p).withColumn("q", q)
+    return t.groupBy("source").agg(
+        (F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6)
+         + F.lit(0.0)).alias("kl_vs_corpus"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
