@@ -609,3 +609,82 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(0.0)).alias("kl_vs_corpus"),
         F.count(F.lit(1)).alias("n_langs"),
     )
+
+
+_POISSON_CASE_SQL = """
+    CASE WHEN u < 0.367879441171 THEN 0
+         WHEN u < 0.735758882343 THEN 1
+         WHEN u < 0.919698602929 THEN 2
+         WHEN u < 0.981011843123 THEN 3
+         WHEN u < 0.996340153172 THEN 4
+         WHEN u < 0.999405815182 THEN 5
+         ELSE 6 END
+"""
+
+
+@register(
+    "bootstrap_value_mean",
+    oracle=f"""
+    WITH r AS (
+      SELECT e.event_id, e.value, b.b,
+             CAST(('0x' || substring(md5(CAST(e.event_id AS VARCHAR)
+                                         || '_' || CAST(b.b AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS u
+      FROM events e CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+    )
+    SELECT b AS replica,
+           round(sum(({_POISSON_CASE_SQL}) * value)
+                 / sum({_POISSON_CASE_SQL}), 6) AS boot_mean
+    FROM r GROUP BY b
+    """,
+)
+def bootstrap_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap — Chamandy et al.,
+    Google 2012): classic resampling needs n draws WITH replacement per
+    replica, impossible to coordinate across partitions; Poisson(1)
+    per-row weights are an asymptotically equivalent approximation that
+    needs NO coordination at all. Weights here are DETERMINISTIC
+    (inverse-CDF over a content-hash uniform, not rand()), so the 32
+    replica means are reproducible bit-for-bit across engines, runs, and
+    partitionings — an auditable confidence interval. Plan: the 32×
+    replica fan-out happens map-side and collapses immediately into
+    partial aggregates (32 groups), so the shuffle carries 32 rows per
+    partition regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.col("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("_"),
+                        b.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    w = (
+        F.when(F.col("u") < 0.367879441171, 0)
+        .when(F.col("u") < 0.735758882343, 1)
+        .when(F.col("u") < 0.919698602929, 2)
+        .when(F.col("u") < 0.981011843123, 3)
+        .when(F.col("u") < 0.996340153172, 4)
+        .when(F.col("u") < 0.999405815182, 5)
+        .otherwise(6)
+    )
+    return (
+        ev.select("event_id", "value")
+        .crossJoin(spark.range(0, 32).select(F.col("id").alias("b")))
+        .withColumn("u", u)
+        .groupBy(b.alias("replica"))
+        .agg(
+            F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("boot_mean")
+        )
+    )
