@@ -1761,3 +1761,84 @@ def entity_resolution_golden_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max_by("doc_id", key).alias("canonical_doc_id"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "purchases_with_state_asof",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM r
+    ),
+    seg AS (
+      SELECT user_id, run, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM g GROUP BY user_id, run, event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM seg
+    ),
+    buys AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           d.state AS prior_state, d.valid_from AS prior_state_since
+    FROM buys b LEFT JOIN dim d
+      ON b.user_id = d.user_id
+     AND d.valid_from < b.ts
+     AND (d.valid_to IS NULL OR b.ts <= d.valid_to)
+    """,
+)
+def purchases_with_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball temporal dimension lookup: each purchase is enriched with
+    the SCD2 state interval covering the INSTANT BEFORE it (``ts − ε``,
+    i.e. valid_from < ts ≤ valid_to) — what the user was doing as they
+    converted. Composes the SCD2 build with an interval-predicate join;
+    a user's first-ever event finds no prior interval and keeps nulls
+    (LEFT join). At warehouse scale the dimension side is orders of
+    magnitude smaller than the fact side and pre-partitioned on the same
+    key, so the join costs one co-partitioned shuffle."""
+    from ..operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev,
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("prior_state"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (buys["user_id"] == dim["d_user"])
+        & (dim["valid_from"] < buys["ts"])
+        & (dim["valid_to"].isNull() | (buys["ts"] <= dim["valid_to"]))
+    )
+    return buys.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "prior_state",
+        F.col("valid_from").alias("prior_state_since"),
+    )
