@@ -123,6 +123,14 @@ BENCH_QUERIES = [
     "user_time_in_state",
     "part_khop_reachability",
     "approx_overlap_users",
+    "part_price_volume_skyline",
+    "rolling_1h_distinct_types",
+    "event_pattern_matches",
+    "type_weekday_chi2",
+    "source_lang_divergence",
+    "bootstrap_value_mean",
+    "purchases_with_state_asof",
+    "props_variant_extract",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above
