@@ -434,3 +434,82 @@ def user_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_periods",
         F.round(share, 6).alias("time_share"),
     )
+
+
+@register(
+    "knn_label_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS qid, a.label AS true_label,
+             c.vec_id AS nid, c.label AS nlabel,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+    ),
+    top5 AS (
+      SELECT qid, true_label, nlabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT qid, true_label, nlabel, count(*) AS v
+      FROM top5 GROUP BY qid, true_label, nlabel
+    ),
+    pred AS (
+      SELECT qid, true_label, nlabel AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY v DESC, nlabel ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label evaluation: exact 5-NN majority vote per
+    vector (cosine, rounded-then-ranked, deterministic tie-breaks at
+    both the neighbor and the vote level), scored against the true
+    labels per class — the standard embedding-quality probe (if kNN
+    can't predict the label, the embedding space doesn't separate the
+    classes). Exact baseline; at corpus scale the neighbor stage swaps
+    to the IVF/LSH family, the vote/score algebra is unchanged."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    top5 = cosine_topk_bruteforce(e, e, k=5)
+    labels = e.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    nlabels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        top5.withColumnRenamed("query_id", "qid")
+        .join(F.broadcast(nlabels), "neighbor_id")
+        .groupBy("qid", "nlabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("v").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.join(F.broadcast(labels), "qid")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+    )
