@@ -174,3 +174,88 @@ def part_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = nodes.orderBy("src").limit(3)
     layers = bfs_layers(edges, sources, max_hops=3)
     return layers.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_PPR_STEP = """
+    p{k} AS (
+      SELECT n.node AS src,
+             0.85 * coalesce(c.cin, 0.0) + 0.15 * coalesce(rs.restart, 0.0)
+               AS rank
+      FROM (
+        SELECT src AS node FROM p{p}
+        UNION SELECT e.dst FROM edges e JOIN p{p} r ON e.src = r.src
+        UNION SELECT node FROM restart
+      ) n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS cin
+        FROM edges e JOIN p{p} r ON e.src = r.src
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+      LEFT JOIN restart rs ON rs.node = n.node
+      WHERE 0.85 * coalesce(c.cin, 0.0) + 0.15 * coalesce(rs.restart, 0.0) > 0
+    )
+"""
+
+
+@register(
+    "part_related_ppr",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    restart AS (
+      SELECT node, 1.0 / 3 AS restart FROM
+        (SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT 3)
+    ),
+    p0 AS (SELECT node AS src, restart AS rank FROM restart),
+    {_PPR_STEP.format(k=1, p=0)},
+    {_PPR_STEP.format(k=2, p=1)},
+    {_PPR_STEP.format(k=3, p=2)}
+    SELECT src AS node, round(rank * 1000, 6) AS rank_x_1000
+    FROM p3 WHERE round(rank * 1000, 6) > 0
+    """,
+)
+def part_related_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-part seed set — 'parts related to
+    these seeds' via a damped random walk with restart, the
+    recommendation variant of the PageRank loop (teleport mass goes to
+    the seeds, unreached nodes stay at zero and are absent). Scores
+    scaled ×1000 before rounding (seed-local mass is small)."""
+    from ..operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    nodes = edges.select("src").union(edges.select("dst")).distinct()
+    seeds = nodes.orderBy("src").limit(3)
+    ranks = personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1000, 6).alias("rank_x_1000")
+    ).filter(F.col("rank_x_1000") > 0)
+
+
+@register(
+    "part_copurchase_salton",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    dw AS (
+      SELECT src, weight FROM pairs
+      UNION ALL SELECT dst AS src, weight FROM pairs
+    ),
+    wdeg AS (SELECT src, sum(weight) AS wdeg FROM dw GROUP BY src)
+    SELECT p.src, p.dst, p.weight,
+           round(p.weight / sqrt(a.wdeg * b.wdeg), 6) AS salton
+    FROM pairs p
+    JOIN wdeg a ON a.src = p.src
+    JOIN wdeg b ON b.src = p.dst
+    WHERE p.weight >= 2
+    """,
+)
+def part_copurchase_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-normalized co-purchase similarity (Salton cosine on the
+    bipartite projection): damps bestseller bias that raw co-counts
+    recommend by. Weighted degrees via one aggregation; two degree
+    lookups joined back; repeated-co-occurrence pairs only."""
+    from ..operators.graph import salton_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return salton_similarity(edges).filter(F.col("weight") >= 2)

@@ -190,3 +190,75 @@ def bfs_layers(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the teleport distributes to the SOURCE set
+    (uniformly) instead of all nodes — scores become 'relevance to these
+    seeds', the classic related-items / recommendation walk. Same
+    one-shuffle-per-iteration loop as ``pagerank``; the restart vector is
+    a broadcast-joined indicator, and nodes outside the walk's reach
+    simply keep rank 0 (they are absent from the output)."""
+    directed = _directed(edges).cache()
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    deg.count()
+    src = sources.select(
+        F.col(sources.columns[0]).alias("src")
+    ).distinct().cache()
+    n_src = src.count()
+    restart = src.select("src", F.lit(1.0 / n_src).alias("restart"))
+    ranks = restart.select("src", F.col("restart").alias("rank"))
+    out_share = directed.join(deg, "src")
+    for _ in range(iterations):
+        contrib = (
+            out_share.join(ranks, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
+        )
+        ranks = (
+            contrib.join(F.broadcast(restart), "src", "full_outer")
+            .select(
+                "src",
+                (
+                    F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    + (1.0 - damping) * F.coalesce(F.col("restart"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .filter(F.col("rank") > 0)
+        )
+    return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def salton_similarity(edges: DataFrame) -> DataFrame:
+    """Item-item similarity on the co-occurrence graph: Salton cosine
+    w_ij / sqrt(deg_i · deg_j) — the degree-normalized co-purchase
+    score that damps popular-item bias (raw co-counts just recommend
+    bestsellers). Two broadcast-joined degree lookups over the edge
+    list; degrees here are WEIGHTED (sum of incident co-counts)."""
+    dw = edges.select("src", "dst", "weight").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    wdeg = (
+        dw.groupBy("src")
+        .agg(F.sum("weight").alias("wdeg"))
+        .withColumnRenamed("src", "v")
+    )
+    return (
+        edges.join(wdeg.withColumnRenamed("v", "src").withColumnRenamed("wdeg", "da"), "src")
+        .join(wdeg.withColumnRenamed("v", "dst").withColumnRenamed("wdeg", "db"), "dst")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            F.round(
+                F.col("weight") / F.sqrt(F.col("da") * F.col("db")), 6
+            ).alias("salton"),
+        )
+    )
