@@ -513,3 +513,74 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+@register(
+    "cuped_ab_analysis",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             avg(CASE WHEN ts < c THEN value END) AS x,
+             avg(CASE WHEN ts >= c THEN value END) AS y
+      FROM events, cutoff
+      GROUP BY user_id
+      HAVING avg(CASE WHEN ts < c THEN value END) IS NOT NULL
+         AND avg(CASE WHEN ts >= c THEN value END) IS NOT NULL
+    ),
+    theta AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS th, avg(x) AS xbar
+      FROM per_user
+    )
+    SELECT grp,
+           cast(count(*) AS BIGINT) AS n,
+           round(avg(y), 6) AS mean_raw,
+           round(avg(y - th * (x - xbar)), 6) AS mean_cuped,
+           round(var_samp(y - th * (x - xbar)) / var_samp(y), 6)
+             AS var_ratio
+    FROM per_user CROSS JOIN theta
+    GROUP BY grp
+    """,
+)
+def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B measurement (Deng et al., WSDM
+    2013 — the experimentation-platform standard): each user's
+    post-period metric is adjusted by their PRE-period covariate,
+    ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x), which strips the
+    between-user variance the pre-period already explains and shrinks
+    confidence intervals at identical sample size. Everything is closed
+    form: one per-user aggregation (conditional averages split the
+    periods in a single pass), one pooled θ reduction broadcast back,
+    one per-arm summary — three aggregations, no iteration. The
+    variance ratio column IS the method's diagnostic: ~1 means the
+    covariate bought nothing (true for this synthetic data, whose
+    per-user values have no cross-period persistence — the gate checks
+    the math, not the effect size); on real metrics with sticky user
+    levels it lands well below 1."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("_cut"))
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("grp"),
+            F.avg(F.when(F.col("ts") < F.col("_cut"), F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("ts") >= F.col("_cut"), F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    theta = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("y"), 6).alias("mean_raw"),
+            F.round(F.avg(adj), 6).alias("mean_cuped"),
+            F.round(F.var_samp(adj) / F.var_samp("y"), 6).alias("var_ratio"),
+        )
+    )
