@@ -584,3 +584,77 @@ def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_samp(adj) / F.var_samp("y"), 6).alias("var_ratio"),
         )
     )
+
+
+@register(
+    "attribution_decay_credit",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    touch AS (
+      SELECT p.pid, p.value, t.event_type,
+             power(0.5, (epoch(p.pts) - epoch(t.tts)) / 1800.0) AS w
+      FROM p JOIN t
+        ON p.user_id = t.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 1 HOUR
+    ),
+    shared AS (
+      SELECT event_type,
+             value * w / sum(w) OVER (PARTITION BY pid) AS credit
+      FROM touch
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_touches,
+           round(sum(credit), 4) AS value_credit
+    FROM shared GROUP BY event_type
+    """,
+)
+def attribution_decay_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: each
+    purchase's value is split across the user's touches in the prior
+    hour, weighted 0.5^(Δt/30min) and normalized per purchase (a
+    window sum over the touch relation — no second pass over raw data),
+    then rolled up per channel (event type). The user-equi + time-band
+    join is the as-of family's shape; at scale it runs through the
+    bucketized ``interval_containment_join`` instead of a raw range
+    predicate."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tts"), "event_type"
+    )
+    dt = (
+        F.unix_micros("pts").cast("double")
+        - F.unix_micros("tts").cast("double")
+    ) / 1e6
+    touch = p.join(
+        t,
+        (F.col("puser") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "pid", "value", "event_type", F.pow(0.5, dt / 1800.0).alias("w")
+    )
+    credit = F.col("value") * F.col("w") / F.sum("w").over(
+        Window.partitionBy("pid")
+    )
+    return (
+        touch.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 4).alias("value_credit"),
+        )
+    )
