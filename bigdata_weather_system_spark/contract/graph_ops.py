@@ -169,7 +169,8 @@ def part_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_layers
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # cached for the same reason as part_related_ppr: seeds + every hop
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").cache()
     nodes = edges.select("src").union(edges.select("dst")).distinct()
     sources = nodes.orderBy("src").limit(3)
     layers = bfs_layers(edges, sources, max_hops=3)
@@ -223,7 +224,9 @@ def part_related_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # cache the edge build: the seed selection AND every walk iteration
+    # derive from it — uncached, the pair_up pipeline re-runs per consumer
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").cache()
     nodes = edges.select("src").union(edges.select("dst")).distinct()
     seeds = nodes.orderBy("src").limit(3)
     ranks = personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
