@@ -568,6 +568,9 @@ def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("ts") >= F.col("_cut"), F.col("value"))).alias("y"),
         )
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        # one row per user; feeds BOTH the pooled theta reduction and the
+        # per-arm rollup — cached so the raw event scan runs once
+        .cache()
     )
     theta = per_user.agg(
         (F.covar_pop("x", "y") / F.var_pop("x")).alias("th"),
