@@ -240,7 +240,10 @@ def salton_similarity(edges: DataFrame) -> DataFrame:
     score that damps popular-item bias (raw co-counts just recommend
     bestsellers). Two broadcast-joined degree lookups over the edge
     list; degrees here are WEIGHTED (sum of incident co-counts)."""
-    dw = edges.select("src", "dst", "weight").unionByName(
+    # the edge build feeds the weighted-degree agg AND both join sides —
+    # cache it so an expensive upstream (pair_up) is evaluated once
+    edges = edges.select("src", "dst", "weight").cache()
+    dw = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
