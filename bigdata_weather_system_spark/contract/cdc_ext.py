@@ -661,3 +661,89 @@ def attribution_decay_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit"), 4).alias("value_credit"),
         )
     )
+
+
+@register(
+    "markov_next_event_eval",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    train AS (
+      SELECT event_type AS prev, next_type, count(*) AS n
+      FROM seq, cutoff
+      WHERE next_type IS NOT NULL AND next_ts < c
+      GROUP BY event_type, next_type
+    ),
+    model AS (
+      SELECT prev, next_type AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY prev
+                                     ORDER BY n DESC, next_type ASC) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT event_type AS prev, next_type
+      FROM seq, cutoff
+      WHERE next_type IS NOT NULL AND ts >= c
+    )
+    SELECT t.prev,
+           cast(count(*) AS BIGINT) AS n_test,
+           cast(sum(CASE WHEN m.pred = t.next_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM test t LEFT JOIN model m ON m.prev = t.prev
+    GROUP BY t.prev
+    """,
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event baseline with a TEMPORAL holdout:
+    transition counts from the first 15 days (pairs fully inside the
+    train window), argmax-next prediction per state (deterministic
+    ties), accuracy scored on post-cutoff transitions — the
+    train/evaluate split every sequence model is benchmarked against,
+    with the split on TIME (not rows) so the eval can't leak future
+    transitions into the model. One window pass builds all consecutive
+    pairs; the model is a broadcast-sized relation."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("_cut"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).crossJoin(F.broadcast(cut))
+    train = (
+        seq.filter(F.col("next_type").isNotNull() & (F.col("next_ts") < F.col("_cut")))
+        .groupBy(F.col("event_type").alias("prev"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mw = Window.partitionBy("prev").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    model = (
+        train.withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("next_type").alias("pred"))
+    )
+    test = seq.filter(
+        F.col("next_type").isNotNull() & (F.col("ts") >= F.col("_cut"))
+    ).select(F.col("event_type").alias("prev"), "next_type")
+    return (
+        test.join(F.broadcast(model), "prev", "left")
+        .groupBy("prev")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("pred") == F.col("next_type")).cast("long")
+            ).alias("n_correct"),
+        )
+    )
