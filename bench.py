@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "bootstrap_value_mean",
     "purchases_with_state_asof",
     "props_variant_extract",
+    "part_related_ppr",
+    "part_copurchase_salton",
+    "cuped_ab_analysis",
+    "attribution_decay_credit",
+    "knn_label_eval",
+    "markov_next_event_eval",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -141,3 +141,56 @@ def test_apply_log_to_snapshot_roundtrip(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.read.parquet(out_p).collect()}
     assert got == {1: "a2", 3: "c"}  # 2 tombstoned, 3 inserted, 1 updated
+
+
+def test_apply_changes_matches_sequential_replay_property(spark):
+    """apply_changes must equal a sequential per-key replay of the feed
+    (MERGE-in-sequence-order semantics) for arbitrary interleavings of
+    upserts and tombstones."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(5):
+        keys = list(range(6))
+        base_rows = [
+            (k, 0, f"b{k}", "up") for k in keys if rng.random() < 0.7
+        ]
+        chg_rows = [
+            (
+                rng.choice(keys),
+                seq,
+                None if rng.random() < 0.2 else f"v{seq}",
+                "delete" if rng.random() < 0.3 else "up",
+            )
+            for seq in range(1, 1 + rng.randint(1, 12))
+        ]
+        base = spark.createDataFrame(
+            base_rows or [(99, 0, "x", "up")],
+            "k int, seq int, v string, op string",
+        )
+        chg = spark.createDataFrame(
+            chg_rows, "k int, seq int, v string, op string"
+        )
+        got = {
+            r["k"]: (r["v"], r["op"])
+            for r in apply_changes(
+                base, chg, ["k"], ["seq"], op_col="op",
+                delete_values=("delete",),
+            ).collect()
+        }
+        # reference model: key deleted iff its LATEST change is a
+        # tombstone (later upserts resurrect); otherwise latest change
+        # wins, untouched base rows survive
+        expect = {}
+        latest = {}
+        for k, seq, v, op in chg_rows:
+            if k not in latest or seq > latest[k][0]:
+                latest[k] = (seq, v, op)
+        for k, _, v, op in (base_rows or [(99, 0, "x", "up")]):
+            expect[k] = (v, op)
+        for k, (seq, v, op) in latest.items():
+            if op == "delete":
+                expect.pop(k, None)
+            else:
+                expect[k] = (v, op)
+        assert got == expect, f"trial {trial}: {got} != {expect}"
