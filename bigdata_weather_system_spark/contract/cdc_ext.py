@@ -747,3 +747,57 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+@register(
+    "persistence_forecast_backtest",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, value,
+             lead(value) OVER w AS next_v,
+             lag(value, 24) OVER w AS seasonal_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           cast(count(next_v) AS BIGINT) AS n_pairs,
+           round(avg(abs(next_v - value)), 6) AS persistence_mae,
+           round(sqrt(avg((next_v - value) * (next_v - value))), 6)
+             AS persistence_rmse,
+           round(avg(CASE WHEN seasonal_v IS NOT NULL
+                          THEN abs(next_v - seasonal_v) END), 6)
+             AS seasonal_mae
+    FROM s WHERE next_v IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def persistence_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: the persistence predictor (next value
+    = current value — the reference API's fallback forecaster) and a
+    seasonal-naive alternative (value 24 steps back, the reference's
+    12-per-hour daily period shape) scored with MAE/RMSE per event type.
+    Any learned model must beat these numbers to justify itself — the
+    engine computes the bar in one window pass + one aggregation.
+    Reference parity: the persistence predictor at
+    /root/reference/prediction/preprocessing/spark.py:1370-1574 serves
+    exactly this fallback; here it gets an evaluation harness."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "event_type",
+        "value",
+        F.lead("value").over(w).alias("next_v"),
+        F.lag("value", 24).over(w).alias("seasonal_v"),
+    ).filter(F.col("next_v").isNotNull())
+    err = F.col("next_v") - F.col("value")
+    serr = F.abs(F.col("next_v") - F.col("seasonal_v"))
+    return s.groupBy("event_type").agg(
+        F.count("next_v").alias("n_pairs"),
+        F.round(F.avg(F.abs(err)), 6).alias("persistence_mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("persistence_rmse"),
+        F.round(
+            F.avg(F.when(F.col("seasonal_v").isNotNull(), serr)), 6
+        ).alias("seasonal_mae"),
+    )
