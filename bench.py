@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "attribution_decay_credit",
     "knn_label_eval",
     "markov_next_event_eval",
+    "persistence_forecast_backtest",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above
