@@ -688,3 +688,90 @@ def bootstrap_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("boot_mean")
         )
     )
+
+
+@register(
+    "spearman_value_time_per_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           round(corr(rv, rt), 6) + 0.0 AS spearman_rho
+    FROM r GROUP BY event_type
+    """,
+)
+def spearman_value_time_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value against event time per type —
+    the monotone-trend detector that, unlike Pearson, ignores outliers
+    and nonlinearity. Ranks are row_number with a unique tiebreak
+    (deterministic in both engines; value ties are measure-zero in this
+    data) and Pearson-correlated: two window passes sharing one
+    event_type partitioning plus the final aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select(
+        "event_type",
+        F.row_number().over(wv).alias("rv"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr("rv", "rt"), 6) + F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+@register(
+    "value_gini_per_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value >= 0
+    )
+    SELECT event_type,
+           cast(any_value(n) AS BIGINT) AS n,
+           round(2.0 * sum(i * value) / (any_value(n) * sum(value))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def value_gini_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of value per event type — the inequality
+    metric (0 = uniform, →1 = one row holds everything) a curation pass
+    uses to spot sources where a handful of records dominate the mass.
+    Closed form over sorted ranks: G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n —
+    one ranking window + one aggregation, both on the type key."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.any_value("n").alias("_n"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("value"))
+            / (F.any_value("n") * F.sum("value"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    ).select("event_type", F.col("_n").alias("n"), "gini")
