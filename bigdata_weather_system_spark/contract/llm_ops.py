@@ -1444,3 +1444,30 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang,
+             {', '.join(f'{sql} AS s_{lang}' for lang, sql in sorted(_SCORE_SQL.items()))}
+      FROM documents)
+    SELECT labeled_lang, {_PRED_SQL} AS predicted_lang,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality confusion matrix for the stopword language-ID:
+    labeled × predicted counts — the per-class error profile every
+    heuristic classifier ships with (aggregate accuracy hides which
+    languages bleed into which). Reuses the verified scorer; one extra
+    aggregation."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "text"
+    )
+    pred = language_id(d, "text")
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
