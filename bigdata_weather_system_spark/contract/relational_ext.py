@@ -10,7 +10,7 @@ as-of join, gap sessionization, broadcast range-band join
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import DataFrame, Row, SparkSession, Window, functions as F
 
 from ..operators.skew import salted_aggregate
 from ..operators.temporal import asof_join, range_band_join, session_profiles
@@ -1100,4 +1100,72 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
+    )
+
+
+@register(
+    "daily_bounce_rate",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             date_trunc('day', min(ts)) AS day,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT day,
+           cast(count(*) AS BIGINT) AS n_sessions,
+           cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+)
+def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate rollup over gap-sessionization (6h inactivity gap,
+    same session definition as ``sessionize_events``): sessions
+    attributed to the day they START, a bounce = a single-event session.
+    Window + two aggregations, all on the user key then the (small)
+    session relation — the engagement KPI computed without a distinct
+    pass over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_s = F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        # to_date, not date_trunc: Spark's date_trunc returns TIMESTAMP
+        # while the oracle's returns DATE
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
     )
