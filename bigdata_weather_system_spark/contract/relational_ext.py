@@ -1169,3 +1169,60 @@ def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "incremental_join_view_delta",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 25 DAY AS c FROM events),
+    e_old AS (SELECT user_id, event_type, value FROM events, cutoff
+              WHERE ts < c),
+    e_new AS (SELECT user_id, event_type, value FROM events, cutoff
+              WHERE ts >= c),
+    c_old AS (SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey % 10 <> 0),
+    c_new AS (SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey % 10 = 0),
+    delta AS (
+      SELECT e.user_id, e.event_type, e.value, c.c_nationkey
+      FROM e_new e JOIN c_old c ON e.user_id = c.c_custkey
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.value, c.c_nationkey
+      FROM e_old e JOIN c_new c ON e.user_id = c.c_custkey
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.value, c.c_nationkey
+      FROM e_new e JOIN c_new c ON e.user_id = c.c_custkey
+    )
+    SELECT c_nationkey, event_type,
+           cast(count(*) AS BIGINT) AS n_new_rows,
+           round(sum(value), 4) AS new_value
+    FROM delta GROUP BY c_nationkey, event_type
+    """,
+)
+def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view (events ⋈ customer) under
+    inserts on BOTH sides: the last 5 days of events and every 10th
+    customer arrive as deltas, and the view's new rows come from the
+    three delta-join terms (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — refresh cost scales
+    with the change, never a view recompute. The contract aggregates the
+    delta per (nation, type); tests/test_operators_core.py additionally
+    pins delta ∪ old-view ≡ full recompute."""
+    from ..operators.profile import incremental_join_delta
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 25 DAYS")).alias("_cut"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    e_old = ev.filter(F.col("ts") < F.col("_cut")).drop("_cut", "ts")
+    e_new = ev.filter(F.col("ts") >= F.col("_cut")).drop("_cut", "ts")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    c_old = cust.filter(F.col("user_id") % 10 != 0)
+    c_new = cust.filter(F.col("user_id") % 10 == 0)
+    delta = incremental_join_delta(e_old, c_old, e_new, c_new, ["user_id"])
+    return delta.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_new_rows"),
+        F.round(F.sum("value"), 4).alias("new_value"),
+    )

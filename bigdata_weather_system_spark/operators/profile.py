@@ -150,3 +150,30 @@ def merge_profiles(
     return merged.withColumn(
         "avg_value", F.col("sum_value") / F.col("n_rows")
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Insert-only incremental maintenance of a materialized JOIN view:
+    the new rows of ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` are exactly
+
+        ΔA ⋈ B  ∪all  A ⋈ ΔB  ∪all  ΔA ⋈ ΔB
+
+    (the delta-join rule — each term pairs at least one new row, and the
+    three terms partition the new pairs by which side is new). The view
+    refresh therefore touches only delta-sized join inputs on one side
+    of every term — the whole point of IVM: refresh cost scales with the
+    CHANGE, not the view. Deletes/updates compose from this plus the
+    tombstone path (operators/cdc.py); aggregates over the view compose
+    with mergeable_profile.
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

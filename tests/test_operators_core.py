@@ -165,3 +165,25 @@ def test_merge_profiles_closed_over_own_output(spark):
     assert (r.n_rows, r.sum_value, r.min_value, r.max_value, r.avg_value) == (
         4, 16.0, 1.0, 7.0, 4.0,
     )
+
+
+def test_incremental_join_delta_equals_full_recompute(spark):
+    """IVM invariant: old_view ∪ delta == full recompute of the join
+    over (A ∪ ΔA) ⋈ (B ∪ ΔB), for overlapping keys on both sides."""
+    from bigdata_weather_system_spark.operators.profile import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string")
+    a_new = spark.createDataFrame([(2, "a3"), (3, "a4")], "k int, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b2")], "k int, bv string")
+    b_new = spark.createDataFrame([(2, "b3"), (3, "b4")], "k int, bv string")
+
+    old_view = a_old.join(b_old, "k")
+    delta = incremental_join_delta(a_old, b_old, a_new, b_new, ["k"])
+    incremental = old_view.unionByName(delta)
+    full = a_old.unionByName(a_new).join(b_old.unionByName(b_new), "k")
+
+    inc = sorted(tuple(r) for r in incremental.collect())
+    ful = sorted(tuple(r) for r in full.collect())
+    assert inc == ful
