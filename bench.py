@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "knn_label_eval",
     "markov_next_event_eval",
     "persistence_forecast_backtest",
+    "spearman_value_time_per_type",
+    "value_gini_per_type",
+    "langid_confusion_matrix",
+    "daily_bounce_rate",
+    "incremental_join_view_delta",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above
