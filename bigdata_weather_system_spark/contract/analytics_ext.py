@@ -775,3 +775,105 @@ def value_gini_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).select("event_type", F.col("_n").alias("n"), "gini")
+
+
+@register(
+    "diverse_topk_events",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS user_rank
+      FROM events
+    ) WHERE user_rank <= 5
+    ORDER BY value DESC, event_id ASC
+    LIMIT 20
+    """,
+)
+def diverse_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k (the search/recommendation quota
+    pattern): global top-20 events by value, but no user may contribute
+    more than 5 — a per-key WindowGroupLimit rank prunes each partition
+    to its quota BEFORE the global TakeOrderedAndProject, so the global
+    sort only ever sees ≤5 rows per key regardless of how one hot key
+    dominates the raw ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_id", "user_id", "value")
+        .withColumn("user_rank", F.row_number().over(w))
+        .filter(F.col("user_rank") <= 5)
+        .drop("user_rank")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "coalesced_user_activity_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch(ts) - 1800 AS lo,
+             epoch(ts) + 1800 AS hi
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, lo, hi,
+             max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_hi
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, lo, hi,
+             sum(CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo, hi
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    )
+    SELECT user_id, cast(island AS BIGINT) AS island,
+           round(min(lo), 3) AS island_start,
+           round(max(hi), 3) AS island_end,
+           cast(count(*) AS BIGINT) AS n_intervals
+    FROM g GROUP BY user_id, island
+    """,
+)
+def coalesced_user_activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the gaps-and-islands merge): each event
+    claims a ±30-minute activity window; overlapping or touching windows
+    per user merge into islands. Unlike gap sessionization (point-to-
+    point gaps), this handles ARBITRARY overlapping intervals: a new
+    island starts exactly when an interval's start exceeds the running
+    max of all previous ends — one ordered window (running max, one-row
+    lag frame) + one cumulative sum + one aggregation, all on the key
+    partitioning. The same algebra merges validity windows, maintenance
+    windows, or any interval set at any per-key density."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    iv = ev.select(
+        "user_id",
+        (sec - 1800).alias("lo"),
+        (sec + 1800).alias("hi"),
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("lo").asc(), F.col("hi").asc()
+    )
+    prev_max = F.max("hi").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max.isNull() | (F.col("lo") > prev_max), 1
+    ).otherwise(0)
+    g = iv.withColumn("prev_max_hi", prev_max).withColumn(
+        "island",
+        F.sum(new_island).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return g.groupBy("user_id", "island").agg(
+        F.round(F.min("lo"), 3).alias("island_start"),
+        F.round(F.max("hi"), 3).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).select("user_id", "island", "island_start", "island_end", "n_intervals")
