@@ -801,3 +801,64 @@ def persistence_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
             F.avg(F.when(F.col("seasonal_v").isNotNull(), serr)), 6
         ).alias("seasonal_mae"),
     )
+
+
+@register(
+    "event_lateness_profile",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    ),
+    l AS (
+      SELECT user_id,
+             CASE WHEN high_water IS NOT NULL AND ts < high_water
+                  THEN epoch(high_water) - epoch(ts) ELSE 0.0 END AS late_s,
+             CASE WHEN high_water IS NOT NULL AND ts < high_water
+                  THEN 1 ELSE 0 END AS is_late
+      FROM a
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_events,
+           cast(sum(is_late) AS BIGINT) AS n_late,
+           round(max(late_s), 3) AS max_lateness_s,
+           round(quantile_cont(late_s, 0.95), 3) AS p95_lateness_s
+    FROM l GROUP BY user_id
+    """,
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — THE statistic that sizes a streaming
+    watermark: with arrival order taken as event_id, an event is late
+    when its event time is behind the running high-water mark of
+    everything that arrived before it; the per-key max and p95 lateness
+    are exactly the delay bound ``withWatermark`` needs (too small drops
+    data, too large bloats state). One arrival-ordered window + one
+    aggregation per key, the same single-shuffle shape as every per-key
+    scan here."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = F.max("ts").over(w)
+    late = (
+        F.when(
+            hw.isNotNull() & (F.col("ts") < hw),
+            hw.cast("double") - F.col("ts").cast("double"),
+        ).otherwise(0.0)
+    )
+    a = ev.select(
+        "user_id",
+        late.alias("late_s"),
+        (late > 0).cast("long").alias("is_late"),
+    )
+    return a.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_late").alias("n_late"),
+        F.round(F.max("late_s"), 3).alias("max_lateness_s"),
+        F.round(F.percentile("late_s", 0.95), 3).alias("p95_lateness_s"),
+    )
