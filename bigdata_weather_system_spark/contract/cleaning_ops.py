@@ -1842,3 +1842,60 @@ def purchases_with_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_state",
         F.col("valid_from").alias("prior_state_since"),
     )
+
+
+@register(
+    "doc_global_text_rank",
+    oracle="""
+    SELECT doc_id,
+           cast(row_number() OVER (ORDER BY lower(text), doc_id) AS BIGINT)
+             AS rank
+    FROM documents
+    """,
+)
+def doc_global_text_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global ranking WITHOUT the single-partition window
+    cliff: range-partition on the sort key, rank within partitions in
+    parallel, add per-partition prefix-sum offsets back via a broadcast
+    join (operators/rank.py global_rank — the two-pass MPP pattern).
+    The oracle is the naive global row_number, which is exactly what the
+    distributed form must reproduce."""
+    from ..operators.rank import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    return global_rank(
+        d.select("doc_id", F.lower("text").alias("_k")),
+        [F.col("_k").asc(), F.col("doc_id").asc()],
+    ).select("doc_id", "rank")
+
+
+@register(
+    "snm_candidate_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lower(substr(text, 1, 32)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(b.rk - a.rk AS BIGINT) AS rank_gap
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+    """,
+)
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo): candidate pairs
+    within a 4-row window of the global sort on a 32-char text prefix —
+    the ER blocking strategy that catches near-miss keys hash blocks
+    split apart. Rank buckets make pair generation two equi-joins (same
+    bucket + adjacent bucket), and the global rank itself is the
+    distributed two-pass form — nothing here funnels through one
+    partition."""
+    from ..operators.rank import sorted_neighbor_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 32)).alias("_k")
+    )
+    return sorted_neighbor_pairs(
+        d, "doc_id", [F.col("_k").asc(), F.col("doc_id").asc()], window=4
+    )
