@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     "langid_confusion_matrix",
     "daily_bounce_rate",
     "incremental_join_view_delta",
+    "diverse_topk_events",
+    "coalesced_user_activity_intervals",
+    "event_lateness_profile",
+    "doc_global_text_rank",
+    "snm_candidate_pairs",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above
