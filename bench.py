@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "event_lateness_profile",
     "doc_global_text_rank",
     "snm_candidate_pairs",
+    "shard_rebalance_delta",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -215,3 +215,103 @@ def doc_length_bucketed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn(
         "position", F.row_number().over(w).cast("long")
     )
+
+
+def _hrw_case_sql(n_shards: int, id_expr: str = "doc_id") -> str:
+    """HRW (rendezvous) shard pick as portable SQL: the shard whose
+    per-(key, shard) hash is the maximum, first-match ascending."""
+    h = lambda s: (  # noqa: E731
+        f"CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR) "
+        f"|| '#' || '{s}'), 1, 15)) AS BIGINT)"
+    )
+    mx = "greatest(" + ", ".join(h(s) for s in range(n_shards)) + ")"
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {h(s)} = {mx} THEN {s}" for s in range(n_shards)
+        )
+        + " END"
+    )
+
+
+@register(
+    "shard_rebalance_delta",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h,
+             {_hrw_case_sql(16)} AS hrw16,
+             {_hrw_case_sql(20)} AS hrw20
+      FROM documents
+    )
+    SELECT 'mod' AS strategy,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(CASE WHEN h % 16 <> h % 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           round(sum(CASE WHEN h % 16 <> h % 20 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS moved_frac
+    FROM d
+    UNION ALL
+    SELECT 'rendezvous',
+           cast(count(*) AS BIGINT),
+           cast(sum(CASE WHEN hrw16 <> hrw20 THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN hrw16 <> hrw20 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6)
+    FROM d
+    """,
+)
+def shard_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance impact analysis, 16 → 20 shards: under mod-hash
+    nearly every key moves (expected 1 − 1/lcm-ish ≈ 80%+ churn — every
+    moved key is cache/locality loss and re-replication traffic); under
+    rendezvous (highest-random-weight) hashing only keys whose argmax
+    lands on a NEW shard move — the theoretical minimum 4/20 = 20%.
+    Both assignments are pure hash expressions evaluated in one scan;
+    this is the planning query run before any resharding of a 100 TB
+    keyed layout."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def h(salt: str | None = None):
+        e = F.col("doc_id").cast("string")
+        if salt is not None:
+            e = F.concat(e, F.lit("#"), F.lit(salt))
+        return F.conv(F.substring(F.md5(e), 1, 15), 16, 10).cast("long")
+
+    def hrw(n: int):
+        hashes = [h(str(s)) for s in range(n)]
+        mx = F.greatest(*hashes)
+        pick = F.when(hashes[0] == mx, 0)
+        for s in range(1, n):
+            pick = pick.when(hashes[s] == mx, s)
+        return pick
+
+    d = docs.select(
+        h().alias("hv"),
+        hrw(16).alias("hrw16"),
+        hrw(20).alias("hrw20"),
+    )
+    mod_moved = (F.col("hv") % 16 != F.col("hv") % 20).cast("long")
+    hrw_moved = (F.col("hrw16") != F.col("hrw20")).cast("long")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(mod_moved).alias("mod_moved"),
+        F.sum(hrw_moved).alias("hrw_moved"),
+    )
+    mod_row = agg.select(
+        F.lit("mod").alias("strategy"),
+        "n_docs",
+        F.col("mod_moved").alias("n_moved"),
+        F.round(F.col("mod_moved").cast("double") / F.col("n_docs"), 6).alias(
+            "moved_frac"
+        ),
+    )
+    hrw_row = agg.select(
+        F.lit("rendezvous").alias("strategy"),
+        "n_docs",
+        F.col("hrw_moved").alias("n_moved"),
+        F.round(F.col("hrw_moved").cast("double") / F.col("n_docs"), 6).alias(
+            "moved_frac"
+        ),
+    )
+    return mod_row.unionByName(hrw_row)
