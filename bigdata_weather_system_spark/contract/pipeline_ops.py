@@ -315,3 +315,52 @@ def shard_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mod_row.unionByName(hrw_row)
+
+
+@register(
+    "daily_content_digests",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(ts AS DATE) AS day,
+             md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                 || '|' || event_type || '|'
+                 || CAST(CAST(round(value, 6) AS DECIMAL(20,6)) AS VARCHAR))
+               AS row_md5
+      FROM events
+    )
+    SELECT day,
+           cast(count(*) AS BIGINT) AS n_rows,
+           md5(string_agg(row_md5, '' ORDER BY row_md5)) AS content_digest
+    FROM r GROUP BY day
+    """,
+)
+def daily_content_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style per-partition content digests: every row hashes to a
+    canonical md5, and each day's digest is the md5 of its SORTED row
+    hashes — order-insensitive, so two snapshots of a day match iff
+    their content matches, regardless of file layout or row order. This
+    is the change-detection primitive behind incremental syncs and
+    cache invalidation: compare 30 digests instead of re-reading 30 days.
+    Floats are canonicalized through DECIMAL(20,6) so both engines print
+    identical tokens; per-day sort happens inside each group (bounded by
+    the day's rows), never globally."""
+    ev = _t(spark, sf_dir, "events")
+    row_md5 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value"), 6).cast("decimal(20,6)").cast("string"),
+        )
+    )
+    return (
+        ev.select(F.to_date("ts").alias("day"), row_md5.alias("row_md5"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("row_md5")), "")
+            ).alias("content_digest"),
+        )
+    )

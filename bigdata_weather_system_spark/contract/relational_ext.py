@@ -1226,3 +1226,104 @@ def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_rows"),
         F.round(F.sum("value"), 4).alias("new_value"),
     )
+
+
+@register(
+    "session_type_pmi",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    inc AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+    n AS (SELECT count(DISTINCT (user_id, session_id))::DOUBLE AS n_sessions
+          FROM inc),
+    tf AS (SELECT event_type, count(*)::DOUBLE AS n FROM inc
+           GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::DOUBLE AS n_ab
+      FROM inc a JOIN inc b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           cast(p.n_ab AS BIGINT) AS n_cooccur,
+           round(ln((p.n_ab / n.n_sessions)
+                    / ((ta.n / n.n_sessions) * (tb.n / n.n_sessions))), 6)
+             AS pmi
+    FROM pairs p
+    JOIN tf ta ON ta.event_type = p.type_a
+    JOIN tf tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    a session: PMI(a,b) = ln(p(a,b) / p(a)p(b)) over session-level
+    incidence — the association metric (beyond raw co-counts) that
+    separates 'genuinely travel together' from 'both merely frequent'.
+    Session incidence dedups to one row per (session, type); pairs come
+    from the grouped-postings core; marginals broadcast back."""
+    from ..operators.dedup import pair_up
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_s = F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+    inc = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("session_id"),
+        )
+        .distinct()
+    )
+    inc = inc.withColumn(
+        "_sess", F.concat_ws("#", F.col("user_id"), F.col("session_id"))
+    ).cache()
+    n = inc.agg(
+        F.countDistinct("_sess").cast("double").alias("n_sessions")
+    )
+    tf = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    pairs = (
+        pair_up(inc, ["_sess"], ["event_type"])
+        .select(F.col("a.event_type").alias("type_a"),
+                F.col("b.event_type").alias("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    ta = tf.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = tf.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_sessions"))
+        / ((F.col("na") / F.col("n_sessions")) * (F.col("nb") / F.col("n_sessions")))
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_cooccur"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
