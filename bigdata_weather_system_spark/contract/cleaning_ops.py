@@ -17,7 +17,7 @@ engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.cleaning import (
     PII_PATTERNS,
@@ -1898,4 +1898,90 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sorted_neighbor_pairs(
         d, "doc_id", [F.col("_k").asc(), F.col("doc_id").asc()], window=4
+    )
+
+
+@register(
+    "source_length_ks",
+    oracle="""
+    WITH lens AS (SELECT DISTINCT n_chars FROM documents),
+    srcs AS (SELECT source, count(*)::DOUBLE AS n_src FROM documents
+             GROUP BY source),
+    corpus AS (
+      SELECT n_chars,
+             sum(count(*)) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING)::DOUBLE
+               / (SELECT count(*) FROM documents) AS f_corpus
+      FROM documents GROUP BY n_chars
+    ),
+    sl AS (
+      SELECT source, n_chars, count(*)::DOUBLE AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    grid AS (
+      SELECT s.source, s.n_src, l.n_chars,
+             coalesce(sl.c, 0.0) AS c
+      FROM srcs s CROSS JOIN lens l
+      LEFT JOIN sl ON sl.source = s.source AND sl.n_chars = l.n_chars
+    ),
+    ecdf AS (
+      SELECT g.source, g.n_chars,
+             sum(g.c) OVER (PARTITION BY g.source ORDER BY g.n_chars
+                            ROWS UNBOUNDED PRECEDING) / g.n_src AS f_src,
+             c2.f_corpus
+      FROM grid g JOIN corpus c2 ON c2.n_chars = g.n_chars
+    )
+    SELECT source, round(max(abs(f_src - f_corpus)), 6) AS ks_stat
+    FROM ecdf GROUP BY source
+    """,
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per source: the max
+    ECDF gap between each source's document-length distribution and the
+    corpus — the standard nonparametric drift detector (a feed whose
+    length profile shifts shows up here before any quality metric
+    moves). The length grid is the DISTINCT observed lengths (a small
+    relation; bucketize lengths at corpus scale), so every window and
+    join runs over contingency-sized data — the raw table is read once
+    for three aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select("n_chars").distinct()
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_src")
+    )
+    total = docs.count()
+    corpus = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "f_corpus",
+            F.sum("c").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).cast("double")
+            / F.lit(float(total)),
+        )
+        .select("n_chars", "f_corpus")
+    )
+    sl = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    grid = (
+        srcs.crossJoin(lens)
+        .join(sl, ["source", "n_chars"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0.0)))
+    )
+    f_src = F.sum("c").over(
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ) / F.col("n_src")
+    ecdf = grid.withColumn("f_src", f_src).join(
+        F.broadcast(corpus), "n_chars"
+    )
+    return ecdf.groupBy("source").agg(
+        F.round(F.max(F.abs(F.col("f_src") - F.col("f_corpus"))), 6).alias(
+            "ks_stat"
+        )
     )
