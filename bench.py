@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "session_type_pmi",
     "daily_content_digests",
     "source_length_ks",
+    "theil_sen_trend_per_user",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

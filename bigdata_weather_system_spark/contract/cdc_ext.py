@@ -862,3 +862,59 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("late_s"), 3).alias("max_lateness_s"),
         F.round(F.percentile("late_s", 0.95), 3).alias("p95_lateness_s"),
     )
+
+
+@register(
+    "theil_sen_trend_per_user",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch(ts) AS x, value AS y FROM events
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (b.y - a.y) / (b.x - a.x) AS slope
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND a.x <> b.x
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 9) + 0.0 AS ts_slope_per_sec
+    FROM slopes GROUP BY user_id
+    """,
+)
+def theil_sen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes - up to 29% contamination cannot move it, where the OLS slope
+    (per_user_value_trend) chases every outlier. Pairs ride the
+    grouped-postings ``pair_up`` core (one shuffle, postings sorted by
+    event_id so a<b needs no self-join; the key travels in the payload
+    so the median groups per user); per-key pair counts are quadratic in
+    that key's history, which is the method's intrinsic cost - sample
+    long histories upstream. Slopes rounded at 9dp (raw magnitudes are
+    ~1e-4/sec)."""
+    from ..operators.dedup import pair_up
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    pairs = pair_up(ev, ["user_id"], ["event_id", "user_id", "x", "y"])
+    slopes = (
+        pairs.filter(F.col("a.x") != F.col("b.x"))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.x") - F.col("a.x"))
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.percentile("slope", 0.5), 9) + F.lit(0.0)).alias(
+            "ts_slope_per_sec"
+        ),
+    )
