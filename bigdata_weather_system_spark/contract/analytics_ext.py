@@ -877,3 +877,81 @@ def coalesced_user_activity_intervals(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.max("hi"), 3).alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     ).select("user_id", "island", "island_start", "island_end", "n_intervals")
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             count(*) AS frequency,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 6) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_seen, user_id)  AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id)  AS f_score,
+             ntile(5) OVER (ORDER BY monetary, user_id)   AS m_score
+      FROM agg
+    )
+    SELECT user_id, r_score, f_score, m_score,
+           cast(r_score AS VARCHAR) || cast(f_score AS VARCHAR)
+             || cast(m_score AS VARCHAR) AS rfm_code,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_lapsing'
+                WHEN m_score >= 4 THEN 'big_spender_gone'
+                ELSE 'hibernating' END AS segment
+    FROM scored
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    user (ntile with unique tiebreaks so both engines cut identically),
+    composed into the classic marketing segment labels. The quintile
+    windows are global but run over the PER-USER aggregate (one row per
+    entity), which is always orders of magnitude smaller than the event
+    log — the scale shape of every scored-entity segmentation."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_seen", "user_id"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    scored = agg.select(
+        "user_id",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when(F.col("m_score") >= 4, "big_spender_gone")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "user_id",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_code"),
+        seg.alias("segment"),
+    )
