@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "source_length_ks",
     "theil_sen_trend_per_user",
     "user_rfm_segments",
+    "mannwhitney_purchase_vs_click",
+    "km_time_to_purchase",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -955,3 +955,161 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rfm_code"),
         seg.alias("segment"),
     )
+
+
+@register(
+    "mannwhitney_purchase_vs_click",
+    oracle="""
+    WITH pooled AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY value, event_id) AS rk
+      FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT
+      cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n1,
+      cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n2,
+      cast(sum(CASE WHEN event_type = 'purchase' THEN rk ELSE 0 END)
+           - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             * (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) + 1)
+             / 2 AS BIGINT) AS u_stat
+    FROM pooled
+    """,
+)
+def mannwhitney_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) comparing purchase vs click value
+    distributions — the nonparametric two-sample location test that
+    pairs with the KS shape test. Pooled ranking with a unique tiebreak
+    (continuous values make exact ties measure-zero), U = R₁ −
+    n₁(n₁+1)/2, all integer algebra after one global ranking of the
+    two-class subset (at scale, rank via operators/rank.py global_rank)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pooled = ev.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy(F.col("value").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+    )
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    n1 = F.sum(is_p)
+    return pooled.agg(
+        n1.alias("n1"),
+        F.sum(1 - is_p).alias("n2"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("rk"))
+                  .otherwise(0))
+            - n1 * (n1 + 1) / 2
+        ).cast("long").alias("u_stat"),
+    )
+
+
+@register(
+    "km_time_to_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS start_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS buy_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN buy_ts IS NOT NULL
+                  THEN round(epoch(buy_ts) - epoch(start_ts), 3)
+                  ELSE round(epoch(last_ts) - epoch(start_ts), 3) END AS t,
+             (buy_ts IS NOT NULL)::INT AS observed
+      FROM per_user
+      WHERE epoch(last_ts) > epoch(start_ts)
+    ),
+    ev_t AS (
+      SELECT t, sum(observed) AS d,
+             (SELECT count(*) FROM durations d2 WHERE d2.t >= e.t) AS n_risk
+      FROM durations e GROUP BY t HAVING sum(observed) > 0
+    )
+    SELECT t AS duration_s, cast(d AS BIGINT) AS n_events,
+           cast(n_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN min(n_risk - d)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk
+                                        THEN ln(1.0 - d::DOUBLE / n_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                           + 0, 6) END AS survival
+    FROM ev_t
+    """,
+)
+def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase, with
+    users who never purchase RIGHT-CENSORED at their last activity —
+    the estimator that uses censored users correctly (dropping them
+    biases time-to-convert low; see funnel_time_to_convert for the
+    uncensored view). The product-limit Π(1 − dᵢ/nᵢ) is computed as
+    exp(Σ ln(·)) — a running window sum, so the whole curve is one
+    ordered window over the (tiny) distinct-duration relation; at-risk
+    counts come from a non-equi aggregation of durations (both sides
+    entity-sized, never the raw log)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("buy_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = (
+        per_user.filter(
+            F.col("last_ts").cast("double") > F.col("start_ts").cast("double")
+        )
+        .select(
+            F.when(
+                F.col("buy_ts").isNotNull(),
+                F.round(
+                    F.col("buy_ts").cast("double")
+                    - F.col("start_ts").cast("double"),
+                    3,
+                ),
+            )
+            .otherwise(
+                F.round(
+                    F.col("last_ts").cast("double")
+                    - F.col("start_ts").cast("double"),
+                    3,
+                )
+            )
+            .alias("t"),
+            F.col("buy_ts").isNotNull().cast("int").alias("observed"),
+        )
+        .cache()
+    )
+    ev_t = (
+        dur.groupBy("t")
+        .agg(F.sum("observed").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    risk = (
+        ev_t.alias("e")
+        .join(dur.alias("d2"), F.col("d2.t") >= F.col("e.t"))
+        .groupBy("e.t", "e.d")
+        .agg(F.count(F.lit(1)).alias("n_risk"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the terminal event time can exhaust the risk set (d == n_risk);
+    # the product hits exact zero there and stays zero — guard the log
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    surv = F.when(
+        F.min(F.col("n_risk") - F.col("d")).over(w) == 0, F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.sum(term).over(w)), 6) + F.lit(0.0))
+    return risk.select(
+        F.col("t").alias("duration_s"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        surv.alias("survival"),
+    )
