@@ -932,9 +932,10 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
     scored = agg.select(
         "user_id",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
+        # DuckDB's ntile yields BIGINT; match it
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
