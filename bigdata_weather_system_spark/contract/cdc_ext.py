@@ -150,13 +150,16 @@ def wma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_types,
            round(-sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot)) + 0, 6)
              AS entropy,
-           round(sum((n::DOUBLE / tot) * (n::DOUBLE / tot)), 6) AS hhi
+           -- integer sums are exact in ANY accumulation order, so the
+           -- single final division cannot flip a rounding boundary
+           -- between threaded runs (observed: hhi 0.204687 vs 0.204688)
+           round(sum(n * n)::DOUBLE / (tot * tot), 6) AS hhi
     FROM (
       SELECT user_id, event_type, n,
              sum(n) OVER (PARTITION BY user_id) AS tot
       FROM c
     )
-    GROUP BY user_id
+    GROUP BY user_id, tot
     """,
 )
 def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,18 +171,39 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float ratios are rounded."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    tot = F.sum("n").over(Window.partitionBy("user_id"))
-    p = F.col("n").cast("double") / F.col("tot")
-    return (
-        c.withColumn("tot", tot)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            # +0.0 folds IEEE −0.0 (single-type users: p=1, ln p = 0) to
-            # +0.0 so both engines hash the same bit pattern
-            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
-            F.round(F.sum(p * p), 6).alias("hhi"),
-        )
+    # fold the float sums in SORTED (event_type) order via an array
+    # aggregate: a plain F.sum adds partial results in shuffle-arrival
+    # order, which varies run to run — a user whose entropy sits within
+    # an ulp of a rounding boundary then flips the gate intermittently
+    # (observed once at sf0.01). The sorted fold is run-deterministic.
+    per_user = c.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("_arr"),
+        F.sum("n").alias("_tot"),  # integer sum: exact in any order
+    )
+    tot = F.col("_tot").cast("double")
+    prob = lambda s: s["n"].cast("double") / tot  # noqa: E731
+    ent = F.aggregate(
+        "_arr",
+        F.lit(0.0),
+        lambda acc, s: acc - prob(s) * F.log(prob(s)),
+    )
+    # exact integer sum of squares -> one final float division: immune
+    # to accumulation order on BOTH engines (the observed flake was the
+    # oracle's threaded float sum crossing a round-6 boundary)
+    hhi = F.aggregate(
+        "_arr",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["n"] * s["n"],
+    ).cast("double") / (tot * tot)
+    return per_user.select(
+        "user_id",
+        F.size("_arr").cast("long").alias("n_types"),
+        # +0.0 folds IEEE −0.0 (single-type users: p=1, ln p = 0) to
+        # +0.0 so both engines hash the same bit pattern
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        F.round(hhi, 6).alias("hhi"),
     )
 
 
