@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "user_rfm_segments",
     "mannwhitney_purchase_vs_click",
     "km_time_to_purchase",
+    "user_burstiness",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

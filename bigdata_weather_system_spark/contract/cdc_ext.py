@@ -942,3 +942,42 @@ def theil_sen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_slope_per_sec"
         ),
     )
+
+
+@register(
+    "user_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           cast(count(gap) AS BIGINT) AS n_gaps,
+           round(avg(gap), 3) AS mean_gap_s,
+           round((stddev_pop(gap) - avg(gap))
+                 / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event gaps per
+    user: −1 = metronome, 0 = Poisson, →1 = heavy bursts. The temporal
+    signature that separates bot-like regular traffic from bursty human
+    sessions — computed from one lag window + one aggregation on the
+    user key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    g = ev.select("user_id", gap.alias("gap")).filter(F.col("gap").isNotNull())
+    mu = F.avg("gap")
+    sd = F.stddev_pop("gap")
+    return g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(mu, 3).alias("mean_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )
