@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "mannwhitney_purchase_vs_click",
     "km_time_to_purchase",
     "user_burstiness",
+    "value_autocorrelation_per_user",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

@@ -981,3 +981,44 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 3).alias("mean_gap_s"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     )
+
+
+@register(
+    "value_autocorrelation_per_user",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, value,
+             lag(value, 1)  OVER w AS v1,
+             lag(value, 24) OVER w AS v24
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(corr(value, v1), 6) + 0.0 AS acf_lag1,
+           round(corr(value, v24), 6) + 0.0 AS acf_lag24
+    FROM l GROUP BY user_id
+    """,
+)
+def value_autocorrelation_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the value series at lag 1 and lag 24 (the
+    reference's 12-per-hour daily period shape) per user — the first
+    diagnostic before fitting ANY sequence model: near-zero ACF means
+    the LSTM has nothing to learn beyond the mean and the persistence
+    baseline (persistence_forecast_backtest) is unbeatable. One lag
+    window + one correlation aggregate per key; corr's pairwise
+    formulation ignores the NULL lag heads automatically on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    l = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 24).over(w).alias("v24"),
+    )
+    return l.groupBy("user_id").agg(
+        (F.round(F.corr("value", "v1"), 6) + F.lit(0.0)).alias("acf_lag1"),
+        (F.round(F.corr("value", "v24"), 6) + F.lit(0.0)).alias("acf_lag24"),
+    )
