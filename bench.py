@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "km_time_to_purchase",
     "user_burstiness",
     "value_autocorrelation_per_user",
+    "discount_whatif_grid",
     # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
     # the verify baseline (11s at sf0.1); the benched scale path is the
     # LSH/IVF-bucketed pair family above

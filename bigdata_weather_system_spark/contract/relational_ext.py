@@ -1327,3 +1327,49 @@ def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 6).alias("pmi"),
         )
     )
+
+
+@register(
+    "discount_whatif_grid",
+    oracle="""
+    WITH s AS (SELECT CAST(unnest([-0.01, 0.0, 0.01]) AS DOUBLE) AS shift)
+    SELECT round(shift, 2) + 0.0 AS discount_shift,
+           cast(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice
+                     * (1 - least(greatest(l_discount + shift, 0.0), 0.1))),
+                 2) AS scenario_revenue
+    FROM lineitem CROSS JOIN s
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY shift
+    """,
+)
+def discount_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual pricing grid (the what-if generalization of TPC-H
+    Q6): revenue for 1996 shipments under discount shifts of ±1 point,
+    discounts clamped to [0, 0.10]. The scenario dimension is a 3-row
+    broadcast cross join, so ALL scenarios price in ONE scan of the
+    fact table — the scenario-grid shape that turns N re-runs of a
+    what-if into one pass at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    scen = spark.createDataFrame(
+        [(-0.01,), (0.0,), (0.01,)], "shift double"
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_discount") + F.col("shift"), F.lit(0.0)),
+        F.lit(0.1),
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .crossJoin(F.broadcast(scen))
+        .groupBy(F.round("shift", 2).alias("discount_shift"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - clamped)), 2
+            ).alias("scenario_revenue"),
+        )
+    )
