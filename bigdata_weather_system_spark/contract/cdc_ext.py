@@ -888,11 +888,28 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Theil-Sen per-user history cap: pair count is quadratic in a key's
+#: history, so histories are deterministically hash-sampled to this many
+#: events BEFORE pairing (md5(event_id)-ordered rank — uniform over the
+#: history, reproducible on both engines, and enforced in the operator
+#: rather than left to upstream discipline). 400 events = ≤79,800 pairs
+#: per user at any corpus scale.
+_THEIL_SEN_MAX_EVENTS = 400
+
 @register(
     "theil_sen_trend_per_user",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id, epoch(ts) AS x, value AS y FROM events
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch(ts) AS x, value AS y,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(cast(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, x, y FROM ranked
+      WHERE rn <= {_THEIL_SEN_MAX_EVENTS}
     ),
     slopes AS (
       SELECT a.user_id,
@@ -913,17 +930,29 @@ def theil_sen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per_user_value_trend) chases every outlier. Pairs ride the
     grouped-postings ``pair_up`` core (one shuffle, postings sorted by
     event_id so a<b needs no self-join; the key travels in the payload
-    so the median groups per user); per-key pair counts are quadratic in
-    that key's history, which is the method's intrinsic cost - sample
-    long histories upstream. Slopes rounded at 9dp (raw magnitudes are
-    ~1e-4/sec)."""
+    so the median groups per user). Per-key pair counts are quadratic in
+    that key's history — the method's intrinsic cost — so the operator
+    ENFORCES a deterministic md5-ordered sample of at most
+    ``_THEIL_SEN_MAX_EVENTS`` events per user before pairing (the oracle
+    applies the identical rank, keeping the gate exact); a 50k-event
+    power user costs 79,800 pairs instead of 1.25B. Slopes rounded at
+    9dp (raw magnitudes are ~1e-4/sec)."""
     from ..operators.dedup import pair_up
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("double").alias("x"),
-        F.col("value").alias("y"),
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("double").alias("x"),
+            F.col("value").alias("y"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= _THEIL_SEN_MAX_EVENTS)
+        .drop("_rn")
     )
     pairs = pair_up(ev, ["user_id"], ["event_id", "user_id", "x", "y"])
     slopes = (

@@ -122,8 +122,10 @@ def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM deg) AS n_nodes,
            (SELECT count(*) FROM pairs) AS n_edges,
            tri.t AS n_triangles,
-           round(3.0 * tri.t /
-                 (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6)
+           CASE WHEN (SELECT sum(deg * (deg - 1) / 2) FROM deg) > 0
+                THEN round(3.0 * tri.t /
+                           (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6)
+                ELSE 0.0 END
              AS global_clustering
     FROM tri
     """,

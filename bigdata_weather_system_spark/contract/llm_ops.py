@@ -137,11 +137,18 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups: max(c/|A|, c/|B|) ≥ 0.8 — the
     quoted-paragraph / doc-embedded-in-doc case Jaccard misses (a short
     doc inside a long one has tiny union-normalized similarity but
-    containment ≈ 1). Same inverted-index core as the Jaccard join."""
-    from ..operators.dedup import containment_pairs
+    containment ≈ 1). Registered on the PREFIX-FILTERED generator
+    (exact-identical output to the inverted index — same oracle; equality
+    also pinned in tests): candidates come from rarest-first prefixes
+    probed against the full index with the smaller-side overlap bound
+    c ≥ ⌈t·min(|A|,|B|)⌉, so a boilerplate shingle shared by 10^5 docs
+    costs linear probes instead of 5×10^9 all-vs-all pairs. The
+    unguarded inverted-index twin (``containment_pairs``) stays as the
+    verification baseline."""
+    from ..operators.dedup import containment_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return containment_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.8)
 
 
 _JACCARD_PAIRS_CTE = f"""
@@ -211,22 +218,54 @@ def dedup_survivors_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+#: Default-on hot-bucket cap for the registered LSH/SimHash band pair
+#: generators (round-2 verdict, Next #5): a band bucket hotter than this is
+#: boilerplate collapse, not similarity signal — it is dropped whole and
+#: counted through the attached Observation. Far above any bucket the
+#: synthetic corpora produce (parity unchanged), far below the c²/2
+#: pair blow-up a degenerate band would cost at corpus scale.
+_NEAR_DUP_MAX_BUCKET = 10_000
+
+
 @register("minhash_lsh_near_dups")  # xxhash64 signatures → Spark-only, rows-only check
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidates verified at Jaccard ≥ 0.5.
 
     Rows-only contract entry (DuckDB lacks xxhash64); its recall/precision
-    against the exact pair set is pinned by tests/test_llm_ops.py.
+    against the exact pair set is pinned by tests/test_llm_ops.py. The
+    band pair generator runs with the default-on hot-bucket cap; dropped
+    bucket/row counts are readable from the attached Observation after
+    the query executes.
     """
+    from pyspark.sql import Observation
+
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return minhash_dedup_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_bucket_size=_NEAR_DUP_MAX_BUCKET,
+        observation=Observation("minhash_lsh_drops"),
+    )
 
 
 @register("simhash_near_dups")  # rows-only: xxhash64-based
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near pairs at Hamming ≤ 3 via 16-bit block banding."""
+    """SimHash-64 near pairs at Hamming ≤ 3 via 16-bit block banding,
+    with the default-on hot-block cap + drop-count Observation."""
+    from pyspark.sql import Observation
+
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_pairs(
+        d,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        max_bucket_size=_NEAR_DUP_MAX_BUCKET,
+        observation=Observation("simhash_drops"),
+    )
 
 
 @register(
@@ -274,9 +313,18 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup_lsh")  # rows-only: hyperplane sketches Spark-side
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (sign-bit sketch join) — scale path."""
+    """LSH-bucketed embedding near-dup (sign-bit sketch join) — scale
+    path, with the default-on hot-bucket cap + drop-count Observation."""
+    from pyspark.sql import Observation
+
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.44, n_planes=4)
+    return embedding_near_dup_pairs(
+        e,
+        threshold=0.44,
+        n_planes=4,
+        max_bucket_size=_NEAR_DUP_MAX_BUCKET,
+        observation=Observation("embedding_lsh_drops"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1407,7 +1455,14 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size("toks")
-    pos = F.sequence(F.lit(1), n)
+    # sequence(1, 0) would yield the DESCENDING array [1, 0] for a
+    # zero-token document, and element_at(toks, 0) then raises (array
+    # indices are 1-based) — guard to an empty position list so empty
+    # documents produce empty (input, target) pairs like the oracle's
+    # empty range(1, 1).
+    pos = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     span_id = lambda i: ((i - 1) / 13).cast("int")  # noqa: E731
     off = lambda i: (i - 1) % 13  # noqa: E731
     sentinel = lambda i: F.concat(  # noqa: E731

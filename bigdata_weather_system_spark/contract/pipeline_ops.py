@@ -322,9 +322,11 @@ def shard_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT CAST(ts AS DATE) AS day,
-             md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-                 || '|' || event_type || '|'
-                 || CAST(CAST(round(value, 6) AS DECIMAL(20,6)) AS VARCHAR))
+             md5(coalesce(CAST(event_id AS VARCHAR), '<NULL>') || '|'
+                 || coalesce(CAST(user_id AS VARCHAR), '<NULL>') || '|'
+                 || coalesce(event_type, '<NULL>') || '|'
+                 || coalesce(CAST(CAST(round(value, 6) AS DECIMAL(20,6))
+                                  AS VARCHAR), '<NULL>'))
                AS row_md5
       FROM events
     )
@@ -343,15 +345,20 @@ def daily_content_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache invalidation: compare 30 digests instead of re-reading 30 days.
     Floats are canonicalized through DECIMAL(20,6) so both engines print
     identical tokens; per-day sort happens inside each group (bounded by
-    the day's rows), never globally."""
+    the day's rows), never globally. NULL fields are canonicalized to an
+    explicit '<NULL>' sentinel on BOTH sides — concat_ws silently skips
+    NULLs while SQL '||' nulls the whole row hash, so without the
+    sentinel a single NULL event_type would silently diverge the two
+    digests."""
     ev = _t(spark, sf_dir, "events")
+    nn = lambda c: F.coalesce(c, F.lit("<NULL>"))  # noqa: E731
     row_md5 = F.md5(
         F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.round(F.col("value"), 6).cast("decimal(20,6)").cast("string"),
+            nn(F.col("event_id").cast("string")),
+            nn(F.col("user_id").cast("string")),
+            nn(F.col("event_type")),
+            nn(F.round(F.col("value"), 6).cast("decimal(20,6)").cast("string")),
         )
     )
     return (

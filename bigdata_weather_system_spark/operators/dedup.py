@@ -255,6 +255,119 @@ def containment_pairs(
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT containment pairs (same output as ``containment_pairs``) via
+    prefix-filtered probing — the scale path.
+
+    The inverted-index formulation pairs every posting list all-vs-all:
+    one boilerplate shingle shared by 10^5 docs is 5×10^9 candidate
+    pairs. The prefix-filter fix follows the SSJoin/PPJoin family,
+    specialized to the asymmetric overlap bound of containment
+    ``max(c/|A|, c/|B|) ≥ t  ⇔  c ≥ ⌈t·min(|A|,|B|)⌉``:
+
+    1. Hash-order every document's shingle set by a global rarest-first
+       key ``(doc_frequency, hash)``.
+    2. The SMALLER set S of a qualifying pair has only ``⌈t·|S|⌉ − 1``
+       elements outside its first ``|S| − ⌈t·|S|⌉ + 1`` (its *prefix*),
+       fewer than the required overlap — so some shared element falls in
+       S's prefix. The partner's matching element can sit anywhere, so
+       candidates come from PREFIX postings probed against the FULL
+       index, restricted to probe-side size ≤ partner size (the larger
+       side of the pair is found when the smaller side probes).
+    3. Candidates verify exactly with ``array_intersect`` on the full
+       sorted hash sets.
+
+    Rarest-first ordering pushes hot shingles out of prefixes, so a hot
+    posting list is probed only by the few documents composed almost
+    entirely of boilerplate — candidate cost collapses from
+    Σ c·(c−1)/2 to Σ (prefix owners)·c, linear in each posting list.
+    Containment admits no size-ratio filter (a tiny doc may be contained
+    in an arbitrarily large one), which is exactly why the asymmetric
+    prefix bound matters.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, id_col, text_col, n)
+    # feeds the frequency agg, prefix postings, full index, and both
+    # verification sides — persist instead of re-shingling the corpus
+    hashed = sets.select(
+        F.col(id_col),
+        "set_size",
+        F.array_sort(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("_sh_set"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = hashed.select(id_col, "set_size", F.explode("_sh_set").alias("_sh"))
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # the final filter compares round(containment, _ROUND_DIGITS) >= t,
+    # admitting true containment down to t − 0.5·10^-digits — derive the
+    # prefix bound from the relaxed threshold so no such pair is pruned
+    t_relaxed = threshold - 10.0 ** (-_ROUND_DIGITS)
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(t_relaxed) * F.col("set_size")).cast("int")
+        + F.lit(1)
+    )
+    w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+    prefix = (
+        ex.join(freq, "_sh")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= prefix_len)
+        .select(
+            F.col(id_col).alias("_pid"),
+            F.col("set_size").alias("_psz"),
+            "_sh",
+        )
+    )
+    full = ex.select(
+        F.col(id_col).alias("_fid"), F.col("set_size").alias("_fsz"), "_sh"
+    )
+    cand = (
+        prefix.join(full, "_sh")
+        .filter(F.col("_pid") != F.col("_fid"))
+        .filter(F.col("_psz") <= F.col("_fsz"))
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    ver = cand.join(
+        hashed.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_sh_set").alias("_sa"),
+            F.col("set_size").alias("size_a"),
+        ),
+        "id_a",
+    ).join(
+        hashed.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_sh_set").alias("_sb"),
+            F.col("set_size").alias("size_b"),
+        ),
+        "id_b",
+    )
+    # bigint to match the counting formulation (F.size yields int)
+    n_common = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    cont = F.greatest(
+        F.col("n_common") / F.col("size_a"),
+        F.col("n_common") / F.col("size_b"),
+    )
+    return (
+        ver.withColumn("n_common", n_common)
+        .withColumn("containment", F.round(cont, _ROUND_DIGITS))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -446,6 +559,7 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -453,13 +567,20 @@ def minhash_dedup_pairs(
     intersects the two arrays per pair (``array_intersect``) — no shingle
     explode + self-join for the verify step, so its cost is strictly
     O(candidate pairs × shingles), independent of corpus size.
+    ``max_bucket_size``/``observation`` forward to the band pair
+    generator's hot-bucket guard (see ``pair_up``).
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     # candidate pairs are consumed by two joins and are tiny relative to the
     # corpus — cache them instead of re-running the LSH join
     cands = lsh_candidate_pairs(
-        sigs, id_col, num_bands, rows_per_band, max_bucket_size=max_bucket_size
+        sigs,
+        id_col,
+        num_bands,
+        rows_per_band,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     ).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -670,6 +791,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n: int = 2,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ max_hamming between SimHashes.
 
@@ -677,7 +799,8 @@ def simhash_near_pairs(
     within Hamming ≤ 3 shares at least one exact block (pigeonhole), so
     pairing happens per block bucket (``pair_up``), never all pairs.
     ``max_bucket_size`` drops degenerate blocks (e.g. the all-zeros block
-    every near-empty doc shares) before pairing — see ``pair_up``.
+    every near-empty doc shares) before pairing, with drop counts
+    readable from ``observation`` — see ``pair_up``.
     """
     sigs = simhash(df, id_col, text_col, n)
     blocks = sigs.select(
@@ -703,6 +826,7 @@ def simhash_near_pairs(
             ["block_idx", "block"],
             [id_col, "simhash"],
             max_bucket_size=max_bucket_size,
+            observation=observation,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -137,19 +137,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     closing = edges.select(
         F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
     )
-    tri = wedges.join(closing, ["b", "c"]).count()
+    # the triangle total is a 1-row aggregate CROSS-JOINED to the summary
+    # (broadcast, 1×1) so building this DataFrame runs NO job — an eager
+    # .count() here would execute the wedge join during query
+    # construction and re-run it on every re-invocation
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("deg") / 2).cast("long").alias("n_edges"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges"),
     )
-    return summary.select(
+    return summary.crossJoin(tri).select(
         "n_nodes",
         "n_edges",
-        F.lit(tri).cast("long").alias("n_triangles"),
-        F.round(3.0 * F.lit(tri) / F.col("n_wedges"), 6).alias(
-            "global_clustering"
-        ),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        # a graph of disjoint single edges has zero wedges — clustering is
+        # 0.0 by convention, not NULL
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
     )
 
 

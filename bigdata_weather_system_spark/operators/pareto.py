@@ -27,6 +27,20 @@ def _local_skyline(pdf, max_cols: Sequence[str], min_cols: Sequence[str]):
 
     if len(pdf) == 0:
         return pdf
+    # NaN criteria would silently break the dominance scan (NaN
+    # comparisons are all False, so a NaN row is never dominated and can
+    # never dominate — and lexsort orders NaN unpredictably w.r.t. the
+    # descending-dominator invariant). Dominance is undefined on NaN, so
+    # such rows are DROPPED here — matching the SQL NOT-EXISTS oracle,
+    # where a NaN/NULL criterion can neither qualify nor block a row.
+    crit = np.column_stack(
+        [pdf[c].to_numpy(dtype=float) for c in list(max_cols) + list(min_cols)]
+    )
+    finite = ~np.isnan(crit).any(axis=1)
+    if not finite.all():
+        pdf = pdf[finite]
+        if len(pdf) == 0:
+            return pdf
     # canonicalize to all-maximize, sort lexicographically descending;
     # then a row is in the skyline iff no EARLIER row dominates it.
     # With the primary criterion sorted descending, any dominator

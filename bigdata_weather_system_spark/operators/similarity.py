@@ -218,6 +218,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed.
 
@@ -226,7 +227,8 @@ def embedding_near_dup_pairs(
     once, not on both sides of a self-join — then exact cosine
     verification. The dedup analog of cosine_topk_lsh.
     ``max_bucket_size`` drops pathologically hot sketch buckets before
-    pairing — see ``dedup.pair_up``.
+    pairing, with drop counts readable from ``observation`` — see
+    ``dedup.pair_up``.
     """
     from .dedup import pair_up
 
@@ -239,7 +241,11 @@ def embedding_near_dup_pairs(
         lsh_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     pairs = pair_up(
-        sk, ["bucket"], [id_col, vec_col, "_n"], max_bucket_size=max_bucket_size
+        sk,
+        ["bucket"],
+        [id_col, vec_col, "_n"],
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
@@ -365,6 +371,69 @@ def cosine_topk_ivf(
         [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
         n=k,
     )
+
+
+def semantic_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    refine_iters: int = 1,
+    max_cell_size: int | None = None,
+    observation=None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style bucketed semantic near-dup pairs (Abbas et al. 2023):
+    k-means-cell the embedding space, then score pairwise cosine ONLY
+    within cells — the published scale recipe for semantic dedup, where
+    sign-bit LSH banding fails (at the ~0.4-0.5 cosine thresholds
+    semantic dedup uses, bands must be so short that buckets approach the
+    whole corpus).
+
+    Each vector is assigned to its ``n_probe`` nearest cells
+    (multi-assignment recovers most boundary-crossing pairs; SemDeDup
+    itself accepts single-cell misses). Pair cost is
+    ~``n_probe² · n² / n_cells`` — pick ``n_cells`` ∝ corpus size for a
+    constant expected cell width, and the quadratic term is gone. Cells
+    come from the same deterministic seeded centroids + distributed
+    spherical-k-means refinement as the IVF index; ``max_cell_size``
+    drops degenerate cells (an embedding-collapse cluster) with the
+    drop count readable from ``observation`` — the same hot-bucket
+    guard as the text-side LSH paths.
+    """
+    from .dedup import pair_up
+
+    cents = ivf_centroids(vectors, id_col, vec_col, n_cells, seed)
+    if refine_iters > 0:
+        cents = kmeans_refine(vectors, cents, vec_col, refine_iters)
+    v = _spread(vectors).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        F.explode(
+            _cell_assignment(F.col(vec_col), cents, n_probe)
+        ).alias("cell"),
+    )
+    pairs = pair_up(
+        v,
+        ["cell"],
+        [id_col, "_v", "_n"],
+        max_bucket_size=max_cell_size,
+        observation=observation,
+    )
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._n") * F.col("b._n")),
+            round_digits,
+        ).alias("cosine_sim"),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold).distinct()
 
 
 def cosine_scores_pandas_udf(corpus: DataFrame, query_vec: list[float], vec_col: str = "embedding"):

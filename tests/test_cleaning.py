@@ -106,3 +106,67 @@ def test_winsorized_stats_clamps_outliers(spark):
     assert row.winsorized_mean < 10.0
     assert row.hi_bound < 1000.0
     assert row.lo_bound == 1.0
+
+
+def test_semantic_dedup_exact_baseline_matches_oracle(spark, sf_dir):
+    """The exact O(n²) semantic-dedup pipeline is NOT a registered query
+    (round-2 verdict: registered scale queries must not carry uncapped
+    quadratic stages) but stays pinned here as the verification baseline:
+    exact cosine pairs → connected components → keep-canonical must match
+    the DuckDB recursive-CTE closure bit-for-bit."""
+    import duckdb
+
+    from bigdata_weather_system_spark.contract.cleaning_ops import (
+        _SEMANTIC_DEDUP_ORACLE,
+    )
+    from bigdata_weather_system_spark.contract.llm_ops import (
+        embedding_near_dup_exact,
+    )
+    from bigdata_weather_system_spark.operators.dedup import keep_canonical
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_exact(spark, sf_dir).select("id_a", "id_b")
+    survivors = keep_canonical(
+        e.withColumnRenamed("vec_id", "doc_id"), pairs, "doc_id"
+    ).select(F.col("doc_id").alias("vec_id"), "label")
+    got = sorted((r.vec_id, r.label) for r in survivors.collect())
+
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet('{}')".format(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+    )
+    want = sorted(map(tuple, con.execute(_SEMANTIC_DEDUP_ORACLE).fetchall()))
+    con.close()
+    assert got == want
+
+
+def test_semantic_bucketed_pairs_have_no_false_positives(spark, sf_dir):
+    """Within-cell verification is exact cosine — every bucketed pair must
+    appear in the exact pair set (recall floors live in the registered
+    semantic_dedup_accuracy_contract)."""
+    from bigdata_weather_system_spark.contract.cleaning_ops import (
+        _semantic_pairs_bucketed,
+    )
+    from bigdata_weather_system_spark.contract.llm_ops import (
+        embedding_near_dup_exact,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    appr = {
+        (r.id_a, r.id_b)
+        for r in _semantic_pairs_bucketed(e).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_exact(spark, sf_dir)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert appr <= exact
+    assert len(appr) >= 0.9 * len(exact)

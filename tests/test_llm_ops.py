@@ -662,3 +662,67 @@ def test_incremental_dedup_against_materialized_index(spark, sf_dir, tmp_path):
             f"near-copy of doc {i} not matched"
         )
     assert not any(k >= 2_000_000 for k in hit_by_new), "novel doc matched"
+
+
+def test_containment_prefix_pairs_equal_inverted_index(docs, spark):
+    """The containment prefix filter is EXACT — full (id_a, id_b,
+    n_common, containment) output must be row-identical to the
+    inverted-index formulation, on the corpus AND on a crafted
+    short-inside-long case (where the asymmetric bound matters most)."""
+    from bigdata_weather_system_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    exact = sorted(map(tuple, containment_pairs(docs, threshold=0.8).collect()))
+    pref = sorted(
+        map(tuple, containment_pairs_prefix(docs, threshold=0.8).collect())
+    )
+    assert exact, "test data should contain containment pairs"
+    assert pref == exact
+
+    # short doc fully contained in a much longer one: Jaccard is tiny but
+    # containment = 1.0; also a hot boilerplate shingle shared by all
+    crafted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau"),
+            (3, "unrelated words entirely here alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    e2 = sorted(
+        map(tuple, containment_pairs(crafted, n=3, threshold=0.9).collect())
+    )
+    p2 = sorted(
+        map(
+            tuple,
+            containment_pairs_prefix(crafted, n=3, threshold=0.9).collect(),
+        )
+    )
+    assert (1, 2) in {(a, b) for a, b, *_ in e2}
+    assert p2 == e2
+
+
+def test_theil_sen_history_cap_is_enforced(spark, sf_dir, monkeypatch):
+    """A power user with more events than the cap must contribute exactly
+    cap*(cap-1)/2 pairs, not history²/2 — the round-2 'weak' fix. The cap
+    is deterministic (md5-ordered), so two runs agree."""
+    from bigdata_weather_system_spark.contract import cdc_ext
+
+    monkeypatch.setattr(cdc_ext, "_THEIL_SEN_MAX_EVENTS", 10)
+    out = {
+        r.user_id: r.n_pairs
+        for r in cdc_ext.theil_sen_trend_per_user(spark, sf_dir).collect()
+    }
+    # sf0.001 events: every user has >10 events, so every user must be
+    # capped at exactly C(10,2) = 45 pairs (ties in x would reduce it;
+    # timestamps are distinct per user in the synthetic data)
+    assert out, "no users?"
+    assert all(n <= 45 for n in out.values()), out
+    again = {
+        r.user_id: r.n_pairs
+        for r in cdc_ext.theil_sen_trend_per_user(spark, sf_dir).collect()
+    }
+    assert out == again
