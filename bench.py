@@ -168,9 +168,11 @@ BENCH_QUERIES = [
     "user_burstiness",
     "value_autocorrelation_per_user",
     "discount_whatif_grid",
-    # semantic_dedup_survivors stays out: its EXACT O(n^2) pair stage is
-    # the verify baseline (11s at sf0.1); the benched scale path is the
-    # LSH/IVF-bucketed pair family above
+    # round 3: bounded scale paths + new media/inference surfaces
+    "semantic_dedup_survivors",  # now the k-means-cell bucketed pair stage
+    "media_pcm_decode",
+    "media_pcm_resample",
+    "autoregressive_forecast_hourly",
 ]
 
 

@@ -527,6 +527,104 @@ def media_raw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_raw_features(media).drop("channel_means")
 
 
+# Fabrication rule (operators/multimodal.py fabricate_pcm_media): mono,
+# n = 256 + id%512 samples, rate = 8000 + (id%4)*4000, sample[i] =
+# ((id*7 + i*3) % 2001) − 1000. The oracle REGENERATES every sample with
+# range() and aggregates — integer sums are exact, doubles are IEEE
+# divisions of exact integers on both engines, so a single misread byte
+# in the numpy decode fails the gate.
+_PCM_DECODE_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         256 + doc_id % 512 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+),
+s AS (
+  SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM t
+),
+v AS (
+  SELECT media_id, n, rate,
+         ((media_id * 7 + i * 3) % 2001) - 1000 AS x
+  FROM s
+)
+SELECT media_id,
+       CAST(any_value(rate) AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT)               AS n_channels,
+       CAST(any_value(n) AS BIGINT)    AS n_samples,
+       CAST(any_value(n) AS DOUBLE) / CAST(any_value(rate) AS DOUBLE)
+                                       AS duration_s,
+       CAST(sum(x) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)
+                                       AS mean_amplitude,
+       CAST(min(x) AS BIGINT)          AS min_amplitude,
+       CAST(max(x) AS BIGINT)          AS max_amplitude,
+       CAST(sum(x) AS BIGINT)          AS sum_amplitude,
+       CAST(sum(x * x) AS BIGINT)      AS sum_sq
+FROM v GROUP BY media_id
+"""
+
+
+@register("media_pcm_decode", oracle=_PCM_DECODE_ORACLE)
+def media_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: fabricate RAW PCM blobs (header + int16 sample
+    ramp) with numpy, decode the actual bytes back — header parse,
+    big-endian int16 buffer, exact int64 waveform sums — through Arrow
+    ``mapInPandas`` batches. The oracle regenerates the ramp in SQL and
+    aggregates, so every statistic is predicted exactly."""
+    from ..operators.multimodal import (
+        decode_pcm_features,
+        fabricate_pcm_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_pcm_media(docs, "doc_id")
+    return decode_pcm_features(media)
+
+
+_PCM_RESAMPLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         256 + doc_id % 512 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+),
+s AS (
+  SELECT media_id, n, rate, unnest(range(0, n, 2)) AS i FROM t
+),
+v AS (
+  SELECT media_id, n, rate,
+         ((media_id * 7 + i * 3) % 2001) - 1000 AS x
+  FROM s
+)
+SELECT media_id,
+       CAST(any_value(rate) // 2 AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT)             AS n_samples,
+       CAST(sum(x) AS BIGINT)               AS sum_amplitude
+FROM v GROUP BY media_id
+"""
+
+
+@register("media_pcm_resample", oracle=_PCM_RESAMPLE_ORACLE)
+def media_pcm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary→binary audio transform: fabricate PCM, decimate 2× (keep
+    every 2nd frame, halve the header rate), re-encode, then DECODE THE
+    RESAMPLED BYTES again — the oracle predicts the surviving samples'
+    count/sum and the new rate from the fabrication ramp, checking both
+    codec directions in one query."""
+    from ..operators.multimodal import (
+        decode_pcm_features,
+        fabricate_pcm_media,
+        resample_pcm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_pcm_media(docs, "doc_id")
+    out = decode_pcm_features(resample_pcm(media, factor=2))
+    return out.select(
+        "media_id", "sample_rate", "n_samples", "sum_amplitude"
+    )
+
+
 _RAW_FRAMES_ORACLE = """
 WITH t AS (
   SELECT doc_id AS media_id,

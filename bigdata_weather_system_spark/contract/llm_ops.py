@@ -17,6 +17,7 @@ Oracle notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     exact_dedup,
@@ -863,6 +864,109 @@ def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("end_timestamp").alias("end_us"),
         F.round("predicted_value", 6).alias("predicted_value"),
+    )
+
+
+@register(
+    "autoregressive_forecast_hourly",
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, value, epoch(ts) AS es, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 20
+    ),
+    ctx AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN rn = 1 THEN floor(es) END) AS BIGINT)
+               AS last_es,
+             list(CAST(floor(value * 100) AS BIGINT) ORDER BY rn DESC)
+               AS win
+      FROM ranked WHERE rn <= 24
+      GROUP BY user_id HAVING count(*) = 24
+    ),
+    r AS (
+      SELECT user_id, last_es, win, 0 AS step,
+             CAST(NULL AS BIGINT) AS pred
+      FROM ctx
+      UNION ALL
+      SELECT user_id, last_es,
+             list_slice(win, 2, 24)
+               || [CAST(list_sum(win) // 24 AS BIGINT)],
+             step + 1,
+             CAST(list_sum(win) // 24 AS BIGINT)
+      FROM r WHERE step < 24
+    )
+    SELECT user_id,
+           (last_es + step * 300) // 3600 * 3600 AS hour_epoch,
+           cast(count(*) AS BIGINT) AS steps_in_hour,
+           cast(sum(pred) AS BIGINT) AS sum_pred,
+           CAST(sum(pred) AS DOUBLE) / count(*) AS avg_pred
+    FROM r WHERE step >= 1
+    GROUP BY user_id, hour_epoch
+    """,
+)
+def autoregressive_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive MULTI-STEP inference parity (round-2 verdict, Next
+    #7) — the reference's full prediction loop shape
+    (spark.py:1370-1574): latest 24-row context per key → 24 5-minute
+    steps predicted autoregressively (each prediction fed back into the
+    sliding window) → wall-clock HOURLY rollup of the 5-minute
+    predictions, partial first hour included, exactly like the
+    reference's ``_aggregate_to_hourly``.
+
+    The head is an integer truncated window-mean, so the whole recursion
+    is exact integer arithmetic — the DuckDB oracle replays it with a
+    recursive CTE over the same list window and must agree bit-for-bit
+    at every step, which pins the rollout order, the window slide, and
+    the hour bucketing all at once. The Spark side rolls out ALL keys
+    vectorized per Arrow batch (the reference does one location per HTTP
+    request, driver-side)."""
+    from ..operators.inference import autoregressive_rollout
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ctx = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 24)
+    )
+    base = (
+        ctx.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.unix_timestamp(F.max("ts")).alias("last_es"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "x"))),
+                lambda s: s["x"],
+            ).alias("window"),
+        )
+        .filter(F.col("_n") == 24)
+        .drop("_n")
+    )
+    steps = autoregressive_rollout(base, n_steps=24)
+    # integer div (not double /) — epochs are positive, so Spark's DIV and
+    # DuckDB's // agree exactly
+    hour_epoch = F.expr(
+        "(last_es + CAST(step AS BIGINT) * 300) DIV 3600"
+    ) * F.lit(3600).cast("long")
+    return (
+        steps.withColumn("hour_epoch", hour_epoch)
+        .groupBy("user_id", "hour_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("steps_in_hour"),
+            F.sum("pred").alias("sum_pred"),
+            (F.sum("pred").cast("double") / F.count(F.lit(1))).alias(
+                "avg_pred"
+            ),
+        )
     )
 
 

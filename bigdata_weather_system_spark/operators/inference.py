@@ -69,3 +69,73 @@ def score_sequences(
             yield out
 
     return seq_df.mapInPandas(batches, schema=out_schema)
+
+
+def truncated_mean_model(mat: np.ndarray) -> np.ndarray:
+    """Integer window-mean head: pred = trunc(sum(window) / L). Integer
+    arithmetic end-to-end, so the autoregressive recursion is EXACTLY
+    reproducible in a SQL oracle (``//`` in DuckDB truncates toward zero,
+    hence the sign/abs dance — numpy floor_divide floors)."""
+    s = mat.sum(axis=1, dtype=np.int64)
+    return np.sign(s) * (np.abs(s) // mat.shape[1])
+
+
+def autoregressive_rollout(
+    ctx_df: DataFrame,
+    n_steps: int,
+    model_fn=None,
+    window_col: str = "window",
+) -> DataFrame:
+    """Batch autoregressive multi-step inference — the distributed shape of
+    the reference's driver-side per-request loop
+    (``/root/reference/prediction/preprocessing/spark.py:1370-1574``):
+    context window → predict → append prediction, slide window → repeat.
+
+    ``ctx_df`` carries one row per key: an ``array<long>`` context
+    ``window`` (time-ascending) plus any passthrough columns. The loop
+    over steps runs INSIDE the Arrow batch, vectorized across all rows at
+    once (``(batch, L)`` matrix per step) — thousands of keys roll out in
+    parallel per task, where the reference rolls out one location per
+    HTTP request on the driver. Emits one row per (key, step 1..n_steps)
+    with the integer prediction; feed a real checkpoint through
+    ``model_fn`` without changing the plumbing.
+    """
+    from pyspark.sql import types as T
+
+    model = model_fn or truncated_mean_model
+    passthrough = [f for f in ctx_df.schema.fields if f.name != window_col]
+    out_schema = T.StructType(
+        list(passthrough)
+        + [
+            T.StructField("step", T.IntegerType(), False),
+            T.StructField("pred", T.LongType(), True),
+        ]
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(
+                [np.asarray(w, dtype=np.int64) for w in pdf[window_col]]
+            )
+            preds = np.empty((len(pdf), n_steps), dtype=np.int64)
+            for s_i in range(n_steps):
+                p = np.asarray(model(mat), dtype=np.int64)
+                preds[:, s_i] = p
+                mat = np.concatenate([mat[:, 1:], p[:, None]], axis=1)
+            rep = (
+                pdf[pass_names]
+                .loc[pdf.index.repeat(n_steps)]
+                .reset_index(drop=True)
+            )
+            rep["step"] = np.tile(
+                np.arange(1, n_steps + 1, dtype=np.int32), len(pdf)
+            )
+            rep["pred"] = preds.reshape(-1)
+            yield rep
+
+    return ctx_df.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,52 @@
+"""Doc-drift guards (round-2 verdict, Next #8): the human-readable counts
+in COVERAGE.md must match the live registry, so docs and code cannot
+diverge as rounds add queries."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from bigdata_weather_system_spark import contract
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_coverage_md_registry_counts_match_live_registry():
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(
+        r"Registry size: \*\*(\d+) queries, (\d+) with full DuckDB value\s*\n?oracles\*\*",
+        text,
+    )
+    assert m, "COVERAGE.md lost its machine-checked registry-size line"
+    n_queries, n_oracles = int(m.group(1)), int(m.group(2))
+    assert n_queries == len(contract.QUERIES), (
+        f"COVERAGE.md says {n_queries} queries, registry has "
+        f"{len(contract.QUERIES)} — update the line"
+    )
+    assert n_oracles == len(contract.ORACLES), (
+        f"COVERAGE.md says {n_oracles} oracles, registry has "
+        f"{len(contract.ORACLES)} — update the line"
+    )
+    m2 = re.search(r"the (\d+) rows-only entries", text)
+    assert m2 and int(m2.group(1)) == len(contract.QUERIES) - len(
+        contract.ORACLES
+    )
+
+
+def test_every_oracle_belongs_to_a_registered_query():
+    dangling = set(contract.ORACLES) - set(contract.QUERIES)
+    assert not dangling, f"oracles without queries: {sorted(dangling)}"
+
+
+def test_bench_queries_are_registered():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [q for q in bench.BENCH_QUERIES if q not in contract.QUERIES]
+    assert not missing, f"bench names unregistered queries: {missing}"

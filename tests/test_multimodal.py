@@ -91,3 +91,51 @@ def test_sample_raw_frames_strides_and_reencodes(spark):
     decoded = [decode_raw_blob(f.frame_bytes) for f in frames]
     assert [d[0, 0, 0, 0] for d in decoded] == [0, 20, 40]
     assert all(d.shape == (1, 2, 2, 1) for d in decoded)
+
+
+def test_pcm_roundtrip_and_malformed(spark):
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_pcm_blob,
+        encode_pcm_blob,
+    )
+
+    x = np.array([[1, -2], [3, -4], [32767, -32768]], dtype=np.int16)
+    rate, back = decode_pcm_blob(encode_pcm_blob(x, 44100, 2))
+    assert rate == 44100
+    assert back.shape == (3, 2)
+    assert (back == x).all()
+    # malformed: wrong magic, truncated, ragged channel payload
+    assert decode_pcm_blob(b"NOPE" + b"\x00" * 20) is None
+    assert decode_pcm_blob(b"RAWA\x00") is None
+    ragged = encode_pcm_blob(np.arange(5, dtype=np.int16), 8000, 2)
+    assert decode_pcm_blob(ragged) is None
+
+
+def test_pcm_decode_features_and_resample(spark):
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_pcm_features,
+        fabricate_pcm_media,
+        resample_pcm,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = fabricate_pcm_media(ids, "doc_id")
+    feats = {r.media_id: r for r in decode_pcm_features(media).collect()}
+    assert len(feats) == 8
+    for mid, r in feats.items():
+        n = 256 + mid % 512
+        assert r.n_samples == n
+        assert r.sample_rate == 8000 + (mid % 4) * 4000
+        assert r.n_channels == 1
+        assert -1000 <= r.min_amplitude <= r.max_amplitude <= 1000
+        assert abs(r.mean_amplitude) <= 1000
+        assert r.duration_s == n / r.sample_rate
+    half = {
+        r.media_id: r
+        for r in decode_pcm_features(resample_pcm(media, 2)).collect()
+    }
+    for mid, r in half.items():
+        assert r.n_samples == (feats[mid].n_samples + 1) // 2
+        assert r.sample_rate == feats[mid].sample_rate // 2
