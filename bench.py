@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     "media_pcm_decode",
     "media_pcm_resample",
     "autoregressive_forecast_hourly",
+    "doc_duplicate_span_stats",
+    "doc_bm25_search",
+    "mad_value_outliers",
+    "k_anonymity_audit",
+    "doc_compression_ratio",
 ]
 
 

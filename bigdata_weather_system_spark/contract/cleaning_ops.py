@@ -954,6 +954,66 @@ def incremental_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ExactSubstr-style duplicate-span coverage (Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+_DUP_SPAN_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:(i+7)], ' ')) AS h
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+d AS (
+  SELECT g.doc_id, g.pos,
+         lag(pos)  OVER w AS prev,
+         lead(pos) OVER w AS nxt
+  FROM g JOIN dup USING (h)
+  WINDOW w AS (PARTITION BY g.doc_id ORDER BY pos)
+),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_dup_windows,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           AS n_spans,
+         sum(least(8, coalesce(nxt - pos, 8))) AS covered_tokens
+  FROM d GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(len(toks) AS BIGINT)                       AS n_tokens,
+       cast(coalesce(per.n_dup_windows, 0) AS BIGINT)  AS n_dup_windows,
+       cast(coalesce(per.n_spans, 0) AS BIGINT)        AS n_spans,
+       cast(coalesce(per.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN len(toks) > 0
+            THEN cast(coalesce(per.covered_tokens, 0) * 1000000
+                      // len(toks) AS BIGINT)
+            ELSE 0 END                                 AS dup_coverage_ppm
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("doc_duplicate_span_stats", oracle=_DUP_SPAN_ORACLE)
+def doc_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup statistics (Lee et al. 2022): per
+    document, the fraction covered by 8-token windows repeated anywhere
+    in the corpus, with duplicated windows merged into maximal spans —
+    the repeated-fragment signal document-level dedup misses. The
+    suffix-array construction is replaced by its distributed equivalent
+    (rolling md5 windows + one hash groupBy + per-doc window merge);
+    coverage ships as integer ppm so the gate compares exactly."""
+    from ..operators.dedup import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", k=8)
+
+
+# --------------------------------------------------------------------------
 # Direct n-gram decontamination (GPT-3/PaLM-style 13-gram overlap)
 # --------------------------------------------------------------------------
 
@@ -2174,5 +2234,66 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecdf.groupBy("source").agg(
         F.round(F.max(F.abs(F.col("f_src") - F.col("f_corpus"))), 6).alias(
             "ks_stat"
+        )
+    )
+
+
+@register("doc_compression_ratio")  # rows-only: SQL cannot run DEFLATE
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (low =
+    repetitive boilerplate). Real stdlib kernel through an Arrow-batched
+    pandas UDF; bounds pinned by doc_compression_contract below and
+    ordering invariants in tests/test_cleaning.py."""
+    from ..operators.cleaning import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d, "doc_id", "text")
+
+
+@register(
+    "doc_compression_contract",
+    oracle="""
+    SELECT true AS all_ratios_positive,
+           true AS all_within_expansion_bound,
+           true AS covers_all_nonempty_docs
+    """,
+)
+def doc_compression_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked floors for the rows-only compression-ratio signal:
+    every non-empty doc gets a positive ratio within DEFLATE's worst-case
+    expansion bound — compressed ≤ raw + 11-byte header/trailer + 5 bytes
+    per 16 KiB stored block (a tiny doc legitimately expands: 11 bytes of
+    overhead on 2 chars is ratio ~6, so the bound must be per-doc, not a
+    global constant) — and coverage equals the non-empty doc count."""
+    from ..operators.cleaning import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    r = compression_ratio(d, "doc_id", "text")
+    scored = r.filter(F.col("compression_ratio").isNotNull())
+    bound = (
+        F.col("raw_bytes")
+        + F.lit(11)
+        + F.ceil(F.col("raw_bytes") / 16384) * 5
+    ) / F.col("raw_bytes")
+    excess = F.col("compression_ratio") - bound
+    return (
+        scored.agg(
+            F.min("compression_ratio").alias("_mn"),
+            F.max(excess).alias("_worst_excess"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .crossJoin(
+            d.filter(F.octet_length("text") > 0).agg(
+                F.count(F.lit(1)).alias("_expected")
+            )
+        )
+        .select(
+            (F.col("_mn") > 0.0).alias("all_ratios_positive"),
+            (F.col("_worst_excess") <= 0.0).alias(
+                "all_within_expansion_bound"
+            ),
+            (F.col("_n") == F.col("_expected")).alias(
+                "covers_all_nonempty_docs"
+            ),
         )
     )

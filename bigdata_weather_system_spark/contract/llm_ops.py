@@ -867,6 +867,63 @@ def score_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM base
+),
+hits AS (
+  SELECT doc_id, dl, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+  WHERE tok IN ('spark', 'join', 'vector')
+  GROUP BY doc_id, dl, tok
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+w AS (
+  SELECT h.doc_id, h.term,
+         ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (h.tf * 2.2)
+           / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS wt
+  FROM hits h JOIN dfreq d USING (term) CROSS JOIN corpus c
+),
+s AS (
+  SELECT doc_id,
+         list_reduce(list(wt ORDER BY term), (a, b) -> a + b) AS bm25,
+         count(*) AS n_matched_terms
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, round(bm25, 6) AS bm25,
+       cast(n_matched_terms AS BIGINT) AS n_matched_terms
+FROM s ORDER BY round(bm25, 6) DESC, doc_id LIMIT 20
+"""
+
+
+@register("doc_bm25_search", oracle=_BM25_ORACLE)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-20 documents for the query bag
+    {spark, join, vector} — the pre-embedding retrieval stage of a RAG /
+    curation pipeline. The token explode is filtered to the query terms
+    BEFORE any shuffle (the aggregated relation is |docs ∩ terms| rows,
+    not the corpus token stream), per-term df is a broadcast-sized
+    aggregate, corpus scalars ride a 1-row cross join, and the per-doc
+    term weights fold in sorted term order so float addition is
+    order-deterministic across partitionings and engines."""
+    from ..operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, ["spark", "join", "vector"])
+    return (
+        scored.select(
+            "doc_id",
+            F.round("bm25", 6).alias("bm25"),
+            F.col("n_matched_terms").cast("long").alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 @register(
     "autoregressive_forecast_hourly",
     oracle="""

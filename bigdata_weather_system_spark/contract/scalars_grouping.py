@@ -570,3 +570,96 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     )
+
+
+@register(
+    "mad_value_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           cast(count(*) AS BIGINT)   AS n_events,
+           round(any_value(d.med), 4) AS median_value,
+           round(any_value(m.mad), 4) AS mad_value,
+           cast(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: flag rows
+    with |x − median| > 3·MAD per event type — the breakdown-point-0.5
+    alternative to z-scores, whose mean/stddev an outlier itself drags.
+    Two median passes; the per-group medians are broadcast back (a
+    handful of rows), so the corpus is scanned twice and never
+    shuffled wide."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("_med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_ad").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("_med"), 4).alias("median_value"),
+            F.round(F.min("_mad"), 4).alias("mad_value"),
+            F.sum((F.col("_ad") > 3 * F.col("_mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value) AS BIGINT) AS vb
+      FROM events
+    ),
+    g AS (SELECT event_type, d, vb, count(*) AS n FROM q
+          GROUP BY event_type, d, vb)
+    SELECT cast(count(*) AS BIGINT)                          AS n_groups,
+           cast(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_violating_groups,
+           cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                                                             AS n_rows_at_risk,
+           cast(min(n) AS BIGINT)                            AS min_group_size
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier (event_type, day,
+    floor(value)): how many equivalence classes are small enough to
+    re-identify a user — the privacy gate a training-data release runs
+    before shipping. One groupBy on the quasi-identifier, one 1-row
+    summary; at 100 TB the quasi-id groupBy is the only shuffle and
+    combines map-side."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor("value").cast("long").alias("vb"),
+    )
+    g = q.groupBy("event_type", "d", "vb").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < 5).cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n").alias("min_group_size"),
+    )

@@ -283,3 +283,35 @@ def survivorship_merge(
         else:
             raise ValueError(f"survivorship_merge: unknown rule {rule!r}")
     return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
+def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    published redundancy quality signal (low ratio = repetitive
+    boilerplate, near-1 = high-entropy text; used as a filter in
+    RefinedWeb-style pipelines). zlib is in the stdlib, so unlike the
+    image/audio codecs this is a REAL kernel, Arrow-batched through a
+    pandas UDF (one Python call per ~10k-row batch, not per row). A SQL
+    engine cannot reproduce DEFLATE, so the registered query is
+    rows-only; bounds and coverage are pinned by the oracle-checked
+    contract twin and pytest."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _zlib_ratio(s):
+        import zlib
+
+        def one(t):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return pd.Series([one(t) for t in s])
+
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("raw_bytes"),
+        _zlib_ratio(F.col(text_col)).alias("compression_ratio"),
+    )

@@ -475,6 +475,113 @@ def jaccard_pairs_prefix(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, how much of it is covered by k-token windows that appear
+    MORE THAN ONCE anywhere in the corpus — the repeated-span signal that
+    document-level (exact/MinHash) dedup cannot see, because boilerplate
+    fragments hide inside otherwise-unique documents.
+
+    The suffix-array formulation of the paper is replaced by the
+    distributed-friendly rolling-window equivalent: every k-token window
+    hashes to 16 bytes (md5), a window is duplicated iff its hash occurs
+    ≥ 2 times corpus-wide (one map-side-combining groupBy), and each
+    document's duplicated windows merge into maximal spans with two
+    window functions — span starts where the position gap exceeds k,
+    and the union size telescopes as Σ min(k, next_pos − pos). Returns
+    one row per document: n_tokens, n_dup_windows, n_spans,
+    covered_tokens, and dup_coverage_ppm (floor(coverage·10⁶) — integer,
+    so cross-engine comparison is exact).
+
+    Scale: one explode (n_tokens windows/doc), one groupBy on the hash,
+    one semi-join, per-doc windows — no pair generation at all, so there
+    is no quadratic term anywhere; this is strictly cheaper than any
+    near-dup join and is the right first pass on a 100 TB corpus.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    base = _spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("n_tokens", F.size("_toks"))
+    n_win = F.greatest(F.col("n_tokens") - (k - 1), F.lit(0))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                n_win >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("_toks", i, k), " ")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,h:string>>")
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= 2
+    )
+    dpos = grams.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = dpos.select(
+        id_col,
+        "pos",
+        F.lag("pos").over(w).alias("_prev"),
+        F.lead("pos").over(w).alias("_nxt"),
+    )
+    per = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum(
+            (
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k)
+            ).cast("long")
+        ).alias("n_spans"),
+        F.sum(
+            F.least(
+                F.lit(k),
+                F.coalesce(F.col("_nxt") - F.col("pos"), F.lit(k)),
+            )
+        ).alias("covered_tokens"),
+    )
+    joined = base.select(id_col, "n_tokens").join(per, id_col, "left")
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return joined.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        cov.cast("long").alias("covered_tokens"),
+        # integer div, not floor(double /): all operands positive, so
+        # Spark DIV and DuckDB // agree exactly with no float in the loop
+        F.when(
+            F.col("n_tokens") > 0,
+            (cov * 1_000_000).cast("long") - (
+                (cov * 1_000_000).cast("long") % F.col("n_tokens")
+            ),
+        ).alias("_pre"),
+    ).withColumn(
+        "dup_coverage_ppm",
+        F.when(F.col("n_tokens") > 0, F.col("_pre") / F.col("n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("_pre")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

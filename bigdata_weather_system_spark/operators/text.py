@@ -371,3 +371,82 @@ def repetition_features(
             F.coalesce(F.col("max_bf") / F.col("n_bigrams"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 (Robertson/Lucene idf variant) of every document against
+    a bag of query terms — the lexical-retrieval scorer a corpus-curation
+    or RAG pipeline runs before any embedding stage.
+
+    score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                 · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+
+    Plan shape for 100 TB: one explode filtered to the query terms ONLY
+    (predicate on the token before any aggregation, so the shuffled
+    relation is |docs ∩ terms| rows, not the corpus token stream), one
+    groupBy (doc, term) for tf, one tiny per-term df aggregate that
+    broadcast-joins back, and the corpus-level (N, avgdl) scalars ride in
+    via a 1-row broadcast cross join. No UDF anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = [t.lower() for t in query_terms]
+    hits = (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # fold the per-term weights in TERM order instead of F.sum: float
+    # addition is order-sensitive, and partial aggregation would add the
+    # 2-3 term weights in partition-dependent order — a run-to-run
+    # nondeterminism a correctness gate cannot tolerate. The sorted fold
+    # is exact and matches a SQL list_reduce over the same ordering.
+    return scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_w"],
+        ).alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+

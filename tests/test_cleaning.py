@@ -170,3 +170,65 @@ def test_semantic_bucketed_pairs_have_no_false_positives(spark, sf_dir):
     }
     assert appr <= exact
     assert len(appr) >= 0.9 * len(exact)
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text must compress harder (lower ratio) than high-entropy
+    text, empty text yields NULL, and every ratio respects DEFLATE's
+    worst-case expansion bound."""
+    import random
+
+    from bigdata_weather_system_spark.operators.cleaning import (
+        compression_ratio,
+    )
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(200)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 400),
+            (2, noisy),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[3].compression_ratio is None
+    assert out[1].compression_ratio < out[2].compression_ratio
+    assert out[1].compression_ratio < 0.1  # 400x repetition crushes
+    for r in (out[1], out[2]):
+        bound = (r.raw_bytes + 11 + -(-r.raw_bytes // 16384) * 5) / r.raw_bytes
+        assert 0 < r.compression_ratio <= bound
+
+
+def test_duplicate_span_stats_merges_overlapping_windows(spark):
+    """Two docs sharing one 10-token run (k=8 → 3 duplicated windows,
+    overlapping) must report ONE merged span covering exactly 10 tokens;
+    a doc with no repeated window reports zeros."""
+    from bigdata_weather_system_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 x1 y1 z1 w1 v1"),
+            (2, "lead2 other2 " + shared + " done2 q2 r2 s2 t2 u2"),
+            (3, "entirely fresh words without any repeats at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(df, k=8).collect()}
+    for d in (1, 2):
+        assert out[d].n_dup_windows == 3
+        assert out[d].n_spans == 1
+        assert out[d].covered_tokens == 10
+        assert out[d].dup_coverage_ppm == 10 * 1_000_000 // out[d].n_tokens
+    assert out[3].n_dup_windows == 0
+    assert out[3].n_spans == 0
+    assert out[3].covered_tokens == 0
+    assert out[3].dup_coverage_ppm == 0
