@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "mad_value_outliers",
     "k_anonymity_audit",
     "doc_compression_ratio",
+    "ewma_values_per_user",
+    "value_psi_drift_per_type",
 ]
 
 

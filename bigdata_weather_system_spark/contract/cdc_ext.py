@@ -1051,3 +1051,186 @@ def value_autocorrelation_per_user(spark: SparkSession, sf_dir: str) -> DataFram
         (F.round(F.corr("value", "v1"), 6) + F.lit(0.0)).alias("acf_lag1"),
         (F.round(F.corr("value", "v24"), 6) + F.lit(0.0)).alias("acf_lag24"),
     )
+
+
+@register(
+    "ewma_values_per_user",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, list(value ORDER BY rn) AS vs
+      FROM o GROUP BY user_id
+    )
+    SELECT user_id,
+           cast(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) -> acc + 0.3 * (x - acc)), 6)
+             AS ewma_value
+    FROM s
+    """,
+)
+def ewma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.3) of each user's
+    value stream — the recursive smoother behind drift monitors and
+    rate estimators. The recursion s ← s + α·(x − s) is a LEFT FOLD, not
+    a window sum, so it runs as one ``F.aggregate`` over the per-key
+    ordered array (one groupBy shuffle; per-key state is one double).
+    Both engines fold in identical order — seeding with the first value
+    (list_reduce starts at element 1; Spark folds the array tail onto a
+    head seed), so every IEEE operation matches bit-for-bit before the
+    6dp round. The closed-form power-weight formulation would underflow
+    (1−α)^n for long histories; the fold cannot."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), F.col("value")).alias("_s"),
+    )
+    per = ordered.groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["value"])
+        .alias("vs")
+    )
+    ewma = F.aggregate(
+        F.slice("vs", 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: acc + 0.3 * (x - acc),
+    )
+    return per.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+@register(
+    "value_psi_drift_per_type",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    ref AS (SELECT event_type, value FROM events, cutoff WHERE ts < c),
+    cur AS (SELECT event_type, value FROM events, cutoff WHERE ts >= c),
+    stats AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx,
+             count(*) AS n_ref
+      FROM ref GROUP BY event_type
+    ),
+    nc AS (SELECT event_type, count(*) AS n_cur FROM cur GROUP BY event_type),
+    rb AS (
+      SELECT r.event_type,
+             CASE WHEN s.mx > s.mn
+                  THEN least(9, greatest(0,
+                       CAST(floor((r.value - s.mn) * 10 / (s.mx - s.mn))
+                            AS BIGINT)))
+                  ELSE 0 END AS bin
+      FROM ref r JOIN stats s USING (event_type)
+    ),
+    cb AS (
+      SELECT c.event_type,
+             CASE WHEN s.mx > s.mn
+                  THEN least(9, greatest(0,
+                       CAST(floor((c.value - s.mn) * 10 / (s.mx - s.mn))
+                            AS BIGINT)))
+                  ELSE 0 END AS bin
+      FROM cur c JOIN stats s USING (event_type)
+    ),
+    grid AS (
+      SELECT s.event_type, u.b AS bin, s.n_ref, nc.n_cur
+      FROM stats s JOIN nc USING (event_type),
+           unnest(range(0, 10)) AS u(b)
+    ),
+    rc AS (SELECT event_type, bin, count(*) AS nr FROM rb GROUP BY 1, 2),
+    cc AS (SELECT event_type, bin, count(*) AS ncu FROM cb GROUP BY 1, 2),
+    terms AS (
+      SELECT g.event_type, g.bin,
+             (coalesce(rc.nr, 0) + 0.5) / (g.n_ref + 5.0) AS p,
+             (coalesce(cc.ncu, 0) + 0.5) / (g.n_cur + 5.0) AS q
+      FROM grid g
+      LEFT JOIN rc ON rc.event_type = g.event_type AND rc.bin = g.bin
+      LEFT JOIN cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+    )
+    SELECT event_type,
+           round(list_reduce(
+             list((p - q) * ln(p / q) ORDER BY bin) || [0.0],
+             (a, b) -> a + b), 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def value_psi_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    distribution-drift monitor between a reference period (first 15
+    days) and the current period: 10 fixed-width bins from the reference
+    min/max, Laplace-smoothed bin shares, PSI = Σ (p−q)·ln(p/q). Rule of
+    thumb: <0.1 stable, >0.25 drifted. Bin counting is two grouped
+    aggregations; the per-type stats broadcast back; the 10-term PSI sum
+    folds in bin order so float addition is partition- and
+    engine-deterministic."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("_cut"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    ref = ev.filter(F.col("ts") < F.col("_cut"))
+    cur = ev.filter(F.col("ts") >= F.col("_cut"))
+    stats = ref.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+    nc = cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cur"))
+
+    def binned(side):
+        j = side.join(F.broadcast(stats.select("event_type", "mn", "mx")),
+                      "event_type")
+        b = F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        * 10
+                        / (F.col("mx") - F.col("mn"))
+                    ).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0))
+        return j.select("event_type", b.alias("bin")).groupBy(
+            "event_type", "bin"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    rc = binned(ref).withColumnRenamed("n", "nr")
+    cc = binned(cur).withColumnRenamed("n", "ncu")
+    grid = (
+        stats.select("event_type", "n_ref")
+        .join(nc, "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+    )
+    terms = (
+        grid.join(rc, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (
+                (F.coalesce(F.col("nr"), F.lit(0)) + 0.5)
+                / (F.col("n_ref") + 5.0)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("ncu"), F.lit(0)) + 0.5)
+                / (F.col("n_cur") + 5.0)
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    per = terms.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("bin", term.alias("t"))))
+        .alias("_arr")
+    )
+    psi = F.aggregate("_arr", F.lit(0.0), lambda acc, s: acc + s["t"])
+    return per.select("event_type", F.round(psi, 6).alias("psi"))

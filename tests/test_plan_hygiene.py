@@ -262,3 +262,43 @@ def test_hard_negatives_broadcast_anchor_side(spark):
     plan = plan_of(spark, "hard_negative_pairs")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_explode_filtered_before_aggregation(spark):
+    """The BM25 token explode must be filtered to the query terms before
+    any Exchange (the aggregated relation is term hits, not the corpus
+    token stream), the df/corpus sides must broadcast, and the top-k must
+    be a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfreq + corpus scalars
+    gen_idx = plan.find("Generate explode")
+    assert gen_idx >= 0
+    # a Filter on the exploded term sits between the Generate and its
+    # downstream exchange: the filter must list the literal query terms
+    assert "spark" in plan and "vector" in plan
+
+
+def test_duplicate_span_stats_prunes_and_combines(spark):
+    """Span dedup reads only (doc_id, text), the dup-hash aggregation
+    partially aggregates map-side, and no pair generator (flatten over
+    postings combinations) appears anywhere — the operator is linear."""
+    plan = plan_of(spark, "doc_duplicate_span_stats")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "partial_count" in plan  # map-side combine on the md5 key
+    # grouped-postings pair generators materialize flatten(transform(...))
+    # combination arrays; their absence is the linearity guarantee (the
+    # slice() here is the k-token window hash, a per-row constant cost)
+    assert "flatten(" not in plan
+
+
+def test_autoregressive_rollout_single_context_shuffle(spark):
+    """The AR forecast builds per-key contexts with ONE window partitioning
+    reused by the groupBy (no second wide shuffle before the rollout),
+    and the hourly rollup partially aggregates."""
+    plan = plan_of(spark, "autoregressive_forecast_hourly")
+    assert "MapInPandas" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # context build: one Exchange for the user_id window + its reuse; the
+    # total Exchange count stays small (window, rollup agg, AQE reads)
+    assert plan.count("Exchange hashpartitioning") <= 3
