@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "doc_compression_ratio",
     "ewma_values_per_user",
     "value_psi_drift_per_type",
+    "part_copurchase_kcore",
+    "token_cms_estimates",
 ]
 
 

@@ -264,3 +264,50 @@ def part_copurchase_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return salton_similarity(edges).filter(F.col("weight") >= 2)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
+    """Unroll the bounded k-core peel as chained CTEs — the same trick the
+    PageRank oracle uses for its fixed iterations. Both engines run the
+    identical round count, so parity holds even on a graph that would
+    need more rounds to fully converge (convergence on the test graphs is
+    pinned in tests/test_graph.py, not assumed here)."""
+    # every e{i} is referenced twice (degree agg + next round's probe) —
+    # DuckDB INLINES plain CTEs, so without MATERIALIZED the chain expands
+    # 2^rounds scans of lineitem (observed: fd exhaustion at 12 rounds)
+    parts = [_EDGES_CTE]
+    prev = "edges"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY src),
+    kp{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE c >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e
+             JOIN kp{i} a ON e.src = a.src
+             JOIN kp{i} b ON e.dst = b.src)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT src AS node, cast(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY src
+    """
+    )
+
+
+@register("part_copurchase_kcore", oracle=_kcore_oracle(k=3, rounds=12))
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: the maximal subgraph where every
+    part co-occurs with ≥3 surviving parts — the standard dense-region
+    extractor (spam rings, bot cliques, head-of-catalog bundles) that
+    degree thresholding alone cannot find, because removing one fringe
+    node can un-qualify its neighbors transitively. Bounded 12-round peel
+    (degree agg + two semi-joins per round, lineage cut per round); the
+    oracle unrolls the identical rounds as chained CTEs."""
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore(edges, k=3, rounds=12)

@@ -161,3 +161,70 @@ def approx_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est") <= F.col("exact_overlap") * 1.15)
         ).alias("within_15pct"),
     )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+
+@register("token_cms_estimates")  # rows-only: xxhash64 sketch, no SQL twin
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the corpus' 20 most
+    frequent tokens, answered from a 4×1024 mergeable sketch instead of
+    the token stream. Accuracy floors oracle-checked by
+    token_cms_contract; merge associativity pinned in pytest."""
+    from ..operators.estimate import cms_point_estimates, count_min_sketch
+
+    toks = _doc_tokens(spark, sf_dir)
+    sketch = count_min_sketch(toks, "token")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+        .select("token")
+    )
+    return cms_point_estimates(sketch, top, "token")
+
+
+@register(
+    "token_cms_contract",
+    oracle="""
+    SELECT true AS no_underestimate,
+           true AS overcount_within_bound,
+           true AS covers_all_queries
+    """,
+)
+def token_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked Count-Min guarantees against exact counts for the
+    top-20 tokens: (1) a CMS estimate can NEVER undercount (each cell
+    sums a superset of the item's occurrences), (2) overcount stays
+    within 5·N/width + 5 — loose against the εN = (e/width)·N
+    expectation so the bound pins 'works', not hash luck, (3) every
+    query token gets an estimate."""
+    from ..operators.estimate import cms_point_estimates, count_min_sketch
+
+    toks = _doc_tokens(spark, sf_dir).cache()
+    sketch = count_min_sketch(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = cms_point_estimates(sketch, exact.select("token"), "token")
+    n_total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    joined = exact.join(est, "token").crossJoin(F.broadcast(n_total))
+    bound = 5.0 * F.col("_n") / 1024 + 5
+    return joined.agg(
+        (F.sum((F.col("cms_estimate") < F.col("exact_n")).cast("int")) == 0)
+        .alias("no_underestimate"),
+        (
+            F.max(F.col("cms_estimate") - F.col("exact_n"))
+            <= F.max(bound)
+        ).alias("overcount_within_bound"),
+        (F.count(F.lit(1)) == 20).alias("covers_all_queries"),
+    )

@@ -50,3 +50,76 @@ def estimate_join_cardinality(
         .cast("long")
         .alias("estimated_rows")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch of an item stream as a (row, bucket, cnt) relation
+    — depth×width cells, each cell the count of items hashing there.
+
+    The sketch is MERGEABLE by construction (cell-wise sum), which is the
+    whole point at 100 TB: build per-partition/per-day sketches with one
+    map-side-combining groupBy, union + re-sum to merge, and answer point
+    frequency queries from ≤ depth·width rows instead of re-scanning the
+    stream. Guarantees: estimates never undercount; overcount ≤ εN with
+    probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    """
+    buckets = [
+        F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + i)), F.lit(width))
+        .cast("int")
+        .alias("bucket")
+        for i in range(depth)
+    ]
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), buckets[i])
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries[item_col]`` from a
+    ``count_min_sketch`` relation: est(item) = min over rows of
+    cell(row, h_row(item)). The query side is tiny and broadcasts; a
+    missing cell means nothing hashed there (count 0)."""
+    probes = queries.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(seed + i)),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item_col, "rb.row", "rb.bucket")
+    joined = sketch.join(F.broadcast(probes), ["row", "bucket"], "right")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )

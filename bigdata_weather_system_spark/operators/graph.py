@@ -276,3 +276,38 @@ def salton_similarity(edges: DataFrame) -> DataFrame:
             ).alias("salton"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop nodes with degree < k
+    (and their incident edges); return the surviving (node, core_degree)
+    rows after ``rounds`` rounds.
+
+    The peel is monotone — once stable, further rounds are no-ops — so a
+    FIXED round count is both deterministic and oracle-replayable (the
+    SQL oracle unrolls the same rounds as chained CTEs; an adaptive
+    'until converged' loop could not be expressed there, and 12 rounds
+    converge far beyond the depth real co-occurrence graphs need:
+    convergence on the test graph is pinned in tests). Each round is one
+    degree aggregation plus two semi-joins against the ~|nodes|-row keep
+    list; the evolving edge list feeds BOTH the aggregation and the next
+    round's probe, so it is lineage-truncated per round
+    (``localCheckpoint``, the connected-components pattern) — without it
+    the doubly-consumed subplan re-evaluates 2^rounds times.
+    """
+    e = _directed(edges).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            break
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )

@@ -111,3 +111,38 @@ def test_triangle_stats_disjoint_edges_zero_clustering(spark):
     row = triangle_stats(e).collect()[0]
     assert row["n_triangles"] == 0
     assert row["global_clustering"] == 0.0
+
+
+def test_kcore_peels_transitively_and_converges(spark):
+    """A triangle chained to a pendant path: degree thresholding alone
+    keeps the path's middle node (degree 2 < 3 → no; craft k=2 case).
+    k=2-core of triangle(1,2,3) + path 3-4-5: node 5 has degree 1 →
+    dropped; then 4 drops to degree 1 → dropped transitively; the
+    triangle survives. Also: 12 rounds equals 13 rounds (converged)."""
+    from bigdata_weather_system_spark.operators.graph import kcore
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {r.node: r.core_degree for r in kcore(e, k=2, rounds=12).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    again = {
+        r.node: r.core_degree for r in kcore(e, k=2, rounds=13).collect()
+    }
+    assert got == again
+
+
+def test_kcore_converges_on_testdata(spark):
+    """12 rounds fully converge on the sf0.001 co-purchase graph (round 13
+    changes nothing) — pins that the bounded-round parity query is also
+    the true 3-core there."""
+    from bigdata_weather_system_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").cache()
+    r12 = sorted(map(tuple, kcore(edges, k=3, rounds=12).collect()))
+    r13 = sorted(map(tuple, kcore(edges, k=3, rounds=13).collect()))
+    assert r12 == r13
+    assert r12, "3-core should be non-empty on the co-purchase graph"

@@ -726,3 +726,41 @@ def test_theil_sen_history_cap_is_enforced(spark, sf_dir, monkeypatch):
         for r in cdc_ext.theil_sen_trend_per_user(spark, sf_dir).collect()
     }
     assert out == again
+
+
+def test_count_min_sketch_is_mergeable_and_never_undercounts(spark):
+    """Cell-wise sum of two partition sketches must equal the sketch of
+    the union (the mergeability contract), and every estimate bounds the
+    true count from above."""
+    from bigdata_weather_system_spark.operators.estimate import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "token string")
+    half1 = spark.createDataFrame(rows[:38], "token string")
+    half2 = spark.createDataFrame(rows[38:], "token string")
+
+    full = count_min_sketch(df, "token", width=64, depth=3)
+    merged = (
+        count_min_sketch(half1, "token", width=64, depth=3)
+        .unionByName(count_min_sketch(half2, "token", width=64, depth=3))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zzz",)],
+                              "token string")
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_point_estimates(full, q, "token", width=64, depth=3)
+        .collect()
+    }
+    truth = {"a": 50, "b": 20, "c": 5, "d": 1, "zzz": 0}
+    for t, n in truth.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] <= n + 76  # N=76 absolute ceiling
