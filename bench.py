@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "value_psi_drift_per_type",
     "part_copurchase_kcore",
     "token_cms_estimates",
+    "doc_bpe_merge_table",
 ]
 
 

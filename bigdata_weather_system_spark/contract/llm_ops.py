@@ -1687,3 +1687,19 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register("doc_bpe_merge_table")  # rows-only: iterative trainer, no SQL twin
+def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
+    corpus: 8 merge rules learned by iterated pair-count → argmax →
+    fold-apply rounds on the (word, count) vocabulary relation — the
+    tokenizer-training stage of an LLM pipeline, with per-round cost
+    O(|vocabulary|) independent of corpus size. Deterministic tie-breaks;
+    exact agreement with a pure-Python reference trainer (and the classic
+    low/lower/newest/widest example) is pinned in tests/test_llm_ops.py."""
+    from ..operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    _, merge_df, _ = bpe_train(d, "text", n_merges=8)
+    return merge_df

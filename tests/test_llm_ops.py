@@ -764,3 +764,72 @@ def test_count_min_sketch_is_mergeable_and_never_undercounts(spark):
     for t, n in truth.items():
         assert est[t] >= n, (t, est[t], n)
         assert est[t] <= n + 76  # N=76 absolute ceiling
+
+
+def _bpe_reference(words, n_merges):
+    """Pure-Python BPE trainer (Sennrich et al. algorithm 1) — the test
+    oracle for the distributed trainer."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, n))
+        ab = a + b
+        for w, s in seqs.items():
+            out, prev = [], None
+            for sym in s:
+                if prev is not None and prev == a and sym == b:
+                    out.append(ab)
+                    prev = None
+                elif prev is not None:
+                    out.append(prev)
+                    prev = sym
+                else:
+                    prev = sym
+            if prev is not None:
+                out.append(prev)
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_on_classic_example(spark):
+    from bigdata_weather_system_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    merges, _, _ = bpe_train(df, n_merges=6)
+    ref = _bpe_reference({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    assert [(a, b, n) for _, a, b, n in merges] == ref
+    enc = bpe_encode(
+        spark.createDataFrame([("newest lowest",)], "text string"), merges
+    ).head()
+    assert enc.bpe_tokens == ["n", "ewest", "low", "est"]
+
+
+def test_bpe_train_matches_reference_on_testdata(spark, sf_dir):
+    from collections import Counter
+
+    from bigdata_weather_system_spark.operators.bpe import bpe_train
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(100).cache()
+    merges, _, _ = bpe_train(d, "text", n_merges=5)
+    words = Counter()
+    for r in d.collect():
+        words.update((r.text or "").lower().split())
+    ref = _bpe_reference(dict(words), 5)
+    assert [(a, b, n) for _, a, b, n in merges] == ref
