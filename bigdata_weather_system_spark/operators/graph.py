@@ -296,6 +296,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
     the doubly-consumed subplan re-evaluates 2^rounds times.
     """
     e = _directed(edges).localCheckpoint(eager=True)
+    prev_cnt = e.count()
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.filter(F.col("_d") >= k).select("src")
@@ -304,8 +305,14 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        if e.isEmpty():
+        # the peel is monotone-decreasing, so an unchanged edge count IS
+        # the fixed point — stop early (identical result to running the
+        # remaining rounds; the count reads the fresh checkpoint, no
+        # recompute)
+        cnt = e.count()
+        if cnt == prev_cnt or cnt == 0:
             break
+        prev_cnt = cnt
     return (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))
