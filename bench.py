@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "part_copurchase_kcore",
     "token_cms_estimates",
     "doc_bpe_merge_table",
+    "user_erasure_audit",
+    "lineitem_column_stats",
 ]
 
 

@@ -371,3 +371,122 @@ def daily_content_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_digest"),
         )
     )
+
+
+@register(
+    "user_erasure_audit",
+    oracle="""
+    WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+    after AS (
+      SELECT e.* FROM events e
+      WHERE e.user_id NOT IN (SELECT user_id FROM del)
+    )
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM events)  AS rows_before,
+           (SELECT cast(count(*) AS BIGINT) FROM after)   AS rows_after,
+           (SELECT cast(count(*) AS BIGINT) FROM del)     AS n_erased_users,
+           (SELECT cast(count(*) AS BIGINT) FROM after
+             WHERE user_id % 37 = 0)                      AS residual_rows
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) propagation + audit: given a
+    deletion list (here: every 37th user), rewrite the fact table with a
+    broadcast anti-join — untouched rows stream through without a
+    shuffle — and emit the audit row a compliance pipeline records:
+    before/after counts, erased-key count, and residual rows (MUST be
+    zero). At 100 TB the deletion list is always broadcast-sized and the
+    rewrite is a narrow scan per partition; combine with the
+    date-partitioned layout to rewrite only partitions that contain the
+    keys (manifest min/max pruning)."""
+    ev = _t(spark, sf_dir, "events")
+    del_keys = (
+        ev.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    )
+    after = ev.join(F.broadcast(del_keys), "user_id", "left_anti").cache()
+    return (
+        ev.agg(F.count(F.lit(1)).alias("rows_before"))
+        .crossJoin(after.agg(F.count(F.lit(1)).alias("rows_after")))
+        .crossJoin(del_keys.agg(F.count(F.lit(1)).alias("n_erased_users")))
+        .crossJoin(
+            after.filter(F.col("user_id") % 37 == 0).agg(
+                F.count(F.lit(1)).alias("residual_rows")
+            )
+        )
+    )
+
+
+@register(
+    "lineitem_column_stats",
+    oracle="""
+    WITH s AS (
+      SELECT 'l_quantity' AS column_name,
+             count(*) AS n_rows,
+             cast(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+             cast(count(DISTINCT l_quantity) AS BIGINT)   AS ndv,
+             round(min(l_quantity), 4) AS min_value,
+             round(max(l_quantity), 4) AS max_value,
+             round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             round(median(l_quantity), 4)              AS p50,
+             round(quantile_cont(l_quantity, 0.75), 4) AS p75
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*),
+             cast(count(*) - count(l_extendedprice) AS BIGINT),
+             cast(count(DISTINCT l_extendedprice) AS BIGINT),
+             round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+             round(quantile_cont(l_extendedprice, 0.25), 4),
+             round(median(l_extendedprice), 4),
+             round(quantile_cont(l_extendedprice, 0.75), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*),
+             cast(count(*) - count(l_discount) AS BIGINT),
+             cast(count(DISTINCT l_discount) AS BIGINT),
+             round(min(l_discount), 4), round(max(l_discount), 4),
+             round(quantile_cont(l_discount, 0.25), 4),
+             round(median(l_discount), 4),
+             round(quantile_cont(l_discount, 0.75), 4)
+      FROM lineitem
+    )
+    SELECT * FROM s
+    """,
+)
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (the optimizer-stats collection an
+    engine runs before CBO): per column — row/null counts, exact NDV,
+    min/max, and equi-depth quartile bounds — gathered in ONE scan of the
+    table (all columns' aggregates in a single agg; exact distinct counts
+    expand it to one shuffle per distinct column under Spark's
+    multi-distinct planning, still no per-column rescans) and unpivoted
+    to a row per column."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def stats(c):
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min_value"),
+            F.round(F.max(c), 4).alias(f"{c}__max_value"),
+            F.round(F.percentile(c, 0.25), 4).alias(f"{c}__p25"),
+            F.round(F.median(c), 4).alias(f"{c}__p50"),
+            F.round(F.percentile(c, 0.75), 4).alias(f"{c}__p75"),
+        ]
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    one = li.agg(*[a for c in cols for a in stats(c)])
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col(f"{c}__min_value").alias("min_value"),
+            F.col(f"{c}__max_value").alias("max_value"),
+            F.col(f"{c}__p25").alias("p25"),
+            F.col(f"{c}__p50").alias("p50"),
+            F.col(f"{c}__p75").alias("p75"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
