@@ -306,3 +306,24 @@ def test_autoregressive_rollout_single_context_shuffle(spark):
     # context build: one Exchange for the user_id window + its reuse; the
     # total Exchange count stays small (window, rollup agg, AQE reads)
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_erasure_rewrite_broadcasts_deletion_list(spark):
+    """The fact-table rewrite must be a broadcast anti-join (BuildRight on
+    a broadcast exchange) — never a shuffled join of the corpus."""
+    plan = plan_of(spark, "user_erasure_audit")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_column_stats_splits_distinct_from_percentiles(spark):
+    """count_distinct and percentile aggregates must live in SEPARATE
+    aggregations (cross-joined 1-row results): a combined agg drags the
+    percentile buffers through the multi-distinct Expand's 4x shuffle
+    (measured 11s vs 4s at sf0.1)."""
+    plan = plan_of(spark, "lineitem_column_stats")
+    # the Expand (multi-distinct planning) must not feed any percentile
+    exp = plan.find("Expand")
+    assert exp >= 0  # distinct agg is planned with Expand
+    assert "percentile" in plan
+    # cross-joined 1-row aggregates → a BroadcastNestedLoopJoin appears
+    assert "BroadcastNestedLoopJoin" in plan
