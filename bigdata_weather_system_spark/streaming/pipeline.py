@@ -282,6 +282,36 @@ def read_latest_snapshot(
     return top_n_per_key(log, list(keys), order).drop("_batch_id")
 
 
+def read_snapshot_as_of(
+    spark: SparkSession,
+    log_path: str,
+    keys: tuple[str, ...] = ("location",),
+    as_of_batch: int | None = None,
+    as_of_time=None,
+) -> DataFrame:
+    """TIME TRAVEL over the append log: the upsert view as it stood after
+    micro-batch ``as_of_batch`` (inclusive) and/or at ingest time
+    ``as_of_time`` — the Delta/Iceberg ``VERSION AS OF`` / ``TIMESTAMP AS
+    OF`` read, owned by the reader because the log is append-only (history
+    is never rewritten, so every historical snapshot stays addressable
+    until compaction folds it). The batch/time predicates are plain column
+    filters, so they push into the parquet scan and prune files whose
+    footer stats exclude the range."""
+    from ..operators.latest import top_n_per_key
+
+    log = spark.read.parquet(log_path)
+    if as_of_batch is not None:
+        log = log.filter(F.col("_batch_id") <= as_of_batch)
+    if as_of_time is not None:
+        log = log.filter(F.col("kafka_timestamp") <= F.lit(as_of_time))
+    order = [
+        F.col("event_timestamp").desc(),
+        F.col("kafka_timestamp").desc(),
+        F.col("_batch_id").desc(),
+    ]
+    return top_n_per_key(log, list(keys), order).drop("_batch_id")
+
+
 def compact_snapshot(
     spark: SparkSession,
     log_path: str,

@@ -366,6 +366,30 @@ def test_incremental_snapshot_upsert_and_compaction(spark, tmp_path):
     assert comp == snap
     assert spark.read.parquet(compacted).count() == 3
 
+    # TIME TRAVEL: the view as of batch 0 predates batch 2's upsert —
+    # hanoi still reads 20.0 and danang does not exist yet; the late
+    # hanoi row in batch 1 must not leak backwards either
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_snapshot_as_of,
+    )
+
+    min_batch = (
+        spark.read.parquet(log).agg(F.min("_batch_id")).head()[0]
+    )
+    asof = {
+        r.location: r.temperature
+        for r in read_snapshot_as_of(
+            spark, log, as_of_batch=min_batch
+        ).collect()
+    }
+    assert asof == {"hanoi": 20.0, "hue": 28.0}
+    # ingest-time travel: everything at/before t0 (kafka ts of batch 1)
+    asof_t = {
+        r.location: r.temperature
+        for r in read_snapshot_as_of(spark, log, as_of_time=t0).collect()
+    }
+    assert asof_t == {"hanoi": 20.0, "hue": 28.0}
+
 
 def test_available_now_trigger_processes_backlog_and_stops(spark, tmp_path):
     from bigdata_weather_system_spark.sources.raw_events import parse_raw_events
