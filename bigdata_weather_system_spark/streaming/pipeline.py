@@ -490,6 +490,44 @@ def start_online_dedup_sink(
     return writer.start()
 
 
+def vacuum_snapshot_log(
+    spark: SparkSession,
+    log_path: str,
+    keep_from_batch: int,
+) -> dict:
+    """Retention for the append log — compaction's missing sibling: after
+    ``compact_snapshot`` folds everything below a batch id into a new
+    base, the older log files are dead weight (and dead TIME TRAVEL
+    range); drop them. File selection reads parquet FOOTERS only (each
+    micro-batch appends whole files stamped with one ``_batch_id``, so a
+    file whose footer max(_batch_id) < keep_from_batch contains no live
+    row); footer stats are gathered on executors via the same manifest
+    kernel the file-pruning reader uses. Returns counts for the audit
+    log. Files at/after the cutoff — and files missing stats,
+    conservatively — are untouched."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources.manifest import build_manifest
+
+    if not _glob.glob(_os.path.join(log_path, "*.parquet")):
+        return {"n_files_before": 0, "n_deleted": 0, "n_kept": 0}
+    man = build_manifest(spark, log_path, ["_batch_id"])
+    rows = man.select("file", "max__batch_id").collect()
+    doomed = [
+        r.file
+        for r in rows
+        if r.max__batch_id is not None and r.max__batch_id < keep_from_batch
+    ]
+    for f in doomed:
+        _os.remove(f)
+    return {
+        "n_files_before": len(rows),
+        "n_deleted": len(doomed),
+        "n_kept": len(rows) - len(doomed),
+    }
+
+
 def apply_log_to_snapshot(
     spark: SparkSession,
     base_path: str,

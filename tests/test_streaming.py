@@ -782,3 +782,60 @@ def test_online_dedup_sink_drops_cross_batch_near_dups(spark, tmp_path):
         ) == [1, 2, 4]
     finally:
         q.stop()
+
+
+def test_vacuum_snapshot_log_drops_only_folded_history(spark, tmp_path):
+    """After compaction to a new base, vacuum removes exactly the files
+    whose batches were folded; the surviving log still reproduces the
+    current view when applied on top of the compacted base."""
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_latest_snapshot,
+        read_snapshot_as_of,
+        start_incremental_snapshot_sink,
+        vacuum_snapshot_log,
+    )
+
+    in_dir = tmp_path / "vac_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "vac_log")
+    t0 = dt.datetime(2024, 3, 1, 8, 0)
+    write_batch(str(in_dir), "b1.json", [payload("hanoi", t0, 20.0)], t0)
+    q = start_incremental_snapshot_sink(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        log_path=log,
+        checkpoint_path=str(tmp_path / "vac_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(
+            str(in_dir),
+            "b2.json",
+            [payload("hanoi", t0 + dt.timedelta(minutes=5), 22.0)],
+            t0 + dt.timedelta(minutes=5),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = sorted(
+        r._batch_id
+        for r in spark.read.parquet(log).select("_batch_id").distinct()
+        .collect()
+    )
+    assert len(batches) == 2
+    before = {
+        r.location: r.temperature
+        for r in read_latest_snapshot(spark, log).collect()
+    }
+    res = vacuum_snapshot_log(spark, log, keep_from_batch=batches[-1])
+    assert res["n_deleted"] >= 1 and res["n_kept"] >= 1
+    after = {
+        r.location: r.temperature
+        for r in read_latest_snapshot(spark, log).collect()
+    }
+    assert after == before == {"hanoi": 22.0}
+    # time travel to the vacuumed range is now (correctly) empty
+    assert (
+        read_snapshot_as_of(spark, log, as_of_batch=batches[0]).count() == 0
+    )
