@@ -1114,3 +1114,55 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_at_risk"),
         surv.alias("survival"),
     )
+
+
+@register(
+    "join_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT cast(count(*) AS BIGINT) AS n_keys,
+             cast(sum(n) AS BIGINT) AS n_rows,
+             cast(max(n) AS BIGINT) AS max_key_rows,
+             sum(n)::DOUBLE / count(*) AS avg_key_rows
+      FROM k
+    )
+    SELECT n_keys, n_rows, max_key_rows,
+           round(avg_key_rows, 6) AS avg_key_rows,
+           round(max_key_rows / avg_key_rows, 6) AS skew_factor,
+           cast(ceil(max_key_rows / avg_key_rows) AS BIGINT)
+             AS recommended_salt_buckets
+    FROM s
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis — the report run before choosing between a
+    plain shuffle join, AQE skew handling, and explicit salting
+    (operators/skew.py): key cardinality, the heaviest key's row count,
+    and the max/avg skew factor, whose ceiling is the salt bucket count
+    that would level the heaviest reducer. One map-side-combining groupBy
+    on the join key + a 1-row summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        (F.sum("n") / F.count(F.lit(1))).alias("_avg"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(F.col("_avg"), 6).alias("avg_key_rows"),
+        F.round(F.col("max_key_rows") / F.col("_avg"), 6).alias(
+            "skew_factor"
+        ),
+        F.ceil(F.col("max_key_rows") / F.col("_avg"))
+        .cast("long")
+        .alias("recommended_salt_buckets"),
+    )
