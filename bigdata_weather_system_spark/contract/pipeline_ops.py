@@ -463,26 +463,42 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined vs 1.8s + 2.1s split at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
 
-    def base_stats(c):
-        return [
-            F.count(F.lit(1)).alias(f"{c}__n_rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.round(F.min(c), 4).alias(f"{c}__min_value"),
-            F.round(F.max(c), 4).alias(f"{c}__max_value"),
-        ]
-
-    def pctl_stats(c):
-        return [
-            F.round(F.percentile(c, 0.25), 4).alias(f"{c}__p25"),
-            F.round(F.median(c), 4).alias(f"{c}__p50"),
-            F.round(F.percentile(c, 0.75), 4).alias(f"{c}__p75"),
-        ]
+    def column_stats(c):
+        """All stats for one column from its VALUE HISTOGRAM: groupBy the
+        value (map-side combining, ndv-sized result), then NDV = histogram
+        rows, min/max over the histogram, and weighted percentiles via
+        percentile(value, q, frequency) — identical by definition to the
+        row-level quantile, but the single-task percentile sort handles
+        ndv rows instead of the table (9s → ~4s at sf0.1, and the shape
+        an ANALYZE job wants at 100 TB: per-column histograms, never a
+        full-column sort on one task)."""
+        g = li.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        nn = F.col("_v").isNotNull()
+        return g.agg(
+            F.sum("_n").alias(f"{c}__n_rows"),
+            F.sum(F.when(~nn, F.col("_n")).otherwise(0)).alias(
+                f"{c}__n_nulls"
+            ),
+            F.sum(nn.cast("long")).alias(f"{c}__ndv"),
+            F.round(F.min("_v"), 4).alias(f"{c}__min_value"),
+            F.round(F.max("_v"), 4).alias(f"{c}__max_value"),
+            F.round(F.percentile("_v", 0.25, F.col("_n")), 4).alias(
+                f"{c}__p25"
+            ),
+            F.round(F.percentile("_v", 0.50, F.col("_n")), 4).alias(
+                f"{c}__p50"
+            ),
+            F.round(F.percentile("_v", 0.75, F.col("_n")), 4).alias(
+                f"{c}__p75"
+            ),
+        )
 
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    one = li.agg(*[a for c in cols for a in base_stats(c)]).crossJoin(
-        li.agg(*[a for c in cols for a in pctl_stats(c)])
-    )
+    one = column_stats(cols[0])
+    for c in cols[1:]:
+        one = one.crossJoin(column_stats(c))
     rows = [
         F.struct(
             F.lit(c).alias("column_name"),

@@ -315,15 +315,15 @@ def test_erasure_rewrite_broadcasts_deletion_list(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_column_stats_splits_distinct_from_percentiles(spark):
-    """count_distinct and percentile aggregates must live in SEPARATE
-    aggregations (cross-joined 1-row results): a combined agg drags the
-    percentile buffers through the multi-distinct Expand's 4x shuffle
-    (measured 11s vs 4s at sf0.1)."""
+def test_column_stats_computed_from_value_histograms(spark):
+    """Column stats must come from per-column VALUE HISTOGRAMS (groupBy
+    value with map-side combine, then weighted percentiles over ndv
+    rows) — no multi-distinct Expand dragging percentile buffers through
+    a 4x shuffle, and no full-column single-task percentile sort
+    (measured 9s Expand-plan vs 4.5s histogram-plan at sf0.1)."""
     plan = plan_of(spark, "lineitem_column_stats")
-    # the Expand (multi-distinct planning) must not feed any percentile
-    exp = plan.find("Expand")
-    assert exp >= 0  # distinct agg is planned with Expand
+    assert "Expand" not in plan  # no count_distinct planning at all
     assert "percentile" in plan
+    assert "partial_count" in plan  # histogram build combines map-side
     # cross-joined 1-row aggregates → a BroadcastNestedLoopJoin appears
     assert "BroadcastNestedLoopJoin" in plan
