@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "doc_bpe_merge_table",
     "user_erasure_audit",
     "lineitem_column_stats",
+    "join_skew_report",
 ]
 
 
