@@ -139,3 +139,28 @@ def test_pcm_decode_features_and_resample(spark):
     for mid, r in half.items():
         assert r.n_samples == (feats[mid].n_samples + 1) // 2
         assert r.sample_rate == feats[mid].sample_rate // 2
+
+
+def test_media_blobs_survive_parquet_roundtrip(spark, tmp_path):
+    """Binary media columns must survive a parquet write/read unchanged —
+    the storage leg of the multimodal pipeline (decode stats before and
+    after the round trip are bit-identical for both codecs)."""
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_pcm_features,
+        decode_raw_features,
+        fabricate_pcm_media,
+        fabricate_raw_media,
+    )
+
+    ids = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    for name, fab, dec in [
+        ("img", fabricate_raw_media, decode_raw_features),
+        ("pcm", fabricate_pcm_media, decode_pcm_features),
+    ]:
+        media = fab(ids, "doc_id")
+        path = str(tmp_path / f"media_{name}")
+        media.write.parquet(path)
+        back = spark.read.parquet(path)
+        a = sorted(map(tuple, dec(media).collect()))
+        b = sorted(map(tuple, dec(back).collect()))
+        assert a == b and len(a) == 16
