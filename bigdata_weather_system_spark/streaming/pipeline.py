@@ -560,3 +560,48 @@ def apply_log_to_snapshot(
         op_col=op_col,
         delete_values=delete_values,
     ).write.mode("overwrite").parquet(out_path)
+
+
+def start_cms_sketch_sink(
+    stream: DataFrame,
+    item_col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> StreamingQuery:
+    """Streaming frequency sketch: each micro-batch folds into a Count-Min
+    sketch relation APPENDED to parquet — mergeability (cell-wise sum) is
+    what makes the sketch streamable: the reader re-sums cells across all
+    appended batch sketches (``read_cms_sketch``) and answers point
+    queries without ever storing or rescanning the stream itself. Batch
+    sketches are ≤ depth·width rows each, so the log grows with batch
+    COUNT, not event volume; compact by re-summing into one file when it
+    gets long."""
+    from ..operators.estimate import count_min_sketch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            count_min_sketch(
+                batch_df.select(item_col), item_col, width=width, depth=depth
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sketch_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge every appended batch sketch into the current corpus sketch
+    (cell-wise sum) — feed to ``operators.estimate.cms_point_estimates``."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

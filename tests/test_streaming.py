@@ -839,3 +839,75 @@ def test_vacuum_snapshot_log_drops_only_folded_history(spark, tmp_path):
     assert (
         read_snapshot_as_of(spark, log, as_of_batch=batches[0]).count() == 0
     )
+
+
+def test_streaming_cms_sketch_equals_batch_sketch(spark, tmp_path):
+    """The merged streaming sketch must be CELL-IDENTICAL to the batch
+    sketch of the full stream (mergeability), and its estimates must
+    bound the true per-location counts from above."""
+    from bigdata_weather_system_spark.operators.estimate import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+    from bigdata_weather_system_spark.sources.raw_events import (
+        parse_raw_events,
+    )
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_cms_sketch,
+        start_cms_sketch_sink,
+    )
+
+    in_dir = tmp_path / "cms_in"
+    in_dir.mkdir()
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+    write_batch(
+        str(in_dir),
+        "c1.json",
+        [payload("hanoi", t0, 20.0)] * 3 + [payload("hue", t0, 25.0)],
+        t0,
+    )
+    write_batch(
+        str(in_dir),
+        "c2.json",
+        [payload("hanoi", t0, 21.0)] * 2 + [payload("danang", t0, 27.0)],
+        t0,
+    )
+    parsed = parse_raw_events(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        keep_payload=False,
+    )
+    sketch_path = str(tmp_path / "cms_log")
+    q = start_cms_sketch_sink(
+        parsed,
+        "location",
+        sketch_path,
+        str(tmp_path / "cms_ckpt"),
+        width=64,
+        depth=3,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = read_cms_sketch(spark, sketch_path)
+    batch_rows = spark.createDataFrame(
+        [("hanoi",)] * 5 + [("hue",)] * 1 + [("danang",)] * 1,
+        "location string",
+    )
+    full = count_min_sketch(batch_rows, "location", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    q_items = spark.createDataFrame(
+        [("hanoi",), ("hue",), ("danang",), ("saigon",)], "location string"
+    )
+    est = {
+        r.location: r.cms_estimate
+        for r in cms_point_estimates(
+            merged, q_items, "location", width=64, depth=3
+        ).collect()
+    }
+    assert est["hanoi"] >= 5 and est["hue"] >= 1 and est["danang"] >= 1
+    assert est["saigon"] <= 7  # can only collide, never exceed N
