@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "user_erasure_audit",
     "lineitem_column_stats",
     "join_skew_report",
+    "kendall_tau_value_time_per_user",
 ]
 
 

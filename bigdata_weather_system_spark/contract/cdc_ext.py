@@ -1234,3 +1234,89 @@ def value_psi_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     psi = F.aggregate("_arr", F.lit(0.0), lambda acc, s: acc + s["t"])
     return per.select("event_type", F.round(psi, 6).alias("psi"))
+
+
+@register(
+    "kendall_tau_value_time_per_user",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch(ts) AS x, value AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY md5(cast(event_id AS VARCHAR)),
+                                         event_id) AS rn
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, x, y FROM ranked
+      WHERE rn <= {_THEIL_SEN_MAX_EVENTS}
+    ),
+    p AS (
+      SELECT a.user_id,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_pairs,
+           cast(sum(c) AS BIGINT) AS concordant,
+           cast(sum(d) AS BIGINT) AS discordant,
+           round((sum(c) - sum(d))
+                 / sqrt((count(*) - sum(tx))::DOUBLE
+                        * (count(*) - sum(ty))::DOUBLE), 6) AS tau_b
+    FROM p GROUP BY user_id
+    """,
+)
+def kendall_tau_value_time_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall τ-b rank correlation between time and value per user — the
+    robust monotone-trend test (Mann-Kendall) that complements the
+    Theil–Sen slope: τ tells you WHETHER the trend is monotone, Theil–Sen
+    how steep. Concordant/discordant/tie counts are exact integers from
+    the same capped grouped-postings pair core (deterministic md5-ordered
+    sample of at most _THEIL_SEN_MAX_EVENTS=400 events per user — the
+    O(n²) guard both oracles replay); only the final τ-b ratio touches
+    floats."""
+    from ..operators.dedup import pair_up
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("double").alias("x"),
+            F.col("value").alias("y"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= _THEIL_SEN_MAX_EVENTS)
+        .drop("_rn")
+    )
+    pairs = pair_up(ev, ["user_id"], ["event_id", "user_id", "x", "y"])
+    sgn = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    p = pairs.select(
+        F.col("a.user_id").alias("user_id"),
+        (sgn > 0).cast("long").alias("c"),
+        (sgn < 0).cast("long").alias("d"),
+        (F.col("a.x") == F.col("b.x")).cast("long").alias("tx"),
+        (F.col("a.y") == F.col("b.y")).cast("long").alias("ty"),
+    )
+    n = F.count(F.lit(1))
+    return p.groupBy("user_id").agg(
+        n.alias("n_pairs"),
+        F.sum("c").alias("concordant"),
+        F.sum("d").alias("discordant"),
+        F.round(
+            (F.sum("c") - F.sum("d"))
+            / F.sqrt(
+                (n - F.sum("tx")).cast("double")
+                * (n - F.sum("ty")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
