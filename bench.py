@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "lineitem_column_stats",
     "join_skew_report",
     "kendall_tau_value_time_per_user",
+    "benford_first_digit_audit",
+    "holt_linear_forecast_per_user",
 ]
 
 

@@ -1166,3 +1166,168 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recommended_salt_buckets"),
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(abs(value) / power(10.0, floor(log10(abs(value)))))
+                  AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL AND value <> 0
+    ),
+    c AS (
+      SELECT event_type, d, count(*) AS n FROM v
+      WHERE d BETWEEN 1 AND 9 GROUP BY event_type, d
+    ),
+    g AS (
+      SELECT s.event_type, u.d AS d, coalesce(c.n, 0) AS n, s.tot
+      FROM (SELECT event_type, sum(n) AS tot FROM c GROUP BY event_type) s
+      CROSS JOIN (SELECT unnest(range(1, 10)) AS d) u
+      LEFT JOIN c ON c.event_type = s.event_type AND c.d = u.d
+    )
+    SELECT event_type,
+           cast(any_value(tot) AS BIGINT) AS n_values,
+           round(list_reduce(
+             list((n - tot * log10(1.0 + 1.0 / d))
+                  * (n - tot * log10(1.0 + 1.0 / d))
+                  / (tot * log10(1.0 + 1.0 / d)) ORDER BY d) || [0.0],
+             (a, b) -> a + b), 6) AS chi2
+    FROM g GROUP BY event_type
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit per event type: χ² of
+    the observed leading-digit histogram against the log10(1+1/d)
+    expectation — the classic fabricated-data / pipeline-corruption
+    screen (natural multiplicative data follows Benford; uniform or
+    hand-entered data fails it hard). One digit projection + one 9-bin
+    histogram per group; the 9 χ² terms fold in digit order so float
+    addition is engine- and partition-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    digit = F.floor(av / F.pow(F.lit(10.0), F.floor(F.log10(av)))).cast(
+        "long"
+    )
+    v = ev.filter(F.col("value").isNotNull() & (F.col("value") != 0)).select(
+        "event_type", digit.alias("d")
+    ).filter(F.col("d").between(1, 9))
+    c = v.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    grid = tot.select(
+        "event_type",
+        "tot",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+    )
+    g = grid.join(c, ["event_type", "d"], "left").select(
+        "event_type",
+        "tot",
+        "d",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    exp = F.col("tot") * F.log10(1.0 + 1.0 / F.col("d"))
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    per = g.groupBy("event_type").agg(
+        F.max("tot").alias("n_values"),
+        F.array_sort(F.collect_list(F.struct("d", term.alias("t")))).alias(
+            "_arr"
+        ),
+    )
+    chi2 = F.aggregate("_arr", F.lit(0.0), lambda acc, s: acc + s["t"])
+    return per.select(
+        "event_type",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+@register(
+    "holt_linear_forecast_per_user",
+    # NOTE: a list_reduce struct-fold oracle would be the natural mirror of
+    # the Spark F.aggregate, but chained struct folds returned wrong second
+    # fields in DuckDB (single steps verified fine; chains diverged) — so
+    # the oracle replays the recursion with a recursive CTE instead, the
+    # same pattern the autoregressive-forecast oracle uses.
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value::DOUBLE AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nn AS (SELECT user_id, max(rn) AS n FROM o GROUP BY user_id
+           HAVING max(rn) >= 2),
+    init AS (
+      SELECT o1.user_id, o1.x AS l, o2.x - o1.x AS b
+      FROM o o1 JOIN o o2 ON o1.user_id = o2.user_id
+      WHERE o1.rn = 1 AND o2.rn = 2
+    ),
+    r AS (
+      SELECT user_id, 1 AS t, l, b FROM init
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             0.3::DOUBLE * o.x + 0.7::DOUBLE * (r.l + r.b),
+             0.2::DOUBLE * ((0.3::DOUBLE * o.x
+                             + 0.7::DOUBLE * (r.l + r.b)) - r.l)
+               + 0.8::DOUBLE * r.b
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.t + 1
+    )
+    SELECT r.user_id,
+           cast(nn.n AS BIGINT) AS n_events,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + r.b, 6) AS forecast_next
+    FROM r JOIN nn ON nn.user_id = r.user_id AND r.t = nn.n
+    """,
+)
+def holt_linear_forecast_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user — level +
+    trend state folded over the ordered value stream (α=0.3, β=0.2,
+    l₁=x₁, b₁=x₂−x₁), one-step-ahead forecast = l+b. Like the EWMA
+    smoother this is a LEFT FOLD, not a window expression, so it runs as
+    one ``F.aggregate`` per key with two doubles of state; both engines
+    evaluate the identical operation sequence (the level update is
+    inlined twice in the trend update rather than bound to a local, so
+    the float ops match literally)."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), F.col("value")).alias("_s"),
+    )
+    per = (
+        ordered.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["value"]
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 2)
+    )
+    x1 = F.element_at("vs", 1)
+    x2 = F.element_at("vs", 2)
+    seed = F.struct(
+        x1.cast("double").alias("l"),
+        (x2 - x1).cast("double").alias("b"),
+    )
+
+    def step(acc, x):
+        new_l = 0.3 * x + 0.7 * (acc["l"] + acc["b"])
+        new_b = (
+            0.2 * ((0.3 * x + 0.7 * (acc["l"] + acc["b"])) - acc["l"])
+            + 0.8 * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    hw = F.aggregate(
+        F.slice("vs", 2, F.size("vs") - 1), seed, step
+    )
+    return per.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.round(hw["l"], 6).alias("level"),
+        F.round(hw["b"], 6).alias("trend"),
+        F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
+    )
