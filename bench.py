@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "kendall_tau_value_time_per_user",
     "benford_first_digit_audit",
     "holt_linear_forecast_per_user",
+    "order_documents_nested",
+    "value_decile_features",
+    "event_type_target_encoding",
 ]
 
 

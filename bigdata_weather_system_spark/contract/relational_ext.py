@@ -1373,3 +1373,143 @@ def discount_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scenario_revenue"),
         )
     )
+
+
+@register(
+    "order_documents_nested",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+             -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+             -- data — order ties by the token itself so both engines
+             -- agg in the same order
+             md5(string_agg(CAST(l_partkey AS VARCHAR) || ':'
+                            || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+                            ',' ORDER BY l_linenumber,
+                            CAST(l_partkey AS VARCHAR) || ':'
+                            || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)))
+               AS lines_md5
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, c.c_name, n.n_name,
+           cast(li.n_lines AS BIGINT) AS n_lines,
+           li.total_qty, li.lines_md5
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN li ON li.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def order_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested document assembly — the relational→document build that
+    feeds serving caches and LLM-context pipelines: each order becomes
+    one record with its customer/nation dimensions and its lineitems
+    collapsed to an ORDERED nested array (here fingerprinted to an md5 so
+    the gate compares the nested content without shipping it). The
+    lineitem side pre-aggregates to one row per order BEFORE the joins
+    (partial aggregation + a narrow array build; the wide fact never
+    joins row-level), dims broadcast, and the selective key filter
+    prunes at the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    lines = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber"),
+                F.concat_ws(
+                    ":",
+                    F.col("l_partkey").cast("string"),
+                    F.col("l_quantity").cast("long").cast("string"),
+                ).alias("_tok"),
+            ).alias("_s"),
+            F.col("l_quantity"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("_s")),
+                        lambda s: s["_tok"],
+                    ),
+                    ",",
+                )
+            ).alias("lines_md5"),
+        )
+    )
+    return (
+        o.join(lines, o["o_orderkey"] == lines["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "o_orderkey", "c_name", "n_name",
+            "n_lines", "total_qty", "lines_md5",
+        )
+    )
+
+
+@register(
+    "value_decile_features",
+    oracle="""
+    SELECT event_id, event_type,
+           cast(ntile(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS INT) AS decile
+    FROM events
+    """,
+)
+def value_decile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer (ML feature binning): each row's within-type
+    value decile via ntile — rank-based, so it is exactly reproducible
+    across engines (no bin-edge float compares) and robust to outliers by
+    construction. One per-type window; the tie-break on event_id makes
+    bucket assignment deterministic under equal values."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "event_type_target_encoding",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, sum(value) AS tot, count(value) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN s.n > 1 AND e.value IS NOT NULL
+                THEN round((s.tot - e.value) / (s.n - 1), 6) END
+             AS loo_type_mean
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical featurizer that
+    replaces a category with its target mean EXCLUDING the row itself
+    (the standard leakage guard: including the row lets the encoder
+    memorize the label). One per-category aggregate broadcast back; the
+    per-row math is (sum − x)/(n − 1), null for singleton categories and
+    null targets."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.sum("value").alias("tot"), F.count("value").alias("n")
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    loo = F.when(
+        (F.col("n") > 1) & F.col("value").isNotNull(),
+        F.round((F.col("tot") - F.col("value")) / (F.col("n") - 1), 6),
+    )
+    return j.select("event_id", "event_type", loo.alias("loo_type_mean"))
