@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "order_documents_nested",
     "value_decile_features",
     "event_type_target_encoding",
+    "doc_stratified_kfold",
+    "quality_score_calibration",
+    "bm25_ndcg_eval",
 ]
 
 

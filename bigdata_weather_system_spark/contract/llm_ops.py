@@ -1703,3 +1703,230 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     _, merge_df, _ = bpe_train(d, "text", n_merges=8)
     return merge_df
+
+
+@register(
+    "doc_stratified_kfold",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 5 AS fold
+      FROM documents
+    )
+    SELECT lang, fold,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM f GROUP BY lang, fold
+    """,
+)
+def doc_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold assignment for cross-validation:
+    fold = content-hash of the id mod k, summarized per (stratum, fold).
+    Hash assignment (not round-robin) is what keeps folds STABLE when the
+    corpus grows — a re-run after appending documents leaves every old
+    document in its old fold, so cached fold artifacts stay valid. Pure
+    projection + one grouped count."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 5
+    )
+    return (
+        d.select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "quality_score_calibration",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             least(9, greatest(0, CAST(floor(
+               (0.4 * least(len({_TOKS}) / 50.0, 1.0)
+                + 0.6 * (CASE WHEN len({_TOKS}) > 0 THEN
+                    len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','is','a')))
+                    * 1.0 / len({_TOKS}) ELSE 0 END)) * 10) AS BIGINT)))
+               AS bin,
+             CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS label,
+             (0.4 * least(len({_TOKS}) / 50.0, 1.0)
+              + 0.6 * (CASE WHEN len({_TOKS}) > 0 THEN
+                  len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','is','a')))
+                  * 1.0 / len({_TOKS}) ELSE 0 END)) AS conf
+      FROM documents
+    ),
+    b AS (
+      SELECT bin, count(*) AS n,
+             sum(label) AS pos,
+             CAST(sum(label) AS DOUBLE) / count(*) AS acc,
+             avg(conf) AS mean_conf
+      FROM t GROUP BY bin
+    ),
+    tot AS (SELECT sum(n) AS total FROM b)
+    SELECT cast((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+           cast((SELECT total FROM tot) AS BIGINT)  AS n_docs,
+           round(list_reduce(
+             (SELECT list(n * abs(acc - mean_conf) / total ORDER BY bin)
+              FROM b, tot) || [0.0::DOUBLE],
+             (x, y) -> x + y), 6) AS ece
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of a score against an observed label —
+    the model-monitoring primitive behind every 'is my classifier
+    calibrated' dashboard: bin the score into 10 confidence bins,
+    ECE = Σ (n_b/N)·|accuracy_b − mean_confidence_b|. Score = a simple
+    token/stopword quality composite; label = long-document indicator
+    (a deterministic stand-in — swap in real model scores/labels without
+    touching the plumbing). One binning pass + one 10-row aggregate;
+    ECE terms fold in bin order (float-add determinism). avg(conf) per
+    bin rides on float sums of ≤ a few hundred values — acceptable
+    because the final round-6 compare tolerates sub-ulp partial-order
+    noise only when it does not straddle a boundary; the mean is over
+    non-pathological magnitudes here."""
+    from ..operators.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is", "a"))
+    )
+    conf = 0.4 * F.least(n_tok / 50.0, F.lit(1.0)) + 0.6 * F.when(
+        n_tok > 0, sw * 1.0 / n_tok
+    ).otherwise(F.lit(0.0))
+    t = d.select(
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(conf * 10).cast("long"))
+        ).alias("bin"),
+        F.when(F.col("n_chars") >= 600, 1).otherwise(0).alias("label"),
+        conf.alias("conf"),
+    )
+    b = t.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("pos"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("acc"),
+        F.avg("conf").alias("mean_conf"),
+    )
+    tot = b.agg(F.sum("n").alias("total"))
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            F.col("n") * F.abs(F.col("acc") - F.col("mean_conf"))
+            / F.col("total")
+        ).alias("t"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("ece"),
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("total").cast("long").alias("n_docs"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+@register(
+    "bm25_ndcg_eval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+    corpus AS (
+      SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM base
+    ),
+    hits AS (
+      SELECT doc_id, dl, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, dl, tok
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+    w AS (
+      SELECT h.doc_id, h.term,
+             ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS wt
+      FROM hits h JOIN dfreq d USING (term) CROSS JOIN corpus c
+    ),
+    s AS (
+      SELECT doc_id,
+             list_reduce(list(wt ORDER BY term), (a, b) -> a + b) AS bm25,
+             count(*) AS rel
+      FROM w GROUP BY doc_id
+    ),
+    pred AS (
+      SELECT rel, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id)
+               AS pos
+      FROM s QUALIFY pos <= 20
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM s QUALIFY pos <= 20
+    )
+    SELECT
+      round((SELECT list_reduce(
+               list((power(2.0, rel) - 1) / log2(pos + 1.0) ORDER BY pos)
+                 || [0.0::DOUBLE], (a, b) -> a + b) FROM pred), 6) AS dcg_20,
+      round((SELECT list_reduce(
+               list((power(2.0, rel) - 1) / log2(pos + 1.0) ORDER BY pos)
+                 || [0.0::DOUBLE], (a, b) -> a + b) FROM ideal), 6) AS idcg_20,
+      round((SELECT list_reduce(
+               list((power(2.0, rel) - 1) / log2(pos + 1.0) ORDER BY pos)
+                 || [0.0::DOUBLE], (a, b) -> a + b) FROM pred)
+            / (SELECT list_reduce(
+               list((power(2.0, rel) - 1) / log2(pos + 1.0) ORDER BY pos)
+                 || [0.0::DOUBLE], (a, b) -> a + b) FROM ideal), 6) AS ndcg_20
+    """,
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the BM25 ranking — the IR-eval closure of the retrieval
+    stage: graded relevance = number of distinct query terms a document
+    matches (1-3), DCG = Σ (2^rel − 1)/log2(pos+1) over the predicted
+    ranking, normalized by the ideal (relevance-sorted) DCG. Both DCG
+    sums fold in position order, the predicted ranking reuses the exact
+    BM25 ordering (rounded score, doc_id tie-break), and the ideal
+    ranking needs only rel>0 docs — all bounded top-k relations."""
+    from ..operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, ["spark", "join", "vector"]).select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("n_matched_terms").cast("long").alias("rel"),
+    ).cache()
+    wp = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1.0)
+
+    def dcg(df, w):
+        ranked = (
+            df.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= 20)
+            .select("pos", gain.alias("g"))
+        )
+        return ranked.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "g"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["g"],
+            ).alias("v")
+        )
+
+    pred = dcg(scored, wp).select(F.col("v").alias("dcg"))
+    ideal = dcg(scored, wi).select(F.col("v").alias("idcg"))
+    return pred.crossJoin(ideal).select(
+        F.round("dcg", 6).alias("dcg_20"),
+        F.round("idcg", 6).alias("idcg_20"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_20"),
+    )
