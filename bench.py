@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "doc_stratified_kfold",
     "quality_score_calibration",
     "bm25_ndcg_eval",
+    "als_item_factors",
 ]
 
 

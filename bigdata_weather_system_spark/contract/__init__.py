@@ -19,5 +19,6 @@ from . import sketch_ops  # noqa: F401, E402
 from . import cleaning_ops  # noqa: F401, E402
 from . import cdc_ext  # noqa: F401, E402
 from . import graph_ops  # noqa: F401, E402
+from . import recommend_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]
