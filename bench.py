@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "quality_score_calibration",
     "bm25_ndcg_eval",
     "als_item_factors",
+    "weekly_seasonal_decomposition",
+    "isotonic_calibration_segments",
 ]
 
 

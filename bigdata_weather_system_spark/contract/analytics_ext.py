@@ -1331,3 +1331,56 @@ def holt_linear_forecast_per_user(
         F.round(hw["b"], 6).alias("trend"),
         F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
     )
+
+
+@register(
+    "weekly_seasonal_decomposition",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             extract(dow FROM ts) * 24 + extract(hour FROM ts) AS how
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, how, avg(value) AS seasonal
+      FROM b GROUP BY event_type, how
+    ),
+    r AS (
+      SELECT b.event_type, b.value, b.value - s.seasonal AS resid
+      FROM b JOIN s ON s.event_type = b.event_type AND s.how = b.how
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_events,
+           round(var_pop(value), 4) AS var_total,
+           round(var_pop(resid), 4) AS var_residual,
+           round(1.0 - var_pop(resid) / var_pop(value), 6)
+             AS seasonal_strength
+    FROM r GROUP BY event_type
+    """,
+)
+def weekly_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly seasonal decomposition per event type: the hour-of-week
+    seasonal component (168 cell means) is removed and the variance it
+    explained — seasonal strength = 1 − Var(residual)/Var(total) — is
+    the one-number answer to 'is this series weekly-periodic', the
+    screen run before committing to seasonal models. Two grouped
+    aggregations; the 168-row seasonal profile broadcasts back."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    how = (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+    b = ev.select("event_type", "value", how.alias("how"))
+    s = b.groupBy("event_type", "how").agg(F.avg("value").alias("seasonal"))
+    r = b.join(F.broadcast(s), ["event_type", "how"]).select(
+        "event_type",
+        "value",
+        (F.col("value") - F.col("seasonal")).alias("resid"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.var_pop("value"), 4).alias("var_total"),
+        F.round(F.var_pop("resid"), 4).alias("var_residual"),
+        F.round(
+            1.0 - F.var_pop("resid") / F.var_pop("value"), 6
+        ).alias("seasonal_strength"),
+    )

@@ -1930,3 +1930,102 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_20"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_20"),
     )
+
+
+@register("isotonic_calibration_segments")  # rows-only: sequential PAV fit
+def isotonic_calibration_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the quality-composite score against
+    the long-document label — the step-function calibrator fitted on a
+    single task (calibration holdouts are bounded by design; the corpus
+    scoring stays distributed). Monotonicity/partition invariants are
+    oracle-checked by isotonic_calibration_contract; exact agreement
+    with a reference PAV is pinned in pytest."""
+    from ..operators.inference import isotonic_calibration
+    from ..operators.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is", "a"))
+    )
+    conf = 0.4 * F.least(n_tok / 50.0, F.lit(1.0)) + 0.6 * F.when(
+        n_tok > 0, sw * 1.0 / n_tok
+    ).otherwise(F.lit(0.0))
+    scored = d.select(
+        conf.alias("score"),
+        F.when(F.col("n_chars") >= 600, 1.0).otherwise(0.0).alias("label"),
+    )
+    seg = isotonic_calibration(scored, "score", "label")
+    return seg.select(
+        F.round("score_lo", 6).alias("score_lo"),
+        F.round("score_hi", 6).alias("score_hi"),
+        F.round("calibrated_p", 6).alias("calibrated_p"),
+        "n",
+    )
+
+
+@register(
+    "isotonic_calibration_contract",
+    oracle="""
+    SELECT true AS probs_in_unit_interval,
+           true AS probs_strictly_increasing,
+           true AS segments_partition_sample,
+           true AS segment_bounds_ordered
+    """,
+)
+def isotonic_calibration_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-checked PAV invariants: calibrated probabilities live in
+    [0,1] and are STRICTLY increasing across segments (adjacent equal
+    means would have pooled — that is the definition of the PAV fixed
+    point), segment counts sum to the sample size, and every segment's
+    score bounds are ordered."""
+    from pyspark.sql.window import Window as W
+
+    from .llm_ops import isotonic_calibration_segments
+
+    seg = isotonic_calibration_segments(spark, sf_dir).cache()
+    w = W.orderBy("score_lo")
+    lagged = seg.select(
+        "calibrated_p",
+        "score_lo",
+        "score_hi",
+        "n",
+        F.lag("calibrated_p").over(w).alias("_prev_p"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lagged.agg(
+            (
+                (F.min("calibrated_p") >= 0.0)
+                & (F.max("calibrated_p") <= 1.0)
+            ).alias("probs_in_unit_interval"),
+            (
+                F.sum(
+                    (
+                        F.col("_prev_p").isNotNull()
+                        & (F.col("calibrated_p") <= F.col("_prev_p"))
+                    ).cast("long")
+                )
+                == 0
+            ).alias("probs_strictly_increasing"),
+            F.sum("n").alias("_n_seg"),
+            (
+                F.sum(
+                    (F.col("score_lo") > F.col("score_hi")).cast("long")
+                )
+                == 0
+            ).alias("segment_bounds_ordered"),
+        )
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("_n_docs")))
+        .select(
+            "probs_in_unit_interval",
+            "probs_strictly_increasing",
+            (F.col("_n_seg") == F.col("_n_docs")).alias(
+                "segments_partition_sample"
+            ),
+            "segment_bounds_ordered",
+        )
+    )

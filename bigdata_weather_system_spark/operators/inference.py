@@ -15,7 +15,7 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 SCORE_SCHEMA_SUFFIX = [
     T.StructField("predicted_value", T.DoubleType(), True),
@@ -139,3 +139,65 @@ def autoregressive_rollout(
             yield rep
 
     return ctx_df.mapInPandas(batches, schema=out_schema)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Isotonic regression calibration via pool-adjacent-violators (PAV):
+    fit the monotone step function mapping raw scores to calibrated
+    probabilities — the non-parametric calibrator used when Platt
+    scaling's sigmoid is too rigid. Returns one row per fitted segment:
+    (score_lo, score_hi, calibrated_p, n).
+
+    PAV is inherently sequential over the score-sorted sample, so the
+    fit runs on ONE task — which is the correct distributed posture:
+    calibration fits on a bounded holdout (thousands of rows), never the
+    corpus; the expensive part (scoring the corpus) stays distributed
+    and the fitted segments broadcast back for application. Rows sort by
+    (score, label) with a stable order so the fit is deterministic.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sample = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+
+    def fit(batches: Iterator) -> Iterator:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["s", "y"], kind="mergesort"
+        )
+        blocks: list[list[float]] = []  # [sum_y, n, lo, hi]
+        for s, y in zip(pdf["s"].to_numpy(), pdf["y"].to_numpy()):
+            blocks.append([float(y), 1.0, float(s), float(s)])
+            # pool while the running means violate monotonicity
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] / blocks[-2][1]
+                >= blocks[-1][0] / blocks[-1][1]
+            ):
+                sy, n, lo, hi = blocks.pop()
+                blocks[-1][0] += sy
+                blocks[-1][1] += n
+                blocks[-1][3] = hi
+        yield pd.DataFrame(
+            {
+                "score_lo": [b[2] for b in blocks],
+                "score_hi": [b[3] for b in blocks],
+                "calibrated_p": [b[0] / b[1] for b in blocks],
+                "n": [int(b[1]) for b in blocks],
+            }
+        )
+
+    return sample.coalesce(1).mapInPandas(
+        fit,
+        schema="score_lo double, score_hi double, calibrated_p double, n long",
+    )

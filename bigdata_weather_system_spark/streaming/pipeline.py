@@ -490,6 +490,51 @@ def start_online_dedup_sink(
     return writer.start()
 
 
+def snapshot_changes_between(
+    spark: SparkSession,
+    log_path: str,
+    from_batch: int,
+    to_batch: int,
+    keys: tuple[str, ...] = ("location",),
+) -> DataFrame:
+    """CHANGE DATA FEED between two snapshot versions — Delta CDF's
+    ``table_changes(from, to)`` on the append log: diff the upsert views
+    as-of ``from_batch`` and ``to_batch`` and emit one row per changed
+    key with ``_change_type`` ∈ insert | update_postimage | delete.
+    Because time travel is just a batch filter, the feed derives from the
+    SAME reader both snapshots use — no separately-maintained changelog
+    to drift out of sync. The full-outer join runs on the two (already
+    key-deduped) snapshot relations, not the log."""
+    before = read_snapshot_as_of(spark, log_path, keys, as_of_batch=from_batch)
+    after = read_snapshot_as_of(spark, log_path, keys, as_of_batch=to_batch)
+    key_list = list(keys)
+    b = before.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in key_list],
+        F.struct(*[c for c in before.columns]).alias("_b"),
+    )
+    a = after.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in key_list],
+        F.struct(*[c for c in after.columns]).alias("_a"),
+    )
+    cond = None
+    for k in key_list:
+        eq = F.col(f"_bk_{k}").eqNullSafe(F.col(f"_ak_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = b.join(a, cond, "full_outer")
+    change = (
+        F.when(F.col("_b").isNull(), F.lit("insert"))
+        .when(F.col("_a").isNull(), F.lit("delete"))
+        .when(F.col("_a") != F.col("_b"), F.lit("update_postimage"))
+    )
+    out_row = F.coalesce(F.col("_a"), F.col("_b"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(F.col("_change_type"), out_row.alias("row"))
+        .select("_change_type", "row.*")
+    )
+
+
 def vacuum_snapshot_log(
     spark: SparkSession,
     log_path: str,

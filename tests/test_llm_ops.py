@@ -833,3 +833,42 @@ def test_bpe_train_matches_reference_on_testdata(spark, sf_dir):
         words.update((r.text or "").lower().split())
     ref = _bpe_reference(dict(words), 5)
     assert [(a, b, n) for _, a, b, n in merges] == ref
+
+
+def test_isotonic_calibration_matches_reference_pav(spark):
+    """PAV fit must equal a hand-rolled reference on a crafted sample with
+    a known violation structure."""
+    from bigdata_weather_system_spark.operators.inference import (
+        isotonic_calibration,
+    )
+
+    # scores 1..8; labels create violations that pool into known blocks
+    rows = [
+        (1.0, 0.0), (2.0, 1.0), (3.0, 0.0), (4.0, 0.0),
+        (5.0, 1.0), (6.0, 1.0), (7.0, 0.0), (8.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
+    seg = sorted(
+        map(tuple, isotonic_calibration(df, "score", "label").collect())
+    )
+
+    def ref_pav(pairs):
+        blocks = []
+        for s, y in sorted(pairs):
+            blocks.append([y, 1.0, s, s])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1]
+                >= blocks[-1][0] / blocks[-1][1]
+            ):
+                sy, n, lo, hi = blocks.pop()
+                blocks[-1][0] += sy
+                blocks[-1][1] += n
+                blocks[-1][3] = hi
+        return sorted(
+            (b[2], b[3], b[0] / b[1], int(b[1])) for b in blocks
+        )
+
+    assert seg == ref_pav(rows)
+    # calibrated means strictly increase across segments
+    ps = [p for _, _, p, _ in seg]
+    assert all(a < b for a, b in zip(ps, ps[1:]))

@@ -911,3 +911,62 @@ def test_streaming_cms_sketch_equals_batch_sketch(spark, tmp_path):
     }
     assert est["hanoi"] >= 5 and est["hue"] >= 1 and est["danang"] >= 1
     assert est["saigon"] <= 7  # can only collide, never exceed N
+
+
+def test_snapshot_change_data_feed(spark, tmp_path):
+    """CDF between two log versions: an advanced key reads as
+    update_postimage, a new key as insert, unchanged keys are absent; a
+    tombstone-deleted... (the upsert log has no delete op — deletes only
+    appear when a key vanishes between versions, which time travel can
+    produce via vacuum; here we pin insert/update/unchanged)."""
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        snapshot_changes_between,
+        start_incremental_snapshot_sink,
+    )
+
+    in_dir = tmp_path / "cdf_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "cdf_log")
+    t0 = dt.datetime(2024, 6, 1, 7, 0)
+    write_batch(
+        str(in_dir),
+        "b1.json",
+        [payload("hanoi", t0, 20.0), payload("hue", t0, 25.0)],
+        t0,
+    )
+    q = start_incremental_snapshot_sink(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        log_path=log,
+        checkpoint_path=str(tmp_path / "cdf_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(
+            str(in_dir),
+            "b2.json",
+            [
+                payload("hanoi", t0 + dt.timedelta(minutes=10), 22.0),
+                payload("danang", t0, 27.0),
+            ],
+            t0 + dt.timedelta(minutes=10),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = sorted(
+        r._batch_id
+        for r in spark.read.parquet(log).select("_batch_id").distinct()
+        .collect()
+    )
+    changes = {
+        r.location: (r._change_type, r.temperature)
+        for r in snapshot_changes_between(
+            spark, log, from_batch=batches[0], to_batch=batches[-1]
+        ).collect()
+    }
+    assert changes == {
+        "hanoi": ("update_postimage", 22.0),
+        "danang": ("insert", 27.0),
+    }  # hue unchanged -> absent from the feed
