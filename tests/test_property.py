@@ -138,3 +138,120 @@ def test_scd2_intervals_match_bruteforce(spark, rows):
     assert got == expected
     for r in out:
         assert r.is_current == (r.valid_to is None)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_span_stats_matches_bruteforce(spark, docs):
+    """Span coverage against a brute-force reference: duplicated-window
+    positions merged into intervals, coverage = union size — over random
+    tiny-alphabet corpora whose windows collide constantly."""
+    from bigdata_weather_system_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_spans, r.covered_tokens)
+        for r in duplicate_span_stats(df, k=k).collect()
+    }
+
+    # brute force
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        ws = [tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        per_doc[i] = ws
+        grams.update(ws)
+    for i, toks in enumerate(docs):
+        pos = [j for j, w in enumerate(per_doc[i]) if grams[w] >= 2]
+        covered = set()
+        for p in pos:
+            covered.update(range(p, p + k))
+        spans = 0
+        prev = None
+        for p in pos:
+            if prev is None or p - prev > k:
+                spans += 1
+            prev = p
+        assert got[i] == (len(pos), spans, len(covered)), (i, docs)
+
+
+@PROP
+@given(
+    samples=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=40
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.sampled_from([1, 2]),
+)
+def test_pcm_codec_roundtrip_property(spark, samples, rate, ch):
+    """Any int16 sample buffer must survive encode→decode bit-exactly
+    (padded to a whole number of frames), incl. empty → None."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_pcm_blob,
+        encode_pcm_blob,
+    )
+
+    n = (len(samples) // ch) * ch
+    arr = np.array(samples[:n], dtype=np.int16).reshape(-1, ch)
+    blob = encode_pcm_blob(arr, rate, ch)
+    dec = decode_pcm_blob(blob)
+    if arr.size == 0:
+        assert dec is None
+    else:
+        r, back = dec
+        assert r == rate and back.shape == arr.shape
+        assert (back == arr).all()
+
+
+@PROP
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=0.0,
+                max_value=10.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.sampled_from([0.0, 1.0]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_isotonic_calibration_properties(spark, pairs):
+    """PAV invariants on random samples: probabilities strictly increase,
+    segment sizes partition the sample, and the fit preserves the label
+    mean (isotonic regression is mean-preserving over the whole sample)."""
+    from bigdata_weather_system_spark.operators.inference import (
+        isotonic_calibration,
+    )
+
+    df = spark.createDataFrame(pairs, "score double, label double")
+    seg = sorted(
+        map(tuple, isotonic_calibration(df, "score", "label").collect())
+    )
+    ps = [p for _, _, p, _ in seg]
+    ns = [n for _, _, _, n in seg]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a < b for a, b in zip(ps, ps[1:]))
+    assert sum(ns) == len(pairs)
+    mean_fit = sum(p * n for p, n in zip(ps, ns)) / len(pairs)
+    mean_y = sum(y for _, y in pairs) / len(pairs)
+    assert abs(mean_fit - mean_y) < 1e-9
