@@ -76,3 +76,34 @@ def write_date_partitioned(
 
     out = df.withColumn(partition_col, F.to_date(ts_col))
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    dates,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+) -> None:
+    """IDEMPOTENT partition backfill: rewrite ONLY the named date
+    partitions of a ``write_date_partitioned`` table, leaving every other
+    partition's files untouched — the correction/late-data workflow a
+    warehouse runs nightly. Uses dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``), so `overwrite` replaces exactly
+    the partitions present in the written frame; re-running the same
+    backfill converges to the same bytes (idempotent by construction,
+    which is what makes retrying a failed backfill safe). The input is
+    filtered to the requested dates BEFORE the write so a buggy upstream
+    cannot clobber partitions it wasn't asked to touch."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    out = df.withColumn(partition_col, F.to_date(ts_col)).filter(
+        F.col(partition_col).isin([str(d) for d in dates])
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

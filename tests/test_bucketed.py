@@ -64,3 +64,60 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert n_days > 1
     expected = ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date")).count()
     assert one_day.count() == expected
+
+
+def test_backfill_rewrites_only_named_partitions(spark, tmp_path):
+    """Dynamic-partition backfill: the corrected date's partition changes,
+    all other partitions' FILES are untouched (same inodes), and
+    re-running the backfill is a no-op on content."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.sources.bucketed import (
+        backfill_partitions,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 10.0),
+            (2, dt.datetime(2024, 1, 2, 10), 20.0),
+            (3, dt.datetime(2024, 1, 3, 10), 30.0),
+        ],
+        "id long, ts timestamp, v double",
+    )
+    write_date_partitioned(base, path)
+    untouched_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/event_date=2024-01-0[13]/*.parquet")
+    }
+
+    # corrected day-2 data PLUS a stray day-3 row the filter must drop
+    fix = spark.createDataFrame(
+        [
+            (2, dt.datetime(2024, 1, 2, 10), 21.5),
+            (99, dt.datetime(2024, 1, 3, 10), 999.0),
+        ],
+        "id long, ts timestamp, v double",
+    )
+    backfill_partitions(fix, path, ["2024-01-02"])
+
+    got = {
+        r.id: r.v
+        for r in spark.read.parquet(path).select("id", "v").collect()
+    }
+    assert got == {1: 10.0, 2: 21.5, 3: 30.0}  # stray 99 filtered out
+    for f, mtime in untouched_files.items():
+        assert os.stat(f).st_mtime_ns == mtime, f"{f} was rewritten"
+
+    # idempotent: re-running converges to identical content
+    backfill_partitions(fix, path, ["2024-01-02"])
+    again = {
+        r.id: r.v
+        for r in spark.read.parquet(path).select("id", "v").collect()
+    }
+    assert again == got
