@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "als_item_factors",
     "weekly_seasonal_decomposition",
     "isotonic_calibration_segments",
+    "funnel_windowed_conversion",
+    "clamped_running_balance_per_user",
 ]
 
 

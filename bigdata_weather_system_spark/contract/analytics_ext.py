@@ -1384,3 +1384,116 @@ def weekly_seasonal_decomposition(
             1.0 - F.var_pop("resid") / F.var_pop("value"), 6
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "funnel_windowed_conversion",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS click_ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT c.user_id, c.click_ts,
+             min(e.ts) AS conv_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > c.click_ts
+       AND e.ts <= c.click_ts + INTERVAL 24 HOUR
+      GROUP BY c.user_id, c.click_ts
+    )
+    SELECT CAST(c.click_ts AS DATE) AS click_day,
+           cast(count(*) AS BIGINT) AS n_clickers,
+           cast(count(p.user_id) AS BIGINT) AS n_converted_24h,
+           round(count(p.user_id) * 1.0 / count(*), 6) AS conversion_rate
+    FROM c LEFT JOIN p ON p.user_id = c.user_id
+    GROUP BY CAST(c.click_ts AS DATE)
+    """,
+)
+def funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-constraint funnel: a click only converts if a purchase
+    lands STRICTLY AFTER it and within 24 hours — the attribution-window
+    semantics ad/product funnels actually use (an unconstrained 'ever
+    purchased' funnel overcounts). First-click per user is one grouped
+    aggregate; the conversion probe is a range-bounded join against the
+    (bounded) per-user click anchor, then a per-day rollup."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    j = c.join(p, "user_id", "left")
+    return j.groupBy(F.to_date("click_ts").alias("click_day")).agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("conv_ts").alias("n_converted_24h"),
+        F.round(
+            F.count("conv_ts") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "clamped_running_balance_per_user",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value - 50.0 AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, list(delta ORDER BY rn) AS ds
+      FROM o GROUP BY user_id
+    )
+    SELECT user_id,
+           cast(len(ds) AS BIGINT) AS n_events,
+           round(list_reduce([0.0::DOUBLE] || ds,
+                 (acc, x) -> greatest(0.0::DOUBLE, acc + x)), 6)
+             AS final_balance
+    FROM s
+    """,
+)
+def clamped_running_balance_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clamped (floor-at-zero) running balance per user — the
+    inventory/credit/token-bucket recursion s ← max(0, s + Δ) that a
+    plain window cumulative sum CANNOT express (the clamp makes every
+    prefix state-dependent; SQL window sums have no feedback). One fold
+    per key, scalar state (safe for the SQL list_reduce mirror — the
+    multi-field struct-fold DuckDB defect only bites compound state).
+    Δ = value − 50 models a drain-vs-refill stream over the events
+    table."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"),
+                 (F.col("value") - 50.0).alias("delta")).alias("_s"),
+    )
+    per = ordered.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("_s")), lambda s: s["delta"]
+        ).alias("ds")
+    )
+    bal = F.aggregate(
+        "ds",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+    )
+    return per.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_events"),
+        F.round(bal, 6).alias("final_balance"),
+    )
