@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "isotonic_calibration_segments",
     "funnel_windowed_conversion",
     "clamped_running_balance_per_user",
+    "bitmap_distinct_users_rollup",
+    "longest_daily_streak_per_user",
+    "ridge_cyclic_regression_per_type",
+    "fellegi_sunter_match_scores",
 ]
 
 

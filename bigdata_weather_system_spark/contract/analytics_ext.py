@@ -1497,3 +1497,173 @@ def clamped_running_balance_per_user(
         F.size("ds").cast("long").alias("n_events"),
         F.round(bal, 6).alias("final_balance"),
     )
+
+
+@register(
+    "longest_daily_streak_per_user",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), idx AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', d) AS di,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ), isl AS (
+      SELECT user_id, di - rn AS grp, count(*) AS len
+      FROM idx GROUP BY user_id, di - rn
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*)                 AS n_islands
+    FROM isl GROUP BY user_id
+    """,
+)
+def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands reduction: distinct (user, day) → integer day index
+    minus per-user row_number is constant within a consecutive run, so
+    one hash agg over that difference yields island lengths. The
+    engagement-streak / uptime-run shape. Two narrow shuffles (distinct,
+    then user-partitioned window); the window input is one row per
+    active day, not per event, so the sort state is bounded by the
+    calendar, not the event volume."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    idx = days.select(
+        "user_id",
+        F.datediff("d", F.lit("2024-01-01").cast("date")).alias("di"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .alias("rn"),
+    )
+    isl = idx.groupBy(
+        "user_id", (F.col("di") - F.col("rn")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )
+
+
+@register(
+    "ridge_cyclic_regression_per_type",
+    oracle="""
+    WITH feats AS (
+      SELECT event_type, value AS y,
+             round(sin(2 * pi() * ((hour(ts)*3600 + minute(ts)*60
+                   + CAST(floor(second(ts)) AS BIGINT)) / 86400.0)), 6)
+               + 0.0 AS s,
+             round(cos(2 * pi() * ((hour(ts)*3600 + minute(ts)*60
+                   + CAST(floor(second(ts)) AS BIGINT)) / 86400.0)), 6)
+               + 0.0 AS c
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             count(*)                     AS n,
+             round(sum(s), 4) + 0.0       AS ss,
+             round(sum(c), 4) + 0.0       AS sc,
+             round(sum(s*s), 4) + 0.0     AS sss,
+             round(sum(c*c), 4) + 0.0     AS scc,
+             round(sum(s*c), 4) + 0.0     AS ssc,
+             round(sum(y), 4) + 0.0       AS sy,
+             round(sum(s*y), 4) + 0.0     AS ssy,
+             round(sum(c*y), 4) + 0.0     AS scy
+      FROM feats GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n, sy, ssy, scy,
+             n + 1.0   AS a11, ss  AS a12, sc AS a13,
+             sss + 1.0 AS a22, ssc AS a23, scc + 1.0 AS a33
+      FROM stats
+    ), d AS (
+      SELECT *,
+             a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+               + a13*(a12*a23 - a22*a13) AS det
+      FROM m
+    )
+    SELECT event_type, n,
+           round((sy*(a22*a33 - a23*a23) - a12*(ssy*a33 - a23*scy)
+                  + a13*(ssy*a23 - a22*scy)) / det, 5) + 0.0 AS beta0,
+           round((a11*(ssy*a33 - a23*scy) - sy*(a12*a33 - a23*a13)
+                  + a13*(a12*scy - ssy*a13)) / det, 5) + 0.0 AS beta1,
+           round((a11*(a22*scy - a23*ssy) - a12*(a12*scy - ssy*a13)
+                  + sy*(a12*a23 - a22*a13)) / det, 5) + 0.0 AS beta2
+    FROM d
+    """,
+)
+def ridge_cyclic_regression_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group multi-feature ridge regression fit ENTIRELY from
+    sufficient statistics: value ~ β0 + β1·sin(tod) + β2·cos(tod) with
+    λ = 1.0, one model per event type. One hash aggregation collects the
+    9 Gram-matrix/moment sums (constant width per group — the
+    distributed-ML pattern: the data never leaves the cluster, only
+    X'X / X'y partials do), then the 3×3 normal equations
+    (X'X + λI)β = X'y are solved in closed form via Cramer's rule as
+    column arithmetic. Fitting a million per-key models costs exactly
+    one shuffle of 9 doubles per key. λ > 0 makes the system positive
+    definite, so det > 0 — no singular-matrix guard needed (and it
+    handles degenerate groups, e.g. all rows at the same time of day).
+    Determinism: per-row sin/cos and every aggregated sum are rounded on
+    both sides BEFORE the solve, so the engines run identical IEEE
+    arithmetic on identical inputs."""
+    from ..functions import cyclic_time_features
+
+    ev = _t(spark, sf_dir, "events")
+    feats = cyclic_time_features(F.col("ts"))
+    s = F.round(feats["tod_sin"], 6) + F.lit(0.0)
+    c = F.round(feats["tod_cos"], 6) + F.lit(0.0)
+    y = F.col("value")
+
+    def r4(col):
+        return F.round(F.sum(col), 4) + F.lit(0.0)
+
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(s).alias("ss"),
+        r4(c).alias("sc"),
+        r4(s * s).alias("sss"),
+        r4(c * c).alias("scc"),
+        r4(s * c).alias("ssc"),
+        r4(y).alias("sy"),
+        r4(s * y).alias("ssy"),
+        r4(c * y).alias("scy"),
+    )
+    a11 = F.col("n") + F.lit(1.0)
+    a12, a13 = F.col("ss"), F.col("sc")
+    a22 = F.col("sss") + F.lit(1.0)
+    a23 = F.col("ssc")
+    a33 = F.col("scc") + F.lit(1.0)
+    b1, b2, b3 = F.col("sy"), F.col("ssy"), F.col("scy")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    num0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    num1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    num2 = (
+        a11 * (a22 * b3 - a23 * b2)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (F.round(num0 / det, 5) + F.lit(0.0)).alias("beta0"),
+        (F.round(num1 / det, 5) + F.lit(0.0)).alias("beta1"),
+        (F.round(num2 / det, 5) + F.lit(0.0)).alias("beta2"),
+    )

@@ -2297,3 +2297,133 @@ def doc_compression_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fellegi_sunter_match_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars // 100 AS chb,
+             substr(text, 1, 12) AS p12, substr(text, 25, 8) AS m8,
+             n_chars
+      FROM documents
+    ), blocks AS (
+      SELECT lang, source, chb, count(*) AS bc FROM d GROUP BY 1, 2, 3
+    ), dd AS (
+      SELECT d.* FROM d JOIN blocks USING (lang, source, chb)
+      WHERE bc BETWEEN 2 AND 200
+    ), stats AS (SELECT count(*) AS nn FROM d),
+    u AS (
+      SELECT
+        CAST(greatest((SELECT sum(c*(c-1)) FROM
+          (SELECT p12, count(*) AS c FROM d GROUP BY 1)), 1) AS DOUBLE)
+          / CAST((SELECT nn*(nn-1) FROM stats) AS DOUBLE) AS u1,
+        CAST(greatest((SELECT sum(c*(c-1)) FROM
+          (SELECT m8, count(*) AS c FROM d GROUP BY 1)), 1) AS DOUBLE)
+          / CAST((SELECT nn*(nn-1) FROM stats) AS DOUBLE) AS u2,
+        CAST(greatest((SELECT sum(c*(c-1)) FROM
+          (SELECT n_chars, count(*) AS c FROM d GROUP BY 1)), 1) AS DOUBLE)
+          / CAST((SELECT nn*(nn-1) FROM stats) AS DOUBLE) AS u3
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p12 = b.p12         AS agree_prefix,
+             a.m8 = b.m8           AS agree_mid,
+             a.n_chars = b.n_chars AS agree_len,
+             round(
+               (CASE WHEN a.p12 = b.p12 THEN ln(0.9 / u1)
+                     ELSE ln(0.1 / (1.0 - u1)) END)
+             + (CASE WHEN a.m8 = b.m8 THEN ln(0.85 / u2)
+                     ELSE ln(0.15 / (1.0 - u2)) END)
+             + (CASE WHEN a.n_chars = b.n_chars THEN ln(0.75 / u3)
+                     ELSE ln(0.25 / (1.0 - u3)) END), 4) + 0.0 AS score
+      FROM dd a
+      JOIN dd b ON a.lang = b.lang AND a.source = b.source
+               AND a.chb = b.chb AND a.doc_id < b.doc_id
+      CROSS JOIN u
+    )
+    SELECT *, score > 0 AS is_match FROM scored
+    """,
+)
+def fellegi_sunter_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (the Splink/JaroW
+    family): blocked candidate pairs scored by summed log-likelihood
+    field weights — agreement on field f contributes ln(m_f/u_f),
+    disagreement ln((1−m_f)/(1−u_f)) — and classified by the score sign.
+    The u-probabilities (chance agreement between NON-matches) are
+    ESTIMATED FROM THE DATA as the exact random-pair collision
+    probability Σ n_v(n_v−1) / N(N−1) per field (one hash agg each — the
+    standard u-estimation shortcut, since non-matches dominate random
+    pairs); m-probabilities are fixed priors (0.9/0.85/0.75 by field
+    reliability). Blocking on (lang, source, len-bucket) bounds the pair
+    stage via the grouped-postings generator with a hot-block cap of 200
+    (mirrored in the oracle), so the quadratic term is per-block, never
+    corpus-wide. Every weight is a single division of exact integer
+    counts — no float-sum nondeterminism anywhere before the final
+    rounded score."""
+    from ..operators.dedup import pair_up
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("chb"),
+        F.substring("text", 1, 12).alias("p12"),
+        F.substring("text", 25, 8).alias("m8"),
+        "n_chars",
+    )
+
+    def collision_mass(col: str, alias: str):
+        return (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.greatest(
+                    F.sum(F.col("c") * (F.col("c") - 1)),
+                    F.lit(1).cast("long"),
+                ).alias(alias)
+            )
+        )
+
+    nn = d.agg(F.count(F.lit(1)).alias("nn"))
+    den = (F.col("nn") * (F.col("nn") - 1)).cast("double")
+    u = (
+        collision_mass("p12", "n1")
+        .crossJoin(collision_mass("m8", "n2"))
+        .crossJoin(collision_mass("n_chars", "n3"))
+        .crossJoin(nn)
+        .select(
+            (F.col("n1").cast("double") / den).alias("u1"),
+            (F.col("n2").cast("double") / den).alias("u2"),
+            (F.col("n3").cast("double") / den).alias("u3"),
+        )
+    )
+    pairs = pair_up(
+        d,
+        ["lang", "source", "chb"],
+        ["doc_id", "p12", "m8", "n_chars"],
+        max_bucket_size=200,
+    ).crossJoin(F.broadcast(u))
+    agree_p = F.col("a.p12") == F.col("b.p12")
+    agree_m = F.col("a.m8") == F.col("b.m8")
+    agree_l = F.col("a.n_chars") == F.col("b.n_chars")
+    score = F.round(
+        F.when(agree_p, F.log(F.lit(0.9) / F.col("u1"))).otherwise(
+            F.log(F.lit(0.1) / (F.lit(1.0) - F.col("u1")))
+        )
+        + F.when(agree_m, F.log(F.lit(0.85) / F.col("u2"))).otherwise(
+            F.log(F.lit(0.15) / (F.lit(1.0) - F.col("u2")))
+        )
+        + F.when(agree_l, F.log(F.lit(0.75) / F.col("u3"))).otherwise(
+            F.log(F.lit(0.25) / (F.lit(1.0) - F.col("u3")))
+        ),
+        4,
+    ) + F.lit(0.0)
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        agree_p.alias("agree_prefix"),
+        agree_m.alias("agree_mid"),
+        agree_l.alias("agree_len"),
+        score.alias("score"),
+        (score > 0).alias("is_match"),
+    )

@@ -228,3 +228,65 @@ def token_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overcount_within_bound"),
         (F.count(F.lit(1)) == 20).alias("covers_all_queries"),
     )
+
+
+@register(
+    "bitmap_distinct_users_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             count(DISTINCT user_id) AS du
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT t.event_type, t.n_users,
+           CAST(sum(daily.du) AS BIGINT) AS user_days
+    FROM tot t JOIN daily ON daily.event_type = t.event_type
+    GROUP BY t.event_type, t.n_users
+    """,
+)
+def bitmap_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting as mergeable bitmap words — the Roaring-
+    bitmap pattern in pure column algebra. Each (type, day, word=id/64)
+    group ORs member bits into one 64-bit long (``bit_or`` partials merge
+    associatively map-side); per-day distincts are ``sum(bit_count)``
+    over words, and the all-time per-type distinct re-merges the SAME
+    daily words with a second ``bit_or`` — no second pass over raw rows,
+    no count_distinct EXPAND. State per group is |id-space|/64 bits
+    split across word rows, so the shuffle carries (key, word, long)
+    triples: exact where HLL approximates, mergeable where
+    count_distinct is not. At 100 TB the daily word table is the
+    materialized increment; any rollup (weekly, all-time, sliced) is a
+    bit_or over it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    words = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pmod(user_id, 64) AS INT))"
+                )
+            ).alias("bits")
+        )
+    )
+    daily = words.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("bits")).alias("du")
+    )
+    alltime = (
+        words.groupBy("event_type", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).alias("n_users"))
+    )
+    user_days = daily.groupBy("event_type").agg(F.sum("du").alias("user_days"))
+    return alltime.join(user_days, "event_type").select(
+        "event_type", "n_users", "user_days"
+    )

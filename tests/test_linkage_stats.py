@@ -1,0 +1,158 @@
+"""Semantic tests for the round-3 closing wave: bitmap exact-distinct
+rollup (mergeability + exactness), Fellegi–Sunter linkage (score signs,
+weight monotonicity), longest-streak islands, and the ridge
+sufficient-statistics solve (vs a direct numpy normal-equation solve).
+
+The cross-engine value parity of each query is separately pinned by
+tests/test_oracle_parity.py; these tests pin the SEMANTICS on
+hand-constructed frames where the right answer is known by eye.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_weather_system_spark.contract import QUERIES
+
+
+def test_bitmap_rollup_is_exact_per_type(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["bitmap_distinct_users_rollup"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for t, r in out.items():
+        assert r["n_users"] == exact[t]["n"]
+        # per-day distincts each <= all-time distinct, and their sum
+        # >= the all-time count (every user is active on >= 1 day)
+        assert r["user_days"] >= r["n_users"]
+
+
+def test_bitmap_words_merge_associatively(spark):
+    # bit_or over two disjoint halves == bit_or over the union: the
+    # property that makes the daily word table an incremental increment
+    ids = list(range(0, 130, 3)) + [1, 64, 65, 127, 128]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    word_bits = lambda d: (  # noqa: E731
+        d.groupBy((F.col("user_id") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pmod(user_id, 64) AS INT))"
+                )
+            ).alias("bits")
+        )
+    )
+    lo = word_bits(df.filter(F.col("user_id") < 60))
+    hi = word_bits(df.filter(F.col("user_id") >= 60))
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert merged == len(set(ids))
+
+
+def test_fellegi_sunter_scores_rank_duplicates_first(spark, sf_dir):
+    rows = QUERIES["fellegi_sunter_match_scores"](spark, sf_dir).collect()
+    assert rows, "blocking produced no candidate pairs"
+    full = [r for r in rows if r["agree_prefix"] and r["agree_mid"]]
+    none = [
+        r
+        for r in rows
+        if not (r["agree_prefix"] or r["agree_mid"] or r["agree_len"])
+    ]
+    assert full, "corpus near-dups should agree on prefix+mid fields"
+    # full agreement => strongly positive, zero agreement => negative:
+    # the sign separation is the whole point of the log-likelihood score
+    assert all(r["is_match"] for r in full)
+    assert all(not r["is_match"] for r in none)
+    if none:
+        assert min(r["score"] for r in full) > max(r["score"] for r in none)
+
+
+def test_longest_streak_on_constructed_calendar(spark):
+    # user 1: days 1,2,3, 7,8, 20  -> longest 3, islands 3, active 6
+    # user 2: one day              -> longest 1, islands 1, active 1
+    d0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, d0 + datetime.timedelta(days=k, minutes=m))
+        for k in (0, 1, 2, 6, 7, 19)
+        for m in (0, 30)  # two events/day: distinct-day reduction matters
+    ] + [(2, d0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    days = df.select("user_id", F.to_date("ts").alias("d")).distinct()
+    idx = days.select(
+        "user_id",
+        F.datediff("d", F.lit("2024-01-01").cast("date")).alias("di"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .alias("rn"),
+    )
+    isl = idx.groupBy("user_id", (F.col("di") - F.col("rn")).alias("g")).agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    got = {
+        r["user_id"]: r
+        for r in isl.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest"),
+            F.sum("len").alias("active"),
+            F.count(F.lit(1)).alias("islands"),
+        )
+        .collect()
+    }
+    assert (got[1]["longest"], got[1]["active"], got[1]["islands"]) == (3, 6, 3)
+    assert (got[2]["longest"], got[2]["active"], got[2]["islands"]) == (1, 1, 1)
+
+
+def test_ridge_sufficient_stats_match_numpy_solve(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["ridge_cyclic_regression_per_type"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rows in by_type.items():
+        tod = np.array(
+            [
+                (
+                    r["ts"].hour * 3600
+                    + r["ts"].minute * 60
+                    + int(r["ts"].second)
+                )
+                / 86400.0
+                for r in rows
+            ]
+        )
+        s = np.round(np.sin(2 * np.pi * tod), 6)
+        c = np.round(np.cos(2 * np.pi * tod), 6)
+        y = np.array([r["value"] for r in rows])
+        X = np.column_stack([np.ones_like(s), s, c])
+        beta = np.linalg.solve(X.T @ X + np.eye(3), X.T @ y)
+        got = np.array([out[t]["beta0"], out[t]["beta1"], out[t]["beta2"]])
+        # the in-plan solve rounds its sufficient statistics to 4dp, so
+        # agreement is to ~1e-3 on the betas — plenty to pin correctness
+        assert np.allclose(got, beta, atol=2e-3), (t, got, beta)
