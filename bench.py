@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "longest_daily_streak_per_user",
     "ridge_cyclic_regression_per_type",
     "fellegi_sunter_match_scores",
+    "embedding_int8_quantization",
+    "classifier_auc_eval",
 ]
 
 

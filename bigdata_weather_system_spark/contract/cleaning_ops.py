@@ -2427,3 +2427,99 @@ def fellegi_sunter_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > 0).alias("is_match"),
     )
+
+
+@register(
+    "classifier_auc_eval",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT) % 64
+               AS bucket
+      FROM t
+    ),
+    c AS (SELECT doc_id, bucket, count(*) AS n FROM e GROUP BY doc_id, bucket),
+    z AS (
+      SELECT doc_id,
+             sum(n * (((bucket * 2654435761) % 4096) / 4096.0 - 0.5))
+               / sum(n) - 0.05 AS logit
+      FROM c GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT z.doc_id,
+             round(round(1.0 / (1.0 + exp(-z.logit)), 6), 4) AS s4,
+             (d.lang = 'en')::INT AS pos
+      FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ),
+    bins AS (
+      SELECT s4, count(*) AS n_s, sum(pos) AS pos_s
+      FROM scored GROUP BY s4
+    ),
+    ranked AS (
+      SELECT s4, n_s, pos_s,
+             coalesce(sum(n_s) OVER (ORDER BY s4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM bins
+    )
+    SELECT CAST(sum(pos_s) AS BIGINT)         AS n_pos,
+           CAST(sum(n_s - pos_s) AS BIGINT)   AS n_neg,
+           round(
+             CAST(sum(pos_s * (2*cum + n_s + 1))
+                  - sum(pos_s) * (sum(pos_s) + 1) AS DOUBLE)
+             / CAST(2 * sum(pos_s) * sum(n_s - pos_s) AS DOUBLE),
+             6) AS auc
+    FROM ranked
+    """,
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the in-plan quality classifier against a binary label
+    (lang = 'en'), computed by the BINNED rank-sum identity — the way
+    AUC is actually evaluated at corpus scale. Scores quantize to 4
+    decimals (≤ 10⁴ bins for any corpus size), one hash agg collects
+    (n, n_pos) per bin, and the tie-corrected rank sum uses average
+    ranks per bin via a prefix sum over the BOUNDED bin relation (the
+    window input is bins, never documents). AUC =
+    (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with R⁺ from doubled integer ranks, so
+    everything is exact integer algebra until the single final division
+    — bit-identical cross-engine with zero rounding games. Binning IS
+    the tie policy (same-bin scores share their average rank), matching
+    sklearn's roc_auc_score on the quantized scores."""
+    from .core import _t as _load
+
+    scores = doc_quality_classifier_scores(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    scored = scores.select(
+        "doc_id", F.round(F.col("quality_score"), 4).alias("s4")
+    ).join(docs, "doc_id")
+    bins = scored.groupBy("s4").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("pos").alias("pos_s")
+    )
+    w = Window.orderBy("s4").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.select(
+        "s4",
+        "n_s",
+        "pos_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum"),
+    )
+    n_pos = F.sum("pos_s")
+    n_neg = F.sum(F.col("n_s") - F.col("pos_s"))
+    r2 = F.sum(
+        F.col("pos_s") * (2 * F.col("cum") + F.col("n_s") + 1)
+    )
+    return ranked.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (r2 - n_pos * (n_pos + 1)).cast("double")
+            / (2 * n_pos * n_neg).cast("double"),
+            6,
+        ).alias("auc"),
+    )

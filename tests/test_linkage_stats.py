@@ -156,3 +156,52 @@ def test_ridge_sufficient_stats_match_numpy_solve(spark, sf_dir):
         # the in-plan solve rounds its sufficient statistics to 4dp, so
         # agreement is to ~1e-3 on the betas — plenty to pin correctness
         assert np.allclose(got, beta, atol=2e-3), (t, got, beta)
+
+
+def test_int8_quantization_error_is_bounded(spark, sf_dir):
+    # symmetric SQ8 guarantees per-coordinate |err| <= 0.5/scale
+    # = max|x|/254; MSE is bounded by that squared
+    rows = QUERIES["embedding_int8_quantization"](spark, sf_dir).collect()
+    assert rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    worst = max(
+        max(abs(v) for v in r["embedding"]) for r in emb
+    )
+    bound = worst / 254.0 + 1e-9
+    for r in rows:
+        assert 0.0 < r["max_abs_err"] <= bound
+        assert r["avg_mse"] <= bound * bound
+
+
+def test_binned_auc_matches_numpy_rank_sum(spark, sf_dir):
+    out = QUERIES["classifier_auc_eval"](spark, sf_dir).collect()[0]
+    from bigdata_weather_system_spark.contract.cleaning_ops import (
+        doc_quality_classifier_scores,
+    )
+
+    scores = {
+        r["doc_id"]: round(r["quality_score"], 4)
+        for r in doc_quality_classifier_scores(spark, sf_dir).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    s = np.array([scores[d] for d in scores])
+    y = np.array([1 if langs[d] == "en" else 0 for d in scores])
+    # average-rank (tie-corrected) rank-sum AUC, straight from scipy's
+    # definition but dependency-free
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert (out["n_pos"], out["n_neg"]) == (n_pos, n_neg)
+    assert abs(out["auc"] - auc) < 1e-6
