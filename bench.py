@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "fellegi_sunter_match_scores",
     "embedding_int8_quantization",
     "classifier_auc_eval",
+    "type_weekday_mutual_info",
+    "lineitem_numeric_corr",
 ]
 
 

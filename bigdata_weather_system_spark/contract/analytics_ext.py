@@ -1755,3 +1755,148 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("mse"), 8) + F.lit(0.0)).alias("avg_mse"),
         F.round(F.max("maxerr"), 8).alias("max_abs_err"),
     )
+
+
+@register(
+    "type_weekday_mutual_info",
+    oracle="""
+    WITH n AS (SELECT count(*)::DOUBLE AS n FROM events),
+    ht AS (
+      SELECT round(-sum((c / n.n) * ln(c / n.n)), 6) + 0.0 AS h
+      FROM (SELECT event_type, count(*)::DOUBLE AS c
+            FROM events GROUP BY 1) CROSS JOIN n
+    ),
+    hw AS (
+      SELECT round(-sum((c / n.n) * ln(c / n.n)), 6) + 0.0 AS h
+      FROM (SELECT dayofweek(ts), count(*)::DOUBLE AS c
+            FROM events GROUP BY 1) CROSS JOIN n
+    ),
+    hj AS (
+      SELECT round(-sum((c / n.n) * ln(c / n.n)), 6) + 0.0 AS h
+      FROM (SELECT event_type, dayofweek(ts), count(*)::DOUBLE AS c
+            FROM events GROUP BY 1, 2) CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           ht.h AS h_type, hw.h AS h_weekday, hj.h AS h_joint,
+           round(ht.h + hw.h - hj.h, 6) + 0.0 AS mi_nats
+    FROM n, ht, hw, hj
+    """,
+)
+def type_weekday_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; weekday) via the entropy identity
+    I = H(X) + H(Y) − H(X,Y) — the feature-screening companion to the
+    chi-square test (chi2 answers "dependent at all?", MI answers "how
+    many nats does knowing the weekday buy?"). Three hash aggregations,
+    each over a BOUNDED distinct set (5 types, 7 weekdays, ≤35 joint
+    cells), combined through 1-row broadcast cross joins; the raw table
+    is scanned for counts only, so the plan is three partial-agg
+    shuffles of a handful of rows at any scale. Entropies are rounded
+    before the MI subtraction, so both engines derive MI from identical
+    inputs. MI is invariant to category relabeling, so the engines'
+    different weekday numbering conventions cannot matter."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def entropy(*cols):
+        counts = ev.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+        p = F.col("c") / F.col("n")
+        return counts.crossJoin(F.broadcast(n)).agg(
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("h")
+        )
+
+    ht = entropy("event_type").withColumnRenamed("h", "h_type")
+    hw = entropy(F.dayofweek("ts").alias("dow")).withColumnRenamed(
+        "h", "h_weekday"
+    )
+    hj = entropy("event_type", F.dayofweek("ts").alias("dow")).withColumnRenamed(
+        "h", "h_joint"
+    )
+    return (
+        n.crossJoin(ht)
+        .crossJoin(hw)
+        .crossJoin(hj)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "h_type",
+            "h_weekday",
+            "h_joint",
+            (
+                F.round(
+                    F.col("h_type") + F.col("h_weekday") - F.col("h_joint"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mi_nats"),
+        )
+    )
+
+
+@register(
+    "lineitem_numeric_corr",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+        covar_pop(l_quantity, l_extendedprice)
+          / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice)) AS c_qe,
+        covar_pop(l_quantity, l_discount)
+          / (stddev_pop(l_quantity) * stddev_pop(l_discount)) AS c_qd,
+        covar_pop(l_quantity, l_tax)
+          / (stddev_pop(l_quantity) * stddev_pop(l_tax)) AS c_qt,
+        covar_pop(l_extendedprice, l_discount)
+          / (stddev_pop(l_extendedprice) * stddev_pop(l_discount)) AS c_ed,
+        covar_pop(l_extendedprice, l_tax)
+          / (stddev_pop(l_extendedprice) * stddev_pop(l_tax)) AS c_et,
+        covar_pop(l_discount, l_tax)
+          / (stddev_pop(l_discount) * stddev_pop(l_tax)) AS c_dt
+      FROM lineitem
+    )
+    SELECT col_a, col_b, n, round(corr, 6) + 0.0 AS corr FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, c_qe AS corr FROM a
+      UNION ALL SELECT 'l_quantity', 'l_discount', n, c_qd FROM a
+      UNION ALL SELECT 'l_quantity', 'l_tax', n, c_qt FROM a
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', n, c_ed FROM a
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', n, c_et FROM a
+      UNION ALL SELECT 'l_discount', 'l_tax', n, c_dt FROM a
+    )
+    """,
+)
+def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    measures — the feature-redundancy screen run before any model or
+    index choice. ALL six pairs come from ONE aggregation pass
+    (covar/stddev sufficient statistics with map-side partials — the
+    scan cost is one pass regardless of how many pairs), then the upper
+    triangle unpivots to (col_a, col_b, corr) rows with `stack`.
+    Correlation is scale-free O(1), so rounding the final ratio at 6dp
+    absorbs both engines' float-sum accumulation error without any
+    intermediate rounding games."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def corr(x, y):
+        return F.covar_pop(x, y) / (F.stddev_pop(x) * F.stddev_pop(y))
+
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        corr("l_quantity", "l_extendedprice").alias("c_qe"),
+        corr("l_quantity", "l_discount").alias("c_qd"),
+        corr("l_quantity", "l_tax").alias("c_qt"),
+        corr("l_extendedprice", "l_discount").alias("c_ed"),
+        corr("l_extendedprice", "l_tax").alias("c_et"),
+        corr("l_discount", "l_tax").alias("c_dt"),
+    )
+    return a.selectExpr(
+        "n",
+        """stack(6,
+           'l_quantity', 'l_extendedprice', c_qe,
+           'l_quantity', 'l_discount', c_qd,
+           'l_quantity', 'l_tax', c_qt,
+           'l_extendedprice', 'l_discount', c_ed,
+           'l_extendedprice', 'l_tax', c_et,
+           'l_discount', 'l_tax', c_dt) AS (col_a, col_b, corr)""",
+    ).select(
+        "col_a",
+        "col_b",
+        "n",
+        (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
+    )

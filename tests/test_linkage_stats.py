@@ -205,3 +205,28 @@ def test_binned_auc_matches_numpy_rank_sum(spark, sf_dir):
     auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     assert (out["n_pos"], out["n_neg"]) == (n_pos, n_neg)
     assert abs(out["auc"] - auc) < 1e-6
+
+
+def test_mutual_info_identity_and_bounds(spark, sf_dir):
+    r = QUERIES["type_weekday_mutual_info"](spark, sf_dir).collect()[0]
+    # I = H(X) + H(Y) - H(X,Y), and 0 <= I <= min(H(X), H(Y))
+    assert abs(r["mi_nats"] - (r["h_type"] + r["h_weekday"] - r["h_joint"])) < 1e-9
+    assert -1e-6 <= r["mi_nats"] <= min(r["h_type"], r["h_weekday"]) + 1e-6
+    # entropies bounded by log of the category counts
+    assert r["h_weekday"] <= np.log(7) + 1e-6
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    rows = QUERIES["lineitem_numeric_corr"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    m = np.array(li.collect(), dtype=float)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cm = np.corrcoef(m.T)
+    assert len(rows) == 6
+    for r in rows:
+        i, j = cols.index(r["col_a"]), cols.index(r["col_b"])
+        assert i < j  # upper triangle only
+        assert abs(r["corr"] - cm[i, j]) < 1e-5, (r, cm[i, j])
+        assert -1.0 <= r["corr"] <= 1.0
