@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "classifier_auc_eval",
     "type_weekday_mutual_info",
     "lineitem_numeric_corr",
+    "bloom_filter_prefilter_audit",
+    "sampled_revenue_estimate",
 ]
 
 

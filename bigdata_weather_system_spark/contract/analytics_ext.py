@@ -1900,3 +1900,82 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
     )
+
+
+@register(
+    "sampled_revenue_estimate",
+    oracle="""
+    WITH tagged AS (
+      SELECT l_extendedprice * (1 - l_discount) AS rev,
+             CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+               = 0 AS in_sample
+      FROM lineitem
+    ), s AS (
+      SELECT count(*)                                      AS n_total,
+             CAST(sum(in_sample::INT) AS BIGINT)           AS n_sample,
+             round(sum(rev), 2)                            AS exact_revenue,
+             round(10 * sum(CASE WHEN in_sample THEN rev ELSE 0 END), 2)
+                                                           AS est_revenue
+      FROM tagged
+    )
+    SELECT n_total, n_sample, exact_revenue, est_revenue,
+           round(abs(est_revenue - exact_revenue) / exact_revenue, 6)
+             AS rel_err,
+           round(abs(est_revenue - exact_revenue) / exact_revenue, 6) <= 0.10
+             AS within_10pct
+    FROM s
+    """,
+)
+def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC Bernoulli sampling
+    with the Horvitz–Thompson expansion: a 10% hash-sample of the fact
+    table (membership decided by a content hash of the row key, so the
+    sample is identical on any engine, any partitioning, any day — the
+    reproducibility property rand()-sampling lacks) estimates total
+    revenue as Σ_sample rev/π with π = 1/10. The audit computes exact
+    and estimate in the SAME single scan and emits the realized relative
+    error plus a 10% tolerance verdict. At 100 TB this is the
+    interactive-dashboard path: the sample predicate pushes to the scan,
+    reading 1/10 of the data for a provably-unbiased total; the same
+    hash stratifies consistently across tables (join-aware sampling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = li.select(rev.alias("rev"), (h % 10 == 0).alias("in_sample"))
+    s = tagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("in_sample").cast("int")).alias("n_sample"),
+        F.round(F.sum("rev"), 2).alias("exact_revenue"),
+        F.round(
+            10 * F.sum(F.when(F.col("in_sample"), F.col("rev")).otherwise(0.0)),
+            2,
+        ).alias("est_revenue"),
+    )
+    rel = F.round(
+        F.abs(F.col("est_revenue") - F.col("exact_revenue"))
+        / F.col("exact_revenue"),
+        6,
+    )
+    return s.select(
+        "n_total",
+        "n_sample",
+        "exact_revenue",
+        "est_revenue",
+        rel.alias("rel_err"),
+        (rel <= 0.10).alias("within_10pct"),
+    )

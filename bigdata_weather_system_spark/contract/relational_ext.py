@@ -1513,3 +1513,142 @@ def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("tot") - F.col("value")) / (F.col("n") - 1), 6),
     )
     return j.select("event_id", "event_type", loo.alias("loo_type_mean"))
+
+
+@register(
+    "bloom_filter_prefilter_audit",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), kpos AS (
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 65536 AS pos FROM keys
+      UNION ALL
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 15))
+                     AS BIGINT) % 65536 FROM keys
+      UNION ALL
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 17, 15))
+                     AS BIGINT) % 65536 FROM keys
+    ), bloom AS (
+      SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+      FROM kpos GROUP BY pos // 32
+    ), probes AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ), ppos AS (
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 65536 AS pos FROM probes
+      UNION ALL
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 15))
+                     AS BIGINT) % 65536 FROM probes
+      UNION ALL
+      SELECT k, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 17, 15))
+                     AS BIGINT) % 65536 FROM probes
+    ), hits AS (
+      SELECT p.k,
+             sum(CASE WHEN (b.bits & (CAST(1 AS BIGINT) << (p.pos % 32))) <> 0
+                      THEN 1 ELSE 0 END) AS n_hit
+      FROM ppos p LEFT JOIN bloom b ON b.word = p.pos // 32
+      GROUP BY p.k
+    ), verdicts AS (
+      SELECT h.k, h.n_hit = 3 AS maybe,
+             EXISTS (SELECT 1 FROM keys x WHERE x.k = h.k) AS actual
+      FROM hits h
+    )
+    SELECT count(*)                                        AS n_probed,
+           CAST(sum(actual::INT) AS BIGINT)                AS n_actual,
+           CAST(sum(maybe::INT) AS BIGINT)                 AS n_maybe,
+           CAST(sum((maybe AND NOT actual)::INT) AS BIGINT) AS n_false_pos,
+           round(sum((maybe AND NOT actual)::INT)
+                 / CAST(count(*) - sum(actual::INT) AS DOUBLE), 6)
+                                                           AS false_pos_rate,
+           CAST(sum((actual AND NOT maybe)::INT) AS BIGINT) = 0
+                                                           AS no_false_negatives
+    FROM verdicts
+    """,
+)
+def bloom_filter_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built AS DATA and audited end-to-end — the
+    mechanics behind runtime-filter semi-join pruning made explicit
+    (session.py enables Spark's own injected bloom; this query shows the
+    same trick as plain column algebra, the way you'd ship a pre-filter
+    to another system). Build: urgent-order keys hash through k=3
+    md5-derived functions into an m=65536-bit filter stored as 2048
+    (word, bits) rows via map-side-combining ``bit_or``. Probe: every
+    distinct lineitem key re-derives its 3 positions and joins the
+    BROADCAST word relation — a fact-scan-sized join against a
+    constant-size filter. The audit joins the exact semi-join truth:
+    zero false negatives (the Bloom guarantee, asserted as a column),
+    and the measured false-positive rate (expected (1−e^(−kn/m))^k ≈
+    0.2% at sf0.01). 32-bit words keep every shifted mask positive in
+    both engines' signed-64 arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def positions(df):
+        md5 = F.md5(F.col("k").cast("string"))
+        parts = [
+            F.conv(F.substring(md5, off, 15), 16, 10).cast("bigint") % 65536
+            for off in (1, 9, 17)
+        ]
+        return df.select("k", F.explode(F.array(*parts)).alias("pos"))
+
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    bloom = (
+        positions(keys)
+        .groupBy((F.col("pos") / 32).cast("long").alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+    probes = li.select(F.col("l_orderkey").alias("k")).distinct()
+    hits = (
+        positions(probes)
+        .join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(pos % 32 AS INT))"
+                        )
+                    )
+                    != 0,
+                    1,
+                ).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    verdicts = hits.join(
+        keys.withColumn("actual", F.lit(True)), "k", "left"
+    ).select(
+        "k",
+        (F.col("n_hit") == 3).alias("maybe"),
+        F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+    )
+    fp = (F.col("maybe") & ~F.col("actual")).cast("int")
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("actual").cast("int")).alias("n_actual"),
+        F.sum(F.col("maybe").cast("int")).alias("n_maybe"),
+        F.sum(fp).alias("n_false_pos"),
+        F.round(
+            F.sum(fp)
+            / (F.count(F.lit(1)) - F.sum(F.col("actual").cast("int"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("false_pos_rate"),
+        (F.sum((F.col("actual") & ~F.col("maybe")).cast("int")) == 0).alias(
+            "no_false_negatives"
+        ),
+    )

@@ -230,3 +230,23 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         assert i < j  # upper triangle only
         assert abs(r["corr"] - cm[i, j]) < 1e-5, (r, cm[i, j])
         assert -1.0 <= r["corr"] <= 1.0
+
+
+def test_bloom_prefilter_no_false_negatives_and_low_fpr(spark, sf_dir):
+    r = QUERIES["bloom_filter_prefilter_audit"](spark, sf_dir).collect()[0]
+    assert r["no_false_negatives"] is True  # the Bloom guarantee
+    assert r["n_maybe"] >= r["n_actual"]
+    # m=65536, k=3 at these key counts => FPR far below 5%
+    assert r["false_pos_rate"] < 0.05
+    assert r["n_probed"] > 0
+
+
+def test_sampled_estimate_rate_and_unbiasedness(spark, sf_dir):
+    r = QUERIES["sampled_revenue_estimate"](spark, sf_dir).collect()[0]
+    # the md5 sample rate concentrates tightly around 1/10
+    rate = r["n_sample"] / r["n_total"]
+    assert abs(rate - 0.10) < 0.02
+    assert r["within_10pct"] is True
+    # rel_err is the rounded |est/exact - 1| magnitude
+    expected = abs(r["est_revenue"] - r["exact_revenue"]) / r["exact_revenue"]
+    assert abs(r["rel_err"] - expected) < 1e-6
