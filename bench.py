@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "lineitem_numeric_corr",
     "bloom_filter_prefilter_audit",
     "sampled_revenue_estimate",
+    "doc_zipf_exponent",
 ]
 
 

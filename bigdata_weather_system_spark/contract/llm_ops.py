@@ -2029,3 +2029,101 @@ def isotonic_calibration_contract(
             "segment_bounds_ordered",
         )
     )
+
+
+@register(
+    "doc_zipf_exponent",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    v AS (
+      SELECT unnest(toks) AS tok FROM t
+    ),
+    f AS (
+      SELECT tok, count(*) AS n FROM v GROUP BY tok
+    ),
+    topk AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM f
+      ORDER BY n DESC, tok LIMIT 500
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+      FROM topk
+    ),
+    s AS (
+      SELECT count(*) AS k,
+             round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+             round(sum(x*x), 6) AS sxx, round(sum(x*y), 6) AS sxy
+      FROM pts
+    )
+    SELECT k AS n_ranks,
+           round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) + 0.0
+             AS zipf_slope,
+           round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 4)
+             + 0.0 AS intercept,
+           round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) BETWEEN -2.0 AND -0.3
+             AS zipf_like
+    FROM s
+    """,
+)
+def doc_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus token distribution — the
+    one-number lexical-health diagnostic (natural language sits near
+    slope −1 in log(freq) vs log(rank); synthetic/boilerplate/templated
+    corpora flatten or steepen it, so pretraining pipelines track this
+    per source/shard). The frequency relation reduces to its top-500
+    ranks (a TakeOrdered, bounded for any corpus), then the OLS slope in
+    log-log space comes from 4 closed-form sums over those 500 points.
+    Sums are rounded identically on both engines before the solve;
+    ranking ties break on the token for cross-engine determinism.
+    On the synthetic testdata corpus (template-generated, ~31-token
+    vocabulary, near-uniform frequencies) the slope sits far above the
+    natural band and ``zipf_like`` is FALSE — the diagnostic doing its
+    job, pinned in tests/test_linkage_stats.py."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = (
+        f.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(500)
+        .select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("tok")))
+            .alias("rnk"),
+        )
+    )
+    pts = topk.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("k").alias("n_ranks"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4)
+            + F.lit(0.0)
+        ).alias("intercept"),
+        F.round(slope, 4).between(-2.0, -0.3).alias("zipf_like"),
+    )

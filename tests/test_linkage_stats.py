@@ -250,3 +250,18 @@ def test_sampled_estimate_rate_and_unbiasedness(spark, sf_dir):
     # rel_err is the rounded |est/exact - 1| magnitude
     expected = abs(r["est_revenue"] - r["exact_revenue"]) / r["exact_revenue"]
     assert abs(r["rel_err"] - expected) < 1e-6
+
+
+def test_zipf_exponent_flags_the_synthetic_corpus(spark, sf_dir):
+    r = QUERIES["doc_zipf_exponent"](spark, sf_dir).collect()[0]
+    # frequency must fall with rank...
+    assert r["zipf_slope"] < 0
+    # ...but the testdata corpus is template-generated with a ~31-token
+    # vocabulary and near-uniform frequencies — a slope far ABOVE the
+    # natural-language band. The diagnostic working = flag is False here
+    # (this is exactly the corpus shape the check exists to catch).
+    assert r["zipf_like"] is False
+    assert -0.3 < r["zipf_slope"] < 0
+    assert r["n_ranks"] <= 500
+    # intercept = mean(y) - slope*mean(x): positive log-frequency
+    assert r["intercept"] > 0

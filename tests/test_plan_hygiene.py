@@ -327,3 +327,39 @@ def test_column_stats_computed_from_value_histograms(spark):
     assert "partial_count" in plan  # histogram build combines map-side
     # cross-joined 1-row aggregates → a BroadcastNestedLoopJoin appears
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bitmap_rollup_partial_bit_or(spark):
+    # bit_or partials must combine map-side (mergeability is the point)
+    plan = plan_of(spark, "bitmap_distinct_users_rollup")
+    assert "partial_bit_or" in plan or "partial_bitor" in plan.lower()
+    assert "Expand" not in plan  # no count_distinct EXPAND anywhere
+
+
+def test_bloom_probe_broadcasts_the_filter(spark):
+    # the 2048-row word relation must broadcast; the probe side never
+    # shuffles for the membership join
+    plan = plan_of(spark, "bloom_filter_prefilter_audit")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ridge_is_single_aggregation(spark):
+    # one partial+final hash agg of sufficient statistics; the solve is
+    # projection-only above it — no joins, no windows, no extra shuffle
+    plan = plan_of(spark, "ridge_cyclic_regression_per_type")
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read)
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_sampled_estimate_single_scan(spark):
+    # exact + estimate share ONE scan of the fact table
+    plan = plan_of(spark, "sampled_revenue_estimate")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_corr_matrix_single_scan_single_agg(spark):
+    # all six pairs from one sufficient-stats pass over one scan
+    plan = plan_of(spark, "lineitem_numeric_corr")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
