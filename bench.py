@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "bloom_filter_prefilter_audit",
     "sampled_revenue_estimate",
     "doc_zipf_exponent",
+    "weighted_negative_samples",
 ]
 
 

@@ -2127,3 +2127,130 @@ def doc_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(slope, 4).between(-2.0, -0.3).alias("zipf_like"),
     )
+
+
+@register(
+    "weighted_negative_samples",
+    oracle="""
+    WITH pop AS (
+      SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+    ), w AS (
+      SELECT l_partkey,
+             CAST(round(pow(n, 0.75) * 1000) AS BIGINT) AS wt
+      FROM pop
+    ), cum AS (
+      SELECT l_partkey, wt,
+             sum(wt) OVER (ORDER BY l_partkey
+                           ROWS UNBOUNDED PRECEDING) AS cum_hi
+      FROM w
+    ), tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+    iv AS (
+      SELECT l_partkey,
+             CAST(cum_hi - wt AS DOUBLE) / CAST(total AS DOUBLE) AS lo_f,
+             CAST(cum_hi AS DOUBLE) / CAST(total AS DOUBLE)      AS hi_f
+      FROM cum CROSS JOIN tot
+    ), draws AS (
+      SELECT event_id, j,
+             CAST(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                   || '-' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 16777216 AS DOUBLE) / 16777216.0 AS u
+      FROM events CROSS JOIN (SELECT unnest([1, 2]) AS j)
+      WHERE event_type = 'purchase'
+    )
+    SELECT d.event_id, d.j AS draw_idx, iv.l_partkey AS neg_partkey
+    FROM draws d JOIN iv ON d.u >= iv.lo_f AND d.u < iv.hi_f
+    """,
+)
+def weighted_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-smoothed negative sampling for contrastive training —
+    the word2vec/recommender shape: each positive (purchase) event draws
+    k=2 negatives from the item-popularity distribution raised to 0.75
+    (the smoothing that keeps rare items sampled without letting head
+    items dominate). Sampling is INVERSE-CDF AS A JOIN: the popularity
+    CDF becomes an interval relation [lo, hi) in normalized [0,1) space
+    (integer cumulative weights — deterministic window prefix sum, no
+    float accumulation), each draw hashes to a reproducible uniform, and
+    the lookup rides the bucketized interval-containment join — a plain
+    shuffled equi-join on 1/1024-wide buckets, never a nested-loop range
+    join and never a single-partition sort. The draw hash is content-
+    derived, so the sampled negatives are identical on any engine or
+    partitioning — the reproducibility a training pipeline needs for
+    resumable dataset builds. (The CDF window orders the dimension
+    table; for a >10⁷-item catalog swap in operators/rank.py
+    global_rank's two-pass prefix offsets.)"""
+    from ..operators.temporal import interval_containment_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_partkey",
+            F.round(F.pow(F.col("n"), 0.75) * 1000, 0)
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    cum = w.select(
+        "l_partkey",
+        "wt",
+        F.sum("wt")
+        .over(
+            Window.orderBy("l_partkey").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_hi"),
+    )
+    tot = w.agg(F.sum("wt").alias("total"))
+    iv = cum.crossJoin(F.broadcast(tot)).select(
+        F.lit(1).alias("_g"),
+        "l_partkey",
+        (
+            (F.col("cum_hi") - F.col("wt")).cast("double")
+            / F.col("total").cast("double")
+        ).alias("lo_f"),
+        (
+            F.col("cum_hi").cast("double") / F.col("total").cast("double")
+        ).alias("hi_f"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("-"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("j"))
+        .select(
+            F.lit(1).alias("_g"),
+            "event_id",
+            "j",
+            ((h % 16777216).cast("double") / F.lit(16777216.0)).alias("u"),
+        )
+    )
+    joined = interval_containment_join(
+        draws,
+        iv,
+        key_cols=["_g"],
+        point_col="u",
+        lo_col="lo_f",
+        hi_col="hi_f",
+        bucket_width=1.0 / 1024,
+    )
+    return joined.select(
+        "event_id",
+        F.col("j").alias("draw_idx"),
+        F.col("l_partkey").alias("neg_partkey"),
+    )

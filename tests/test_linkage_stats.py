@@ -265,3 +265,33 @@ def test_zipf_exponent_flags_the_synthetic_corpus(spark, sf_dir):
     assert r["n_ranks"] <= 500
     # intercept = mean(y) - slope*mean(x): positive log-frequency
     assert r["intercept"] > 0
+
+
+def test_negative_samples_cover_every_draw_and_follow_popularity(
+    spark, sf_dir
+):
+    out = QUERIES["weighted_negative_samples"](spark, sf_dir)
+    rows = out.collect()
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # inverse-CDF intervals partition [0,1): every draw matches exactly once
+    assert len(rows) == 2 * n_purchases
+    assert len({(r["event_id"], r["draw_idx"]) for r in rows}) == len(rows)
+    # smoothed-popularity weighting: the most-sampled part should be a
+    # high-popularity part (top quartile by lineitem count)
+    pop = {
+        r["l_partkey"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    sampled = Counter(r["neg_partkey"] for r in rows)
+    top_sampled, _ = sampled.most_common(1)[0]
+    quartile = sorted(pop.values())[3 * len(pop) // 4]
+    assert pop[top_sampled] >= quartile
