@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "sampled_revenue_estimate",
     "doc_zipf_exponent",
     "weighted_negative_samples",
+    "conformal_value_intervals",
 ]
 
 

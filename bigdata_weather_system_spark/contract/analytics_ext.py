@@ -1979,3 +1979,130 @@ def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.alias("rel_err"),
         (rel <= 0.10).alias("within_10pct"),
     )
+
+
+@register(
+    "conformal_value_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, event_id, CAST(ts AS DATE) AS d FROM events
+    ), mu AS (
+      SELECT event_type, round(avg(value), 6) AS mu
+      FROM ev WHERE d <= DATE '2024-01-20' GROUP BY event_type
+    ), cal AS (
+      SELECT e.event_type, round(abs(e.value - mu.mu), 6) AS r, e.event_id
+      FROM ev e JOIN mu ON mu.event_type = e.event_type
+      WHERE e.d BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'
+    ), caln AS (
+      SELECT event_type, count(*) AS n_cal FROM cal GROUP BY event_type
+    ), ranked AS (
+      SELECT event_type, r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY r, event_id) AS rk
+      FROM cal
+    ), q AS (
+      SELECT r.event_type, r.r AS q_alpha
+      FROM ranked r JOIN caln c ON c.event_type = r.event_type
+      WHERE r.rk = least(CAST(ceil(0.9 * (c.n_cal + 1)) AS BIGINT), c.n_cal)
+    ), test AS (
+      SELECT e.event_type,
+             count(*) AS n_test,
+             sum(CASE WHEN round(abs(e.value - mu.mu), 6) <= q.q_alpha
+                      THEN 1 ELSE 0 END) AS n_covered
+      FROM ev e
+      JOIN mu ON mu.event_type = e.event_type
+      JOIN q ON q.event_type = e.event_type
+      WHERE e.d >= DATE '2024-01-26'
+      GROUP BY e.event_type
+    )
+    SELECT t.event_type, c.n_cal, t.n_test, q.q_alpha,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 4) AS coverage,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 4) >= 0.85
+             AS coverage_ok
+    FROM test t
+    JOIN caln c ON c.event_type = t.event_type
+    JOIN q ON q.event_type = t.event_type
+    """,
+)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type —
+    distribution-free uncertainty quantification with a finite-sample
+    guarantee: fit any point model on a train window (here the per-type
+    mean), take the ⌈(1−α)(n+1)⌉-th smallest absolute residual on a
+    DISJOINT calibration window as the interval half-width q, and the
+    interval ŷ ± q covers fresh points with probability ≥ 1−α by
+    exchangeability alone — no distributional assumption, any model. The
+    query audits the guarantee on a held-out test window (coverage ≥
+    0.85 asserted for α = 0.1). Plan: one agg for the model, one
+    per-type window rank for the order statistic (calibration-window
+    rows only — a deliberate small fraction of the data), one test-side
+    conditional count; everything shuffles on event_type. Temporal
+    splits (not random) mirror how forecast intervals deploy. Residuals
+    and the model mean are rounded identically on both engines before
+    ranking and comparison."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id", F.to_date("ts").alias("d")
+    )
+    mu = (
+        ev.filter(F.col("d") <= F.lit("2024-01-20").cast("date"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("mu"))
+    )
+    cal = (
+        ev.filter(
+            F.col("d").between(
+                F.lit("2024-01-21").cast("date"),
+                F.lit("2024-01-25").cast("date"),
+            )
+        )
+        .join(mu, "event_type")
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("mu")), 6).alias("r"),
+            "event_id",
+        )
+    )
+    caln = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    ranked = cal.select(
+        "event_type",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("r", "event_id"))
+        .alias("rk"),
+    )
+    k = F.least(
+        F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+    )
+    q = (
+        ranked.join(caln, "event_type")
+        .filter(F.col("rk") == k)
+        .select("event_type", F.col("r").alias("q_alpha"))
+    )
+    test = (
+        ev.filter(F.col("d") >= F.lit("2024-01-26").cast("date"))
+        .join(mu, "event_type")
+        .join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.round(F.abs(F.col("value") - F.col("mu")), 6)
+                    <= F.col("q_alpha")
+                ).cast("int")
+            ).alias("n_covered"),
+        )
+    )
+    cov = F.round(F.col("n_covered").cast("double") / F.col("n_test"), 4)
+    return (
+        test.join(caln, "event_type")
+        .join(q, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q_alpha",
+            cov.alias("coverage"),
+            (cov >= 0.85).alias("coverage_ok"),
+        )
+    )
