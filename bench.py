@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "doc_zipf_exponent",
     "weighted_negative_samples",
     "conformal_value_intervals",
+    "did_treatment_effect",
 ]
 
 

@@ -2106,3 +2106,89 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov >= 0.85).alias("coverage_ok"),
         )
     )
+
+
+@register(
+    "did_treatment_effect",
+    oracle="""
+    WITH tagged AS (
+      SELECT value,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 = 0 AS treated,
+             CAST(ts AS DATE) >= DATE '2024-01-16' AS post
+      FROM events
+    ), cells AS (
+      SELECT
+        count(*) FILTER (treated AND post)          AS n_tp,
+        count(*) FILTER (treated AND NOT post)      AS n_t0,
+        count(*) FILTER (NOT treated AND post)      AS n_cp,
+        count(*) FILTER (NOT treated AND NOT post)  AS n_c0,
+        round(avg(value) FILTER (treated AND post), 6) + 0.0         AS m_tp,
+        round(avg(value) FILTER (treated AND NOT post), 6) + 0.0     AS m_t0,
+        round(avg(value) FILTER (NOT treated AND post), 6) + 0.0     AS m_cp,
+        round(avg(value) FILTER (NOT treated AND NOT post), 6) + 0.0 AS m_c0
+      FROM tagged
+    )
+    SELECT n_tp, n_t0, n_cp, n_c0, m_tp, m_t0, m_cp, m_c0,
+           round((m_tp - m_t0) - (m_cp - m_c0), 6) + 0.0 AS did_estimate
+    FROM cells
+    """,
+)
+def did_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the quasi-experimental
+    workhorse when randomization isn't available: compare the
+    treated group's pre→post outcome change against the control group's
+    change, differencing out both group-level baselines and
+    period-level shocks. Assignment here is a deterministic user-hash
+    split (a placebo design on synthetic data — the true effect is ≈ 0,
+    which is itself the diagnostic: a placebo DiD far from zero flags a
+    broken parallel-trends assumption or a skewed split). One
+    conditional-aggregation pass produces all four cells — no joins, no
+    pivot shuffle; the estimate derives from the ROUNDED cell means so
+    both engines difference identical inputs."""
+    ev = _t(spark, sf_dir, "events")
+    treated = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    post = F.to_date("ts") >= F.lit("2024-01-16").cast("date")
+    t = ev.select("value", treated.alias("treated"), post.alias("post"))
+
+    def cell(cond, agg):
+        return agg(F.when(cond, F.col("value")))
+
+    cells = t.agg(
+        F.count(F.when(F.col("treated") & F.col("post"), 1)).alias("n_tp"),
+        F.count(F.when(F.col("treated") & ~F.col("post"), 1)).alias("n_t0"),
+        F.count(F.when(~F.col("treated") & F.col("post"), 1)).alias("n_cp"),
+        F.count(F.when(~F.col("treated") & ~F.col("post"), 1)).alias("n_c0"),
+        (
+            F.round(cell(F.col("treated") & F.col("post"), F.avg), 6)
+            + F.lit(0.0)
+        ).alias("m_tp"),
+        (
+            F.round(cell(F.col("treated") & ~F.col("post"), F.avg), 6)
+            + F.lit(0.0)
+        ).alias("m_t0"),
+        (
+            F.round(cell(~F.col("treated") & F.col("post"), F.avg), 6)
+            + F.lit(0.0)
+        ).alias("m_cp"),
+        (
+            F.round(cell(~F.col("treated") & ~F.col("post"), F.avg), 6)
+            + F.lit(0.0)
+        ).alias("m_c0"),
+    )
+    return cells.select(
+        "*",
+        (
+            F.round(
+                (F.col("m_tp") - F.col("m_t0"))
+                - (F.col("m_cp") - F.col("m_c0")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("did_estimate"),
+    )

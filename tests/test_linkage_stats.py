@@ -311,3 +311,16 @@ def test_conformal_coverage_holds_on_holdout(spark, sf_dir):
         if r["n_test"] >= 100:
             assert r["coverage_ok"] is True
             assert r["coverage"] >= 0.85
+
+
+def test_did_placebo_effect_is_near_zero(spark, sf_dir):
+    r = QUERIES["did_treatment_effect"](spark, sf_dir).collect()[0]
+    # hash-split placebo on synthetic data: the true effect is 0, so the
+    # estimate must be small relative to the outcome scale
+    scale = max(abs(r["m_tp"]), abs(r["m_c0"]), 1.0)
+    assert abs(r["did_estimate"]) < 0.2 * scale
+    # all four cells populated, and the arithmetic identity holds
+    for c in ("n_tp", "n_t0", "n_cp", "n_c0"):
+        assert r[c] > 0
+    ident = (r["m_tp"] - r["m_t0"]) - (r["m_cp"] - r["m_c0"])
+    assert abs(r["did_estimate"] - ident) < 1e-9
