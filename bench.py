@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "weighted_negative_samples",
     "conformal_value_intervals",
     "did_treatment_effect",
+    "huber_location_per_type",
+    "steps_to_next_higher_value",
 ]
 
 

@@ -2192,3 +2192,127 @@ def did_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "huber_location_per_type",
+    oracle="""
+    WITH s0 AS (
+      SELECT event_type,
+             round(median(value), 6)                        AS m0,
+             round(1.4826 * median(abs(value
+                   - (SELECT round(median(v2.value), 6) FROM events v2
+                      WHERE v2.event_type = events.event_type))), 6) AS sigma
+      FROM events GROUP BY event_type
+    ), it1 AS (
+      SELECT e.event_type, s0.sigma,
+             round(avg(greatest(least(e.value, s0.m0 + 1.345 * s0.sigma),
+                                s0.m0 - 1.345 * s0.sigma)), 6) AS m1
+      FROM events e JOIN s0 ON s0.event_type = e.event_type
+      GROUP BY e.event_type, s0.sigma
+    ), it2 AS (
+      SELECT e.event_type, i.sigma, i.m1,
+             round(avg(greatest(least(e.value, i.m1 + 1.345 * i.sigma),
+                                i.m1 - 1.345 * i.sigma)), 6) AS m2
+      FROM events e JOIN it1 i ON i.event_type = e.event_type
+      GROUP BY e.event_type, i.sigma, i.m1
+    )
+    SELECT event_type, sigma AS scale_mad, m1 AS huber_step1,
+           m2 AS huber_location
+    FROM it2
+    """,
+)
+def huber_location_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location per group — the robust mean that
+    neither the mean (outlier-dragged) nor the median (discards 50% of
+    the information) gives you: iteratively average WINSORIZED values,
+    clamping each observation into m ± 1.345σ (the 95%-efficiency
+    tuning constant) around the current estimate. Two fixed IRLS
+    iterations from a median start (deterministic — no convergence
+    loop), scale fixed at the MAD·1.4826 consistency estimate. Each
+    iteration is ONE hash aggregation with the clamp inlined as column
+    algebra and the previous estimate joined back as a broadcast-sized
+    per-group scalar; iterations add aggregation passes, never widen
+    state. Every intermediate is rounded identically on both engines, so
+    the chained fixed-point arithmetic cannot drift."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.round(F.median("value"), 6).alias("m0"))
+    sigma = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                1.4826 * F.median(F.abs(F.col("value") - F.col("m0"))), 6
+            ).alias("sigma")
+        )
+    )
+    s0 = med.join(sigma, "event_type")
+
+    def irls_step(prev: DataFrame, prev_col: str, out_col: str) -> DataFrame:
+        lo = F.col(prev_col) - 1.345 * F.col("sigma")
+        hi = F.col(prev_col) + 1.345 * F.col("sigma")
+        return (
+            ev.join(prev, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.round(
+                    F.avg(F.greatest(F.least(F.col("value"), hi), lo)), 6
+                ).alias(out_col),
+            )
+            .join(prev, "event_type")
+        )
+
+    it1 = irls_step(s0, "m0", "m1")
+    it2 = irls_step(it1, "m1", "m2")
+    return it2.select(
+        "event_type",
+        F.col("sigma").alias("scale_mad"),
+        F.col("m1").alias("huber_step1"),
+        F.col("m2").alias("huber_location"),
+    )
+
+
+@register(
+    "steps_to_next_higher_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           nullif(list_position(
+             list_transform(
+               coalesce(list(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND 50 FOLLOWING), []),
+               x -> x > value), true), 0) AS steps_to_higher
+    FROM events
+    """,
+)
+def steps_to_next_higher_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-greater-element with a bounded horizon: for every event, how
+    many steps until that user next sees a STRICTLY larger value (NULL
+    if not within the next 50) — the time-to-recovery / drawdown-length
+    shape monitoring pipelines ask for. Inequality lookahead is not a
+    plain window function; the bounded formulation collects the next-50
+    frame per row and scans it with array lambdas (JVM-side), keeping
+    per-row state at horizon width. The horizon is an explicit,
+    documented truncation — an UNBOUNDED next-greater needs the
+    monotonic-stack algorithm (per-key applyInPandas or a segment tree),
+    which trades the O(rows·horizon) frame for O(rows) amortized; at a
+    50-step horizon the frame variant stays in whole-stage codegen and
+    shuffles once on the key, which wins until horizons grow past a few
+    hundred. First match via array_position over a boolean transform —
+    both engines return 0 for 'absent', nulled identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, 50)
+    )
+    nxt = F.collect_list("value").over(w)
+    steps = F.array_position(
+        F.transform(nxt, lambda x: x > F.col("value")), True
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.nullif(steps, F.lit(0)).alias("steps_to_higher"),
+    )

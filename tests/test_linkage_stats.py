@@ -324,3 +324,71 @@ def test_did_placebo_effect_is_near_zero(spark, sf_dir):
         assert r[c] > 0
     ident = (r["m_tp"] - r["m_t0"]) - (r["m_cp"] - r["m_c0"])
     assert abs(r["did_estimate"] - ident) < 1e-9
+
+
+def test_huber_location_resists_outliers(spark):
+    # bulk 1..9 plus one huge outlier: mean is dragged to ~104, the
+    # Huber estimate must stay with the bulk (like the median)
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals], "event_type string, value double"
+    )
+    med = df.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("m0")
+    )
+    sigma = (
+        df.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                1.4826 * F.median(F.abs(F.col("value") - F.col("m0"))), 6
+            ).alias("sigma")
+        )
+    )
+    s0 = med.join(sigma, "event_type")
+    lo = F.col("m0") - 1.345 * F.col("sigma")
+    hi = F.col("m0") + 1.345 * F.col("sigma")
+    m1 = (
+        df.join(s0, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.greatest(F.least(F.col("value"), hi), lo)), 6)
+            .alias("m1")
+        )
+        .collect()[0]["m1"]
+    )
+    # m0=5.5, sigma=1.4826*2.5=3.7065 -> clamp at 5.5+4.986=10.486:
+    # bulk unchanged, outlier clamped -> (45+10.486)/10
+    assert abs(m1 - 5.5486) < 1e-3
+    assert m1 < 10  # vs mean 104.5
+
+
+def test_steps_to_next_higher_on_constructed_sequence(spark):
+    d0 = datetime.datetime(2024, 1, 1)
+    vals = [3.0, 1.0, 2.0, 5.0, 4.0]
+    df = spark.createDataFrame(
+        [
+            (i, 7, d0 + datetime.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, 50)
+    )
+    steps = F.array_position(
+        F.transform(
+            F.collect_list("value").over(w), lambda x: x > F.col("value")
+        ),
+        True,
+    )
+    got = {
+        r["event_id"]: r["s"]
+        for r in df.select(
+            "event_id", F.nullif(steps, F.lit(0)).alias("s")
+        ).collect()
+    }
+    # 3 -> 5 is 3 steps away; 1 -> 2 is 1; 2 -> 5 is 1; 5, 4 -> none
+    assert got == {0: 3, 1: 1, 2: 1, 3: None, 4: None}
