@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "did_treatment_effect",
     "huber_location_per_type",
     "steps_to_next_higher_value",
+    "value_peaks_per_user",
+    "doc_bigram_perplexity",
 ]
 
 

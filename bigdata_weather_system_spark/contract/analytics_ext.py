@@ -2316,3 +2316,80 @@ def steps_to_next_higher_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.nullif(steps, F.lit(0)).alias("steps_to_higher"),
     )
+
+
+@register(
+    "value_peaks_per_user",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value, 1)  OVER u AS p1,
+             lag(value, 2)  OVER u AS p2,
+             lead(value, 1) OVER u AS n1,
+             lead(value, 2) OVER u AS n2
+      FROM events
+      WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), peaks AS (
+      SELECT event_id, user_id, value,
+             round(value - greatest(
+               least(coalesce(p1, value), coalesce(p2, value)),
+               least(coalesce(n1, value), coalesce(n2, value))), 6)
+               AS prominence
+      FROM w
+      WHERE p1 IS NOT NULL AND n1 IS NOT NULL
+        AND value > p1 AND value > n1
+        AND value > coalesce(p2, value - 1)
+        AND value > coalesce(n2, value - 1)
+    )
+    SELECT event_id, user_id, value, prominence
+    FROM peaks WHERE prominence >= 10.0
+    """,
+)
+def value_peaks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor — the alerting /
+    signal-processing shape (find spikes that stand out from their
+    neighborhood, not every wiggle): a point is a peak when strictly
+    above its ±2 neighbors, and its PROMINENCE — height over the higher
+    of the two valley sides — must clear a threshold, which is what
+    separates real surges from noise riding a plateau. Pure lag/lead
+    window algebra over the per-key order: one shuffle, state = 4
+    neighbor values per row regardless of history length. Boundary rows
+    (missing a ±1 neighbor) are excluded; a missing ±2 neighbor
+    defaults permissive, matching scipy.signal.find_peaks' edge
+    handling."""
+    ev = _t(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p1, p2 = F.lag("value", 1).over(u), F.lag("value", 2).over(u)
+    n1, n2 = F.lead("value", 1).over(u), F.lead("value", 2).over(u)
+    v = F.col("value")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+    )
+    prominence = F.round(
+        v
+        - F.greatest(
+            F.least(F.coalesce(F.col("p1"), v), F.coalesce(F.col("p2"), v)),
+            F.least(F.coalesce(F.col("n1"), v), F.coalesce(F.col("n2"), v)),
+        ),
+        6,
+    )
+    return (
+        w.filter(
+            F.col("p1").isNotNull()
+            & F.col("n1").isNotNull()
+            & (v > F.col("p1"))
+            & (v > F.col("n1"))
+            & (v > F.coalesce(F.col("p2"), v - 1))
+            & (v > F.coalesce(F.col("n2"), v - 1))
+        )
+        .select(
+            "event_id", "user_id", "value", prominence.alias("prominence")
+        )
+        .filter(F.col("prominence") >= 10.0)
+    )

@@ -2254,3 +2254,85 @@ def weighted_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").alias("draw_idx"),
         F.col("l_partkey").alias("neg_partkey"),
     )
+
+
+@register(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+    ), vsize AS (
+      SELECT count(DISTINCT w2) AS v FROM bg
+    ), scored AS (
+      SELECT g.doc_id,
+             ln((bc.n12 + 1.0) / (uc.n1 + vsize.v)) AS lp
+      FROM bg g
+      JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      JOIN uc ON uc.w1 = g.w1
+      CROSS JOIN vsize
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document with Laplace
+    (add-one) smoothing — one modeling step up from the unigram filter
+    (`doc_unigram_logprob`) toward the KenLM-style perplexity gates
+    CCNet-class pipelines use: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+|V|), so
+    unseen continuations cost finite, vocabulary-scaled mass instead of
+    −∞. The corpus LM is two hash aggregations over the exploded bigram
+    relation (joint + marginal counts) re-joined to the same relation —
+    the train-on-self diagnostic; scoring a corpus against a REFERENCE
+    LM is the same plan with the count tables read from the reference
+    corpus instead. Bigram explosion via sliding array indices, no UDF;
+    the Zipf-head join skew is the same shape AQE already splits for the
+    unigram twin."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vsize = bg.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+    )

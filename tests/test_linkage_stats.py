@@ -392,3 +392,58 @@ def test_steps_to_next_higher_on_constructed_sequence(spark):
     }
     # 3 -> 5 is 3 steps away; 1 -> 2 is 1; 2 -> 5 is 1; 5, 4 -> none
     assert got == {0: 3, 1: 1, 2: 1, 3: None, 4: None}
+
+
+def test_peak_detection_on_constructed_signal(spark):
+    d0 = datetime.datetime(2024, 1, 1)
+    # flat..spike..flat: only the spike at idx 3 has prominence >= 10
+    vals = [5.0, 6.0, 5.5, 50.0, 5.0, 6.0, 6.5, 6.0, 5.0]
+    df = spark.createDataFrame(
+        [
+            (i, 1, d0 + datetime.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    w = df.select(
+        "event_id", "value",
+        F.lag("value", 1).over(u).alias("p1"),
+        F.lag("value", 2).over(u).alias("p2"),
+        F.lead("value", 1).over(u).alias("n1"),
+        F.lead("value", 2).over(u).alias("n2"),
+    )
+    prom = v - F.greatest(
+        F.least(F.coalesce(F.col("p1"), v), F.coalesce(F.col("p2"), v)),
+        F.least(F.coalesce(F.col("n1"), v), F.coalesce(F.col("n2"), v)),
+    )
+    peaks = (
+        w.filter(
+            F.col("p1").isNotNull() & F.col("n1").isNotNull()
+            & (v > F.col("p1")) & (v > F.col("n1"))
+            & (v > F.coalesce(F.col("p2"), v - 1))
+            & (v > F.coalesce(F.col("n2"), v - 1))
+        )
+        .select("event_id", prom.alias("prom"))
+        .collect()
+    )
+    big = [r for r in peaks if r["prom"] >= 10.0]
+    assert [r["event_id"] for r in big] == [3]
+    # the small local max at idx 6 is a peak but below the floor
+    assert any(r["event_id"] == 6 and r["prom"] < 10 for r in peaks)
+
+
+def test_bigram_perplexity_orders_repetitive_text_lower(spark, sf_dir):
+    rows = QUERIES["doc_bigram_perplexity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["perplexity"] > 0
+        assert r["n_bigrams"] >= 1
+        # Laplace smoothing bounds perplexity by vocab-ish mass
+        assert r["perplexity"] < 10000
+    # self-trained LM: average perplexity should be modest on a tiny
+    # 31-token vocabulary corpus
+    import statistics
+
+    assert statistics.median(r["perplexity"] for r in rows) < 500
