@@ -181,3 +181,105 @@ def test_prefix_jaccard_equals_inverted_index_on_random_corpora(spark, word_list
     inv = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.5).collect()))
     pref = sorted(map(tuple, jaccard_pairs_prefix(df, threshold=0.5).collect()))
     assert pref == inv
+
+
+# --- round-3 continuation-wave properties (Spark-free replicas) -----------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4095),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_bitmap_word_popcount_equals_exact_distinct(ids):
+    # the driver-side replica of bitmap_distinct_users_rollup's word
+    # algebra: OR bits into (word -> mask) then popcount == len(set)
+    words: dict[int, int] = {}
+    for i in ids:
+        words[i // 64] = words.get(i // 64, 0) | (1 << (i % 64))
+    assert sum(bin(m).count("1") for m in words.values()) == len(set(ids))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4095), min_size=1, max_size=200
+    ),
+    st.integers(min_value=1, max_value=4094),
+)
+def test_bitmap_merge_split_invariance(ids, pivot):
+    # merging per-half word maps == building the map over the union:
+    # the property that makes daily word tables an incremental increment
+    def build(sub):
+        w: dict[int, int] = {}
+        for i in sub:
+            w[i // 64] = w.get(i // 64, 0) | (1 << (i % 64))
+        return w
+
+    lo = build([i for i in ids if i < pivot])
+    hi = build([i for i in ids if i >= pivot])
+    merged: dict[int, int] = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) | v
+    assert merged == build(ids)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_next_greater_frame_scan_matches_bruteforce(vals):
+    # bounded-horizon NGE via the frame-scan formulation == brute force
+    horizon = 50
+    for i, v in enumerate(vals):
+        frame = vals[i + 1 : i + 1 + horizon]
+        flags = [x > v for x in frame]
+        pos = flags.index(True) + 1 if True in flags else None
+        brute = next(
+            (j - i for j in range(i + 1, len(vals)) if vals[j] > v), None
+        )
+        if brute is not None and brute <= horizon:
+            assert pos == brute
+        else:
+            assert pos is None
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_huber_clamped_mean_between_min_and_max(vals):
+    import statistics
+
+    m0 = statistics.median(vals)
+    mad = statistics.median([abs(v - m0) for v in vals]) * 1.4826
+    lo, hi = m0 - 1.345 * mad, m0 + 1.345 * mad
+    m1 = sum(min(max(v, lo), hi) for v in vals) / len(vals)
+    assert min(vals) - 1e-9 <= m1 <= max(vals) + 1e-9
+    # with zero spread the estimate is exactly the common value
+    if mad == 0:
+        assert abs(m1 - m0) < 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=300)
+)
+def test_fellegi_sunter_u_is_a_probability(keys):
+    # u = collision mass / total pairs must always land in (0, 1]
+    from collections import Counter
+
+    n = len(keys)
+    mass = sum(c * (c - 1) for c in Counter(keys).values())
+    u = max(mass, 1) / (n * (n - 1))
+    assert 0 < u <= 1
