@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "steps_to_next_higher_value",
     "value_peaks_per_user",
     "doc_bigram_perplexity",
+    "max_drawdown_per_user",
 ]
 
 

@@ -2393,3 +2393,45 @@ def value_peaks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prominence") >= 10.0)
     )
+
+
+@register(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           count(*)               AS n_events,
+           round(max(peak), 6)    AS peak_value,
+           round(max(peak - value), 6) AS max_drawdown
+    FROM runs GROUP BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per key — the canonical risk/monitoring metric:
+    the deepest drop from a running peak over the ordered series
+    (portfolio loss-from-high, SLA worst degradation, battery deepest
+    discharge). One running-max window + one hash agg; per-row state is
+    a single double regardless of history length, and peak − value
+    needs no rounding games (raw-double subtraction is identical
+    arithmetic on both engines; only the final aggregates round)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("peak"), 6).alias("peak_value"),
+        F.round(F.max(F.col("peak") - F.col("value")), 6).alias(
+            "max_drawdown"
+        ),
+    )

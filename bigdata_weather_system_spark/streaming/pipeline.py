@@ -650,3 +650,65 @@ def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_bitmap_distinct_sink(
+    raw_stream: DataFrame,
+    log_path: str,
+    checkpoint_path: str,
+    id_expr: str = "crc32(cast(location as binary))",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of the EXACT-distinct bitmap word table
+    (the incremental twin of the batch ``bitmap_distinct_users_rollup``
+    contract query): each micro-batch reduces to its (day, word) bit_or
+    partial words and APPENDS them to a parquet log. Because bitmap OR
+    is IDEMPOTENT, a restarted/replayed batch re-appending the same
+    words is algebraically harmless — the reader's re-merge ORs them
+    away, so this sink needs no exactly-once machinery at all (stronger
+    than the snapshot sink, which needs its batch-id tie-break).
+
+    ``id_expr`` must map the entity to a NON-NEGATIVE integer id; dense
+    surrogate keys give exact distinct counts, hash-derived ids (the
+    default crc32, for string entities) are exact only while collision-
+    free — dictionary-encode first when exactness matters at scale.
+    """
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        words = (
+            batch_df.withColumn("_id", F.expr(id_expr).cast("long"))
+            .groupBy(
+                F.to_date("event_timestamp").alias("day"),
+                (F.col("_id") / 64).cast("long").alias("word"),
+            )
+            .agg(
+                F.bit_or(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pmod(_id, 64) AS INT))"
+                    )
+                ).alias("bits")
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        words.write.mode("append").parquet(log_path)
+
+    writer = parsed.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_bitmap_distinct(spark: SparkSession, log_path: str) -> DataFrame:
+    """Daily exact-distinct counts from the appended word log: re-merge
+    words with ``bit_or`` (collapsing replays and cross-batch overlap),
+    then popcount. Any rollup grain — weekly, all-time — is the same
+    re-merge at a coarser key, never a rescan of raw events."""
+    words = spark.read.parquet(log_path)
+    merged = words.groupBy("day", "word").agg(F.bit_or("bits").alias("bits"))
+    return merged.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct")
+    )

@@ -447,3 +447,31 @@ def test_bigram_perplexity_orders_repetitive_text_lower(spark, sf_dir):
     import statistics
 
     assert statistics.median(r["perplexity"] for r in rows) < 500
+
+
+def test_max_drawdown_on_constructed_series(spark):
+    d0 = datetime.datetime(2024, 1, 1)
+    # peaks at 10 then 8: deepest drop is 10 -> 3 = 7
+    vals = [5.0, 10.0, 7.0, 3.0, 8.0, 6.0]
+    df = spark.createDataFrame(
+        [
+            (i, 1, d0 + datetime.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = df.select("user_id", "value", F.max("value").over(w).alias("peak"))
+    r = (
+        runs.groupBy("user_id")
+        .agg(
+            F.round(F.max("peak"), 6).alias("peak_value"),
+            F.round(F.max(F.col("peak") - F.col("value")), 6).alias("mdd"),
+        )
+        .collect()[0]
+    )
+    assert (r["peak_value"], r["mdd"]) == (10.0, 7.0)

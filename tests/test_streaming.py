@@ -970,3 +970,62 @@ def test_snapshot_change_data_feed(spark, tmp_path):
         "hanoi": ("update_postimage", 22.0),
         "danang": ("insert", 27.0),
     }  # hue unchanged -> absent from the feed
+
+
+def test_bitmap_distinct_sink_matches_batch_recompute(spark, tmp_path):
+    """Incremental exact-distinct maintenance: three micro-batches with
+    cross-batch overlap append word partials; the reader's bit_or
+    re-merge + popcount must equal a batch count(distinct) over the
+    union — and appending a DUPLICATE batch must change nothing
+    (bitmap OR idempotence = replay safety without exactly-once)."""
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_bitmap_distinct,
+        start_bitmap_distinct_sink,
+    )
+
+    in_dir = tmp_path / "bm_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "bm_log")
+    t0 = dt.datetime(2024, 3, 1, 9, 0)
+    day2 = t0 + dt.timedelta(days=1)
+    locs_b1 = ["hanoi", "hue", "danang"]
+    locs_b2 = ["hanoi", "saigon"]          # overlaps b1 on day 1
+    locs_b3 = ["hue", "cantho", "vinh"]    # day 2
+    write_batch(str(in_dir), "b1.json", [payload(l, t0, 20.0) for l in locs_b1], t0)
+    q = start_bitmap_distinct_sink(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        log_path=log,
+        checkpoint_path=str(tmp_path / "bm_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(str(in_dir), "b2.json", [payload(l, t0, 21.0) for l in locs_b2], t0)
+        q.processAllAvailable()
+        write_batch(str(in_dir), "b3.json", [payload(l, day2, 19.0) for l in locs_b3], day2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        str(r["day"]): r["n_distinct"]
+        for r in read_bitmap_distinct(spark, log).collect()
+    }
+    # crc32 of these 6 fixed strings is collision-free (precondition of
+    # the hash-id mode, asserted here so the test can't silently rot)
+    import zlib
+
+    all_locs = set(locs_b1) | set(locs_b2) | set(locs_b3)
+    assert len({zlib.crc32(l.encode()) for l in all_locs}) == len(all_locs)
+    assert got == {
+        "2024-03-01": len(set(locs_b1) | set(locs_b2)),
+        "2024-03-02": len(set(locs_b3)),
+    }
+
+    # replay: re-append batch-1's words directly — reader must not move
+    words = spark.read.parquet(log)
+    words.limit(2).write.mode("append").parquet(log)
+    got2 = {
+        str(r["day"]): r["n_distinct"]
+        for r in read_bitmap_distinct(spark, log).collect()
+    }
+    assert got2 == got
