@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "value_peaks_per_user",
     "doc_bigram_perplexity",
     "max_drawdown_per_user",
+    "weighted_median_price_per_flag",
 ]
 
 

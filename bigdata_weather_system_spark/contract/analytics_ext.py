@@ -2435,3 +2435,66 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown"
         ),
     )
+
+
+@register(
+    "weighted_median_price_per_flag",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)                       AS n_rows,
+           round(max(totw), 2)            AS total_weight,
+           round(min(CASE WHEN cumw >= totw / 2
+                          THEN l_extendedprice END), 2) AS weighted_median
+    FROM ordered GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price_per_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED median per group — the fair-aggregation statistic Spark
+    has no built-in for (a plain median of prices treats a 1-unit and a
+    50-unit line identically; weighting by quantity answers 'the price
+    at which half the VOLUME trades'). Formulation: order the group by
+    (price, unique key), running cumulative weight, and take the first
+    price whose cumulative weight crosses half the total — one
+    per-group window plus a conditional-min hash agg, generalizing to
+    any weighted quantile by changing the threshold. Quantities are
+    integer-valued, so every cumulative sum is EXACT in doubles (no
+    float-order games) and the crossing row is identical on both
+    engines; running window sums are order-sequential, not
+    shuffle-order-dependent, on both."""
+    li = _t(spark, sf_dir, "lineitem")
+    ordw = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    part = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("l_quantity").over(part).alias("totw"),
+    )
+    return ordered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.max("totw"), 2).alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.col("totw") / 2,
+                    F.col("l_extendedprice"),
+                )
+            ),
+            2,
+        ).alias("weighted_median"),
+    )

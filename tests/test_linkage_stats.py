@@ -475,3 +475,68 @@ def test_max_drawdown_on_constructed_series(spark):
         .collect()[0]
     )
     assert (r["peak_value"], r["mdd"]) == (10.0, 7.0)
+
+
+def test_weighted_median_crossing_on_constructed_group(spark):
+    # weights: price 10 carries 1 unit, price 20 carries 8, price 30
+    # carries 1 -> half of 10 units crosses inside the price-20 block
+    rows = [("A", 10.0, 1.0, 1, 1), ("A", 20.0, 8.0, 2, 1), ("A", 30.0, 1.0, 3, 1)]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_quantity double,"
+        " l_orderkey long, l_linenumber long",
+    )
+    ordw = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    part = Window.partitionBy("l_returnflag")
+    o = df.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("l_quantity").over(part).alias("totw"),
+    )
+    wm = (
+        o.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.col("totw") / 2,
+                    F.col("l_extendedprice"),
+                )
+            ).alias("wm")
+        )
+        .collect()[0]["wm"]
+    )
+    assert wm == 20.0  # the UNWEIGHTED median of prices would also be
+    # 20 here, so also pin a case where they differ:
+    rows2 = [("B", 10.0, 9.0, 1, 1), ("B", 20.0, 1.0, 2, 1), ("B", 30.0, 1.0, 3, 1)]
+    df2 = spark.createDataFrame(
+        rows2,
+        "l_returnflag string, l_extendedprice double, l_quantity double,"
+        " l_orderkey long, l_linenumber long",
+    )
+    o2 = df2.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("l_quantity").over(part).alias("totw"),
+    )
+    wm2 = (
+        o2.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.col("totw") / 2,
+                    F.col("l_extendedprice"),
+                )
+            ).alias("wm")
+        )
+        .collect()[0]["wm"]
+    )
+    # volume-weighted: half of 11 units crosses inside the price-10 block
+    assert wm2 == 10.0  # plain median of prices would be 20
