@@ -220,6 +220,15 @@ BENCH_QUERIES = [
     "doc_bigram_perplexity",
     "max_drawdown_per_user",
     "weighted_median_price_per_flag",
+    # geospatial family
+    "geo_grid_density",
+    "geo_nearest_station",
+    "geo_bbox_events_join",
+    "geo_within_radius_pairs",
+    # warehouse allocation / classification / privacy
+    "order_discount_proration",
+    "part_revenue_abc",
+    "dp_noisy_event_counts",
 ]
 
 

@@ -20,5 +20,7 @@ from . import cleaning_ops  # noqa: F401, E402
 from . import cdc_ext  # noqa: F401, E402
 from . import graph_ops  # noqa: F401, E402
 from . import recommend_ops  # noqa: F401, E402
+from . import geo_ops  # noqa: F401, E402
+from . import warehouse_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

@@ -2276,12 +2276,12 @@ def huber_location_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "steps_to_next_higher_value",
     oracle="""
     SELECT event_id, user_id, value,
-           nullif(list_position(
+           CAST(nullif(list_position(
              list_transform(
                coalesce(list(value) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id
                           ROWS BETWEEN 1 FOLLOWING AND 50 FOLLOWING), []),
-               x -> x > value), true), 0) AS steps_to_higher
+               x -> x > value), true), 0) AS BIGINT) AS steps_to_higher
     FROM events
     """,
 )

@@ -1,0 +1,299 @@
+"""Contract queries: the geospatial family.
+
+The reference's spatial model is a location STRING used as a Kafka key
+and an equality filter (prediction/preprocessing/spark.py:164-176,
+getData.py crawl loop) — it never computes with coordinates. A weather
+engine at 100 TB needs the real thing: distance math, spatial binning,
+nearest-station assignment, containment joins, and radius self-joins.
+
+Coordinates are derived deterministically from md5 of the entity key
+(the same cross-engine hash idiom the sampling/split families use), so
+both Spark and the DuckDB oracle see bit-identical positions without
+any new test data: lat in [-60, 60) and lon in [-180, 180) with 1e-4
+degree resolution. The +-60 latitude band keeps longitude degrees wide
+enough for the cell-bucketed radius join to be provably exact.
+
+All trig happens on doubles in both engines; distances are rounded to 6
+decimals BEFORE any comparison (arg-min, radius predicate) so a
+last-ulp libm difference cannot flip a decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..operators.geo import grid_cell, haversine_km, nearest_join, within_radius_pairs
+from .core import register, _t
+
+# --- deterministic coordinates, Spark side --------------------------------
+
+
+def _hash_coord(prefix: str, key: Column, offset: int, modulus: int, shift: float) -> Column:
+    h = F.md5(F.concat(F.lit(prefix), key.cast("string")))
+    raw = F.conv(F.substring(h, offset, 15), 16, 10).cast("long")
+    return (raw % modulus) / 10000.0 - shift
+
+
+def _with_coords(df: DataFrame, key: str, prefix: str, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    return df.withColumn(
+        lat, _hash_coord(prefix, F.col(key), 1, 1_200_000, 60.0)
+    ).withColumn(lon, _hash_coord(prefix, F.col(key), 17, 3_600_000, 180.0))
+
+
+# --- deterministic coordinates, oracle side -------------------------------
+
+def _sql_coord(prefix: str, key_expr: str, offset: int, modulus: int, shift: float) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{prefix}' || CAST({key_expr} AS VARCHAR)),"
+        f" {offset}, 15)) AS BIGINT) % {modulus} / 10000.0 - {shift}"
+    )
+
+
+_USER_COORDS_CTE = f"""
+u AS (
+  SELECT user_id,
+         {_sql_coord('u:', 'user_id', 1, 1_200_000, 60.0)}  AS lat,
+         {_sql_coord('u:', 'user_id', 17, 3_600_000, 180.0)} AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+"""
+
+_SQL_HAVERSINE = (
+    "2 * 6371.0088 * asin(sqrt("
+    " sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    "   * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)))"
+)
+
+
+def _events_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_coords(_t(spark, sf_dir, "events"), "user_id", "u:")
+
+
+def _distinct_users_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return _with_coords(ev, "user_id", "u:")
+
+
+# ---------------------------------------------------------------------------
+# Grid density: equal-angle binning — one hash aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "geo_grid_density",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(({_sql_coord('u:', 'user_id', 1, 1_200_000, 60.0)} + 90.0) / 5.0) AS INT)  AS cell_row,
+             CAST(floor(({_sql_coord('u:', 'user_id', 17, 3_600_000, 180.0)} + 180.0) / 5.0) AS INT) AS cell_col,
+             user_id, value
+      FROM events
+    )
+    SELECT cell_row, cell_col,
+           count(*)                    AS n_events,
+           count(DISTINCT user_id)     AS n_users,
+           round(avg(value), 6)        AS avg_value
+    FROM e GROUP BY cell_row, cell_col
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density surface: 5-degree equal-angle cells over the event
+    stream, each user acting as a mobile sensor at its hashed position.
+
+    Plan shape: the coordinates and cell ids are pure column expressions
+    derived IN the scan projection (no join against a user-dimension
+    table), so the whole query is scan -> project -> one hash aggregation
+    with map-side partials. At 100 TB this is embarrassingly parallel;
+    cell count is bounded by the grid (24x72), so the final shuffle
+    carries at most ~1.7k groups per partition.
+    """
+    ev = _events_with_coords(spark, sf_dir)
+    row, col = grid_cell(F.col("lat"), F.col("lon"), 5.0)
+    return (
+        ev.select(row.alias("cell_row"), col.alias("cell_col"), "user_id", "value")
+        .groupBy("cell_row", "cell_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest station: broadcast nested-loop + arg-min
+# ---------------------------------------------------------------------------
+
+_NEAREST_DIST = _SQL_HAVERSINE.format(
+    lat1="u.lat", lon1="u.lon", lat2="s.s_lat", lon2="s.s_lon"
+)
+
+@register(
+    "geo_nearest_station",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE},
+    s AS (
+      SELECT n_nationkey AS station_id,
+             {_sql_coord('s:', 'n_nationkey', 1, 1_200_000, 60.0)}  AS s_lat,
+             {_sql_coord('s:', 'n_nationkey', 17, 3_600_000, 180.0)} AS s_lon
+      FROM nation
+    ),
+    d AS (
+      SELECT u.user_id, s.station_id, round({_NEAREST_DIST}, 6) AS dist_km
+      FROM u CROSS JOIN s
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY dist_km, station_id) AS rn
+      FROM d
+    )
+    SELECT station_id,
+           count(*)                 AS n_users,
+           round(avg(dist_km), 4)   AS avg_dist_km,
+           round(min(dist_km), 4)   AS min_dist_km,
+           round(max(dist_km), 4)   AS max_dist_km
+    FROM r WHERE rn = 1
+    GROUP BY station_id
+    """,
+)
+def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each user its nearest weather station (stations = the 25
+    nations at hashed positions), then profile each station's catchment.
+
+    Plan shape: the station table broadcasts, so the nearest-neighbor
+    search is a map-side nested loop over the point table — each point
+    row fans out 25x and collapses immediately in the partial arg-min
+    aggregate (``min(struct(dist, id))``), so the shuffle carries one
+    row per user. No window, no global sort. This is THE plan for
+    point-to-small-reference-set assignment at any scale; the oracle
+    spells the same semantics as cross join + row_number.
+    """
+    users = _distinct_users_coords(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id")
+    )
+    stations = _with_coords(nation, "station_id", "s:", lat="s_lat", lon="s_lon")
+    assigned = nearest_join(
+        users, stations,
+        point_cols=("lat", "lon"), station_cols=("s_lat", "s_lon"),
+        station_id="station_id",
+    )
+    return assigned.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("dist_km"), 4).alias("avg_dist_km"),
+        F.round(F.min("dist_km"), 4).alias("min_dist_km"),
+        F.round(F.max("dist_km"), 4).alias("max_dist_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment join: events in literal bounding boxes (non-equi broadcast)
+# ---------------------------------------------------------------------------
+
+_BOXES = [
+    # (box_id, lat_min, lat_max, lon_min, lon_max) — none cross the antimeridian
+    (1, -60.0, -20.0, -180.0, -60.0),
+    (2, -60.0, -20.0, -60.0, 60.0),
+    (3, -60.0, -20.0, 60.0, 180.0),
+    (4, -20.0, 20.0, -90.0, 90.0),
+    (5, 20.0, 60.0, -180.0, 0.0),
+    (6, 20.0, 60.0, 0.0, 180.0),
+]
+
+_BOX_VALUES = ", ".join(
+    f"({i}, {lat_lo}, {lat_hi}, {lon_lo}, {lon_hi})"
+    for i, lat_lo, lat_hi, lon_lo, lon_hi in _BOXES
+)
+
+@register(
+    "geo_bbox_events_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value,
+             {_sql_coord('u:', 'user_id', 1, 1_200_000, 60.0)}  AS lat,
+             {_sql_coord('u:', 'user_id', 17, 3_600_000, 180.0)} AS lon
+      FROM events
+    )
+    SELECT b.box_id,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(value), 6)    AS avg_value
+    FROM e
+    JOIN (VALUES {_BOX_VALUES})
+         AS b(box_id, lat_min, lat_max, lon_min, lon_max)
+      ON e.lat >= b.lat_min AND e.lat < b.lat_max
+     AND e.lon >= b.lon_min AND e.lon < b.lon_max
+    GROUP BY b.box_id
+    """,
+)
+def geo_bbox_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment join: events against a small set of
+    (possibly overlapping) regions, aggregated per region.
+
+    Plan shape: the 6-row region table broadcasts, so the non-equi
+    containment predicate runs as a BroadcastNestedLoopJoin — a map-side
+    filter-fanout, no shuffle of the fact side before the final 6-group
+    aggregation. Half-open bounds ([min, max)) keep overlapping region
+    edges unambiguous. For thousands of regions instead of 6, the scale
+    path is the interval/band join the temporal family already ships
+    (``events_value_band_join``) applied per axis.
+    """
+    ev = _events_with_coords(spark, sf_dir)
+    boxes = spark.createDataFrame(
+        _BOXES, "box_id int, lat_min double, lat_max double, lon_min double, lon_max double"
+    )
+    cond = (
+        (F.col("lat") >= F.col("lat_min")) & (F.col("lat") < F.col("lat_max"))
+        & (F.col("lon") >= F.col("lon_min")) & (F.col("lon") < F.col("lon_max"))
+    )
+    return (
+        ev.join(F.broadcast(boxes), on=cond)
+        .groupBy("box_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-radius pairs: exact cell-bucketed self-join
+# ---------------------------------------------------------------------------
+
+_PAIR_DIST = _SQL_HAVERSINE.format(
+    lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"
+)
+
+@register(
+    "geo_within_radius_pairs",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE}
+    SELECT a.user_id               AS a_id,
+           b.user_id               AS b_id,
+           round({_PAIR_DIST}, 6)  AS dist_km
+    FROM u a JOIN u b ON a.user_id < b.user_id
+    WHERE round({_PAIR_DIST}, 6) <= 500.0
+    """,
+)
+def geo_within_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All user pairs within 500 km — EXACT, via 10-degree cell
+    bucketing with a 3x3 neighborhood probe instead of the O(n^2)
+    cross-join the oracle runs.
+
+    Exactness: 500 km spans <= 4.5 deg latitude and <= 9.0 deg
+    longitude inside the |lat| <= 60 band (every hashed coordinate is in
+    it by construction), both under the 10-deg cell size, so any true
+    pair lands in the same or an adjacent cell; the operator validates
+    this bound and wraps longitude cells mod 360 so the +-180 meridian
+    loses nothing. Scale shape: candidate generation is a shuffle join
+    on cell ids — the quadratic survives only INSIDE the densest cell
+    (for uniform-ish sensors, a constant), versus the oracle's global
+    n^2/2. This is the pattern every "sensors near each other" /
+    spatial-dedup pass needs at 100 TB.
+    """
+    users = _distinct_users_coords(spark, sf_dir)
+    return within_radius_pairs(
+        users, id_col="user_id", radius_km=500.0, cell_deg=10.0, max_abs_lat=60.0
+    ).select(
+        F.col("a_id"), F.col("b_id"), F.col("dist_km")
+    )

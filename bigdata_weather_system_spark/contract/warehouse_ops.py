@@ -1,0 +1,260 @@
+"""Contract queries: warehouse allocation / classification / privacy ops.
+
+Three classic "the analysts will ask for this week one" operators the
+reference has no analogue for, each engineered for exact cross-engine
+reproducibility:
+
+- ``order_discount_proration`` — allocate an integer per-order budget
+  across lineitems by the LARGEST-REMAINDER method so the allocations
+  sum to the budget EXACTLY (the penny-reconciliation problem every
+  billing/finance pipeline hits). All arithmetic is bigint: shares and
+  remainders come from integer multiply/divide, so Spark and DuckDB
+  agree bit-for-bit — no float rounding anywhere near a decision.
+- ``part_revenue_abc`` — ABC (Pareto) inventory classification by
+  cumulative revenue share. Per-part revenue is computed in exact
+  integer 1e-4 currency units and the A/B/C thresholds are integer
+  cross-multiplications (10*cum <= 7*total), so class boundaries cannot
+  flip on a last-ulp float difference.
+- ``dp_noisy_event_counts`` — epsilon-differentially-private counts via
+  Laplace noise with a SEEDED inverse-CDF draw (md5-derived uniform),
+  reproducible across engines; the only float op is one ln(), guarded
+  by rounding to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .core import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_discount_proration",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o.o_totalprice * 5) AS BIGINT)            AS budget
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    t AS (
+      SELECT *,
+             sum(cents) OVER (PARTITION BY l_orderkey) AS total_cents
+      FROM li
+    ),
+    b AS (
+      SELECT *,
+             (budget * cents) // total_cents AS base_cents,
+             (budget * cents) %  total_cents AS remainder
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+             budget - sum(base_cents) OVER (PARTITION BY l_orderkey)
+               AS leftover,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY remainder DESC, l_linenumber, cents)
+               AS rk
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS alloc_cents
+    FROM r
+    """,
+)
+def order_discount_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 5%-of-order-total budget (integer cents) across the
+    order's lineitems proportional to extended price, largest-remainder
+    method: floor every proportional share, then hand the leftover cents
+    to the largest fractional remainders (ties to the lowest line
+    number). Per-order allocations sum EXACTLY to the budget — the
+    invariant that naive per-row rounding breaks and that finance
+    reconciliation requires; pinned in tests/test_warehouse_ops.py.
+
+    Plan shape: one shuffle join lineitem⋈orders on the order key, then
+    THREE window passes over the SAME partitioning (total, leftover,
+    remainder rank) — Spark reuses one hash partitioning for all of
+    them, so the whole query is join + one exchange. All decision
+    arithmetic is bigint (budget*cents <= ~2.5e13, far inside int64),
+    so there is no float anywhere a penny could flip.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 5).cast("long").alias("budget"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    # so the remainder rank tie-breaks through cents as well — rows that
+    # are still identical after that produce identical outputs either way.
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("remainder").desc(), F.col("l_linenumber"), F.col("cents")
+    )
+    t = (
+        li.join(orders, on="l_orderkey")
+        .withColumn("total_cents", F.sum("cents").over(w))
+        .withColumn(
+            "base_cents",
+            F.expr("(budget * cents) DIV total_cents"),
+        )
+        .withColumn("remainder", (F.col("budget") * F.col("cents")) % F.col("total_cents"))
+        .withColumn("leftover", F.col("budget") - F.sum("base_cents").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("alloc_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_revenue_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_e4,
+             sum(rev_e4) OVER ()                         AS total_e4
+      FROM rev
+    ),
+    k AS (
+      SELECT *,
+             CASE WHEN 10 * cum_e4 <= 7 * total_e4 THEN 'A'
+                  WHEN 10 * cum_e4 <= 9 * total_e4 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c
+    )
+    SELECT abc_class,
+           count(*)                                   AS n_parts,
+           round(sum(rev_e4) / 10000.0, 2)            AS revenue,
+           round(sum(rev_e4) / (1.0 * max(total_e4)), 6) AS revenue_share
+    FROM k GROUP BY abc_class
+    """,
+)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue; class A =
+    the head that covers 70% of cumulative revenue, B to 90%, C the
+    tail. The staple Pareto cut for stocking policy / SKU curation.
+
+    Determinism engineering: per-part revenue is an exact bigint in 1e-4
+    currency units (price cents x integer discount percent), cumulative
+    and total sums stay bigint, and the 70/90% thresholds are integer
+    cross-multiplications — so the classification is bit-identical
+    across engines even though a float pipeline would wobble at class
+    boundaries. Plan shape: one hash agg over lineitem (the fact-side
+    heavy lifting, map-side partials), then a single-partition window
+    over the PART dimension only (2k rows per SF1 x scale of the dim —
+    the global sort is over parts, never lineitems; at 100 TB the dim
+    window is still tiny next to the fact agg). Final 3-group rollup.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
+            ).alias("rev_e4"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    wc = (
+        Window.orderBy(F.col("rev_e4").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.withColumn("cum_e4", F.sum("rev_e4").over(wc)).withColumn(
+        "total_e4", F.sum("rev_e4").over(Window.partitionBy())
+    )
+    k = c.withColumn(
+        "abc_class",
+        F.when(10 * F.col("cum_e4") <= 7 * F.col("total_e4"), "A")
+        .when(10 * F.col("cum_e4") <= 9 * F.col("total_e4"), "B")
+        .otherwise("C"),
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev_e4") / 10000.0, 2).alias("revenue"),
+        F.round(F.sum("rev_e4") / (1.0 * F.max("total_e4")), 6).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts (seeded Laplace)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dp_noisy_event_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, count(*) AS n_true FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT *,
+             (CAST(('0x' || substring(md5('dp:' || event_type), 1, 15))
+                   AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS unif
+      FROM c
+    )
+    SELECT event_type, n_true,
+           round(-2.0 * sign(unif - 0.5) * ln(1 - 2 * abs(unif - 0.5)), 6)
+             AS laplace_noise,
+           round(n_true
+                 - 2.0 * sign(unif - 0.5) * ln(1 - 2 * abs(unif - 0.5)), 6)
+             AS n_noisy
+    FROM u
+    """,
+)
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP release of per-type event counts: Laplace(b=2) noise
+    (sensitivity 1 for a count, epsilon = 0.5) added to each true count.
+    The noise draw is the inverse-CDF transform of a SEEDED uniform
+    derived from md5 of the group key — the same cross-engine
+    reproducible-randomness idiom the sampling family uses — so the
+    'random' release is deterministic, auditable, and identical in the
+    oracle. (A production release would use a real CSPRNG per epoch;
+    the mechanism, sensitivity accounting, and inverse-CDF shape are
+    exactly this.)
+
+    Plan shape: one hash aggregation, then pure scalar math on the
+    5-row result; the noise never touches the fact table. The single
+    libm call (ln) is rounded to 6 decimals on both sides.
+    """
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    unif = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 15), 16, 10)
+        .cast("long") % 1_000_000 + 0.5
+    ) / 1_000_000.0
+    noise = -2.0 * F.signum(unif - 0.5) * F.log(1 - 2 * F.abs(unif - 0.5))
+    return c.select(
+        "event_type",
+        "n_true",
+        F.round(noise, 6).alias("laplace_noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    )

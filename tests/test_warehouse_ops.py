@@ -1,0 +1,87 @@
+"""Warehouse-ops invariants: exact penny reconciliation for the
+largest-remainder proration, ABC class partitioning, and DP noise
+reproducibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.contract import warehouse_ops
+from tests.conftest import TEST_SF_DIR
+from bigdata_weather_system_spark.sources.tables import load_table
+
+
+def test_proration_sums_exactly_to_budget(spark):
+    alloc = warehouse_ops.order_discount_proration(spark, TEST_SF_DIR)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 5).cast("long").alias("budget"),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(F.sum("alloc_cents").alias("got"))
+    bad = per_order.join(orders, on="l_orderkey").where(
+        F.col("got") != F.col("budget")
+    )
+    assert bad.count() == 0
+    # every allocation is a nonnegative integer number of cents
+    assert alloc.where(F.col("alloc_cents") < 0).count() == 0
+
+
+def test_proration_matches_independent_python_reimplementation(spark):
+    # pure-Python largest-remainder over the collected sf0.001 tables,
+    # compared per-order as a multiset (composite line keys repeat in
+    # the synthetic lineitem, so no row-level join key exists)
+    import math
+    from collections import Counter, defaultdict
+
+    got = defaultdict(Counter)
+    for r in warehouse_ops.order_discount_proration(spark, TEST_SF_DIR).collect():
+        got[r["l_orderkey"]][(r["l_linenumber"], r["alloc_cents"])] += 1
+
+    li = load_table(spark, TEST_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    budgets = {
+        r["o_orderkey"]: int(math.floor(r["o_totalprice"] * 5))
+        for r in load_table(spark, TEST_SF_DIR, "orders").collect()
+    }
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append(
+            (r["l_linenumber"], int(math.floor(r["l_extendedprice"] * 100 + 0.5)))
+        )
+    want = defaultdict(Counter)
+    for ok, lines in by_order.items():
+        budget, total = budgets[ok], sum(c for _, c in lines)
+        rows = [
+            (ln, c, (budget * c) // total, (budget * c) % total)
+            for ln, c in lines
+        ]
+        leftover = budget - sum(b for _, _, b, _ in rows)
+        order = sorted(rows, key=lambda r: (-r[3], r[0], r[1]))
+        for rk, (ln, c, base, _) in enumerate(order, start=1):
+            want[ok][(ln, base + (1 if rk <= leftover else 0))] += 1
+    assert got == want
+
+
+def test_abc_classes_partition_all_parts(spark):
+    res = {r["abc_class"]: r for r in warehouse_ops.part_revenue_abc(spark, TEST_SF_DIR).collect()}
+    n_parts = (
+        load_table(spark, TEST_SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert set(res) <= {"A", "B", "C"}
+    assert sum(r["n_parts"] for r in res.values()) == n_parts
+    assert abs(sum(r["revenue_share"] for r in res.values()) - 1.0) < 1e-4
+    # Pareto shape: the A head covers more revenue per part than the C tail
+    if "A" in res and "C" in res:
+        a, c = res["A"], res["C"]
+        assert a["revenue"] / a["n_parts"] > c["revenue"] / c["n_parts"]
+
+
+def test_dp_noise_is_seed_deterministic_and_bounded(spark):
+    one = warehouse_ops.dp_noisy_event_counts(spark, TEST_SF_DIR).collect()
+    two = warehouse_ops.dp_noisy_event_counts(spark, TEST_SF_DIR).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+    for r in one:
+        # Laplace(b=2): |noise| beyond ~30 means a broken inverse-CDF
+        assert abs(r["laplace_noise"]) < 30.0
+        assert abs(r["n_noisy"] - r["n_true"] - r["laplace_noise"]) < 1e-4
