@@ -229,6 +229,11 @@ BENCH_QUERIES = [
     "order_discount_proration",
     "part_revenue_abc",
     "dp_noisy_event_counts",
+    # communities / importance selection / spectral
+    "part_copurchase_communities",
+    "doc_dsir_selection",
+    "embedding_pca_top_component",
+    "event_weekday_woe_iv",
 ]
 
 

@@ -2498,3 +2498,65 @@ def weighted_median_price_per_flag(
             2,
         ).alias("weighted_median"),
     )
+
+
+@register(
+    "event_weekday_woe_iv",
+    oracle="""
+    WITH c AS (
+      SELECT dayofweek(ts) AS dow,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n_neg
+      FROM events GROUP BY dayofweek(ts)
+    ),
+    t AS (SELECT sum(n_pos) AS p_tot, sum(n_neg) AS n_tot FROM c),
+    w AS (
+      SELECT c.dow, c.n_pos, c.n_neg,
+             ln(((c.n_pos + 0.5) / t.p_tot) / ((c.n_neg + 0.5) / t.n_tot))
+               AS woe_raw,
+             ((c.n_pos + 0.5) / t.p_tot - (c.n_neg + 0.5) / t.n_tot)
+               * ln(((c.n_pos + 0.5) / t.p_tot) / ((c.n_neg + 0.5) / t.n_tot))
+               AS ivc
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round(woe_raw, 6) AS woe,
+           round(ivc, 6)     AS iv_contrib,
+           round(sum(ivc) OVER (), 6) AS iv_total
+    FROM w
+    """,
+)
+def event_weekday_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of the weekday
+    feature against the purchase target — the credit-scoring-native
+    companion to the chi-square and mutual-information tests above:
+    WOE gives the per-bin log-odds encoding a scorecard would
+    substitute for the category, IV the scalar "is this feature worth
+    binning at all" verdict (rule of thumb: <0.02 useless, >0.3
+    strong). +0.5 Laplace smoothing keeps empty cells finite; the whole
+    computation is one 7-group aggregation plus scalar algebra, and the
+    one libm call (ln) is rounded at 6 on both sides.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # DuckDB dayofweek() is 0-based (Sunday=0); Spark's is 1-based
+    c = ev.groupBy((F.dayofweek("ts") - 1).alias("dow")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1)).alias("n_neg"),
+    )
+    t = c.agg(
+        F.sum("n_pos").alias("p_tot"), F.sum("n_neg").alias("n_tot")
+    )
+    pos_share = (F.col("n_pos") + 0.5) / F.col("p_tot")
+    neg_share = (F.col("n_neg") + 0.5) / F.col("n_tot")
+    w = c.crossJoin(F.broadcast(t)).select(
+        "dow", "n_pos", "n_neg",
+        F.log(pos_share / neg_share).alias("woe_raw"),
+        ((pos_share - neg_share) * F.log(pos_share / neg_share)).alias("ivc"),
+    )
+    return w.select(
+        "dow", "n_pos", "n_neg",
+        F.round(F.col("woe_raw"), 6).alias("woe"),
+        F.round(F.col("ivc"), 6).alias("iv_contrib"),
+        F.round(F.sum("ivc").over(Window.partitionBy()), 6).alias("iv_total"),
+    )

@@ -311,3 +311,63 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return kcore(edges, k=3, rounds=12)
+
+
+def _lpa_step(k: int, p: int) -> str:
+    return f"""
+    s{k} AS MATERIALIZED (
+      SELECT e.src AS node, l.label, count(*) AS c
+      FROM edges e JOIN l{p} l ON e.dst = l.node
+      GROUP BY e.src, l.label
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM s{k}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "part_copurchase_communities",
+    oracle=f"""
+    WITH
+    items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    pairs AS (
+      SELECT a.i AS src, b.i AS dst, count(*) AS weight
+      FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    p2 AS (SELECT src, dst FROM pairs WHERE weight >= 2),
+    edges AS MATERIALIZED (SELECT src, dst FROM p2
+              UNION ALL SELECT dst AS src, src AS dst FROM p2),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lpa_step(1, 0)},
+    {_lpa_step(2, 1)},
+    {_lpa_step(3, 2)}
+    SELECT label AS community, cast(count(*) AS BIGINT) AS n_parts
+    FROM l3 GROUP BY label
+    """,
+)
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via 3-round deterministic label propagation
+    over the co-purchase graph — the bundle/segment discovery pass a
+    merchandising or curriculum-grouping pipeline runs where connected
+    components are too coarse (everything popular is one component) and
+    modularity solvers are too order-sensitive to reproduce. Ties break
+    to the smallest label and the round count is FIXED, so the oracle
+    unrolls the identical recurrence (MATERIALIZED CTEs — inlined, the
+    chained rounds replan exponentially). Output: surviving community
+    label → member count."""
+    from ..operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").filter(
+        F.col("weight") >= 2
+    )
+    labels = label_propagation(edges, rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )

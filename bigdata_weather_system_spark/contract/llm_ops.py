@@ -2336,3 +2336,109 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
     )
+
+
+@register(
+    "doc_dsir_selection",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT)
+               % 256 AS bucket
+      FROM t
+    ),
+    tgt AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en'
+            GROUP BY bucket),
+    raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+    nt AS (SELECT sum(c) AS n FROM tgt),
+    nr AS (SELECT sum(c) AS n FROM raw),
+    ratio AS MATERIALIZED (
+      SELECT r.bucket,
+             ln((coalesce(t.c, 0) + 1.0) / (nt.n + 256))
+               - ln((r.c + 1.0) / (nr.n + 256)) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+      CROSS JOIN nt CROSS JOIN nr
+    ),
+    sc AS (
+      SELECT b.doc_id, any_value(b.lang) AS lang,
+             cast(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ratio.lr), 6)  AS avg_log_ratio
+      FROM b JOIN ratio ON b.bucket = ratio.bucket
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, avg_log_ratio,
+           (row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) <= 100)
+             AS selected
+    FROM sc
+    """,
+)
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    its average hashed-unigram log importance ratio between a TARGET
+    corpus (here the lang='en' slice standing in for "looks like
+    high-quality English") and the raw pool, then flag the top-100 as
+    selected. This is the published scale path for "pick pretraining
+    data that looks like the domain you care about": both LMs are just
+    256-bucket hashed-ngram count vectors — two bounded aggregations —
+    and scoring is a broadcast join of the 256-row log-ratio table onto
+    the exploded token stream, partial-averaged per doc. No model, no
+    Python row path, no global pass over text besides the token scan
+    the other doc_* queries already do.
+
+    Determinism: buckets are md5-derived (bit-identical cross-engine),
+    Laplace(+1) smoothing keeps every ratio finite, the per-doc mean is
+    rounded to 6 before ranking, and the selection cut ranks
+    (avg_log_ratio DESC, doc_id) so the boundary is unambiguous. The
+    final rank is a single window over DOC-level rows (bounded, one per
+    document) — the token-level heavy lifting never sorts globally.
+    """
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % 256,
+    )
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    nt = tgt.agg(F.sum("tc").alias("nt"))
+    nr = raw.agg(F.sum("rc").alias("nr"))
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("nt") + 256))
+                - F.log((F.col("rc") + 1.0) / (F.col("nr") + 256))
+            ).alias("lr"),
+        )
+    )
+    sc = (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("avg_log_ratio"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_log_ratio").desc(), F.col("doc_id"))
+    return sc.select(
+        "doc_id", "lang", "n_tokens", "avg_log_ratio",
+        (F.row_number().over(w) <= 100).alias("selected"),
+    )

@@ -63,8 +63,8 @@ from .core import register, _t
       FROM b
     )
     SELECT l_orderkey, l_linenumber,
-           base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-             AS alloc_cents
+           CAST(base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
     FROM r
     """,
 )

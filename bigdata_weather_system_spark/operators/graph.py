@@ -318,3 +318,42 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("src").alias("node"), "core_degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Deterministic synchronous label propagation: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its NEIGHBORS, ties to the smallest label. A fixed
+    round count (no convergence polling) keeps the run deterministic
+    and lets a SQL oracle unroll the recurrence as chained CTEs — the
+    same design as ``pagerank`` above.
+
+    The arg-max is ``min(struct(-count, label))`` — a partial-aggregable
+    expression, so each round is exactly one join + one shuffle on the
+    voting node, with no window and no row_number. The directed edge
+    relation is cached across rounds. Classic LPA caveat applies and is
+    embraced: labels can oscillate on bipartite-ish structure, which a
+    FIXED iteration count makes reproducible rather than racy (the
+    asynchronous variant is order-dependent and unsuited to a parity
+    gate).
+    """
+    directed = _directed(edges).cache()
+    labels = directed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            directed.join(labels, directed["dst"] == labels["node"])
+            .groupBy(directed["src"], labels["label"])
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("b")
+            )
+            .select(F.col("src").alias("node"), F.col("b.l").alias("label"))
+        )
+    return labels
