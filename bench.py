@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "doc_dsir_selection",
     "embedding_pca_top_component",
     "event_weekday_woe_iv",
+    "media_pcm_goertzel",
 ]
 
 

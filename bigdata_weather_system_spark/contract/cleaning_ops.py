@@ -2523,3 +2523,53 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_PCM_GOERTZEL_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         256 + doc_id % 512 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+),
+s AS (
+  SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM t
+),
+v AS (
+  SELECT media_id, n, rate, i,
+         CAST(((media_id * 7 + i * 3) % 2001) - 1000 AS DOUBLE) AS x
+  FROM s
+),
+g AS (
+  SELECT media_id,
+         CAST(any_value(n) AS BIGINT)    AS n_samples,
+         CAST(any_value(rate) AS BIGINT) AS sample_rate,
+         sum(x * cos(2 * pi() * 8 * i / n))  AS re,
+         -sum(x * sin(2 * pi() * 8 * i / n)) AS im
+  FROM v GROUP BY media_id
+)
+SELECT media_id, n_samples, sample_rate,
+       round(re, 3) AS re_bin,
+       round(im, 3) AS im_bin,
+       round(sqrt(re * re + im * im) / n_samples, 4) AS mag_bin
+FROM g
+"""
+
+
+@register("media_pcm_goertzel", oracle=_PCM_GOERTZEL_ORACLE)
+def media_pcm_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DSP on decoded audio: single-bin DFT (Goertzel) energy at
+    bin k=8 of every fabricated PCM clip — tone-detection / cheap
+    spectral featurization, the step past the waveform statistics the
+    decode query already pins. numpy dot products against cos/sin
+    tables over the ACTUAL decoded int16 buffer, Arrow-batched; the
+    oracle regenerates the closed-form ramp and reproduces the same
+    trigonometric sums in SQL, so a one-sample decode slip shifts the
+    phase and fails the gate. Rounded at 3/4 decimals: the only
+    cross-engine noise is libm ulps and sum order (~1e-9 here).
+    """
+    from ..operators.multimodal import fabricate_pcm_media, pcm_bin_energy
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_pcm_media(docs, "doc_id")
+    return pcm_bin_energy(media, k=8)

@@ -363,3 +363,45 @@ def test_corr_matrix_single_scan_single_agg(spark):
     plan = plan_of(spark, "lineitem_numeric_corr")
     assert plan.count("FileScan parquet") == 1
     assert "partial_" in plan
+
+
+def test_geo_grid_density_is_joinless_single_agg(spark):
+    plan = plan_of(spark, "geo_grid_density")
+    # coords + cells derive in the scan projection; the only shuffle is
+    # the (distinct-user, cell) aggregation pair — never a join
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_geo_nearest_station_broadcasts_stations_and_partial_argmin(spark):
+    plan = plan_of(spark, "geo_nearest_station")
+    # 25-station side broadcasts (nested loop, no shuffle of the points)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # arg-min min(struct(...)) partial-aggregates before the shuffle
+    assert "partial_min" in plan
+
+
+def test_geo_bbox_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "geo_bbox_events_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_proration_reuses_one_partitioning_for_all_windows(spark):
+    plan = plan_of(spark, "order_discount_proration")
+    # join + three window passes all hash-partition on l_orderkey: the
+    # window chain adds NO extra exchange beyond the join's shuffles
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]
+
+
+def test_pca_moment_pass_partial_aggregates(spark):
+    plan = plan_of(spark, "embedding_pca_top_component")
+    assert "partial_sum" in plan
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark):
+    plan = plan_of(spark, "doc_dsir_selection")
+    # the 256-row log-ratio relation must broadcast onto the token stream
+    assert "BroadcastHashJoin" in plan
