@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "embedding_pca_top_component",
     "event_weekday_woe_iv",
     "media_pcm_goertzel",
+    "fifo_credit_matching",
+    "next_higher_event_unbounded",
 ]
 
 

@@ -2560,3 +2560,47 @@ def event_weekday_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ivc"), 6).alias("iv_contrib"),
         F.round(F.sum("ivc").over(Window.partitionBy()), 6).alias("iv_total"),
     )
+
+
+@register(
+    "next_higher_event_unbounded",
+    oracle="""
+    WITH o AS MATERIALIZED (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT a.event_id, b.event_id AS nid,
+             b.rn - a.rn AS steps,
+             row_number() OVER (PARTITION BY a.event_id ORDER BY b.rn) AS r
+      FROM o a JOIN o b ON a.user_id = b.user_id
+                       AND b.rn > a.rn AND b.value > a.value
+    )
+    SELECT o.event_id, o.user_id, o.value,
+           p.nid                    AS next_id,
+           CAST(p.steps AS BIGINT)  AS steps_ahead
+    FROM o LEFT JOIN (SELECT * FROM p WHERE r = 1) p
+      ON o.event_id = p.event_id
+    """,
+)
+def next_higher_event_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED next-greater-element per user — the monotonic-stack
+    escape hatch the bounded ``steps_to_next_higher_value`` docstring
+    promises: O(rows) amortized per key via one ``applyInPandas`` pass
+    (each row pushed/popped once), where the frame-collect variant
+    would pay O(rows x history) and the oracle's formulation is the
+    honest O(n^2) join. Returns, per event, the id of the next strictly
+    larger value for the same user and how many events ahead it sits
+    (null if the value is never exceeded). One shuffle on user_id; the
+    Python stage is Arrow-batched with a vectorized sort and a plain
+    index stack — the one shape where a Python path genuinely beats
+    the in-plan alternative."""
+    from ..operators.windows import next_greater_unbounded
+
+    ev = _t(spark, sf_dir, "events")
+    return next_greater_unbounded(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", id_col="event_id",
+    )

@@ -258,3 +258,92 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("laplace_noise"),
         F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
     )
+
+
+@register(
+    "fifo_credit_matching",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id AS lot_id, value,
+             sum(value) OVER w         AS d_hi,
+             sum(value) OVER w - value AS d_lo
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT user_id, event_id AS draw_id, value,
+             sum(value) OVER w         AS c_hi,
+             sum(value) OVER w - value AS c_lo
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT d.user_id, d.lot_id, c.draw_id,
+           round(least(d.d_hi, c.c_hi) - greatest(d.d_lo, c.c_lo), 6)
+             AS matched
+    FROM d JOIN c ON d.user_id = c.user_id
+                 AND d.d_lo < c.c_hi AND c.c_lo < d.d_hi
+    """,
+)
+def fifo_credit_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory-costing / credit-consumption
+    primitive: per user, 'purchase' events deposit credit lots and
+    'click' events consume them strictly first-in-first-out; the output
+    says how much of each draw came from each lot. The classic
+    implementation is a stateful scan; the set-based formulation maps
+    each lot and each draw to its [cum_lo, cum_hi) interval on the
+    per-user cumulative axis and INTERSECTS them — FIFO consumption is
+    exactly interval overlap, a fact that turns the sequential algorithm
+    into one equi-join with range predicates.
+
+    Determinism: running window sums accumulate sequentially in frame
+    order, so both engines compute bit-identical cumulative bounds (no
+    shuffle-order variance — this is the one float-sum shape that IS
+    reproducible), making the strict-inequality overlap test safe; the
+    matched amount is rounded only for display. Scale shape: two window
+    passes and a join all hash-partitioned on user_id; the candidate
+    space is per-user lots x draws, bucketable exactly like the band
+    joins in the temporal family if per-key history grows hot.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def side(event_type: str, id_alias: str, prefix: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                "value",
+                F.sum("value").over(w).alias(f"{prefix}_hi"),
+                (F.sum("value").over(w) - F.col("value")).alias(f"{prefix}_lo"),
+            )
+        )
+
+    d = side("purchase", "lot_id", "d")
+    c = side("click", "draw_id", "c")
+    return (
+        d.join(
+            c,
+            on=[
+                d["user_id"] == c["user_id"],
+                d["d_lo"] < c["c_hi"],
+                c["c_lo"] < d["d_hi"],
+            ],
+        )
+        .select(
+            d["user_id"],
+            "lot_id",
+            "draw_id",
+            F.round(
+                F.least(F.col("d_hi"), F.col("c_hi"))
+                - F.greatest(F.col("d_lo"), F.col("c_lo")),
+                6,
+            ).alias("matched"),
+        )
+    )

@@ -63,3 +63,76 @@ def with_neighbors(
     return df.withColumn(f"next_{col}", F.lead(F.col(col), lead_steps).over(w)).withColumn(
         f"prev_{col}", F.lag(F.col(col), lag_steps).over(w)
     )
+
+
+def next_greater_unbounded(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """UNBOUNDED next-greater-element per key: for every row, the id and
+    timestamp-order position of the NEXT row (in ``order_cols`` order)
+    with a strictly larger ``value_col`` — no horizon cap.
+
+    This is the documented escape hatch for the frame-scan variant
+    (``steps_to_next_higher_value``): a bounded horizon keeps the
+    whole computation in whole-stage codegen, but an unbounded
+    lookahead under a frame collect is O(rows x key-length). The
+    monotonic-stack algorithm here is O(rows) amortized per key — each
+    row is pushed and popped at most once — and runs as ONE
+    ``applyInPandas`` pass per key group (Arrow-batched, vectorized
+    sort, plain-Python stack over numpy arrays). Use it when horizons
+    are genuinely unbounded or per-key history is long; otherwise the
+    in-plan frame variant wins on JVM locality.
+
+    Output: all original id/key/value columns plus ``next_id`` (null if
+    no larger value follows) and ``steps_ahead`` (ordinal distance).
+    """
+    import pandas as pd  # noqa: F401 (imported for the worker closure)
+
+    out_schema = (
+        f"{id_col} long, {key_col} long, {value_col} double, "
+        "next_id long, steps_ahead long"
+    )
+    order_list = list(order_cols)
+
+    def scan(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_list, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        nxt = np.full(n, -1, dtype=np.int64)
+        stack: list = []  # indices with no next-greater found yet
+        for j in range(n):
+            vj = vals[j]
+            while stack and vals[stack[-1]] < vj:
+                nxt[stack.pop()] = j
+            stack.append(j)
+        has = nxt >= 0
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: pdf[key_col].to_numpy(),
+                value_col: vals,
+                "next_id": np.where(has, ids[np.maximum(nxt, 0)], -1),
+                "steps_ahead": np.where(has, nxt - np.arange(n), -1),
+            }
+        )
+
+    cols: list[str] = []
+    for c in [id_col, key_col, value_col, *order_list]:
+        if c not in cols:
+            cols.append(c)
+    res = df.select(*cols).groupBy(key_col).applyInPandas(scan, schema=out_schema)
+    return res.select(
+        id_col,
+        key_col,
+        value_col,
+        F.when(F.col("next_id") >= 0, F.col("next_id")).alias("next_id"),
+        F.when(F.col("steps_ahead") >= 0, F.col("steps_ahead")).alias("steps_ahead"),
+    )

@@ -85,3 +85,53 @@ def test_dp_noise_is_seed_deterministic_and_bounded(spark):
         # Laplace(b=2): |noise| beyond ~30 means a broken inverse-CDF
         assert abs(r["laplace_noise"]) < 30.0
         assert abs(r["n_noisy"] - r["n_true"] - r["laplace_noise"]) < 1e-4
+
+
+def test_fifo_matching_conserves_flow(spark):
+    from pyspark.sql.window import Window
+
+    m = warehouse_ops.fifo_credit_matching(spark, TEST_SF_DIR)
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    dep = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum("value").alias("dep")
+    )
+    dra = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.sum("value").alias("dra")
+    )
+    per_user = m.groupBy("user_id").agg(F.sum("matched").alias("matched"))
+    j = per_user.join(dep, "user_id").join(dra, "user_id").collect()
+    assert j
+    for r in j:
+        # total matched flow = min(total deposits, total draws)
+        assert abs(r["matched"] - min(r["dep"], r["dra"])) < 1e-3
+    # every individual match is positive
+    assert m.where(F.col("matched") <= 0).count() == 0
+
+
+def test_next_greater_unbounded_matches_brute_force(spark):
+    from bigdata_weather_system_spark.operators.windows import next_greater_unbounded
+
+    rows = [
+        # user 1: 3 1 4 1 5 — classic; user 2: descending, all null
+        (10, 1, 100, 3.0), (11, 1, 200, 1.0), (12, 1, 300, 4.0),
+        (13, 1, 400, 1.0), (14, 1, 500, 5.0),
+        (20, 2, 100, 9.0), (21, 2, 200, 7.0), (22, 2, 300, 5.0),
+        # user 3: equal plateau then rise (strictness check)
+        (30, 3, 100, 2.0), (31, 3, 200, 2.0), (32, 3, 300, 2.5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, value double")
+    got = {
+        r["event_id"]: (r["next_id"], r["steps_ahead"])
+        for r in next_greater_unbounded(
+            df, key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", id_col="event_id",
+        ).collect()
+    }
+    assert got[10] == (12, 2)
+    assert got[11] == (12, 1)
+    assert got[12] == (14, 2)
+    assert got[13] == (14, 1)
+    assert got[14] == (None, None)
+    assert got[20] == (None, None) and got[21] == (None, None) and got[22] == (None, None)
+    assert got[30] == (32, 2)  # strictly greater skips the equal plateau
+    assert got[31] == (32, 1)
