@@ -237,6 +237,9 @@ BENCH_QUERIES = [
     "media_pcm_goertzel",
     "fifo_credit_matching",
     "next_higher_event_unbounded",
+    "value_quantile_normalize_by_type",
+    "sprt_purchase_rate_decision",
+    "eb_shrunken_purchase_rates",
 ]
 
 

@@ -2604,3 +2604,207 @@ def next_higher_event_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", order_cols=["ts", "event_id"],
         value_col="value", id_col="event_id",
     )
+
+
+@register(
+    "value_quantile_normalize_by_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             CAST(ntile(100) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS INTEGER) AS q
+      FROM events
+    ),
+    bm AS (
+      SELECT event_type, q, avg(value) AS m FROM r GROUP BY event_type, q
+    ),
+    t AS (SELECT q, round(avg(m), 6) AS norm_value FROM bm GROUP BY q)
+    SELECT r.event_id, r.event_type, r.value, r.q, t.norm_value
+    FROM r JOIN t ON r.q = t.q
+    """,
+)
+def value_quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across event types — the bioinformatics /
+    batch-effect-removal standard: rank every value within its type into
+    100 quantile bins, then replace it with the CROSS-type mean of that
+    bin, so all five per-type distributions become identical while
+    preserving within-type order. Catches the case z-scoring misses
+    (shape differences, not just location/scale).
+
+    Plan shape: one window (ntile) per type partition, a (type, bin)
+    aggregation, a 100-row bin-target table broadcast back onto the
+    rows. Deterministic: the ntile ordering key (value, event_id) is
+    unique, bin targets are rounded before the join-back, and the bin
+    count is fixed — no per-row float decision anywhere.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_id", "event_type", "value",
+        F.ntile(100).over(w).alias("q"),
+    )
+    bm = r.groupBy("event_type", "q").agg(F.avg("value").alias("m"))
+    t = bm.groupBy("q").agg(F.round(F.avg("m"), 6).alias("norm_value"))
+    return r.join(F.broadcast(t), on="q").select(
+        "event_id", "event_type", "value", "q", "norm_value"
+    )
+
+
+@register(
+    "sprt_purchase_rate_decision",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 4 AS arm, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    l AS (
+      SELECT arm, ts, event_id, x,
+             sum(x * ln(0.25 / 0.2)
+                 + (1 - x) * ln(0.75 / 0.8)) OVER w AS llr,
+             row_number() OVER w2 AS rn
+      FROM s
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY arm ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT arm,
+             count(*)                                              AS n_total,
+             min(CASE WHEN llr >= ln(19.0)  THEN rn END)           AS n_h1,
+             min(CASE WHEN llr <= -ln(19.0) THEN rn END)           AS n_h0,
+             round(max_by(llr, rn), 6)                             AS llr_final
+      FROM l GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_total,
+           CASE
+             WHEN n_h1 IS NOT NULL AND (n_h0 IS NULL OR n_h1 < n_h0)
+               THEN 'accept_h1'
+             WHEN n_h0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision,
+           CASE
+             WHEN n_h1 IS NOT NULL AND (n_h0 IS NULL OR n_h1 < n_h0) THEN n_h1
+             WHEN n_h0 IS NOT NULL THEN n_h0
+           END AS n_at_decision,
+           llr_final
+    FROM g
+    """,
+)
+def sprt_purchase_rate_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the event stream:
+    four experiment arms (user_id % 4) each accumulate the
+    log-likelihood ratio of H1: P(purchase)=0.25 vs H0: 0.2 in event
+    order, and the arm DECIDES at the first boundary crossing
+    (alpha = beta = 0.05 -> +-ln 19) — the sequential design that stops
+    ~half as late as a fixed-horizon test at the same error rates.
+
+    Determinism: the LLR running sum is a frame-ordered sequential
+    accumulation (bit-identical cross-engine), the crossing is a plain
+    comparison against +-ln 19, and the first-crossing index is an
+    integer min. Per-arm sequential order is intrinsic to SPRT, so the
+    window partitions by arm — parallelism across arms/experiments, not
+    within one arm's timeline.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("user_id") % 4).alias("arm"), "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    w = (
+        Window.partitionBy("arm").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("arm").orderBy("ts", "event_id")
+    inc = F.col("x") * F.log(F.lit(0.25 / 0.2)) + (1 - F.col("x")) * F.log(
+        F.lit(0.75 / 0.8)
+    )
+    bound = F.log(F.lit(19.0))
+    l = s.select(
+        "arm",
+        F.sum(inc).over(w).alias("llr"),
+        F.row_number().over(w2).alias("rn"),
+    )
+    g = l.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min(F.when(F.col("llr") >= bound, F.col("rn"))).alias("n_h1"),
+        F.min(F.when(F.col("llr") <= -bound, F.col("rn"))).alias("n_h0"),
+        F.round(F.max_by(F.col("llr"), F.col("rn")), 6).alias("llr_final"),
+    )
+    h1_first = F.col("n_h1").isNotNull() & (
+        F.col("n_h0").isNull() | (F.col("n_h1") < F.col("n_h0"))
+    )
+    return g.select(
+        "arm", "n_total",
+        F.when(h1_first, F.lit("accept_h1"))
+        .when(F.col("n_h0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(h1_first, F.col("n_h1"))
+        .when(F.col("n_h0").isNotNull(), F.col("n_h0"))
+        .cast("long")
+        .alias("n_at_decision"),
+        "llr_final",
+    )
+
+
+@register(
+    "eb_shrunken_purchase_rates",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT round(avg(1.0 * k / n), 9)     AS mu,
+             round(var_pop(1.0 * k / n), 9) AS v
+      FROM u
+    ),
+    p AS (
+      SELECT mu, v, mu * (1 - mu) / v - 1 AS common FROM m
+    )
+    SELECT u.user_id, CAST(u.n AS BIGINT) AS n, CAST(u.k AS BIGINT) AS k,
+           round(1.0 * u.k / u.n, 6) AS raw_rate,
+           round((u.k + p.mu * p.common)
+                 / (u.n + p.common), 6)   AS shrunk_rate
+    FROM u CROSS JOIN p
+    """,
+)
+def eb_shrunken_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates: fit the Beta prior by method of moments from the observed
+    rate distribution, then pull every user's raw k/n toward the prior
+    mean in proportion to how little data they have — the standard fix
+    for "this user is 1-for-1, so their rate is 100%" leaderboard junk.
+
+    alpha + beta = mu(1-mu)/v - 1 and alpha = mu * that; the posterior
+    mean is (k + alpha)/(n + alpha + beta). Cross-engine: mu and v are
+    rounded to 9 before the prior algebra, so both engines derive
+    bit-identical hyperparameters and the per-user arithmetic is pure
+    IEEE scalar math. One hash aggregation + one broadcast scalar
+    join — the prior fit costs two rounded moments.
+    """
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    rate = F.col("k") * 1.0 / F.col("n")
+    m = u.agg(
+        F.round(F.avg(rate), 9).alias("mu"),
+        F.round(F.var_pop(rate), 9).alias("v"),
+    )
+    p = m.select(
+        "mu", "v", (F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1).alias("common")
+    )
+    return u.crossJoin(F.broadcast(p)).select(
+        "user_id", "n", "k",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("mu") * F.col("common"))
+            / (F.col("n") + F.col("common")),
+            6,
+        ).alias("shrunk_rate"),
+    )
