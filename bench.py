@@ -240,6 +240,10 @@ BENCH_QUERIES = [
     "value_quantile_normalize_by_type",
     "sprt_purchase_rate_decision",
     "eb_shrunken_purchase_rates",
+    "geo_user_path_length",
+    "degree_days_daily",
+    "geo_density_clusters",
+    "revenue_share_hierarchy",
 ]
 
 

@@ -297,3 +297,196 @@ def geo_within_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a_id"), F.col("b_id"), F.col("dist_km")
     )
+
+
+_PATH_DIST = _SQL_HAVERSINE.format(
+    lat1="p_lat", lon1="p_lon", lat2="lat", lon2="lon"
+)
+
+@register(
+    "geo_user_path_length",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             {_sql_coord('u:', 'user_id', 1, 1_200_000, 60.0)}
+               + ({_sql_coord('e:', 'event_id', 1, 1_000, 0.05)}) AS lat,
+             {_sql_coord('u:', 'user_id', 17, 3_600_000, 180.0)}
+               + ({_sql_coord('e:', 'event_id', 17, 1_000, 0.05)}) AS lon
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER w AS p_lat,
+             lag(lon) OVER w AS p_lon
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, round({_PATH_DIST}, 6) AS leg
+      FROM l WHERE p_lat IS NOT NULL
+    )
+    SELECT user_id,
+           count(*)              AS n_moves,
+           round(sum(leg), 4)    AS total_km,
+           round(max(leg), 6)    AS max_leg_km,
+           round(avg(leg), 6)    AS avg_leg_km
+    FROM s GROUP BY user_id
+    """,
+)
+def geo_user_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory length per mobile sensor: each event sits at the
+    user's base position plus a per-event jitter (~+-5.5 km per axis,
+    hashed from the event id), and the path is the sum of haversine
+    legs between consecutive fixes in event-time order — the
+    GPS-track / fleet-telemetry primitive (distance traveled, longest
+    hop, mean hop).
+
+    Plan shape: positions derive in the scan projection, one lag window
+    per user partition, one hash aggregation — a single shuffle on
+    user_id serves both. Legs are rounded to 6 BEFORE summing so both
+    engines add identical sequences; the total rounds to 4 because the
+    shuffle-order of the final sum differs (~1e-10).
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        (
+            _hash_coord("u:", F.col("user_id"), 1, 1_200_000, 60.0)
+            + _hash_coord("e:", F.col("event_id"), 1, 1_000, 0.05)
+        ).alias("lat"),
+        (
+            _hash_coord("u:", F.col("user_id"), 17, 3_600_000, 180.0)
+            + _hash_coord("e:", F.col("event_id"), 17, 1_000, 0.05)
+        ).alias("lon"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = e.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("p_lat"),
+        F.lag("lon").over(w).alias("p_lon"),
+    )
+    s = l.where(F.col("p_lat").isNotNull()).select(
+        "user_id",
+        F.round(
+            haversine_km(F.col("p_lat"), F.col("p_lon"), F.col("lat"), F.col("lon")),
+            6,
+        ).alias("leg"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.round(F.sum("leg"), 4).alias("total_km"),
+        F.round(F.max("leg"), 6).alias("max_leg_km"),
+        F.round(F.avg("leg"), 6).alias("avg_leg_km"),
+    )
+
+
+@register(
+    "degree_days_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS t_mean
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, t_mean,
+           round(CASE WHEN t_mean < 18.0 THEN 18.0 - t_mean ELSE 0.0 END, 6)
+             AS hdd,
+           round(CASE WHEN t_mean > 24.0 THEN t_mean - 24.0 ELSE 0.0 END, 6)
+             AS cdd
+    FROM d
+    """,
+)
+def degree_days_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating / cooling degree days — the canonical climate-energy
+    metric the reference's daily profile stops short of: per day, the
+    mean reading (value as temperature proxy) and its shortfall below
+    18 C (HDD) / excess above 24 C (CDD). One hash aggregation; the
+    degree-day algebra runs on the ALREADY-ROUNDED daily mean so both
+    engines branch on identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("t_mean")
+    )
+    return d.select(
+        "day", "t_mean",
+        F.round(
+            F.when(F.col("t_mean") < 18.0, 18.0 - F.col("t_mean")).otherwise(0.0), 6
+        ).alias("hdd"),
+        F.round(
+            F.when(F.col("t_mean") > 24.0, F.col("t_mean") - 24.0).otherwise(0.0), 6
+        ).alias("cdd"),
+    )
+
+
+@register(
+    "geo_density_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_USER_COORDS_CTE},
+    pairs AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM u a JOIN u b ON a.user_id < b.user_id
+      WHERE round({_PAIR_DIST}, 6) <= 500.0
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS user_id, count(*) AS nn FROM und GROUP BY src),
+    core AS (SELECT user_id FROM deg WHERE nn >= 2),
+    ce AS (
+      SELECT e.src, e.dst FROM und e
+      JOIN core c1 ON e.src = c1.user_id
+      JOIN core c2 ON e.dst = c2.user_id
+    ),
+    reach(node, r) AS (
+      SELECT user_id, user_id FROM core
+      UNION
+      SELECT ce.src, r2.r FROM ce JOIN reach r2 ON ce.dst = r2.node
+    ),
+    cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, cast(count(*) AS BIGINT) AS n_core
+    FROM cc GROUP BY cluster_id
+    """,
+)
+def geo_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN* — the core-point-only
+    variant of Campello et al.): a user is a CORE sensor if >= 2 others
+    sit within eps = 500 km, and clusters are the connected components
+    of the core-core eps-graph. Border/noise points are excluded by
+    design (DBSCAN* semantics), which keeps the result order-independent
+    — classic DBSCAN's border assignment depends on visit order and
+    cannot be a parity gate.
+
+    Built ENTIRELY by composing the engine's existing scale paths:
+    candidate pairs from the exact cell-bucketed radius join (never the
+    O(n^2) cross join the oracle runs), degrees from one hash agg,
+    components from the size-dispatched union-find / min-label
+    machinery the dedup family ships. This is the published recipe for
+    billion-point geo clustering — grid-partitioned DBSCAN — expressed
+    in the operators this repo already has.
+    """
+    from ..operators.dedup import connected_components
+
+    users = _distinct_users_coords(spark, sf_dir)
+    pairs = within_radius_pairs(
+        users, id_col="user_id", radius_km=500.0, cell_deg=10.0, max_abs_lat=60.0
+    )
+    und = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionAll(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("nn"))
+    core = deg.where(F.col("nn") >= 2).select(F.col("src").alias("user_id"))
+    ce = (
+        und.join(core.select(F.col("user_id").alias("src")), "src")
+        .join(core.select(F.col("user_id").alias("dst")), "dst")
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    cc = connected_components(ce)
+    # isolated core sensors (no core neighbor) are their own cluster
+    labeled = core.join(
+        cc.select(F.col("node").alias("user_id"), "cluster_id"), "user_id", "left"
+    ).select(
+        "user_id", F.coalesce(F.col("cluster_id"), F.col("user_id")).alias("cluster_id")
+    )
+    return labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_core"))

@@ -1652,3 +1652,67 @@ def bloom_filter_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
     )
+
+
+@register(
+    "revenue_share_hierarchy",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_custkey, n.n_name AS nation, r.r_name AS region,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY c.c_custkey, n.n_name, r.r_name
+    )
+    SELECT c_custkey, nation, region, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY nation), 6)
+             AS share_of_nation,
+           round(sum(revenue) OVER (PARTITION BY nation)
+                 / sum(revenue) OVER (PARTITION BY region), 6)
+             AS nation_share_of_region,
+           round(sum(revenue) OVER (PARTITION BY region)
+                 / sum(revenue) OVER (), 6)
+             AS region_share_of_total
+    FROM cr
+    """,
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution down the region > nation > customer
+    hierarchy — the drill-down table every BI layer renders: each
+    customer's share of its nation, the nation's share of its region,
+    the region's share of the world, all in one result.
+
+    Plan shape: the fact aggregation (orders grouped to customers) does
+    the heavy lifting with broadcast dimension joins; the three share
+    levels are window sums over the CUSTOMER-grain result — sibling
+    partitions (nation ⊂ region ⊂ all), so Spark evaluates them in one
+    window chain without re-shuffling the fact table. Customer revenue
+    is rounded to 2 before the share algebra; shares round at 6, far
+    above the ~1e-16 relative wobble of unordered partition sums.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cr = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("c_custkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wn = Window.partitionBy("nation")
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return cr.select(
+        "c_custkey", "nation", "region", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wn), 6).alias("share_of_nation"),
+        F.round(F.sum("revenue").over(wn) / F.sum("revenue").over(wr), 6).alias(
+            "nation_share_of_region"
+        ),
+        F.round(F.sum("revenue").over(wr) / F.sum("revenue").over(wall), 6).alias(
+            "region_share_of_total"
+        ),
+    )
