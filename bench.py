@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "degree_days_daily",
     "geo_density_clusters",
     "revenue_share_hierarchy",
+    "part_copurchase_adamic_adar",
+    "rolling_trend_per_user",
+    "weather_pipeline_end_to_end",
 ]
 
 

@@ -2808,3 +2808,69 @@ def eb_shrunken_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
+
+
+@register(
+    "rolling_trend_per_user",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, rn,
+             count(*)             OVER w AS n,
+             sum(rn)              OVER w AS sx,
+             sum(rn * rn)         OVER w AS sxx,
+             sum(value)           OVER w AS sy,
+             sum(rn * value)      OVER w AS sxy
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn,
+           CASE WHEN n >= 5 THEN
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope
+    FROM f
+    """,
+)
+def rolling_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of value against event index over each user's
+    last 20 events — the "is this sensor drifting NOW" monitor, where
+    the global Theil-Sen / OLS trends answer "did it drift EVER".
+    Implemented as sufficient statistics IN the window frame (five
+    sliding sums, no per-row refit): slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2). The x side is the integer row index, so Sx/Sxx are
+    exact; the denominator is integer algebra and cannot cancel to
+    noise; the one float division rounds at 6 (frame sums differ only
+    by summation-tree order, ~1e-15). Null until 5 points accumulate.
+    One shuffle on user_id serves the index window and the frame.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_id", "user_id", "value", F.row_number().over(wo).alias("rn")
+    )
+    wf = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-19, 0)
+    f = o.select(
+        "event_id", "user_id", o["rn"].cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("rn").over(wf).alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).over(wf).alias("sxx"),
+        F.sum("value").over(wf).alias("sy"),
+        F.sum(F.col("rn") * F.col("value")).over(wf).alias("sxy"),
+    )
+    return f.select(
+        "event_id", "user_id", "rn",
+        F.when(
+            F.col("n") >= 5,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ),
+        ).alias("slope"),
+    )

@@ -490,3 +490,106 @@ def geo_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.coalesce(F.col("cluster_id"), F.col("user_id")).alias("cluster_id")
     )
     return labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_core"))
+
+
+@register(
+    "weather_pipeline_end_to_end",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE},
+    s AS (
+      SELECT n_nationkey AS station_id,
+             {_sql_coord('s:', 'n_nationkey', 1, 1_200_000, 60.0)}  AS s_lat,
+             {_sql_coord('s:', 'n_nationkey', 17, 3_600_000, 180.0)} AS s_lon
+      FROM nation
+    ),
+    d AS (
+      SELECT u.user_id, s.station_id, round({_NEAREST_DIST}, 6) AS dist_km,
+             row_number() OVER (PARTITION BY u.user_id
+                                ORDER BY round({_NEAREST_DIST}, 6), s.station_id)
+               AS rn
+      FROM u CROSS JOIN s
+    ),
+    assign AS (SELECT user_id, station_id FROM d WHERE rn = 1),
+    clean AS (
+      SELECT e.user_id, e.ts, e.value
+      FROM events e
+      WHERE e.value IS NOT NULL AND e.event_type <> 'error'
+    ),
+    hourly AS (
+      SELECT a.station_id, date_trunc('hour', c.ts) AS hour,
+             round(avg(c.value), 6) AS avg_value,
+             count(*)               AS n_obs
+      FROM clean c JOIN assign a ON c.user_id = a.user_id
+      GROUP BY a.station_id, date_trunc('hour', c.ts)
+    ),
+    fc AS (
+      SELECT station_id, hour, avg_value, n_obs,
+             lag(avg_value) OVER (PARTITION BY station_id ORDER BY hour)
+               AS persisted
+      FROM hourly
+    )
+    SELECT station_id,
+           cast(count(*) AS BIGINT)               AS n_hours,
+           cast(sum(n_obs) AS BIGINT)             AS n_obs,
+           round(avg(avg_value), 6)               AS mean_hourly_value,
+           round(avg(CASE WHEN persisted IS NOT NULL
+                          THEN abs(avg_value - persisted) END), 6)
+             AS persistence_mae
+    FROM fc GROUP BY station_id
+    """,
+)
+def weather_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole product loop COMPOSED from already-oracled
+    stages — clean (null/error rows out, the parse-chain semantics) →
+    nearest-station assignment (broadcast arg-min, the geo family) →
+    per-station hourly profile (the A2 aggregation) → persistence
+    forecast + MAE backtest (the forecasting family) — as ONE
+    declarative plan with no materialization between stages. This entry
+    pins that the stages compose without interference: predicate
+    pushdown still reaches the scan through four stage boundaries, and
+    the station assignment broadcast does not block the hourly partial
+    aggregation.
+
+    Per-station MAE of hour-over-hour persistence is the operational
+    skill baseline every forecast deployment reports first.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clean = ev.where(
+        F.col("value").isNotNull() & (F.col("event_type") != "error")
+    ).select("user_id", "ts", "value")
+    users = _distinct_users_coords(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id")
+    )
+    stations = _with_coords(nation, "station_id", "s:", lat="s_lat", lon="s_lon")
+    assign = nearest_join(
+        users, stations,
+        point_cols=("lat", "lon"), station_cols=("s_lat", "s_lon"),
+        station_id="station_id",
+    ).select("user_id", "station_id")
+    hourly = (
+        clean.join(assign, "user_id")
+        .groupBy("station_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("station_id").orderBy("hour")
+    fc = hourly.withColumn("persisted", F.lag("avg_value").over(w))
+    return fc.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_obs").alias("n_obs"),
+        F.round(F.avg("avg_value"), 6).alias("mean_hourly_value"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("persisted").isNotNull(),
+                    F.abs(F.col("avg_value") - F.col("persisted")),
+                )
+            ),
+            6,
+        ).alias("persistence_mae"),
+    )
