@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "part_copurchase_adamic_adar",
     "rolling_trend_per_user",
     "weather_pipeline_end_to_end",
+    "geo_idw_station_interpolation",
 ]
 
 

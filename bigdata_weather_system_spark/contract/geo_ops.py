@@ -593,3 +593,75 @@ def weather_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("persistence_mae"),
     )
+
+
+@register(
+    "geo_idw_station_interpolation",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE},
+    uv AS (
+      SELECT user_id, round(avg(value), 6) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT n_nationkey AS station_id,
+             {_sql_coord('s:', 'n_nationkey', 1, 1_200_000, 60.0)}  AS s_lat,
+             {_sql_coord('s:', 'n_nationkey', 17, 3_600_000, 180.0)} AS s_lon
+      FROM nation
+    ),
+    d AS (
+      SELECT s.station_id, uv.user_value,
+             1.0 / (round({_NEAREST_DIST}, 6) * round({_NEAREST_DIST}, 6)
+                    + 1.0) AS w
+      FROM s CROSS JOIN u
+      JOIN uv ON uv.user_id = u.user_id
+    )
+    SELECT station_id,
+           round(sum(w * user_value) / sum(w), 6) AS idw_value,
+           round(sum(w), 6)                       AS total_weight,
+           cast(count(*) AS BIGINT)               AS n_sources
+    FROM d GROUP BY station_id
+    """,
+)
+def geo_idw_station_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation: estimate the
+    field value AT each station from every sensor's mean reading,
+    weighted by 1/(d^2 + 1) — the Shepard's-method baseline that real
+    gridded weather products start from (kriging's cheap, assumption-
+    free cousin). The +1 km^2 regularizer bounds the weight of a sensor
+    sitting exactly on a station.
+
+    Plan shape: sensor means from one hash agg; the station x sensor
+    weight matrix is a broadcast nested loop (stations are the small
+    side) collapsing immediately into per-station partial sums — the
+    shuffle carries 25 rows. Distances are rounded before weighting so
+    both engines build identical weights; the weighted mean rounds at 6
+    (sum order ~1e-12).
+    """
+    users = _distinct_users_coords(spark, sf_dir)
+    uv = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("user_value"))
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id")
+    )
+    stations = _with_coords(nation, "station_id", "s:", lat="s_lat", lon="s_lon")
+    d = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")), 6
+    )
+    w = 1.0 / (d * d + 1.0)
+    pts = users.join(uv, "user_id")
+    return (
+        pts.join(F.broadcast(stations))
+        .select("station_id", "user_value", w.alias("w"))
+        .groupBy("station_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("user_value")) / F.sum("w"), 6).alias(
+                "idw_value"
+            ),
+            F.round(F.sum("w"), 6).alias("total_weight"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )

@@ -85,3 +85,34 @@ def test_nearest_join_argmin_tie_breaks_on_station_id(spark):
     assert len(got) == 1
     assert got[0]["station_id"] == 3
     assert abs(got[0]["dist_km"] - 111.195) < 0.01
+
+
+def test_within_radius_empty_and_singleton_inputs(spark):
+    empty = spark.createDataFrame([], "user_id int, lat double, lon double")
+    assert (
+        within_radius_pairs(
+            empty, id_col="user_id", radius_km=100.0, cell_deg=2.0
+        ).count()
+        == 0
+    )
+    one = spark.createDataFrame([(1, 0.0, 0.0)], "user_id int, lat double, lon double")
+    assert (
+        within_radius_pairs(one, id_col="user_id", radius_km=100.0, cell_deg=2.0).count()
+        == 0
+    )
+
+
+def test_points_outside_lat_band_are_excluded_not_wrong(spark):
+    # a polar point must be filtered (the cell geometry proof only holds
+    # inside the band), never silently mis-bucketed
+    pts = spark.createDataFrame(
+        [(1, 75.0, 0.0), (2, 75.1, 0.0), (3, 10.0, 10.0), (4, 10.1, 10.0)],
+        "user_id int, lat double, lon double",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in within_radius_pairs(
+            pts, id_col="user_id", radius_km=100.0, cell_deg=2.0, max_abs_lat=60.0
+        ).collect()
+    }
+    assert got == {(3, 4)}

@@ -49,3 +49,25 @@ def test_dsir_prefers_target_language(spark):
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
     assert sum(1 for r in rows if r["selected"]) == min(100, len(rows))
+
+
+def test_pca_zero_variance_dimension_gets_zero_loading(spark):
+    # dim 2 is constant -> its covariance row/col is 0 -> loading 0
+    rows = [([float(t), float(2 * t), 7.0],) for t in range(1, 6)]
+    emb = spark.createDataFrame(rows, "embedding array<double>")
+    got = {
+        r["dim_idx"]: r["loading"]
+        for r in __import__(
+            "bigdata_weather_system_spark.operators.pca", fromlist=["x"]
+        ).power_iteration_top_component(emb, "embedding", 3, iterations=8).collect()
+    }
+    assert got[2] == 0.0
+    norm = (1 + 4) ** 0.5
+    assert abs(got[0] - 1 / norm) < 1e-3 and abs(got[1] - 2 / norm) < 1e-3
+
+
+def test_label_propagation_empty_edges(spark):
+    from bigdata_weather_system_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert label_propagation(edges, rounds=3).count() == 0
