@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "rolling_trend_per_user",
     "weather_pipeline_end_to_end",
     "geo_idw_station_interpolation",
+    "purchase_decision_stump",
+    "sensor_uptime_report",
+    "user_rank_stability_rbo",
 ]
 
 

@@ -2874,3 +2874,244 @@ def rolling_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope"),
     )
+
+
+@register(
+    "purchase_decision_stump",
+    oracle="""
+    WITH e AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    ),
+    thr AS (
+      SELECT max(value) AS threshold FROM e WHERE decile <= 9 GROUP BY decile
+    ),
+    split AS (
+      SELECT t.threshold,
+             sum(CASE WHEN e.value <= t.threshold THEN 1 ELSE 0 END) AS n_left,
+             sum(CASE WHEN e.value <= t.threshold THEN e.y ELSE 0 END) AS pos_left,
+             sum(CASE WHEN e.value >  t.threshold THEN 1 ELSE 0 END) AS n_right,
+             sum(CASE WHEN e.value >  t.threshold THEN e.y ELSE 0 END) AS pos_right,
+             count(*) AS n, sum(e.y) AS pos
+      FROM thr t CROSS JOIN e
+      GROUP BY t.threshold
+    ),
+    g AS (
+      SELECT threshold,
+             CAST(n_left AS BIGINT)  AS n_left,
+             CAST(pos_left AS BIGINT)  AS pos_left,
+             CAST(n_right AS BIGINT) AS n_right,
+             CAST(pos_right AS BIGINT) AS pos_right,
+             round(
+               2.0 * pos / n * (1 - 1.0 * pos / n)
+               - (1.0 * n_left / n)
+                 * (2.0 * pos_left / n_left * (1 - 1.0 * pos_left / n_left))
+               - (1.0 * n_right / n)
+                 * (2.0 * pos_right / n_right * (1 - 1.0 * pos_right / n_right)),
+               6) AS gini_gain
+      FROM split WHERE n_left > 0 AND n_right > 0
+    )
+    SELECT *,
+           (row_number() OVER (ORDER BY gini_gain DESC, threshold) = 1)
+             AS is_best
+    FROM g
+    """,
+)
+def purchase_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump for 'is this a purchase' on the
+    value feature: candidate thresholds are the nine exact decile
+    boundaries, each scored by Gini impurity reduction — the inner loop
+    of every tree learner, exposed as one declarative query (a tree
+    induction pass is just this, iterated per node and feature).
+
+    Plan shape: ONE pass computes the decile boundaries (window over a
+    unique ordering), then a 9-row broadcast cross join against the
+    events scores all candidate splits in a single aggregation — the
+    histogram-split trick XGBoost/LightGBM use, not 9 re-scans. Gini
+    algebra runs on exact integer counts; the gain rounds at 6 and the
+    argmax tie-breaks on the threshold, so `is_best` is deterministic.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("decile"),
+    )
+    thr = (
+        e.where(F.col("decile") <= 9)
+        .groupBy("decile")
+        .agg(F.max("value").alias("threshold"))
+        .drop("decile")
+    )
+    split = (
+        e.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("threshold"), 1).otherwise(0)).alias("n_left"),
+            F.sum(F.when(F.col("value") <= F.col("threshold"), F.col("y")).otherwise(0)).alias("pos_left"),
+            F.sum(F.when(F.col("value") > F.col("threshold"), 1).otherwise(0)).alias("n_right"),
+            F.sum(F.when(F.col("value") > F.col("threshold"), F.col("y")).otherwise(0)).alias("pos_right"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    p = F.col("pos") * 1.0 / F.col("n")
+    pl = F.col("pos_left") * 1.0 / F.col("n_left")
+    pr = F.col("pos_right") * 1.0 / F.col("n_right")
+    g = split.where((F.col("n_left") > 0) & (F.col("n_right") > 0)).select(
+        "threshold", "n_left", "pos_left", "n_right", "pos_right",
+        F.round(
+            2.0 * p * (1 - p)
+            - (F.col("n_left") * 1.0 / F.col("n")) * (2.0 * pl * (1 - pl))
+            - (F.col("n_right") * 1.0 / F.col("n")) * (2.0 * pr * (1 - pr)),
+            6,
+        ).alias("gini_gain"),
+    )
+    wb = Window.orderBy(F.col("gini_gain").desc(), F.col("threshold"))
+    return g.select("*", (F.row_number().over(wb) == 1).alias("is_best"))
+
+
+@register(
+    "sensor_uptime_report",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+    ),
+    g AS (
+      SELECT user_id, hour,
+             lag(hour) OVER (PARTITION BY user_id ORDER BY hour) AS prev_hour
+      FROM h
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS observed_hours,
+           cast(date_diff('hour', min(hour), max(hour)) + 1 AS BIGINT)
+             AS expected_hours,
+           round(count(*) * 1.0
+                 / (date_diff('hour', min(hour), max(hour)) + 1), 6)
+             AS uptime_pct,
+           cast(max(CASE WHEN prev_hour IS NOT NULL
+                    THEN date_diff('hour', prev_hour, hour) - 1 END) AS BIGINT)
+             AS longest_gap_hours
+    FROM g GROUP BY user_id
+    """,
+)
+def sensor_uptime_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor completeness audit — the observability question a fleet
+    operator asks before trusting any aggregate: per sensor, how many
+    hours reported vs. the span between its first and last report, and
+    the longest silent stretch. Distinct hours via one hash agg, gaps
+    via a lag window over the (bounded) per-sensor hour list; hour
+    arithmetic is exact integers on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hour")
+    g = h.withColumn("prev_hour", F.lag("hour").over(w))
+    span_hours = (
+        (F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour"))) / 3600
+    ).cast("long") + 1
+    gap = (
+        (F.unix_timestamp(F.col("hour")) - F.unix_timestamp(F.col("prev_hour"))) / 3600
+    ).cast("long") - 1
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("observed_hours"),
+        span_hours.alias("expected_hours"),
+        F.round(F.count(F.lit(1)) * 1.0 / span_hours, 6).alias("uptime_pct"),
+        F.max(F.when(F.col("prev_hour").isNotNull(), gap)).alias("longest_gap_hours"),
+    )
+
+
+@register(
+    "user_rank_stability_rbo",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(min(epoch(ts)) AS BIGINT)
+              + CAST(max(epoch(ts)) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    ha AS (
+      SELECT user_id, count(*) AS c FROM events, b
+      WHERE CAST(epoch(ts) AS BIGINT) <= b.mid GROUP BY user_id
+    ),
+    hb AS (
+      SELECT user_id, count(*) AS c FROM events, b
+      WHERE CAST(epoch(ts) AS BIGINT) > b.mid GROUP BY user_id
+    ),
+    ra AS (SELECT user_id,
+                  row_number() OVER (ORDER BY c DESC, user_id) AS r
+           FROM ha),
+    rb AS (SELECT user_id,
+                  row_number() OVER (ORDER BY c DESC, user_id) AS r
+           FROM hb),
+    pairs AS (
+      SELECT ra.r AS r1, rb.r AS r2
+      FROM ra JOIN rb ON ra.user_id = rb.user_id
+    ),
+    k AS (SELECT unnest(range(1, 51)) AS k),
+    ov AS (
+      SELECT k.k,
+             count(*) FILTER (WHERE p.r1 <= k.k AND p.r2 <= k.k) AS o
+      FROM k CROSS JOIN pairs p GROUP BY k.k
+    )
+    SELECT round(0.1 * sum(pow(0.9, k - 1) * o / k), 6) AS rbo_50,
+           cast(max(CASE WHEN k = 10 THEN o END) AS BIGINT) AS overlap_10,
+           cast(max(CASE WHEN k = 50 THEN o END) AS BIGINT) AS overlap_50
+    FROM ov
+    """,
+)
+def user_rank_stability_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the most-active-user
+    leaderboards of the first and second time halves, truncated at depth
+    50 with persistence p = 0.9 — the ranking-stability metric that,
+    unlike Kendall/Spearman, weights the TOP of the list and tolerates
+    non-conjoint lists (users absent from one half simply never match).
+    The companion to the NDCG/tau evaluators already shipped: those
+    score against relevance, RBO compares two rankings to each other
+    (leaderboard churn, index rebuild drift, A/B ranker diffs).
+
+    Determinism: rankings order by integer event counts (never float
+    sums) with user-id tie-breaks; the time midpoint is integer epoch
+    arithmetic; the single float reduction (geometric weights) rounds
+    at 6. Plan: two filtered aggs, two dimension-sized windows, one
+    50 x |conjoint| conditional count — fact scanned twice, nothing
+    else grows with data.
+    """
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+            / F.lit(2)
+        ).cast("long").alias("mid")
+    )
+    withmid = ev.crossJoin(F.broadcast(b))
+    def ranked(pred):
+        h = withmid.where(pred).groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        return h.select(
+            "user_id",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "user_id")).alias("r"),
+        )
+    ra = ranked(F.unix_timestamp("ts") <= F.col("mid"))
+    rb = ranked(F.unix_timestamp("ts") > F.col("mid"))
+    pairs = ra.join(rb, "user_id").select(
+        ra["r"].alias("r1"), rb["r"].alias("r2")
+    )
+    k = ev.sparkSession.range(1, 51).select(F.col("id").alias("k"))
+    ov = (
+        k.crossJoin(pairs)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when((F.col("r1") <= F.col("k")) & (F.col("r2") <= F.col("k")), 1)
+                .otherwise(0)
+            ).alias("o")
+        )
+    )
+    return ov.agg(
+        F.round(0.1 * F.sum(F.pow(F.lit(0.9), F.col("k") - 1) * F.col("o") / F.col("k")), 6).alias("rbo_50"),
+        F.max(F.when(F.col("k") == 10, F.col("o"))).cast("long").alias("overlap_10"),
+        F.max(F.when(F.col("k") == 50, F.col("o"))).cast("long").alias("overlap_50"),
+    )
