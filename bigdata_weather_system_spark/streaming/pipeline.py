@@ -712,3 +712,40 @@ def read_bitmap_distinct(spark: SparkSession, log_path: str) -> DataFrame:
     return merged.groupBy("day").agg(
         F.sum(F.bit_count("bits")).alias("n_distinct")
     )
+
+
+def streaming_station_profile(
+    raw_stream: DataFrame,
+    station_map: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment feeding a stateful rollup — the
+    reference's whole streaming product (Kafka feed → per-location
+    handling → aggregate) in one declarative plan: each micro-batch
+    joins the event stream against a broadcast station-dimension table
+    (``location`` → ``station_id``; static side re-read per batch, so a
+    dimension refresh is picked up without restarting the query), then
+    aggregates tumbling 1-hour event-time windows PER STATION under a
+    watermark that bounds state.
+
+    The stream-static join needs no watermark of its own (no state — it
+    is a map-side broadcast hash join inside every micro-batch); only
+    the windowed aggregation holds state. Unmatched locations are kept
+    with a null station (left join) so a missing dimension row degrades
+    visibly, not silently.
+    """
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+    enriched = parsed.join(F.broadcast(station_map), on="location", how="left")
+    return (
+        enriched.withWatermark("event_timestamp", watermark)
+        .groupBy(
+            F.window("event_timestamp", "1 hour").alias("hour_window"),
+            F.col("station_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("temperature").alias("avg_temperature"),
+            F.min("temperature").alias("min_temperature"),
+            F.max("temperature").alias("max_temperature"),
+        )
+    )

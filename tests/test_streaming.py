@@ -1029,3 +1029,48 @@ def test_bitmap_distinct_sink_matches_batch_recompute(spark, tmp_path):
         for r in read_bitmap_distinct(spark, log).collect()
     }
     assert got2 == got
+
+
+def test_streaming_station_profile_stream_static_join(spark, stream_dir, tmp_path):
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        streaming_station_profile,
+    )
+
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    # A and B share station 1; C has no dimension row (null station)
+    stations = spark.createDataFrame(
+        [("A", 1), ("B", 1)], "location string, station_id int"
+    )
+    write_batch(
+        stream_dir,
+        "b1.json",
+        [payload("A", t0, 20.0), payload("B", t0 + dt.timedelta(minutes=5), 24.0),
+         payload("C", t0, 99.0)],
+        t0,
+    )
+    raw = read_event_stream(spark, "files", stream_dir, max_files_per_trigger=1)
+    agg = streaming_station_profile(raw, stations)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("station_profile_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        rows = wait_for(
+            lambda: (
+                r := spark.table("station_profile_test").collect(),
+                r if len(r) >= 2 else None,
+            )[1]
+        )
+        assert rows is not None, "stream-static join produced no output"
+        by_station = {r.station_id: r for r in rows}
+        # station 1 aggregates BOTH locations' readings in the hour window
+        assert by_station[1].n_events == 2
+        assert by_station[1].avg_temperature == 22.0
+        assert by_station[1].min_temperature == 20.0
+        assert by_station[1].max_temperature == 24.0
+        # unmatched location degrades visibly: null station, not dropped
+        assert None in by_station and by_station[None].n_events == 1
+    finally:
+        q.stop()
