@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "purchase_decision_stump",
     "sensor_uptime_report",
     "user_rank_stability_rbo",
+    "peak_concurrent_sessions",
+    "activity_islands_by_day",
+    "geo_bearing_rose",
 ]
 
 

@@ -3115,3 +3115,216 @@ def user_rank_stability_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("k") == 10, F.col("o"))).cast("long").alias("overlap_10"),
         F.max(F.when(F.col("k") == 50, F.col("o"))).cast("long").alias("overlap_50"),
     )
+
+
+_ISLANDS_CTE = """
+    iv AS (
+      SELECT user_id,
+             epoch(ts) - 1800 AS lo,
+             epoch(ts) + 1800 AS hi
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, lo, hi,
+             max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_hi
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, lo, hi,
+             sum(CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo, hi
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    isl AS (
+      SELECT user_id, island,
+             min(lo) AS lo, max(hi) AS hi
+      FROM g GROUP BY user_id, island
+    )
+"""
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle=f"""
+    WITH {_ISLANDS_CTE},
+    ev AS (
+      SELECT lo AS t, 1 AS delta, user_id, island FROM isl
+      UNION ALL
+      SELECT hi AS t, -1 AS delta, user_id, island FROM isl
+    ),
+    sweep AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta, user_id, island
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM ev
+    ),
+    peak AS (SELECT max(live) AS peak FROM sweep)
+    SELECT cast(peak.peak AS BIGINT)                          AS peak_concurrency,
+           cast(floor((SELECT min(t) FROM sweep
+                       WHERE live = peak.peak)) AS BIGINT)    AS t_at_peak,
+           (SELECT cast(count(*) AS BIGINT) FROM isl)         AS n_sessions
+    FROM peak
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous activity — the capacity-planning number: how
+    many users' activity islands (the coalesced ±30-min intervals above)
+    overlap at the busiest instant, and when that instant first occurs.
+    The sweep-line classic: every island emits +1 at start / -1 at end,
+    one ordered running sum, take the max. Session ENDS sort before
+    session STARTS at the same timestamp (delta ascending), so touching
+    intervals do not double-count — the standard convention, made
+    explicit and deterministic with the full (t, delta, user, island)
+    ordering.
+
+    Scale note: the sweep runs over SESSION endpoints (two rows per
+    island — orders of magnitude below event volume) in one global
+    ordering; at extreme session counts the same algebra shards by
+    coarse time range with per-shard offsets (documented, not needed at
+    any plausible session cardinality).
+    """
+    ev = _t(spark, sf_dir, "events")
+    half = 1800
+    sec = F.col("ts").cast("double")
+    es = ev.select(
+        "user_id",
+        (sec - half).alias("lo"),
+        (sec + half).alias("hi"),
+    )
+    wm = (
+        Window.partitionBy("user_id").orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = (
+        Window.partitionBy("user_id").orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        es.withColumn("prev_max_hi", F.max("hi").over(wm))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_max_hi").isNull()
+                    | (F.col("lo") > F.col("prev_max_hi")),
+                    1,
+                ).otherwise(0)
+            ).over(wg),
+        )
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    deltas = isl.select(
+        F.col("lo").alias("t"), F.lit(1).alias("delta"), "user_id", "island"
+    ).unionByName(
+        isl.select(F.col("hi").alias("t"), F.lit(-1).alias("delta"), "user_id", "island")
+    )
+    ws = (
+        Window.orderBy("t", "delta", "user_id", "island")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = deltas.withColumn("live", F.sum("delta").over(ws))
+    peak = sweep.agg(F.max("live").alias("peak"))
+    at = (
+        sweep.join(F.broadcast(peak), sweep["live"] == peak["peak"])
+        .agg(F.floor(F.min("t")).cast("long").alias("t_at_peak"))
+    )
+    n = isl.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        peak.select(F.col("peak").cast("long").alias("peak_concurrency"))
+        .crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(n))
+    )
+
+
+@register(
+    "activity_islands_by_day",
+    oracle=f"""
+    WITH {_ISLANDS_CTE},
+    days AS (
+      SELECT user_id, island, lo, hi,
+             unnest(range(CAST(floor(lo / 86400) AS BIGINT),
+                          CAST(floor(hi / 86400) AS BIGINT) + 1)) AS day_idx
+      FROM isl
+    )
+    SELECT user_id, cast(island AS BIGINT) AS island,
+           cast(day_idx AS BIGINT)         AS epoch_day,
+           round(least(hi, (day_idx + 1) * 86400.0)
+                 - greatest(lo, day_idx * 86400.0), 3) AS overlap_s
+    FROM days
+    WHERE least(hi, (day_idx + 1) * 86400.0)
+          > greatest(lo, day_idx * 86400.0)
+    """,
+)
+def activity_islands_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-to-calendar alignment: split every activity island
+    across the UTC days it spans and report seconds of overlap per day
+    — the proration step behind billing-by-day, SLA-per-day, and
+    bitemporal calendar joins, where a naive GROUP BY day silently
+    assigns a midnight-crossing interval to one day only.
+
+    Plan shape: islands from the per-key window chain, then a bounded
+    explode (one row per covered day — the span, not the event count)
+    and pure integer interval algebra; empty-intersection guard keeps
+    touching-at-midnight intervals out of the wrong day. Everything is
+    exact epoch-second integers.
+    """
+    ev = _t(spark, sf_dir, "events")
+    half = 1800
+    sec = F.col("ts").cast("double")
+    es = ev.select(
+        "user_id",
+        (sec - half).alias("lo"),
+        (sec + half).alias("hi"),
+    )
+    wm = (
+        Window.partitionBy("user_id").orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = (
+        Window.partitionBy("user_id").orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        es.withColumn("prev_max_hi", F.max("hi").over(wm))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_max_hi").isNull()
+                    | (F.col("lo") > F.col("prev_max_hi")),
+                    1,
+                ).otherwise(0)
+            ).over(wg),
+        )
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    day = F.col("day_idx")
+    day_lo = day * 86400
+    day_hi = (day + 1) * 86400
+    overlap = F.least(F.col("hi"), day_hi) - F.greatest(F.col("lo"), day_lo)
+    return (
+        isl.select(
+            "user_id", "island", "lo", "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / 86400).cast("long"),
+                    F.floor(F.col("hi") / 86400).cast("long"),
+                )
+            ).alias("day_idx"),
+        )
+        .where(overlap > 0)
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("island"),
+            day.cast("long").alias("epoch_day"),
+            F.round(overlap, 3).alias("overlap_s"),
+        )
+    )

@@ -665,3 +665,94 @@ def geo_idw_station_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_sources"),
         )
     )
+
+
+@register(
+    "geo_bearing_rose",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             {_sql_coord('u:', 'user_id', 1, 1_200_000, 60.0)}
+               + ({_sql_coord('e:', 'event_id', 1, 1_000, 0.05)}) AS lat,
+             {_sql_coord('u:', 'user_id', 17, 3_600_000, 180.0)}
+               + ({_sql_coord('e:', 'event_id', 17, 1_000, 0.05)}) AS lon
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER w AS p_lat,
+             lag(lon) OVER w AS p_lon
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    b AS (
+      SELECT round({_SQL_HAVERSINE.format(lat1='p_lat', lon1='p_lon',
+                                          lat2='lat', lon2='lon')}, 6) AS leg,
+             degrees(atan2(
+               sin(radians(lon - p_lon)) * cos(radians(lat)),
+               cos(radians(p_lat)) * sin(radians(lat))
+               - sin(radians(p_lat)) * cos(radians(lat))
+                 * cos(radians(lon - p_lon)))) AS brg
+      FROM l WHERE p_lat IS NOT NULL
+    )
+    SELECT CAST(floor(((brg + 360.0) % 360.0) / 45.0) AS INTEGER) AS sector,
+           cast(count(*) AS BIGINT)   AS n_moves,
+           round(sum(leg), 4)         AS total_km,
+           round(avg(leg), 6)         AS avg_leg_km
+    FROM b GROUP BY 1
+    """,
+)
+def geo_bearing_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement rose: initial great-circle bearing of every consecutive
+    fix pair, binned into the eight 45-degree compass sectors (0 = N±22
+    ... starting at due north, clockwise) with distance totals — the
+    wind-rose / drift-direction histogram of meteorology, here applied
+    to sensor displacement. The forward-azimuth formula
+    atan2(sin dλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos dλ) is pure
+    column trig in both engines; legs round at 6 before summing, the
+    sector floor is a measure-zero-boundary decision on hashed
+    coordinates. Same single user-partition window as the path-length
+    query — the two share a physical plan prefix.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        (
+            _hash_coord("u:", F.col("user_id"), 1, 1_200_000, 60.0)
+            + _hash_coord("e:", F.col("event_id"), 1, 1_000, 0.05)
+        ).alias("lat"),
+        (
+            _hash_coord("u:", F.col("user_id"), 17, 3_600_000, 180.0)
+            + _hash_coord("e:", F.col("event_id"), 17, 1_000, 0.05)
+        ).alias("lon"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = e.select(
+        "lat", "lon",
+        F.lag("lat").over(w).alias("p_lat"),
+        F.lag("lon").over(w).alias("p_lon"),
+    ).where(F.col("p_lat").isNotNull())
+    dlam = F.radians(F.col("lon") - F.col("p_lon"))
+    brg = F.degrees(
+        F.atan2(
+            F.sin(dlam) * F.cos(F.radians(F.col("lat"))),
+            F.cos(F.radians(F.col("p_lat"))) * F.sin(F.radians(F.col("lat")))
+            - F.sin(F.radians(F.col("p_lat")))
+            * F.cos(F.radians(F.col("lat")))
+            * F.cos(dlam),
+        )
+    )
+    leg = F.round(
+        haversine_km(F.col("p_lat"), F.col("p_lon"), F.col("lat"), F.col("lon")), 6
+    )
+    b = l.select(
+        F.floor(F.pmod(brg + 360.0, F.lit(360.0)) / 45.0).cast("int").alias("sector"),
+        leg.alias("leg"),
+    )
+    return b.groupBy("sector").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.round(F.sum("leg"), 4).alias("total_km"),
+        F.round(F.avg("leg"), 6).alias("avg_leg_km"),
+    )
