@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "peak_concurrent_sessions",
     "activity_islands_by_day",
     "geo_bearing_rose",
+    "weekly_growth_accounting",
+    "hourly_lead_lag_correlation",
 ]
 
 

@@ -3328,3 +3328,163 @@ def activity_islands_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(overlap, 3).alias("overlap_s"),
         )
     )
+
+
+@register(
+    "weekly_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    gmax AS (SELECT max(wk) AS gw FROM uw),
+    seq AS (
+      SELECT user_id, wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             min(wk)  OVER (PARTITION BY user_id)             AS first_wk,
+             max(wk)  OVER (PARTITION BY user_id)             AS last_wk
+      FROM uw
+    ),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk                 THEN 'new'
+                  WHEN wk = prev_wk + 1              THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM seq
+      UNION ALL
+      SELECT prev_wk + 1 AS wk, 'churned' AS state
+      FROM seq WHERE prev_wk IS NOT NULL AND wk > prev_wk + 1
+      UNION ALL
+      SELECT s.last_wk + 1 AS wk, 'churned' AS state
+      FROM (SELECT DISTINCT user_id, last_wk FROM seq) s
+      CROSS JOIN gmax WHERE s.last_wk < gmax.gw
+    )
+    SELECT wk,
+           cast(sum(CASE WHEN state = 'new'         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           cast(sum(CASE WHEN state = 'retained'    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           cast(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           cast(sum(CASE WHEN state = 'churned'     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+    FROM states GROUP BY wk
+    """,
+)
+def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the product-analytics ledger that cohort
+    retention curves do not give you: every week, how many active users
+    are NEW (first week ever), RETAINED (also active last week),
+    RESURRECTED (returning after a gap), and how many CHURNED (active
+    last week, silent this week — attributed to the week the silence
+    starts, including users who go quiet before the observation end).
+    The identity actives(w) = new + retained + resurrected holds by
+    construction and is pinned in tests.
+
+    Plan shape: one distinct (user, week) aggregation, one per-user lag
+    window, then pure integer week arithmetic (UTC epoch weeks — no
+    calendar parsing, so +1 is literally +1). Event volume collapses at
+    the first distinct; everything after is user x active-week scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id", "wk",
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.min("wk").over(w).alias("first_wk"),
+        F.max("wk").over(w).alias("last_wk"),
+    )
+    active_states = seq.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("wk") == F.col("prev_wk") + 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    gap_churn = seq.where(
+        F.col("prev_wk").isNotNull() & (F.col("wk") > F.col("prev_wk") + 1)
+    ).select((F.col("prev_wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    gmax = uw.agg(F.max("wk").alias("gw"))
+    tail_churn = (
+        seq.select("user_id", "last_wk").distinct()
+        .crossJoin(F.broadcast(gmax))
+        .where(F.col("last_wk") < F.col("gw"))
+        .select((F.col("last_wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    )
+    states = active_states.unionByName(gap_churn).unionByName(tail_churn)
+    return states.groupBy("wk").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).alias("n_resurrected"),
+        F.sum(F.when(F.col("state") == "churned", 1).otherwise(0)).alias("n_churned"),
+    )
+
+
+@register(
+    "hourly_lead_lag_correlation",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             round(avg(value), 6) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             round(avg(value), 6) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    j AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN a ON TRUE
+      JOIN b ON b.h = a.h + l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           cast(count(*) AS BIGINT) AS n_hours,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                    * sqrt(count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+             AS pearson_r
+    FROM j GROUP BY lag
+    """,
+)
+def hourly_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly click-value and
+    purchase-value series at lags -3..+3 hours — the lead-lag discovery
+    tool (does engagement LEAD conversion, and by how much?) that a
+    single same-hour correlation cannot answer. Both series are
+    pre-rounded hourly means; each lag is an integer-offset equi-join,
+    and Pearson r comes from one sufficient-stats aggregation per lag.
+    The 7-row lag table broadcasts; the series tables are hour-grain
+    (bounded by the time span, not event volume).
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+
+    def series(et: str, alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == et)
+            .groupBy(hour.alias("h"))
+            .agg(F.round(F.avg("value"), 6).alias(alias))
+        )
+
+    a = series("click", "x")
+    b = series("purchase", "y")
+    lags = ev.sparkSession.range(-3, 4).select(F.col("id").alias("lag"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, b["h"] == a["h"] + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")) * F.sqrt(
+        n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
+    )
+    return j.groupBy("lag").agg(
+        n.alias("n_hours"),
+        F.round(num / den, 6).alias("pearson_r"),
+    )

@@ -135,3 +135,27 @@ def test_next_greater_unbounded_matches_brute_force(spark):
     assert got[20] == (None, None) and got[21] == (None, None) and got[22] == (None, None)
     assert got[30] == (32, 2)  # strictly greater skips the equal plateau
     assert got[31] == (32, 1)
+
+
+def test_growth_accounting_identity_holds(spark):
+    from bigdata_weather_system_spark.contract.analytics_ext import (
+        weekly_growth_accounting,
+    )
+
+    rows = weekly_growth_accounting(spark, TEST_SF_DIR).collect()
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    actives = {
+        r["wk"]: r["n"]
+        for r in ev.select(
+            "user_id",
+            (F.floor(F.col("ts").cast("double") / 604800)).cast("long").alias("wk"),
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        expected = actives.get(r["wk"], 0)
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == expected
