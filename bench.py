@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "geo_bearing_rose",
     "weekly_growth_accounting",
     "hourly_lead_lag_correlation",
+    "shapley_channel_attribution",
+    "part_population_capture_recapture",
 ]
 
 

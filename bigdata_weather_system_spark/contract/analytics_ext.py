@@ -3488,3 +3488,181 @@ def hourly_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_hours"),
         F.round(num / den, 6).alias("pearson_r"),
     )
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(epoch(ts)) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    expo AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'click'  THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN e.event_type = 'view'   THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN e.event_type = 'error'  THEN 1 ELSE 0 END)
+               AS s,
+             max(CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      FROM events e
+      LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE fp.user_id IS NULL OR epoch(e.ts) < fp.first_purchase
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s, count(*) AS n_users, sum(conv) AS n_conv
+      FROM expo GROUP BY s
+    ),
+    v AS (
+      SELECT r.s,
+             coalesce(1.0 * obs.n_conv / obs.n_users, 0.0) AS v
+      FROM (SELECT unnest(range(0, 16)) AS s) r
+      LEFT JOIN obs ON obs.s = r.s
+    ),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                                 ('signup', 4), ('error', 8))
+           AS t(channel, bit)),
+    terms AS (
+      SELECT ch.channel,
+             CASE bit_count(CAST(s.s AS BIGINT))
+                  WHEN 0 THEN 0.25 WHEN 1 THEN 2.0 / 24
+                  WHEN 2 THEN 2.0 / 24 WHEN 3 THEN 0.25 END
+               * (su.v - s.v) AS term
+      FROM ch
+      JOIN v s  ON (s.s // ch.bit) % 2 = 0
+      JOIN v su ON su.s = s.s + ch.bit
+    )
+    SELECT channel, round(sum(term), 6) AS shapley_credit
+    FROM terms GROUP BY channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution of conversion to the four
+    non-purchase channels — the game-theoretic answer to "which
+    touchpoints cause purchases" that last-touch and decay heuristics
+    approximate. Each user's pre-conversion exposure set becomes a
+    4-bit coalition id (one aggregation with bit weights — no set
+    strings, no explode); the 16-row coalition-value table v(S) =
+    P(conv | exposed exactly S) is completed over all subsets
+    (unobserved coalitions contribute 0, the standard convention); and
+    each channel's credit is the Shapley sum of |S|-weighted marginal
+    contributions v(S u {i}) - v(S) — 8 exact terms per channel,
+    evaluated as joins over the 16-row relation. With k channels this
+    is 2^k coalition rows: exact Shapley is feasible to k ~ 20 on this
+    plan shape before sampling is needed (the docstring contract a
+    Shapley-sampling variant would extend).
+
+    Determinism: coalition ids and counts are integers; v is an exact
+    integer division; the single float reduction rounds at 6.
+    """
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("double")).alias("first_purchase"))
+    )
+    e = ev.join(F.broadcast(fp), "user_id", "left").where(
+        F.col("first_purchase").isNull()
+        | (F.col("ts").cast("double") < F.col("first_purchase"))
+    )
+    bit = lambda t, b: b * F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    expo = e.groupBy("user_id").agg(
+        (
+            bit("click", 1) + bit("view", 2) + bit("signup", 4) + bit("error", 8)
+        ).alias("s"),
+        F.max(
+            F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+        ).alias("conv"),
+    )
+    obs = expo.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    allsets = ev.sparkSession.range(16).select(F.col("id").cast("int").alias("s"))
+    v = allsets.join(F.broadcast(obs), "s", "left").select(
+        "s",
+        F.coalesce(F.col("n_conv") * 1.0 / F.col("n_users"), F.lit(0.0)).alias("v"),
+    )
+    ch = ev.sparkSession.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    s_side = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    su_side = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    weight = (
+        F.when(F.bit_count(F.col("s0")) == 0, F.lit(0.25))
+        .when(F.bit_count(F.col("s0")) == 1, F.lit(2.0 / 24))
+        .when(F.bit_count(F.col("s0")) == 2, F.lit(2.0 / 24))
+        .otherwise(F.lit(0.25))
+    )
+    terms = (
+        ch.crossJoin(s_side)
+        .where((F.floor(F.col("s0") / F.col("bit")) % 2) == 0)
+        .join(su_side, F.col("s1") == F.col("s0") + F.col("bit"))
+        .select("channel", (weight * (F.col("v1") - F.col("v0"))).alias("term"))
+    )
+    return terms.groupBy("channel").agg(
+        F.round(F.sum("term"), 6).alias("shapley_credit")
+    )
+
+
+@register(
+    "part_population_capture_recapture",
+    oracle="""
+    WITH s1 AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    s2 AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    m AS (SELECT count(*) AS m FROM s1 JOIN s2 USING (l_partkey)),
+    c AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             m.m AS m,
+             (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_true
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(m AS BIGINT) AS m, CAST(n_true AS BIGINT) AS n_true,
+           round(1.0 * (n1 + 1) * (n2 + 1) / (m + 1) - 1, 3) AS n_hat_chapman
+    FROM c
+    """,
+)
+def part_population_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat even- and odd-order purchases as two
+    independent 'sightings' of the part catalog and estimate the TOTAL
+    distinct-part population from the overlap — the estimator ecology
+    uses for animal counts and data teams use for "how many distinct
+    entities exist beyond what either feed saw" (catalog coverage, bot
+    population, leaked-record estimation). The known true count rides
+    along as the audit column; on this data the two samples are large
+    so the estimate lands within a few parts of truth.
+
+    Plan shape: two distinct-aggregations, one semi-join overlap count,
+    all partial-aggregated; integer algebra until the one rounded
+    division.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s1 = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey").distinct()
+    s2 = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey").distinct()
+    # fully lazy: each count is a 1-row aggregate broadcast-joined in —
+    # no job runs at plan-build time (the triangle_stats lesson)
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    cm = s1.join(s2, "l_partkey").agg(F.count(F.lit(1)).alias("m"))
+    ct = li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "n1", "n2", "m", "n_true",
+            F.round(
+                (F.col("n1") + 1) * (F.col("n2") + 1) * 1.0 / (F.col("m") + 1) - 1, 3
+            ).alias("n_hat_chapman"),
+        )
+    )

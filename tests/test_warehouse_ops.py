@@ -159,3 +159,40 @@ def test_growth_accounting_identity_holds(spark):
     for r in rows:
         expected = actives.get(r["wk"], 0)
         assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == expected
+
+
+def test_shapley_efficiency_axiom(spark):
+    from bigdata_weather_system_spark.contract.analytics_ext import (
+        shapley_channel_attribution,
+    )
+
+    rows = shapley_channel_attribution(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 4
+    # efficiency: total credit telescopes to v(all four) - v(empty)
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("double")).alias("first_purchase"))
+    )
+    e = ev.join(fp, "user_id", "left").where(
+        F.col("first_purchase").isNull()
+        | (F.col("ts").cast("double") < F.col("first_purchase"))
+    )
+    bit = lambda t, b: b * F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    expo = e.groupBy("user_id").agg(
+        (bit("click", 1) + bit("view", 2) + bit("signup", 4) + bit("error", 8)).alias("s"),
+        F.max(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)).alias("conv"),
+    )
+    stats = {
+        r["s"]: (r["n"], r["c"])
+        for r in expo.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+        .collect()
+    }
+    v_full = stats.get(15, (1, 0))[1] / stats.get(15, (1, 0))[0] if 15 in stats else 0.0
+    v_empty = stats.get(0, (1, 0))[1] / stats.get(0, (1, 0))[0] if 0 in stats else 0.0
+    total = sum(r["shapley_credit"] for r in rows)
+    assert abs(total - (v_full - v_empty)) < 1e-4
