@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "hourly_lead_lag_correlation",
     "shapley_channel_attribution",
     "part_population_capture_recapture",
+    "rolling_percentile_rank",
+    "wow_change_contribution",
 ]
 
 

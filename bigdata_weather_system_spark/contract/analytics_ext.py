@@ -3666,3 +3666,135 @@ def part_population_capture_recapture(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("n_hat_chapman"),
         )
     )
+
+
+@register(
+    "rolling_percentile_rank",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             coalesce(list(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING), [])
+               AS hist
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           CAST(len(hist) AS BIGINT) AS n_hist,
+           CASE WHEN len(hist) >= 10 THEN
+             round(len(list_filter(hist, x -> x < value)) * 1.0
+                   / len(hist), 6)
+           END AS pct_rank_vs_trailing
+    FROM f
+    """,
+)
+def rolling_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does the CURRENT reading sit in this sensor's own recent
+    history? — the rolling percentile rank against the trailing 50
+    observations, the nonparametric cousin of the rolling z-score (no
+    normality assumption, robust to the exact heavy tails that break
+    sigma-based alerts). The frame collects the trailing values and a
+    JVM array lambda counts the strictly-smaller ones; null until 10
+    points of history. Strict comparison on stored doubles — no
+    arithmetic, so no rounding is needed before the one division.
+    One shuffle on the sensor key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    hist = F.coalesce(
+        F.collect_list("value").over(w), F.array().cast("array<double>")
+    )
+    f = ev.select("event_id", "user_id", "value", hist.alias("hist"))
+    n = F.size(F.col("hist"))
+    smaller = F.size(F.filter(F.col("hist"), lambda x: x < F.col("value")))
+    return f.select(
+        "event_id", "user_id", "value",
+        n.cast("long").alias("n_hist"),
+        F.when(n >= 10, F.round(smaller * 1.0 / n, 6)).alias("pct_rank_vs_trailing"),
+    )
+
+
+@register(
+    "wow_change_contribution",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(wk) AS w1 FROM wk),
+    cur AS (SELECT event_type, n FROM wk, mx WHERE wk = mx.w1),
+    prv AS (SELECT event_type, n FROM wk, mx WHERE wk = mx.w1 - 1),
+    d AS (
+      SELECT coalesce(c.event_type, p.event_type) AS event_type,
+             coalesce(c.n, 0) AS n_cur,
+             coalesce(p.n, 0) AS n_prev,
+             coalesce(c.n, 0) - coalesce(p.n, 0) AS delta
+      FROM cur c FULL OUTER JOIN prv p ON c.event_type = p.event_type
+    ),
+    t AS (SELECT sum(delta) AS total_delta FROM d)
+    SELECT d.event_type,
+           CAST(n_cur AS BIGINT)  AS n_cur,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           CAST(delta AS BIGINT)  AS delta,
+           CASE WHEN t.total_delta <> 0
+                THEN round(1.0 * delta / t.total_delta, 6) END
+             AS share_of_change,
+           CAST(row_number() OVER (ORDER BY abs(delta) DESC, d.event_type)
+                AS INTEGER) AS impact_rank
+    FROM d CROSS JOIN t
+    """,
+)
+def wow_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week contribution analysis — the "why did the metric
+    move" decomposition every on-call dashboard drill starts with:
+    per segment (event type), this week's count vs last week's, the
+    delta, its share of the TOTAL change (deltas are additive, so
+    shares sum to 1 and can legitimately exceed ±1 when segments move
+    in opposite directions), and an impact rank by |delta|. Full outer
+    join keeps segments that appeared or vanished entirely. Integer
+    counts throughout; the share guard avoids a 0/0 week.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mx = wk.agg(F.max("wk").alias("w1"))
+    wkx = wk.crossJoin(F.broadcast(mx))
+    cur = wkx.where(F.col("wk") == F.col("w1")).select(
+        "event_type", F.col("n").alias("n_cur")
+    )
+    prv = wkx.where(F.col("wk") == F.col("w1") - 1).select(
+        F.col("event_type").alias("p_type"), F.col("n").alias("n_prev")
+    )
+    d = (
+        cur.join(prv, cur["event_type"] == prv["p_type"], "full_outer")
+        .select(
+            F.coalesce(F.col("event_type"), F.col("p_type")).alias("event_type"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+            F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
+            (
+                F.coalesce(F.col("n_cur"), F.lit(0))
+                - F.coalesce(F.col("n_prev"), F.lit(0))
+            ).alias("delta"),
+        )
+    )
+    t = d.agg(F.sum("delta").alias("total_delta"))
+    wr = Window.orderBy(F.abs(F.col("delta")).desc(), F.col("event_type"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "event_type", "n_cur", "n_prev", "delta",
+            F.when(
+                F.col("total_delta") != 0,
+                F.round(F.col("delta") * 1.0 / F.col("total_delta"), 6),
+            ).alias("share_of_change"),
+            F.row_number().over(wr).alias("impact_rank"),
+        )
+    )
