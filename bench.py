@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "part_population_capture_recapture",
     "rolling_percentile_rank",
     "wow_change_contribution",
+    "event_sequence_rle",
+    "kruskal_wallis_value_by_type",
 ]
 
 

@@ -3798,3 +3798,195 @@ def wow_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).alias("impact_rank"),
         )
     )
+
+
+@register(
+    "event_sequence_rle",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END
+               AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, rn,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, run_id, any_value(event_type) AS event_type,
+             count(*) AS run_len
+      FROM g GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           cast(count(*) AS BIGINT)       AS n_runs,
+           cast(sum(run_len) AS BIGINT)   AS n_events,
+           cast(max(run_len) AS BIGINT)   AS longest_run,
+           md5(string_agg(event_type || 'x' || run_len, ','
+                          ORDER BY run_id)) AS rle_md5
+    FROM runs GROUP BY user_id
+    """,
+)
+def event_sequence_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence — the
+    session-replay compression primitive (and the 'is this sensor
+    stuck' diagnostic: a longest-run spike means a value repeating far
+    beyond chance). Change-points via lag, run ids via the cumulative
+    break sum (the gaps-and-islands kernel the interval ops reuse),
+    then one aggregation per run and one per user; the full encoding
+    ships as an md5 over the ordered run string, so the gate checks
+    every run boundary without hauling the sequence itself.
+
+    IS DISTINCT FROM (null-safe) marks the first row of each user a
+    break on both engines identically.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    wg = (
+        Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("run_id", F.sum("brk").over(wg))
+    runs = g.groupBy("user_id", "run_id").agg(
+        F.any_value(F.col("event_type")).alias("event_type"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("n_events"),
+        F.max("run_len").alias("longest_run"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("run_id"),
+                            F.concat(
+                                F.col("event_type"), F.lit("x"), F.col("run_len")
+                            ).alias("tok"),
+                        )
+                    )
+                ).cast("array<struct<run_id:bigint,tok:string>>").tok,
+            )
+        ).alias("rle_md5"),
+    )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    oracle="""
+    WITH vc AS (
+      SELECT value, count(*) AS n_v FROM events GROUP BY value
+    ),
+    r AS (
+      SELECT value, n_v,
+             sum(n_v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) - n_v
+               + (n_v + 1) / 2.0 AS avg_rank
+      FROM vc
+    ),
+    vt AS (
+      SELECT value, event_type, count(*) AS n_vt
+      FROM events GROUP BY value, event_type
+    ),
+    grp AS (
+      SELECT vt.event_type,
+             sum(vt.n_vt)              AS n_j,
+             sum(vt.n_vt * r.avg_rank) AS r_j
+      FROM vt JOIN r ON vt.value = r.value
+      GROUP BY vt.event_type
+    ),
+    tot AS (
+      SELECT sum(n_j) AS n,
+             sum(r_j * r_j / n_j) AS s,
+             (SELECT sum(CAST(n_v AS BIGINT) * n_v * n_v - n_v) FROM vc)
+               AS tie_term
+      FROM grp
+    ),
+    h AS (
+      SELECT n, tie_term,
+             12.0 / (n * (n + 1)) * s - 3 * (n + 1) AS h_raw
+      FROM tot
+    )
+    SELECT g.event_type,
+           CAST(g.n_j AS BIGINT)        AS n_j,
+           round(g.r_j / g.n_j, 6)      AS mean_rank,
+           round(h.h_raw, 6)            AS h_statistic,
+           round(h.h_raw / (1 - 1.0 * h.tie_term
+                 / (CAST(h.n AS BIGINT) * h.n * h.n - h.n)), 6)
+             AS h_tie_corrected
+    FROM grp g CROSS JOIN h
+    """,
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test: do the five event types draw their
+    values from the same distribution? The k-group generalization of
+    the Mann-Whitney test already shipped — rank-based, so it needs no
+    normality and survives the heavy tails that invalidate ANOVA.
+    Average ranks come from cumulative counts over the DISTINCT-value
+    relation (ties get the exact midrank), so every rank is a multiple
+    of 0.5 and the rank sums are exact in doubles — no summation-order
+    wobble; the tie-corrected H divides by 1 - sum(t^3 - t)/(N^3 - N).
+    Per-type mean ranks ride along (the direction readout H itself
+    does not give). Two hash aggs + one dimension-sized window.
+    """
+    ev = _t(spark, sf_dir, "events")
+    vc = ev.groupBy("value").agg(F.count(F.lit(1)).alias("n_v"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = vc.select(
+        "value", "n_v",
+        (
+            F.sum("n_v").over(wv) - F.col("n_v") + (F.col("n_v") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    vt = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("n_vt"))
+    grp = (
+        vt.join(r, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_vt").alias("n_j"),
+            F.sum(F.col("n_vt") * F.col("avg_rank")).alias("r_j"),
+        )
+    )
+    tie = vc.agg(
+        F.sum(
+            F.col("n_v").cast("long") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).alias("tie_term")
+    )
+    tot = grp.agg(
+        F.sum("n_j").alias("n"),
+        F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("s"),
+    ).crossJoin(F.broadcast(tie))
+    h = tot.select(
+        "n", "tie_term",
+        (12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("s") - 3 * (F.col("n") + 1)).alias("h_raw"),
+    )
+    return grp.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        F.col("n_j").cast("long").alias("n_j"),
+        F.round(F.col("r_j") / F.col("n_j"), 6).alias("mean_rank"),
+        F.round(F.col("h_raw"), 6).alias("h_statistic"),
+        F.round(
+            F.col("h_raw")
+            / (
+                1
+                - F.col("tie_term")
+                * 1.0
+                / (F.col("n").cast("long") * F.col("n") * F.col("n") - F.col("n"))
+            ),
+            6,
+        ).alias("h_tie_corrected"),
+    )
