@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "wow_change_contribution",
     "event_sequence_rle",
     "kruskal_wallis_value_by_type",
+    "missing_heartbeat_report",
+    "seasonal_baseline_anomalies",
 ]
 
 

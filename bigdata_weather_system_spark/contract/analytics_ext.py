@@ -3990,3 +3990,98 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_tie_corrected"),
     )
+
+
+@register(
+    "missing_heartbeat_report",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    span AS (
+      SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM uh GROUP BY user_id
+    ),
+    expected AS (
+      SELECT user_id, unnest(range(h_lo, h_hi + 1)) AS h FROM span
+    )
+    SELECT e.user_id, CAST(e.h AS BIGINT) AS epoch_hour
+    FROM expected e
+    LEFT JOIN uh ON uh.user_id = e.user_id AND uh.h = e.h
+    WHERE uh.user_id IS NULL
+    """,
+)
+def missing_heartbeat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH hours did each sensor go dark? — the calendar-grid
+    anti-join behind every heartbeat monitor: expected (sensor, hour)
+    rows are generated from each sensor's own first-to-last span (a
+    bounded ``sequence`` explode — the span, not the event count), and
+    observed hours are anti-joined away. The uptime report above says
+    HOW MUCH was missing; this one says exactly WHEN, which is what the
+    pager needs. Left-anti join shuffles on the sensor key; integer
+    hour arithmetic throughout.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uh = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("h"),
+    ).distinct()
+    span = uh.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    expected = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h"),
+    )
+    missing = expected.join(uh, on=["user_id", "h"], how="left_anti")
+    return missing.select("user_id", F.col("h").alias("epoch_hour"))
+
+
+@register(
+    "seasonal_baseline_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             round(avg(value), 6)        AS mu,
+             round(stddev_pop(value), 6) AS sigma
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             CAST(floor(epoch(e.ts) / 3600) AS BIGINT) % 24 AS hod,
+             round((e.value - b.mu) / b.sigma, 6) AS seasonal_z
+      FROM events e
+      JOIN base b ON CAST(floor(epoch(e.ts) / 3600) AS BIGINT) % 24 = b.hod
+    )
+    SELECT event_id, user_id, value, hod, seasonal_z
+    FROM z WHERE abs(seasonal_z) > 3.0
+    """,
+)
+def seasonal_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalies against the SEASONAL baseline: each reading is z-scored
+    against the fleet's hour-of-day profile (3 AM compares to 3 AMs,
+    not to the whole day), catching the 'normal at noon, wild at
+    midnight' cases a global or rolling z-score misses — and the
+    complement of the rolling variant already shipped: that one models
+    the sensor's own recent level, this one the diurnal cycle. The
+    24-row baseline broadcasts back onto the scan; baselines are
+    rounded before the division so both engines z-score identically.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hod = (F.floor(F.col("ts").cast("double") / 3600).cast("long") % 24).alias("hod")
+    base = ev.groupBy(hod).agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    z = (
+        ev.select("event_id", "user_id", "value", hod)
+        .join(F.broadcast(base), "hod")
+        .select(
+            "event_id", "user_id", "value", "hod",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "seasonal_z"
+            ),
+        )
+    )
+    return z.where(F.abs(F.col("seasonal_z")) > 3.0)
