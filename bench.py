@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "kruskal_wallis_value_by_type",
     "missing_heartbeat_report",
     "seasonal_baseline_anomalies",
+    "geo_catchment_centroid",
+    "station_assignment_margin",
 ]
 
 

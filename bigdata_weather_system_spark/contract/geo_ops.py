@@ -756,3 +756,173 @@ def geo_bearing_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("leg"), 4).alias("total_km"),
         F.round(F.avg("leg"), 6).alias("avg_leg_km"),
     )
+
+
+@register(
+    "geo_catchment_centroid",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE},
+    s AS (
+      SELECT n_nationkey AS station_id,
+             {_sql_coord('s:', 'n_nationkey', 1, 1_200_000, 60.0)}  AS s_lat,
+             {_sql_coord('s:', 'n_nationkey', 17, 3_600_000, 180.0)} AS s_lon
+      FROM nation
+    ),
+    d AS (
+      SELECT u.user_id, u.lat, u.lon, s.station_id,
+             round({_NEAREST_DIST}, 6) AS dist_km,
+             row_number() OVER (PARTITION BY u.user_id
+                                ORDER BY round({_NEAREST_DIST}, 6), s.station_id)
+               AS rn
+      FROM u CROSS JOIN s
+    ),
+    a AS (SELECT user_id, lat, lon, station_id FROM d WHERE rn = 1),
+    v AS (
+      SELECT station_id,
+             avg(cos(radians(lat)) * cos(radians(lon))) AS x,
+             avg(cos(radians(lat)) * sin(radians(lon))) AS y,
+             avg(sin(radians(lat)))                     AS z,
+             count(*)                                   AS n_users
+      FROM a GROUP BY station_id
+    )
+    SELECT station_id, CAST(n_users AS BIGINT) AS n_users,
+           round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS centroid_lat,
+           round(degrees(atan2(y, x)), 6)                   AS centroid_lon,
+           round(sqrt(x * x + y * y + z * z), 6)            AS resultant_norm
+    FROM v
+    """,
+)
+def geo_catchment_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical centroid of each station's catchment: users' positions
+    averaged AS 3-D UNIT VECTORS and projected back to lat/lon — the
+    correct way to average coordinates (a naive lat/lon mean tears
+    apart at the antimeridian and biases toward the poles). The
+    resultant norm rides along as the dispersion readout (1 = all
+    users stacked on one point, near 0 = spread around the globe —
+    the same quantity directional statistics calls the mean resultant
+    length). One broadcast arg-min assignment (the nearest-station
+    plan) and one partial-aggregated vector mean per station.
+    """
+    users = _distinct_users_coords(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id")
+    )
+    stations = _with_coords(nation, "station_id", "s:", lat="s_lat", lon="s_lon")
+    assigned = nearest_join(
+        users, stations,
+        point_cols=("lat", "lon"), station_cols=("s_lat", "s_lon"),
+        station_id="station_id",
+    )
+    lat_r, lon_r = F.radians(F.col("lat")), F.radians(F.col("lon"))
+    v = assigned.groupBy("station_id").agg(
+        F.avg(F.cos(lat_r) * F.cos(lon_r)).alias("x"),
+        F.avg(F.cos(lat_r) * F.sin(lon_r)).alias("y"),
+        F.avg(F.sin(lat_r)).alias("z"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return v.select(
+        "station_id",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.degrees(
+                F.atan2(
+                    F.col("z"),
+                    F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y")),
+                )
+            ),
+            6,
+        ).alias("centroid_lat"),
+        F.round(F.degrees(F.atan2(F.col("y"), F.col("x"))), 6).alias("centroid_lon"),
+        F.round(
+            F.sqrt(
+                F.col("x") * F.col("x")
+                + F.col("y") * F.col("y")
+                + F.col("z") * F.col("z")
+            ),
+            6,
+        ).alias("resultant_norm"),
+    )
+
+
+@register(
+    "station_assignment_margin",
+    oracle=f"""
+    WITH {_USER_COORDS_CTE},
+    s AS (
+      SELECT n_nationkey AS station_id,
+             {_sql_coord('s:', 'n_nationkey', 1, 1_200_000, 60.0)}  AS s_lat,
+             {_sql_coord('s:', 'n_nationkey', 17, 3_600_000, 180.0)} AS s_lon
+      FROM nation
+    ),
+    d AS (
+      SELECT u.user_id, s.station_id,
+             round({_NEAREST_DIST}, 6) AS dist_km,
+             row_number() OVER (PARTITION BY u.user_id
+                                ORDER BY round({_NEAREST_DIST}, 6), s.station_id)
+               AS rn
+      FROM u CROSS JOIN s
+    ),
+    top2 AS (
+      SELECT a.user_id,
+             any_value(CASE WHEN a.rn = 1 THEN a.station_id END) AS station_id,
+             any_value(CASE WHEN a.rn = 1 THEN a.dist_km END)    AS d1,
+             any_value(CASE WHEN a.rn = 2 THEN a.dist_km END)    AS d2
+      FROM d a WHERE a.rn <= 2 GROUP BY a.user_id
+    )
+    SELECT station_id,
+           cast(count(*) AS BIGINT) AS n_users,
+           cast(sum(CASE WHEN d2 - d1 < 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unstable,
+           round(avg(d2 - d1), 4)   AS avg_margin_km,
+           round(min(d2 - d1), 6)   AS min_margin_km
+    FROM top2 GROUP BY station_id
+    """,
+)
+def station_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment stability: for every user, the DISTANCE MARGIN between
+    its nearest and second-nearest station — the quantity that says
+    whether a catchment assignment would survive sensor position noise
+    or a station move (margin < 100 km = borderline, the Voronoi-edge
+    population). Per station: catchment size, borderline count, mean
+    and worst margin. The top-2 selection reuses the broadcast fan-out
+    with a two-element sorted take (min of struct and min of the
+    complement via conditional aggregation) — no per-user sort beyond
+    the 25-row fan-in.
+    """
+    users = _distinct_users_coords(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id")
+    )
+    stations = _with_coords(nation, "station_id", "s:", lat="s_lat", lon="s_lon")
+    dist = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")), 6
+    )
+    fan = users.join(F.broadcast(stations)).select(
+        "user_id", "station_id", dist.alias("dist_km")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("dist_km", "station_id")
+    top2 = (
+        fan.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.any_value(
+                F.when(F.col("rn") == 1, F.col("station_id")), ignoreNulls=True
+            ).alias("station_id"),
+            F.any_value(
+                F.when(F.col("rn") == 1, F.col("dist_km")), ignoreNulls=True
+            ).alias("d1"),
+            F.any_value(
+                F.when(F.col("rn") == 2, F.col("dist_km")), ignoreNulls=True
+            ).alias("d2"),
+        )
+    )
+    m = F.col("d2") - F.col("d1")
+    return top2.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(m < 100.0, 1).otherwise(0)).alias("n_unstable"),
+        F.round(F.avg(m), 4).alias("avg_margin_km"),
+        F.round(F.min(m), 6).alias("min_margin_km"),
+    )
