@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "seasonal_baseline_anomalies",
     "geo_catchment_centroid",
     "station_assignment_margin",
+    "partition_compaction_plan",
+    "sampling_rate_recommendation",
 ]
 
 

@@ -4085,3 +4085,108 @@ def seasonal_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return z.where(F.abs(F.col("seasonal_z")) > 3.0)
+
+
+@register(
+    "partition_compaction_plan",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(40 + length(coalesce(event_type, ''))
+                    + length(coalesce(props, ''))) AS est_bytes
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT day, est_bytes,
+             CAST(floor((sum(est_bytes) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) - est_bytes)
+                        / 262144.0) AS BIGINT) AS bin_id
+      FROM p
+    )
+    SELECT bin_id,
+           cast(count(*) AS BIGINT)     AS n_partitions,
+           cast(sum(est_bytes) AS BIGINT) AS bin_bytes,
+           min(day)                     AS first_day,
+           max(day)                     AS last_day
+    FROM b GROUP BY bin_id
+    """,
+)
+def partition_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass every
+    lakehouse runs: estimate each day-partition's payload (a fixed
+    per-row overhead plus variable-width columns), then assign
+    consecutive days to compaction bins with the NEXT-FIT rule, bin =
+    floor(preceding-cumulative / target). Next-fit (not first-fit
+    decreasing) is the deliberate choice: it preserves day ordering —
+    so compacted files stay range-prunable on date — and it is a pure
+    running-sum window, no sequential bin state. Target here is 256 KiB
+    to produce a multi-bin plan at test scale; the constant is the only
+    thing that changes at 100 TB. Integer byte arithmetic throughout.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            40
+            + F.length(F.coalesce(F.col("event_type"), F.lit("")))
+            + F.length(F.coalesce(F.col("props"), F.lit("")))
+        ).alias("est_bytes")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = p.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("est_bytes").over(w) - F.col("est_bytes")) / 262144.0
+        ).cast("long"),
+    )
+    return b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("est_bytes").alias("bin_bytes"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+@register(
+    "sampling_rate_recommendation",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, count(*) AS n,
+             round(avg(value), 6)        AS mu,
+             round(stddev_samp(value), 6) AS sigma
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n, mu, sigma,
+           CAST(ceil(pow(1.96 * sigma / (0.05 * mu), 2)) AS BIGINT)
+             AS n_required,
+           round(least(1.0,
+                 ceil(pow(1.96 * sigma / (0.05 * mu), 2)) / n), 6)
+             AS keep_fraction
+    FROM s WHERE mu <> 0
+    """,
+)
+def sampling_rate_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each sensor's stream do we actually need? — the
+    statistical downsampling planner: from each sensor's mean and
+    variance, the sample size that pins the mean to ±5% relative error
+    at 95% confidence (n = (1.96·sigma / 0.05·mu)^2), and the keep
+    fraction that achieves it. Chatty-but-stable sensors get a tiny
+    fraction; noisy ones keep everything (fraction capped at 1). This
+    is the principled version of 'sample 10% of everything' — at
+    100 TB it is the difference between uniform decimation and
+    variance-aware retention. Moments are rounded before the planning
+    algebra so both engines recommend identically; one hash agg total.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    n_req = F.ceil(
+        F.pow(1.96 * F.col("sigma") / (0.05 * F.col("mu")), 2)
+    )
+    return s.where(F.col("mu") != 0).select(
+        "user_id", "n", "mu", "sigma",
+        n_req.cast("long").alias("n_required"),
+        F.round(F.least(F.lit(1.0), n_req / F.col("n")), 6).alias("keep_fraction"),
+    )
