@@ -3743,7 +3743,7 @@ def rolling_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_prev AS BIGINT) AS n_prev,
            CAST(delta AS BIGINT)  AS delta,
            CASE WHEN t.total_delta <> 0
-                THEN round(1.0 * delta / t.total_delta, 6) END
+                THEN round(1.0 * delta / t.total_delta, 6) + 0 END
              AS share_of_change,
            CAST(row_number() OVER (ORDER BY abs(delta) DESC, d.event_type)
                 AS INTEGER) AS impact_rank
@@ -3793,7 +3793,8 @@ def wow_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_cur", "n_prev", "delta",
             F.when(
                 F.col("total_delta") != 0,
-                F.round(F.col("delta") * 1.0 / F.col("total_delta"), 6),
+                # + 0.0 canonicalizes IEEE negative zero (0/negative-total)
+                F.round(F.col("delta") * 1.0 / F.col("total_delta"), 6) + 0.0,
             ).alias("share_of_change"),
             F.row_number().over(wr).alias("impact_rank"),
         )
