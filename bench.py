@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "station_assignment_margin",
     "partition_compaction_plan",
     "sampling_rate_recommendation",
+    "cohort_ltv_curves",
+    "part_inventory_turns",
 ]
 
 

@@ -4191,3 +4191,78 @@ def sampling_rate_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.cast("long").alias("n_required"),
         F.round(F.least(F.lit(1.0), n_req / F.col("n")), 6).alias("keep_fraction"),
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH uw AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id
+    ),
+    ca AS (
+      SELECT c.cohort, uw.wk - c.cohort AS age,
+             round(sum(uw.revenue), 2)  AS rev,
+             count(DISTINCT uw.user_id) AS n_active
+      FROM uw JOIN c ON uw.user_id = c.user_id
+      GROUP BY c.cohort, uw.wk - c.cohort
+    ),
+    sz AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY cohort)
+    SELECT ca.cohort, CAST(ca.age AS BIGINT) AS age,
+           CAST(sz.cohort_size AS BIGINT)    AS cohort_size,
+           CAST(ca.n_active AS BIGINT)       AS n_active,
+           ca.rev,
+           round(sum(ca.rev) OVER (PARTITION BY ca.cohort ORDER BY ca.age
+                                   ROWS UNBOUNDED PRECEDING), 2)
+             AS cum_revenue,
+           round(sum(ca.rev) OVER (PARTITION BY ca.cohort ORDER BY ca.age
+                                   ROWS UNBOUNDED PRECEDING)
+                 / sz.cohort_size, 6)        AS ltv_per_user
+    FROM ca JOIN sz ON ca.cohort = sz.cohort
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the finance companion to the
+    retention triangle already shipped: for each signup-week cohort and
+    week-of-life age, the purchase revenue earned, its running
+    cumulative, and LTV per ORIGINAL cohort member (dividing by cohort
+    size, not actives — the mistake that inflates every naive LTV
+    chart). Per-(cohort, age) revenue is rounded BEFORE the running
+    cumulative, which then accumulates in frame order — reproducible
+    on both engines. Event volume collapses at the first (user, week)
+    aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("wk"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("revenue")
+    )
+    c = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    ca = (
+        uw.join(c, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("age"))
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("rev"),
+            F.countDistinct("user_id").alias("n_active"),
+        )
+    )
+    sz = c.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    wc = (
+        Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ca.join(F.broadcast(sz), "cohort").select(
+        "cohort", "age", "cohort_size", "n_active", "rev",
+        F.round(F.sum("rev").over(wc), 2).alias("cum_revenue"),
+        F.round(F.sum("rev").over(wc) / F.col("cohort_size"), 6).alias("ltv_per_user"),
+    )

@@ -253,3 +253,63 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@register(
+    "part_inventory_turns",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             max(CAST(l_quantity AS BIGINT)) AS max_order_qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stock AS (
+      SELECT ps_partkey,
+             count(*)                                   AS n_suppliers,
+             CAST(10 * sum(max_order_qty) AS BIGINT)    AS rated_capacity
+      FROM supply GROUP BY ps_partkey
+    ),
+    demand AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s.ps_partkey                    AS partkey,
+           CAST(s.n_suppliers AS BIGINT)   AS n_suppliers,
+           s.rated_capacity,
+           d.qty_sold,
+           round(d.qty_sold * 1.0 / s.rated_capacity, 6) AS turns,
+           round(365.0 * s.rated_capacity / d.qty_sold, 3) AS days_of_supply
+    FROM stock s JOIN demand d ON d.l_partkey = s.ps_partkey
+    """,
+)
+def part_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory turns and days-of-supply per part — the two numbers a
+    supply planner reads first: window demand against rated capacity,
+    and how long capacity lasts at the observed run rate. The capacity
+    stand-in (10x the sum over suppliers of their largest single-order
+    quantity — the same lineitem-derived proxy family as the partsupp
+    queries above) is integer-exact, so every decision column is
+    integer algebra until the two rounded divisions. Two hash aggs and
+    one equi-join on the part key; every part has demand by
+    construction, so the join is inner.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.max(F.col("l_quantity").cast("long")).alias("max_order_qty"))
+    stock = supply.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (10 * F.sum("max_order_qty")).cast("long").alias("rated_capacity"),
+    )
+    demand = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sold")
+    )
+    return stock.join(demand, "partkey").select(
+        "partkey", "n_suppliers", "rated_capacity", "qty_sold",
+        F.round(F.col("qty_sold") * 1.0 / F.col("rated_capacity"), 6).alias("turns"),
+        F.round(365.0 * F.col("rated_capacity") / F.col("qty_sold"), 3).alias(
+            "days_of_supply"
+        ),
+    )
