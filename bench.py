@@ -270,6 +270,11 @@ BENCH_QUERIES = [
     "sampling_rate_recommendation",
     "cohort_ltv_curves",
     "part_inventory_turns",
+    # in-plan model eval / privacy extras + FM neighborhood sketch
+    "part_khop_size_fm_estimate",
+    "event_naive_bayes_eval",
+    "l_diversity_audit",
+    "forecast_scaled_error_metrics",
 ]
 
 

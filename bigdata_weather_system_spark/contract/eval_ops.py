@@ -1,0 +1,267 @@
+"""Contract queries: in-plan model evaluation + privacy-audit extras.
+
+A training-data engine doesn't just transform data — it has to SCORE
+what it produces: does a cheap classifier separate the classes, do the
+forecasting baselines hold up under scaled error metrics, and does the
+released slice leak identities? Each query here is a single declarative
+plan (groupBy partials + broadcast-joined model state), so every one of
+them survives a 1000-executor scale-up: model state is a handful of rows
+(class priors, likelihood tables), the fact-table pass is one shuffle,
+and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core import register, _t
+
+#: Deterministic content-hash split bucket (same md5 convention as
+#: doc_train_test_split — stable across runs and partitionings).
+_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100"
+)
+
+
+def _bucket_col() -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+@register(
+    "event_naive_bayes_eval",
+    oracle=f"""
+    WITH feat AS (
+      SELECT event_id, event_type AS cls,
+             CAST(floor(hour(ts) / 6) AS INT) AS hq,
+             CASE WHEN value < 10 THEN 0 WHEN value < 50 THEN 1
+                  WHEN value < 100 THEN 2 ELSE 3 END AS vb,
+             {_BUCKET} AS b
+      FROM events
+    ),
+    train AS (SELECT * FROM feat WHERE b < 80),
+    test  AS (SELECT * FROM feat WHERE b >= 80),
+    cstat AS (SELECT cls, count(*) AS n_c FROM train GROUP BY cls),
+    tot   AS (SELECT sum(n_c) AS total FROM cstat),
+    hstat AS (SELECT cls, hq, count(*) AS n_h FROM train GROUP BY cls, hq),
+    vstat AS (SELECT cls, vb, count(*) AS n_v FROM train GROUP BY cls, vb),
+    scored AS (
+      SELECT t.event_id, t.cls AS true_cls, c.cls AS cand,
+             (CAST(c.n_c AS DOUBLE) / tot.total)
+               * ((COALESCE(h.n_h, 0) + 1.0) / (c.n_c + 4.0))
+               * ((COALESCE(v.n_v, 0) + 1.0) / (c.n_c + 4.0)) AS score
+      FROM test t
+      CROSS JOIN cstat c
+      CROSS JOIN tot
+      LEFT JOIN hstat h ON h.cls = c.cls AND h.hq = t.hq
+      LEFT JOIN vstat v ON v.cls = c.cls AND v.vb = t.vb
+    ),
+    pred AS (
+      SELECT event_id, true_cls, cand AS pred_cls FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_id
+          ORDER BY round(score, 12) DESC, cand ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_cls AS event_type,
+           cast(count(*) AS BIGINT) AS n_test,
+           cast(sum(CASE WHEN pred_cls = true_cls THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_cls = true_cls THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS accuracy
+    FROM pred GROUP BY true_cls
+    """,
+)
+def event_naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes, trained and evaluated entirely in-plan:
+    features are (6-hour quadrant, value band), the class is the event
+    type, the split is an 80/20 content-hash bucket on the event id, and
+    the likelihood tables use add-one (Laplace) smoothing over the 4
+    feature levels.
+
+    The 100 TB shape: the "model" is three tiny aggregate tables (5
+    priors, <=20 conditional counts each) — the training pass is one
+    map-side-combining groupBy over the fact table, and scoring is a
+    broadcast cross join of the test rows against 5 class rows followed
+    by two broadcast lookups. No iterative solver, no driver state, no
+    Python row path; the deterministic argmax (score rounded to 12,
+    class-name tie-break) makes the whole train+eval loop a value-hashed
+    oracle query."""
+    ev = _t(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_id",
+        F.col("event_type").alias("cls"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("hq"),
+        F.when(F.col("value") < 10, 0)
+        .when(F.col("value") < 50, 1)
+        .when(F.col("value") < 100, 2)
+        .otherwise(3)
+        .alias("vb"),
+        _bucket_col().alias("b"),
+    )
+    train = feat.filter(F.col("b") < 80)
+    test = feat.filter(F.col("b") >= 80)
+    cstat = train.groupBy("cls").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = cstat.agg(F.sum("n_c").alias("total"))
+    hstat = train.groupBy("cls", "hq").agg(F.count(F.lit(1)).alias("n_h"))
+    vstat = train.groupBy("cls", "vb").agg(F.count(F.lit(1)).alias("n_v"))
+    cand = F.broadcast(cstat.crossJoin(tot)).withColumnRenamed("cls", "cand")
+    scored = (
+        test.crossJoin(cand)
+        .join(
+            F.broadcast(hstat).withColumnRenamed("cls", "cand"),
+            ["cand", "hq"],
+            "left",
+        )
+        .join(
+            F.broadcast(vstat).withColumnRenamed("cls", "cand"),
+            ["cand", "vb"],
+            "left",
+        )
+        .select(
+            "event_id",
+            F.col("cls").alias("true_cls"),
+            "cand",
+            (
+                (F.col("n_c").cast("double") / F.col("total"))
+                * (
+                    (F.coalesce(F.col("n_h"), F.lit(0)) + 1.0)
+                    / (F.col("n_c") + 4.0)
+                )
+                * (
+                    (F.coalesce(F.col("n_v"), F.lit(0)) + 1.0)
+                    / (F.col("n_c") + 4.0)
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.round(F.col("score"), 12).desc(), F.col("cand").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_cls", F.col("cand").alias("pred_cls"))
+    )
+    hit = (F.col("pred_cls") == F.col("true_cls")).cast("long")
+    return pred.groupBy(F.col("true_cls").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(hit).alias("n_correct"),
+        F.round(F.sum(hit.cast("double")) / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value / 10) AS BIGINT) AS vb,
+             count(DISTINCT user_id) AS l, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_groups,
+           cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           cast(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           cast(min(l) AS BIGINT) AS min_l,
+           round(avg(CAST(l AS DOUBLE)), 6) AS avg_l
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — the companion gate to
+    `k_anonymity_audit`: a quasi-identifier group can be large (k-safe)
+    yet still leak if every row in it shares one sensitive value, so
+    this measures DISTINCT sensitive values (user_id) per
+    (event_type, day, value-band) group. One groupBy with a distinct
+    aggregate, one 1-row summary; at scale the distinct count inside the
+    group is the only state and it partial-aggregates per key."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / 10).cast("long").alias("vb"),
+    ).agg(
+        F.countDistinct("user_id").alias("l"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("l") < 3).cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("l").alias("min_l"),
+        F.round(F.avg(F.col("l").cast("double")), 6).alias("avg_l"),
+    )
+
+
+@register(
+    "forecast_scaled_error_metrics",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             avg(value) OVER w3 AS f3,
+             count(value) OVER w3 AS c3,
+             lag(value) OVER w AS prev_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    ),
+    e AS (
+      SELECT event_type,
+             abs(value - f3) AS ae,
+             2.0 * abs(value - f3) / (abs(value) + abs(f3)) AS sape,
+             abs(value - prev_v) AS nae
+      FROM s WHERE c3 = 3
+    )
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           round(avg(sape), 6) AS smape,
+           round(avg(ae) / NULLIF(avg(nae), 0), 6) AS mase
+    FROM e GROUP BY event_type
+    """,
+)
+def forecast_scaled_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free forecast scoring (Hyndman & Koehler's MASE plus sMAPE)
+    for the rolling-mean-of-3 predictor, benchmarked against the naive
+    persistence forecast on the SAME evaluation rows — MASE < 1 means
+    the model beats persistence, and unlike MAPE both metrics survive
+    values near zero and unit changes. Per-key window pass (no global
+    sort) + one aggregation; complements `persistence_forecast_backtest`
+    which reports unscaled MAE/RMSE."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w3 = w.rowsBetween(-3, -1)
+    s = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w3).alias("f3"),
+        F.count("value").over(w3).alias("c3"),
+        F.lag("value").over(w).alias("prev_v"),
+    ).filter(F.col("c3") == 3)
+    ae = F.abs(F.col("value") - F.col("f3"))
+    sape = 2.0 * ae / (F.abs(F.col("value")) + F.abs(F.col("f3")))
+    nae = F.abs(F.col("value") - F.col("prev_v"))
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(sape), 6).alias("smape"),
+        F.round(
+            F.avg(ae) / F.nullif(F.avg(nae), F.lit(0.0)), 6
+        ).alias("mase"),
+    )

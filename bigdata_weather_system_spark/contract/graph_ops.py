@@ -17,6 +17,7 @@ from .core import register, _t
 from ..operators.graph import (
     cooccurrence_edges,
     degree_stats,
+    fm_neighborhood_sizes,
     pagerank,
     triangle_stats,
 )
@@ -434,3 +435,47 @@ def part_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_common") >= 2)
     )
+
+
+@register(
+    "part_khop_size_fm_estimate",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    m0 AS (
+      SELECT node,
+             CAST(pow(2, CAST(('0x' || substring(md5(CAST(node AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 24)
+                  AS BIGINT) AS mask
+      FROM nodes
+    ),
+    s1 AS (SELECT e.src AS node, bit_or(m.mask) AS nmask
+           FROM edges e JOIN m0 m ON e.dst = m.node GROUP BY e.src),
+    m1 AS (SELECT m0.node, m0.mask | COALESCE(s1.nmask, 0) AS mask
+           FROM m0 LEFT JOIN s1 USING (node)),
+    s2 AS (SELECT e.src AS node, bit_or(m.mask) AS nmask
+           FROM edges e JOIN m1 m ON e.dst = m.node GROUP BY e.src),
+    m2 AS (SELECT m1.node, m1.mask | COALESCE(s2.nmask, 0) AS mask
+           FROM m1 LEFT JOIN s2 USING (node))
+    SELECT node, mask AS fm_mask,
+           CAST(round(log2(CAST((~mask) & (mask + 1) AS DOUBLE))) AS INT)
+             AS fm_r,
+           round(pow(2, CAST(round(log2(CAST((~mask) & (mask + 1)
+                                             AS DOUBLE))) AS INT))
+                 / 0.77351, 4) AS nbh_estimate
+    FROM m2
+    """,
+)
+def part_khop_size_fm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 2-hop neighborhood sizes over the co-purchase graph
+    via single-register Flajolet-Martin bitmasks (HyperANF shape) — the
+    constant-state twin of the exact `part_khop_reachability` BFS. Two
+    rounds = two (join + bit_or groupBy) shuffles; register merge is
+    associative so partials combine map-side, which is what makes the
+    neighborhood function computable at web scale where exact per-node
+    reachable sets are quadratic state. Deterministic (content-hashed
+    bit positions), so the DuckDB oracle replays the same two unrolled
+    rounds bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return fm_neighborhood_sizes(edges, rounds=2, n_bits=24)

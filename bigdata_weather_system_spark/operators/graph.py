@@ -357,3 +357,78 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"), F.col("b.l").alias("label"))
         )
     return labels
+
+
+def fm_neighborhood_sizes(
+    edges: DataFrame, rounds: int = 2, n_bits: int = 24
+) -> DataFrame:
+    """Flajolet-Martin / HyperANF-style approximate k-hop neighborhood
+    sizes (Boldi, Rosa & Vigna, "HyperANF", WWW 2011 — the canonical
+    web-scale neighborhood-function algorithm).
+
+    Each node starts with a single-bit FM register (bit position =
+    content hash of the node id mod ``n_bits``); each round OR-combines
+    the registers of the node's neighbors into its own, so after k
+    rounds a node's register is the OR over its entire <=k-hop
+    neighborhood (self included). The position ``r`` of the LOWEST UNSET
+    bit then estimates ``|N_k(v)| ~= 2^r / 0.77351`` (Flajolet-Martin's
+    bias constant).
+
+    Why this is the 100 TB shape: exact k-hop sizes need a distinct-set
+    per node (state linear in reachable-set size — quadratic in total);
+    the FM register is CONSTANT-SIZE mergeable state, each round is one
+    shuffle (join on dst + ``bit_or`` groupBy on src), and the register
+    algebra is associative so partial aggregation combines map-side.
+    Production systems widen to HLL registers x multiple trials for
+    tighter error; a single register keeps the estimate deterministic
+    and oracle-checkable here.
+
+    Input: canonical undirected edges (src < dst). Output: one row per
+    node with the register, r, and the neighborhood-size estimate.
+    """
+    directed = _directed(edges)
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    r0 = (
+        F.conv(
+            F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % n_bits
+    )
+    # 2^r0 is exact in a double for r0 < 53, so pow+cast is a portable
+    # variable-distance shift (shiftleft needs a literal distance).
+    masks = nodes.select(
+        "node",
+        F.pow(F.lit(2.0), r0.cast("double")).cast("long").alias("mask"),
+    )
+    for _ in range(rounds):
+        nbr = (
+            directed.join(
+                masks.select(F.col("node").alias("dst"), "mask"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.bit_or("mask").alias("nmask"))
+        )
+        masks = (
+            masks.join(
+                nbr.select(F.col("src").alias("node"), "nmask"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.col("mask")
+                .bitwiseOR(F.coalesce(F.col("nmask"), F.lit(0)))
+                .alias("mask"),
+            )
+        )
+    # Lowest zero bit of mask, isolated as a power of two: ~mask & (mask+1).
+    lzb = F.bitwise_not(F.col("mask")).bitwiseAND(F.col("mask") + F.lit(1))
+    r = F.round(F.log2(lzb.cast("double"))).cast("int")
+    return masks.select(
+        "node",
+        F.col("mask").alias("fm_mask"),
+        r.alias("fm_r"),
+        F.round(F.pow(F.lit(2.0), r.cast("double")) / F.lit(0.77351), 4).alias(
+            "nbh_estimate"
+        ),
+    )

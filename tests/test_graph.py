@@ -146,3 +146,56 @@ def test_kcore_converges_on_testdata(spark):
     r13 = sorted(map(tuple, kcore(edges, k=3, rounds=13).collect()))
     assert r12 == r13
     assert r12, "3-core should be non-empty on the co-purchase graph"
+
+
+def test_fm_neighborhood_estimate_monotone_in_rounds(spark):
+    from bigdata_weather_system_spark.operators.graph import (
+        fm_neighborhood_sizes,
+    )
+
+    # path graph 1-2-3-4-5: 2-hop neighborhoods strictly contain 1-hop
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    m1 = {
+        r["node"]: r["fm_mask"]
+        for r in fm_neighborhood_sizes(e, rounds=1).collect()
+    }
+    m2 = {
+        r["node"]: r["fm_mask"]
+        for r in fm_neighborhood_sizes(e, rounds=2).collect()
+    }
+    # register is monotone: every round-1 bit survives into round 2
+    for node, mask in m1.items():
+        assert mask & m2[node] == mask
+    # a register is the OR over the k-hop neighborhood, so its popcount
+    # is a lower bound on the neighborhood size
+    for node, mask in m2.items():
+        assert bin(mask).count("1") <= 5
+
+
+def test_fm_neighborhood_rounds_zero_is_single_bit(spark):
+    from bigdata_weather_system_spark.operators.graph import (
+        fm_neighborhood_sizes,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    rows = fm_neighborhood_sizes(e, rounds=0).collect()
+    for r in rows:
+        assert bin(r["fm_mask"]).count("1") == 1
+        # estimate formula: lowest-zero-bit position r → 2^r / 0.77351
+        lzb = (~r["fm_mask"]) & (r["fm_mask"] + 1)
+        assert r["nbh_estimate"] == round(lzb / 0.77351, 4)
+
+
+def test_fm_isolated_components_do_not_mix(spark):
+    from bigdata_weather_system_spark.operators.graph import (
+        fm_neighborhood_sizes,
+    )
+
+    # two disjoint edges: a node's register can only contain bits from
+    # its own component (2 nodes each → popcount <= 2)
+    e = _edges(spark, [(1, 2), (10, 11)])
+    rows = fm_neighborhood_sizes(e, rounds=3).collect()
+    comp = {1: {1, 2}, 2: {1, 2}, 10: {10, 11}, 11: {10, 11}}
+    assert len(rows) == 4
+    for r in rows:
+        assert bin(r["fm_mask"]).count("1") <= len(comp[r["node"]])

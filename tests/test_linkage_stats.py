@@ -540,3 +540,109 @@ def test_weighted_median_crossing_on_constructed_group(spark):
     )
     # volume-weighted: half of 11 units crosses inside the price-10 block
     assert wm2 == 10.0  # plain median of prices would be 20
+
+
+class TestEvalOps:
+    """eval_ops contract family on hand-built frames."""
+
+    def test_naive_bayes_learns_separable_classes(self, spark):
+        import datetime as dt
+
+        from bigdata_weather_system_spark.contract.eval_ops import (
+            event_naive_bayes_eval,
+        )
+        import bigdata_weather_system_spark.contract.core as core
+        import tempfile
+        import os
+
+        # class 'a' always in quadrant 0 with tiny values; class 'b'
+        # always in quadrant 2 with large values → NB must get 100%
+        rows = []
+        for i in range(200):
+            cls = "a" if i % 2 == 0 else "b"
+            hour = 1 if cls == "a" else 14
+            val = 5.0 if cls == "a" else 200.0
+            rows.append(
+                (
+                    i,
+                    dt.datetime(2024, 1, 1 + i % 20, hour, 0),
+                    i % 7,
+                    cls,
+                    val,
+                    "{}",
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            out = {
+                r["event_type"]: r
+                for r in event_naive_bayes_eval(spark, d).collect()
+            }
+        assert set(out) == {"a", "b"}
+        for r in out.values():
+            assert r["n_correct"] == r["n_test"]
+            assert r["accuracy"] == 1.0
+
+    def test_l_diversity_flags_homogeneous_group(self, spark):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from bigdata_weather_system_spark.contract.eval_ops import (
+            l_diversity_audit,
+        )
+
+        rows = [
+            # group (x, day1, band 0): 3 rows, ONE distinct user → at risk
+            (1, dt.datetime(2024, 1, 1, 1), 7, "x", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 2), 7, "x", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 3), 7, "x", 3.0, "{}"),
+            # group (y, day1, band 0): 3 distinct users → safe
+            (4, dt.datetime(2024, 1, 1, 1), 1, "y", 1.0, "{}"),
+            (5, dt.datetime(2024, 1, 1, 2), 2, "y", 2.0, "{}"),
+            (6, dt.datetime(2024, 1, 1, 3), 3, "y", 3.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            row = l_diversity_audit(spark, d).collect()[0]
+        assert row["n_groups"] == 2
+        assert row["n_violating_groups"] == 1
+        assert row["n_rows_at_risk"] == 3
+        assert row["min_l"] == 1
+
+    def test_scaled_error_metrics_constant_series(self, spark):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from bigdata_weather_system_spark.contract.eval_ops import (
+            forecast_scaled_error_metrics,
+        )
+
+        # constant series: rolling-mean forecast is exact → smape = 0;
+        # persistence error is 0 too → MASE denominator 0 → NULL (guarded)
+        rows = [
+            (i, dt.datetime(2024, 1, 1, i), 1, "x", 10.0, "{}")
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            row = forecast_scaled_error_metrics(spark, d).collect()[0]
+        assert row["n"] == 5  # 8 rows, first 3 lack a full window
+        assert row["smape"] == 0.0
+        assert row["mase"] is None
