@@ -1,0 +1,627 @@
+"""Contract queries — continuation wave 4: causal inference, parametric
+hypothesis tests, state-space smoothing, market-basket rule mining, and
+multi-ranking retrieval fusion.
+
+Families the registry did not yet cover: Welch's unequal-variance t-test
+and one-way ANOVA (the parametric siblings of the existing Mann-Whitney /
+Kruskal-Wallis rank tests), propensity-stratified treatment-effect
+estimation (the observational sibling of the existing CUPED / DiD
+queries), a 1-D Kalman filter (the optimal-gain sibling of the EWMA /
+Holt folds), association rules with support/confidence/lift over order
+baskets, and reciprocal-rank fusion of two BM25 retrieval lists (the
+multi-query RAG retrieval stage downstream of ``doc_bm25_search``).
+
+Reference parity note: the reference (kan3103/bigdata-weather-system)
+has no statistics/mining layer at all — these extend the engine along
+SURVEY §8's training-data-pipeline axis, same as rounds 2-3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .core import register, _t
+from .llm_ops import _TOKS
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "basket_brand_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT count(DISTINCT orderkey) AS n_orders FROM baskets),
+    item AS (SELECT brand, count(*) AS n_item FROM baskets GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.orderkey = b.orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.n_ab AS BIGINT)                                AS n_ab,
+           round(p.n_ab * 1.0 / t.n_orders, 6)                   AS support,
+           round(p.n_ab * 1.0 / ia.n_item, 6)                    AS conf_a_to_b,
+           round(p.n_ab * 1.0 / ib.n_item, 6)                    AS conf_b_to_a,
+           round(p.n_ab * 1.0 * t.n_orders / (ia.n_item * ib.n_item), 6)
+                                                                 AS lift
+    FROM pairs p
+    JOIN item ia ON ia.brand = p.brand_a
+    JOIN item ib ON ib.brand = p.brand_b
+    CROSS JOIN tot t
+    WHERE p.n_ab >= 20
+    """,
+)
+def basket_brand_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association rules over order baskets at brand
+    granularity: support, both directed confidences, and lift for every
+    brand pair co-purchased in ≥20 orders.
+
+    Scale shape: the classic Apriori blow-up is avoided structurally —
+    pair generation is a self-equi-join of the DISTINCT (order, brand)
+    relation on orderkey, so fan-out per order is C(k,2) where k = that
+    order's distinct brands (bounded by lineitems per order, ≤7 in
+    TPC-H), i.e. linear in orders, never quadratic in the catalog. The
+    brand dimension (≤ a few thousand rows at any SF) rides broadcast
+    joins, and the order total is a 1-row broadcast cross join — the
+    only O(data) shuffles are the basket distinct and the pair groupBy,
+    both on bounded-cardinality keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("orderkey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = baskets.select(
+        F.countDistinct("orderkey").alias("n_orders")
+    )
+    item = baskets.groupBy("brand").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    ia = item.select(
+        F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("brand").alias("brand_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6)
+            .alias("conf_a_to_b"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_b"), 6)
+            .alias("conf_b_to_a"),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance two-sample t-test
+# ---------------------------------------------------------------------------
+
+@register(
+    "welch_ttest_purchase_vs_click",
+    oracle="""
+    WITH g AS (
+      SELECT
+        count(CASE WHEN event_type = 'purchase' THEN 1 END)    AS n1,
+        avg(CASE WHEN event_type = 'purchase' THEN value END)  AS m1,
+        var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+        count(CASE WHEN event_type = 'click' THEN 1 END)       AS n2,
+        avg(CASE WHEN event_type = 'click' THEN value END)     AS m2,
+        var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_dof,
+           abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.959964
+             AS significant_05
+    FROM g
+    """,
+)
+def welch_ttest_purchase_vs_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test comparing purchase vs click
+    values — the parametric counterpart of `mannwhitney_purchase_vs_click`
+    (Welch is the default two-sample test when variances differ; the
+    Satterthwaite degrees of freedom make the F-distribution
+    approximation honest). Everything reduces to one conditional-
+    aggregation pass (count/avg/var_samp per arm in a single
+    partial-aggregated scan — no per-arm subqueries, no join), then
+    scalar math on a 1-row relation. At 100 TB this is the cheapest
+    possible shape: one scan, six partial aggregates, one row shuffled."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    is_c = F.when(F.col("event_type") == "click", F.col("value"))
+    g = ev.agg(
+        F.count(is_p).alias("n1"),
+        F.avg(is_p).alias("m1"),
+        F.var_samp(is_p).alias("v1"),
+        F.count(is_c).alias("n2"),
+        F.avg(is_c).alias("m2"),
+        F.var_samp(is_c).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return g.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"),
+        (F.abs(t) > 1.959964).alias("significant_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test across event types
+# ---------------------------------------------------------------------------
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    l AS (
+      SELECT list(n  ORDER BY event_type) AS ns,
+             list(s  ORDER BY event_type) AS sums,
+             list(ss ORDER BY event_type) AS ssqs,
+             count(*) AS k
+      FROM g
+    ),
+    t AS (
+      SELECT k,
+             list_reduce(ns,   (a, b) -> a + b) AS n_total,
+             list_reduce(sums, (a, b) -> a + b) AS sum_total,
+             list_reduce(list_transform(range(1, k + 1),
+               i -> sums[i] * sums[i] / ns[i]), (a, b) -> a + b)
+               AS sum_sq_over_n,
+             list_reduce(list_transform(range(1, k + 1),
+               i -> ssqs[i] - sums[i] * sums[i] / ns[i]), (a, b) -> a + b)
+               AS ssw
+      FROM l
+    )
+    SELECT CAST(k AS BIGINT)                                   AS k_groups,
+           CAST(n_total AS BIGINT)                             AS n_total,
+           round(sum_sq_over_n - sum_total * sum_total / n_total, 6)
+                                                               AS ss_between,
+           round(ssw, 6)                                       AS ss_within,
+           CAST(k - 1 AS BIGINT)                               AS df1,
+           CAST(n_total - k AS BIGINT)                         AS df2,
+           round(((sum_sq_over_n - sum_total * sum_total / n_total)
+                  / (k - 1)) / (ssw / (n_total - k)), 6)       AS f_stat,
+           round((sum_sq_over_n - sum_total * sum_total / n_total)
+                 / (sum_sq_over_n - sum_total * sum_total / n_total + ssw),
+                 6)                                            AS eta_sq
+    FROM t
+    """,
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of value across event types — the parametric
+    counterpart of `kruskal_wallis_value_by_type`. Decomposed as
+    SSB = Σ s_g²/n_g − S²/N and SSW = Σ (ss_g − s_g²/n_g) from per-group
+    raw sufficient statistics (n, Σx, Σx²), so the data pass is one
+    partial-aggregated groupBy; the cross-group reductions then FOLD over
+    the type-sorted list of group stats (collect_list + array_sort +
+    F.aggregate) so float addition order is identical in both engines —
+    the same order-determinism discipline as the BM25 weight fold. Group
+    count is tiny (event types), so the fold is driver-free scalar math
+    on a 1-row relation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    lst = g.agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "n", "s", "ss"))
+        ).alias("gs"),
+        F.count("*").alias("k"),
+    )
+
+    def fold(expr_fn):
+        return F.aggregate(
+            F.col("gs"), F.lit(0.0), lambda acc, x: acc + expr_fn(x)
+        )
+
+    t = lst.select(
+        "k",
+        fold(lambda x: x["n"]).alias("n_total"),
+        fold(lambda x: x["s"]).alias("sum_total"),
+        fold(lambda x: x["s"] * x["s"] / x["n"]).alias("sum_sq_over_n"),
+        fold(lambda x: x["ss"] - x["s"] * x["s"] / x["n"]).alias("ssw"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("sum_total") * F.col(
+        "sum_total"
+    ) / F.col("n_total")
+    return t.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df2"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+_ATE_ORACLE = """
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    pre AS (
+      SELECT user_id, count(*) AS n_pre,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS treated
+      FROM events, cutoff WHERE ts < c GROUP BY user_id
+    ),
+    post AS (
+      SELECT user_id, sum(value) AS outcome
+      FROM events, cutoff
+      WHERE ts >= c AND event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    pop AS (
+      SELECT p.user_id, p.treated, coalesce(o.outcome, 0.0) AS outcome,
+             ntile(5) OVER (ORDER BY p.n_pre, p.user_id) AS stratum
+      FROM pre p LEFT JOIN post o ON o.user_id = p.user_id
+    ),
+    tot AS (SELECT count(*) AS n_all FROM pop)
+    SELECT CAST(stratum AS BIGINT)                         AS stratum,
+           CAST(count(*) AS BIGINT)                        AS n_users,
+           CAST(sum(treated) AS BIGINT)                    AS n_treated,
+           CAST(count(*) - sum(treated) AS BIGINT)         AS n_control,
+           round(avg(CASE WHEN treated = 1 THEN outcome END), 6)
+                                                           AS mean_treated,
+           round(avg(CASE WHEN treated = 0 THEN outcome END), 6)
+                                                           AS mean_control,
+           round(avg(CASE WHEN treated = 1 THEN outcome END)
+                 - avg(CASE WHEN treated = 0 THEN outcome END), 6)
+                                                           AS stratum_effect,
+           round((count(*) * 1.0 / max(t.n_all))
+                 * (avg(CASE WHEN treated = 1 THEN outcome END)
+                    - avg(CASE WHEN treated = 0 THEN outcome END)), 6)
+                                                           AS ate_contribution
+    FROM pop CROSS JOIN tot t
+    GROUP BY stratum
+    """
+
+
+@register("stratified_ate_purchase", oracle=_ATE_ORACLE)
+def stratified_ate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate for an observational
+    "did pre-period clickers spend more on purchases later?" question:
+    users are stratified into quintiles of pre-period activity (the
+    propensity proxy), treatment = any pre-period click, outcome =
+    post-period purchase spend, and the per-stratum treated−control gap
+    is weighted by stratum size (ate_contribution sums to the stratified
+    ATE). Complements `cuped_ab_analysis` (randomized, variance
+    reduction) and `did_treatment_effect` (panel) with the
+    subclassification estimator. ntile's SQL-standard deterministic split
+    over a total order (n_pre, user_id) makes strata engine-identical.
+    One groupBy per period + one ntile window over the per-user relation
+    (users ≪ events) — no per-event window, no quadratic stage."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("c")
+    )
+    with_c = ev.crossJoin(F.broadcast(cutoff))
+    pre = (
+        with_c.filter(F.col("ts") < F.col("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pre"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("treated"),
+        )
+    )
+    post = (
+        with_c.filter(
+            (F.col("ts") >= F.col("c"))
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("outcome"))
+    )
+    pop = (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            "treated",
+            F.coalesce(F.col("outcome"), F.lit(0.0)).alias("outcome"),
+            "n_pre",
+        )
+        .withColumn(
+            "stratum",
+            F.ntile(5).over(Window.orderBy("n_pre", "user_id")),
+        )
+    )
+    tot = pop.agg(F.count("*").alias("n_all"))
+    m_t = F.avg(F.when(F.col("treated") == 1, F.col("outcome")))
+    m_c = F.avg(F.when(F.col("treated") == 0, F.col("outcome")))
+    return (
+        pop.crossJoin(F.broadcast(tot))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("treated").cast("long").alias("n_treated"),
+            (F.count("*") - F.sum("treated")).cast("long").alias("n_control"),
+            F.round(m_t, 6).alias("mean_treated"),
+            F.round(m_c, 6).alias("mean_control"),
+            F.round(m_t - m_c, 6).alias("stratum_effect"),
+            F.round(
+                (F.count("*") * 1.0 / F.max("n_all")) * (m_t - m_c), 6
+            ).alias("ate_contribution"),
+        )
+        .select(
+            F.col("stratum").cast("long").alias("stratum"),
+            "n_users",
+            "n_treated",
+            "n_control",
+            "mean_treated",
+            "mean_control",
+            "stratum_effect",
+            "ate_contribution",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter per user (random-walk state, optimal gain)
+# ---------------------------------------------------------------------------
+
+_KALMAN_ORACLE = """
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    cap AS (SELECT * FROM o WHERE rn <= 64),
+    n AS (SELECT user_id, max(rn) AS n_events FROM cap GROUP BY user_id),
+    k AS (
+      SELECT user_id, 1 AS rn, value AS x, 1.0::DOUBLE AS p
+      FROM cap WHERE rn = 1
+      UNION ALL
+      SELECT k.user_id, k.rn + 1,
+             k.x + ((k.p + 0.04) / (k.p + 0.04 + 0.25))
+                   * (c.value - k.x),
+             (1.0 - (k.p + 0.04) / (k.p + 0.04 + 0.25)) * (k.p + 0.04)
+      FROM k JOIN cap c ON c.user_id = k.user_id AND c.rn = k.rn + 1
+    )
+    SELECT k.user_id,
+           CAST(n.n_events AS BIGINT) AS n_events,
+           round(k.x, 6) AS x_filtered,
+           round(k.p, 6) AS p_final
+    FROM k JOIN n ON k.user_id = n.user_id AND k.rn = n.n_events
+    """
+
+
+@register("kalman_filter_value_per_user", oracle=_KALMAN_ORACLE)
+def kalman_filter_value_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Kalman filter (random-walk state x, process noise q=0.04,
+    observation noise r=0.25) over each user's ordered value stream —
+    the optimal-gain generalization of the fixed-α EWMA smoother: the
+    gain (p+q)/(p+q+r) adapts as the state covariance p converges.
+    Like EWMA/Holt this is a LEFT FOLD with two doubles of state, run as
+    one ``F.aggregate`` over the per-key sorted array (one groupBy
+    shuffle). Histories are capped at the FIRST 64 events per key
+    (deterministic (ts, event_id) order) so per-key state stays bounded
+    at any scale — the same bounded-history discipline as the Theil-Sen
+    cap — and the oracle's recursive CTE terminates in ≤64 rounds. Both
+    engines evaluate the literally identical float-op sequence (the
+    predicted covariance p+q is inlined, not bound), so the fold is
+    bit-deterministic before the 6dp round."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select("user_id", "rn", "value")
+    )
+    per = capped.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "value"))),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    seed = F.struct(
+        F.element_at("vs", 1).cast("double").alias("x"),
+        F.lit(1.0).alias("p"),
+    )
+
+    def step(acc, z):
+        new_x = acc["x"] + ((acc["p"] + 0.04) / (acc["p"] + 0.04 + 0.25)) * (
+            z - acc["x"]
+        )
+        new_p = (1.0 - (acc["p"] + 0.04) / (acc["p"] + 0.04 + 0.25)) * (
+            acc["p"] + 0.04
+        )
+        return F.struct(new_x.alias("x"), new_p.alias("p"))
+
+    kf = F.aggregate(
+        F.slice("vs", 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return per.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.round(kf["x"], 6).alias("x_filtered"),
+        F.round(kf["p"], 6).alias("p_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two BM25 retrieval lists
+# ---------------------------------------------------------------------------
+
+def _bm25_ranked_cte(terms: list[str], suffix: str) -> str:
+    """DuckDB CTE chain: top-50 BM25 ranking for a query bag, ranks
+    assigned on (round(bm25,6) DESC, doc_id) — the same deterministic
+    tie-break the Spark side uses."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    hits{suffix} AS (
+      SELECT doc_id, dl, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+      WHERE tok IN ({in_list})
+      GROUP BY doc_id, dl, tok
+    ),
+    dfreq{suffix} AS (
+      SELECT term, count(*) AS df_t FROM hits{suffix} GROUP BY term
+    ),
+    w{suffix} AS (
+      SELECT h.doc_id, h.term,
+             ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS wt
+      FROM hits{suffix} h JOIN dfreq{suffix} d USING (term)
+      CROSS JOIN corpus c
+    ),
+    s{suffix} AS (
+      SELECT doc_id,
+             list_reduce(list(wt ORDER BY term), (a, b) -> a + b) AS bm25
+      FROM w{suffix} GROUP BY doc_id
+    ),
+    r{suffix} AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id)
+               AS rnk
+      FROM s{suffix}
+      ORDER BY round(bm25, 6) DESC, doc_id LIMIT 50
+    )"""
+
+
+_RRF_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+    corpus AS (
+      SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM base
+    ),{_bm25_ranked_cte(["spark", "join", "vector"], "1")},
+    {_bm25_ranked_cte(["hash", "merge", "stream"], "2")},
+    fused AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.rnk AS rank_q1, b.rnk AS rank_q2,
+             coalesce(1.0 / (60 + a.rnk), 0.0)
+               + coalesce(1.0 / (60 + b.rnk), 0.0) AS rrf
+      FROM r1 a FULL OUTER JOIN r2 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CAST(rank_q1 AS BIGINT) AS rank_q1,
+           CAST(rank_q2 AS BIGINT) AS rank_q2,
+           round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id LIMIT 20
+    """
+
+
+@register("retrieval_rrf_fusion", oracle=_RRF_ORACLE)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two BM25 retrieval lists —
+    the standard multi-query / hybrid-retrieval merge a RAG pipeline
+    runs when the same corpus is queried under different formulations.
+    Each arm is the full `bm25_scores` operator (term-filtered explode,
+    broadcast df, sorted-term weight fold); its top-50 is taken with
+    orderBy+limit (TakeOrderedAndProject — a per-partition heap then a
+    50-row merge, never a global sort), and ranks are assigned by a
+    window over those 50 surviving rows, so the only single-partition
+    stage touches ≤50 rows by construction. The fusion join is 50×50.
+    Rank ties break on (round(bm25,6) DESC, doc_id) in both engines, and
+    the BM25 fold is bit-deterministic, so ranks match exactly."""
+    from ..operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+
+    def ranked(terms: list[str]) -> DataFrame:
+        scored = bm25_scores(d, terms).select(
+            "doc_id", F.round("bm25", 6).alias("bm25_r")
+        )
+        top = scored.orderBy(
+            F.col("bm25_r").desc(), F.col("doc_id").asc()
+        ).limit(50)
+        w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        return top.select(
+            "doc_id", F.row_number().over(w).alias("rnk")
+        )
+
+    r1 = ranked(["spark", "join", "vector"]).select(
+        F.col("doc_id").alias("d1"), F.col("rnk").alias("rank_q1")
+    )
+    r2 = ranked(["hash", "merge", "stream"]).select(
+        F.col("doc_id").alias("d2"), F.col("rnk").alias("rank_q2")
+    )
+    fused = r1.join(r2, r1.d1 == r2.d2, "full_outer").select(
+        F.coalesce(F.col("d1"), F.col("d2")).alias("doc_id"),
+        F.col("rank_q1").cast("long").alias("rank_q1"),
+        F.col("rank_q2").cast("long").alias("rank_q2"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_q1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_q2")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(20)
