@@ -2573,3 +2573,69 @@ def media_pcm_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = fabricate_pcm_media(docs, "doc_id")
     return pcm_bin_energy(media, k=8)
+
+
+_MOTION_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 16 AS h,
+         16 + doc_id % 24 AS w,
+         2 + doc_id % 4   AS f
+  FROM documents
+),
+s AS (
+  SELECT media_id, f, h * w * 3 AS sz, (h * w * 3) % 256 AS d FROM t
+),
+pairs AS (
+  SELECT media_id, sz, d,
+         CAST(unnest(range(0, f - 1)) AS BIGINT) AS pair_idx
+  FROM s
+),
+calc AS (
+  SELECT media_id, pair_idx, sz, d,
+         (media_id + pair_idx * sz) % 256 AS b,
+         sz // 256 AS full_cycles,
+         sz % 256  AS rem
+  FROM pairs
+),
+wrapped AS (
+  SELECT media_id, pair_idx, sz, d,
+         full_cycles * d
+         + CASE WHEN b + rem <= 256
+                THEN greatest(0, b + rem - greatest(256 - d, b))
+                ELSE greatest(0, 256 - greatest(256 - d, b))
+                     + greatest(0, (b + rem - 256) - (256 - d))
+           END AS n_wrap
+  FROM calc
+)
+SELECT media_id, pair_idx,
+       CAST(sz AS BIGINT) AS n_pixels,
+       round((n_wrap * (256 - d) + (sz - n_wrap) * d) * 1.0 / sz, 6)
+         AS mean_abs_diff
+FROM wrapped
+"""
+
+
+@register("media_motion_energy", oracle=_MOTION_ORACLE)
+def media_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video motion energy: fabricate multi-frame RAW containers,
+    decode the actual pixel buffers, and compute mean |Δintensity| per
+    consecutive frame pair — the temporal-activity signal that gates
+    static-clip dropping and frame-sampling density in a video-curation
+    pipeline. The fabricated ramp advances by S=h·w·3 per frame, so each
+    pixel's next-frame delta is d=S mod 256 except at the mod-256 wrap
+    where it is d−256; the oracle counts wrap positions in closed form
+    (full cycles contribute d wraps each, the remainder contributes the
+    cyclic-interval overlap with [256−d, 256)) and predicts the REAL
+    numpy mean exactly — uint8 sums are exact in float64. Arrow
+    mapInPandas, one row in → f−1 rows out; no shuffle at all."""
+    from ..operators.multimodal import fabricate_raw_media, motion_energy_raw
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_raw_media(docs, "doc_id", video=True)
+    return motion_energy_raw(media).select(
+        "media_id",
+        "pair_idx",
+        "n_pixels",
+        F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
+    )

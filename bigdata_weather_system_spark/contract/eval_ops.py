@@ -265,3 +265,123 @@ def forecast_scaled_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
             F.avg(ae) / F.nullif(F.avg(nae), F.lit(0.0)), 6
         ).alias("mase"),
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             least(9, greatest(0, CAST(floor(value / 10) AS BIGINT)))
+               AS band
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n_all FROM base),
+    gdist AS (
+      SELECT band, count(*) AS n_b FROM base GROUP BY band
+    ),
+    grp AS (
+      SELECT event_type, d, count(*) AS n_g FROM base GROUP BY event_type, d
+    ),
+    cell AS (
+      SELECT event_type, d, band, count(*) AS n_gb
+      FROM base GROUP BY event_type, d, band
+    ),
+    grid AS (
+      SELECT g.event_type, g.d, g.n_g, b.band, b.n_b,
+             coalesce(c.n_gb, 0) AS n_gb
+      FROM grp g CROSS JOIN gdist b
+      LEFT JOIN cell c ON c.event_type = g.event_type AND c.d = g.d
+                      AND c.band = b.band
+    ),
+    cum AS (
+      SELECT event_type, d, n_g, band,
+             sum(n_gb * 1.0 / n_g
+                 - n_b * 1.0 / (SELECT n_all FROM tot))
+               OVER (PARTITION BY event_type, d ORDER BY band) AS cdf_gap
+      FROM grid
+    ),
+    emd AS (
+      SELECT event_type, d, max(n_g) AS n_g,
+             sum(abs(cdf_gap)) / count(*) AS emd
+      FROM cum GROUP BY event_type, d
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_groups,
+           CAST(sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_violating_groups,
+           CAST(sum(CASE WHEN emd > 0.2 THEN n_g ELSE 0 END) AS BIGINT)
+                                                          AS n_rows_at_risk,
+           round(max(emd), 6)                             AS max_emd,
+           round(avg(emd), 6)                             AS avg_emd
+    FROM emd
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.2) — the third privacy gate after
+    `k_anonymity_audit` and `l_diversity_audit`: a group can be k-large
+    and l-diverse yet still leak if its sensitive-value DISTRIBUTION is
+    far from the population's. Sensitive attribute = value band (clamped
+    decade bins); groups = (event_type, day); distance = 1-D earth
+    mover's distance over the ordered bands, computed as the mean |CDF
+    gap| between group and global distributions (the ordered-attribute
+    EMD from the t-closeness paper). The band grid is a 10-row broadcast
+    cross join so absent bands contribute zero mass; the CDF gap is a
+    frame-ordered running sum (bit-reproducible); everything else is two
+    hash aggregates and a 1-row summary. Scale: cells = groups × 10 —
+    linear in groups, the window partitions by group with a 10-row
+    frame."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 10)),
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_all"))
+    gdist = base.groupBy("band").agg(F.count(F.lit(1)).alias("n_b"))
+    grp = base.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    cell = base.groupBy("event_type", "d", "band").agg(
+        F.count(F.lit(1)).alias("n_gb")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(gdist))
+        .join(cell, ["event_type", "d", "band"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "d",
+            "n_g",
+            "band",
+            (
+                F.coalesce(F.col("n_gb"), F.lit(0)) * 1.0 / F.col("n_g")
+                - F.col("n_b") * 1.0 / F.col("n_all")
+            ).alias("gap"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type", "d", "n_g", F.sum("gap").over(w).alias("cdf_gap")
+    )
+    emd = cum.groupBy("event_type", "d").agg(
+        F.max("n_g").alias("n_g"),
+        (F.sum(F.abs(F.col("cdf_gap"))) / F.count(F.lit(1))).alias("emd"),
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("emd") > 0.2).cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("emd") > 0.2, F.col("n_g")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(F.max("emd"), 6).alias("max_emd"),
+        F.round(F.avg("emd"), 6).alias("avg_emd"),
+    )

@@ -514,3 +514,109 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@register(
+    "label_leakage_audit",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 20 DAY AS c FROM events),
+    labels AS (
+      SELECT user_id, min(ts) AS label_ts
+      FROM events, cutoff
+      WHERE ts >= c AND event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    feat AS (
+      SELECT e.user_id, l.label_ts,
+             max(CASE WHEN e.ts < l.label_ts THEN e.ts END)
+               AS exact_feature_ts,
+             max(CASE WHEN CAST(e.ts AS DATE) < CAST(l.label_ts AS DATE)
+                      THEN e.ts END) AS day_grain_feature_ts,
+             max(CASE WHEN CAST(e.ts AS DATE) = CAST(l.label_ts AS DATE)
+                       AND e.ts > l.label_ts
+                      THEN 1 ELSE 0 END) AS day_grain_would_leak
+      FROM events e JOIN labels l ON l.user_id = e.user_id
+      WHERE e.ts < l.label_ts
+            OR CAST(e.ts AS DATE) = CAST(l.label_ts AS DATE)
+      GROUP BY e.user_id, l.label_ts
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS n_labeled_users,
+           CAST(sum(CASE WHEN exact_feature_ts >= label_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_leaks,
+           CAST(sum(day_grain_would_leak) AS BIGINT)   AS n_day_grain_leaks,
+           round(sum(day_grain_would_leak) * 1.0 / count(*), 6)
+                                                       AS day_grain_leak_rate,
+           round(avg(CASE WHEN exact_feature_ts < label_ts
+                          THEN epoch(label_ts) - epoch(exact_feature_ts)
+                     END) / 3600, 6)                   AS avg_lead_hours
+    FROM feat
+    """,
+)
+def label_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time hygiene audit for a feature-store join: labels =
+    each user's first post-cutoff purchase; features = that user's
+    event history. The EXACT as-of join (strict ts < label_ts, the shape
+    `feature_store_pit_join` implements) must never leak — n_exact_leaks
+    is structurally 0 and the audit proves it — while a DAY-GRAIN
+    snapshot join (features valid per calendar day, the common feature-
+    store cadence) leaks whenever a same-day event lands after the
+    label: n_day_grain_leaks counts the users whose training rows would
+    silently contain the future at day cadence, the thing this audit
+    exists to catch before a model trains on it. One equi-join on
+    user_id + one groupBy; the label relation is per-user (≪ events);
+    lead time summarizes how much margin the exact join has. Scale: the
+    join keys on user_id with per-user fan-in bounded by history length;
+    no window, no pair stage."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("c")
+    )
+    labels = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(
+            (F.col("ts") >= F.col("c"))
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("label_ts"))
+    )
+    e = ev.select("user_id", "ts")
+    joined = e.join(labels, "user_id").filter(
+        (F.col("ts") < F.col("label_ts"))
+        | (F.to_date("ts") == F.to_date("label_ts"))
+    )
+    feat = joined.groupBy("user_id", "label_ts").agg(
+        F.max(
+            F.when(F.col("ts") < F.col("label_ts"), F.col("ts"))
+        ).alias("exact_feature_ts"),
+        F.max(
+            F.when(
+                F.to_date("ts") < F.to_date("label_ts"), F.col("ts")
+            )
+        ).alias("day_grain_feature_ts"),
+        F.max(
+            F.when(
+                (F.to_date("ts") == F.to_date("label_ts"))
+                & (F.col("ts") > F.col("label_ts")),
+                1,
+            ).otherwise(0)
+        ).alias("day_grain_would_leak"),
+    )
+    lead_h = F.when(
+        F.col("exact_feature_ts") < F.col("label_ts"),
+        F.col("label_ts").cast("double")
+        - F.col("exact_feature_ts").cast("double"),
+    )
+    return feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled_users"),
+        F.sum(
+            (F.col("exact_feature_ts") >= F.col("label_ts")).cast("long")
+        ).alias("n_exact_leaks"),
+        F.sum("day_grain_would_leak").cast("long").alias(
+            "n_day_grain_leaks"
+        ),
+        F.round(
+            F.sum("day_grain_would_leak") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("day_grain_leak_rate"),
+        F.round(F.avg(lead_h) / 3600, 6).alias("avg_lead_hours"),
+    )

@@ -347,3 +347,79 @@ def fifo_credit_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matched"),
         )
     )
+
+
+@register(
+    "business_days_to_ship",
+    oracle="""
+    WITH ship AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(o.o_orderdate AS DATE) AS od,
+             CAST(min(l.l_shipdate) AS DATE) AS sd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, CAST(o.o_orderdate AS DATE)
+    ),
+    bd AS (
+      SELECT o_orderpriority,
+             (5 * ((datediff('day', DATE '1970-01-01', sd) + 3) // 7)
+              + least((datediff('day', DATE '1970-01-01', sd) + 3) % 7, 5))
+             -
+             (5 * ((datediff('day', DATE '1970-01-01', od) + 3) // 7)
+              + least((datediff('day', DATE '1970-01-01', od) + 3) % 7, 5))
+               AS busdays
+      FROM ship WHERE sd >= od
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           round(avg(busdays), 6)              AS avg_busdays,
+           CAST(min(busdays) AS BIGINT)        AS min_busdays,
+           CAST(max(busdays) AS BIGINT)        AS max_busdays,
+           round(sum(CASE WHEN busdays <= 5 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)                AS share_within_5bd
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) order-to-first-shipment latency per order
+    priority — the SLA metric calendars care about, where a Friday order
+    shipping Monday is 1 business day, not 3. Weekday counting is pure
+    integer closed form, no calendar table and no per-day explode:
+    W(d) = 5*((epochday+3)//7) + min((epochday+3)%7, 5) counts weekdays
+    since epoch (the +3 aligns the week to Monday; 1970-01-01 was a
+    Thursday), and busdays = W(ship) - W(order). Epoch days are
+    non-negative here so // and truncating division agree across
+    engines, and all math is exact integers until the final avg. One
+    join + two hash aggregates; the per-order min-shipdate agg
+    partial-aggregates before the shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd0")
+    )
+    ship = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "od")
+        .agg(F.min("sd0").alias("sd"))
+        .filter(F.col("sd") >= F.col("od"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def wd(col):
+        n = F.datediff(col, epoch) + 3
+        return 5 * F.floor(n / 7) + F.least(n % 7, F.lit(5))
+
+    bd = ship.select(
+        "o_orderpriority", (wd(F.col("sd")) - wd(F.col("od"))).alias("busdays")
+    )
+    return bd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("busdays"), 6).alias("avg_busdays"),
+        F.min("busdays").cast("long").alias("min_busdays"),
+        F.max("busdays").cast("long").alias("max_busdays"),
+        F.round(
+            F.sum(F.when(F.col("busdays") <= 5, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_within_5bd"),
+    )

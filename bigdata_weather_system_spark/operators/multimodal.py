@@ -667,3 +667,59 @@ def pcm_bin_energy(media: DataFrame, k: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(batches, schema=schema)
+
+
+def motion_energy_raw(media: DataFrame) -> DataFrame:
+    """REAL video motion energy via the RAW codec: decode the multi-frame
+    pixel buffer and compute, for every consecutive frame pair, the mean
+    absolute per-pixel intensity change — the cheap temporal-activity
+    signal a video-curation pipeline uses to drop static clips and to
+    pick sampling density before any expensive model runs.
+
+    One row in → (frames − 1) rows out through Arrow batches. The diff is
+    exact integer math widened to int32 (uint8 subtraction would wrap);
+    the mean is a float64 sum of ≤2^53 exact integers, so the result is
+    bit-reproducible and a closed-form SQL oracle can predict it from the
+    fabricated pixel ramp. Malformed or single-frame blobs yield no rows
+    (the error-row pattern: auditing is `media_metadata_summary`'s job).
+    """
+
+    schema = (
+        "media_id long, pair_idx long, n_pixels long, "
+        "mean_abs_diff double"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_raw_blob(content)
+                if arr is None or arr.shape[0] < 2:
+                    continue
+                f = arr.shape[0]
+                flat = arr.reshape(f, -1).astype(np.int32)
+                diffs = np.abs(flat[1:] - flat[:-1])
+                for j in range(f - 1):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "pair_idx": j,
+                            "n_pixels": int(diffs.shape[1]),
+                            "mean_abs_diff": float(
+                                diffs[j].astype(np.float64).mean()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "pair_idx", "n_pixels", "mean_abs_diff",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=schema
+    )
