@@ -68,13 +68,18 @@ def pagerank(
     and each iteration is exactly one shuffle (groupBy dst); the
     join side reuses the same hash partitioning under AQE. Fixed
     iteration count (not convergence polling) keeps the run deterministic
-    and driver-loop-free: no collect, no accumulators.
+    and driver-loop-free: no collect, no accumulators, and NO job at
+    plan-build — the node count rides a broadcast 1-row aggregate
+    (re-derived per use from the cached degree relation) instead of an
+    eager ``deg.count()``, the same laziness discipline as
+    ``triangle_stats``.
     """
     directed = _directed(edges).cache()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    n_nodes = deg.count()  # materializes both caches; deg rows = node count
-    base = (1.0 - damping) / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    n_df = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        "src", (1.0 / F.col("_n")).alias("rank")
+    )
     out_share = directed.join(deg, "src")
     for _ in range(iterations):
         contrib = out_share.join(ranks, "src").select(
@@ -83,8 +88,15 @@ def pagerank(
         )
         ranks = (
             contrib.groupBy("node")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("share")).alias("rank"))
-            .select(F.col("node").alias("src"), "rank")
+            .agg(F.sum("share").alias("_s"))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.col("node").alias("src"),
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.col("_s")
+                ).alias("rank"),
+            )
         )
     return ranks.select(F.col("src").alias("node"), "rank")
 
@@ -217,12 +229,14 @@ def personalized_pagerank(
     simply keep rank 0 (they are absent from the output)."""
     directed = _directed(edges).cache()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    deg.count()
     src = sources.select(
         F.col(sources.columns[0]).alias("src")
     ).distinct().cache()
-    n_src = src.count()
-    restart = src.select("src", F.lit(1.0 / n_src).alias("restart"))
+    # lazy source count — broadcast 1-row aggregate, no job at plan-build
+    n_src_df = src.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
+    restart = src.crossJoin(F.broadcast(n_src_df)).select(
+        "src", (1.0 / F.col("_ns")).alias("restart")
+    )
     ranks = restart.select("src", F.col("restart").alias("rank"))
     out_share = directed.join(deg, "src")
     for _ in range(iterations):

@@ -199,3 +199,28 @@ def test_fm_isolated_components_do_not_mix(spark):
     assert len(rows) == 4
     for r in rows:
         assert bin(r["fm_mask"]).count("1") <= len(comp[r["node"]])
+
+
+def test_pagerank_builds_without_running_a_job(spark):
+    """Same laziness pin as triangle_stats: pagerank used to run an
+    eager deg.count() at plan build; the node count now rides a
+    broadcast 1-row aggregate."""
+    from bigdata_weather_system_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    sc = spark.sparkContext
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    e.count()
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    pr = pagerank(e, iterations=2)
+    srcs = spark.createDataFrame([(1,)], "node long")
+    ppr = personalized_pagerank(e, srcs, iterations=2)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "pagerank ran a job during plan build"
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert max(ranks, key=ranks.get) == 3  # degree-3 hub
+    assert ppr.count() > 0
