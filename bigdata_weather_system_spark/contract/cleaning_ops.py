@@ -2639,3 +2639,97 @@ def media_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
     )
+
+
+def _stationary_rounds_sql(n_rounds: int) -> str:
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+r{r} AS MATERIALIZED (
+  SELECT m.nxt AS t,
+         list_reduce(list(r{r - 1}.pi * m.p ORDER BY m.cur),
+                     (a, b) -> a + b) AS pi
+  FROM m JOIN r{r - 1} ON r{r - 1}.t = m.cur
+  GROUP BY m.nxt
+)""")
+    return ",".join(rounds)
+
+
+_STATIONARY_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+m AS MATERIALIZED (
+  SELECT prev_type AS cur, event_type AS nxt,
+         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+kk AS (SELECT count(DISTINCT cur) AS k FROM m),
+r0 AS (
+  SELECT cur AS t, 1.0 / kk.k AS pi
+  FROM (SELECT DISTINCT cur FROM m) CROSS JOIN kk
+),
+{_stationary_rounds_sql(8)}
+SELECT t AS event_type, round(pi, 6) AS stationary_prob
+FROM r8
+"""
+
+
+@register("markov_stationary_distribution", oracle=_STATIONARY_ORACLE)
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain — where `event_transition_matrix` says what happens NEXT, this
+    says where the process SPENDS ITS TIME: π = πP via 8 in-plan power-
+    iteration rounds from the uniform start (the steady-state mix a
+    capacity planner provisions for). The matrix relation is
+    types×types (tiny) and rides a lazy localCheckpoint so the one
+    event-scan window pass runs once, not once per round; each round is
+    a ≤k-row join whose per-target accumulation FOLDS over the
+    cur-sorted term list (exactly the BM25/ANOVA order-determinism
+    discipline), so both engines iterate on bit-identical vectors. The
+    oracle unrolls identical MATERIALIZED rounds — the k-core pattern."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = o.groupBy(
+        F.col("prev_type").alias("cur"), F.col("event_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("cur")
+    m = counts.select(
+        "cur",
+        "nxt",
+        (F.col("n") * 1.0 / F.sum("n").over(wrow)).alias("p"),
+    ).localCheckpoint(eager=False)
+    kk = m.select("cur").distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    pi = (
+        m.select("cur").distinct()
+        .crossJoin(F.broadcast(kk))
+        .select(F.col("cur").alias("t"), (1.0 / F.col("k")).alias("pi"))
+    )
+    for _ in range(8):
+        joined = m.join(pi, m.cur == pi.t).select(
+            "nxt", F.struct("cur", (F.col("pi") * F.col("p")).alias("term")).alias("_s")
+        )
+        pi = joined.groupBy("nxt").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("pi")
+        ).select(F.col("nxt").alias("t"), "pi")
+    return pi.select(
+        F.col("t").alias("event_type"),
+        F.round("pi", 6).alias("stationary_prob"),
+    )

@@ -13,7 +13,7 @@ against the exact values in tests/test_llm_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .core import register, _t
 
@@ -289,4 +289,193 @@ def bitmap_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_days = daily.groupBy("event_type").agg(F.sum("du").alias("user_days"))
     return alltime.join(user_days, "event_type").select(
         "event_type", "n_users", "user_days"
+    )
+
+
+_THETA_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    ),
+    sk AS (SELECT * FROM ranked WHERE rk <= 64),
+    stats AS (
+      SELECT event_type, max(n_exact) AS n_exact,
+             count(*) AS n_in_sketch,
+             CASE WHEN max(n_exact) >= 64
+                  THEN max(CASE WHEN rk = 64 THEN h END) * 1.0
+                       / 1152921504606846976
+                  ELSE 1.0 END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    card AS (
+      SELECT event_type, n_exact, theta,
+             CASE WHEN n_exact >= 64 THEN 63.0 / theta
+                  ELSE n_in_sketch * 1.0 END AS n_est
+      FROM stats
+    ),
+    ab AS (
+      SELECT least(ca.theta, cb.theta) AS theta_ab
+      FROM stats ca, stats cb
+      WHERE ca.event_type = 'click' AND cb.event_type = 'purchase'
+    ),
+    inter AS (
+      SELECT count(*) AS c
+      FROM sk a JOIN sk b ON a.h = b.h
+      CROSS JOIN ab
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        AND a.h * 1.0 / 1152921504606846976 < ab.theta_ab
+    ),
+    exact_i AS (
+      SELECT count(*) AS n_overlap_exact FROM (
+        SELECT user_id FROM du WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM du WHERE event_type = 'purchase'
+      )
+    )
+    SELECT cc.n_exact                                  AS n_click_exact,
+           round(cc.n_est, 4)                          AS n_click_est,
+           cp.n_exact                                  AS n_purchase_exact,
+           round(cp.n_est, 4)                          AS n_purchase_est,
+           ei.n_overlap_exact,
+           round(i.c / ab.theta_ab, 4)                 AS n_overlap_est,
+           abs(cc.n_est - cc.n_exact) <= 0.5 * cc.n_exact
+             AND abs(cp.n_est - cp.n_exact) <= 0.5 * cp.n_exact
+                                                       AS card_within_50pct
+    FROM card cc, card cp, inter i, ab, exact_i ei
+    WHERE cc.event_type = 'click' AND cp.event_type = 'purchase'
+    """
+
+
+@register("theta_sketch_user_overlap", oracle=_THETA_ORACLE)
+def theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch (k=64) set operations — the DataSketches-style
+    alternative to HLL where INTERSECTION is a first-class operation
+    instead of error-compounding inclusion-exclusion: each side keeps its
+    k minimum 60-bit md5 hash values, θ = the k-th minimum as a fraction
+    of hash space, cardinality ≈ (k−1)/θ, and the overlap estimate counts
+    shared sketch entries below θ_∩ = min(θ_A, θ_B) scaled by 1/θ_∩.
+    Unlike the HLL contract this sketch is fully DETERMINISTIC (md5
+    order), so the oracle checks exact VALUES, not just an error band;
+    the ±50% bound (k=64 ⇒ σ≈13%) rides along as a self-documenting
+    boolean. Scale: the sketch relation is ≤k rows per side regardless of
+    corpus size (partial row_number via WindowGroupLimit), every
+    downstream join touches ≤k rows, and sketches of shards merge by
+    keeping the k smallest of the union — the mergeability that makes
+    this the warehouse-standard distinct-set algebra."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    two60 = 1152921504606846976  # 2^60
+    hashed = du.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    sk = ranked.filter(F.col("rk") <= 64)
+    stats = sk.groupBy("event_type").agg(
+        F.max("n_exact").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.when(
+            F.max("n_exact") >= 64,
+            F.max(F.when(F.col("rk") == 64, F.col("h"))) * 1.0 / two60,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("theta"),
+    )
+    card = stats.select(
+        "event_type",
+        "n_exact",
+        "theta",
+        F.when(F.col("n_exact") >= 64, 63.0 / F.col("theta"))
+        .otherwise(F.col("n_in_sketch") * 1.0)
+        .alias("n_est"),
+    )
+    cc = card.filter(F.col("event_type") == "click").select(
+        F.col("n_exact").alias("n_click_exact"),
+        F.col("n_est").alias("click_est"),
+        F.col("theta").alias("theta_a"),
+    )
+    cp = card.filter(F.col("event_type") == "purchase").select(
+        F.col("n_exact").alias("n_purchase_exact"),
+        F.col("n_est").alias("purchase_est"),
+        F.col("theta").alias("theta_b"),
+    )
+    ab = cc.crossJoin(cp).select(
+        "n_click_exact",
+        "click_est",
+        "n_purchase_exact",
+        "purchase_est",
+        F.least("theta_a", "theta_b").alias("theta_ab"),
+    )
+    ska = sk.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ha")
+    )
+    skb = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb")
+    )
+    inter = (
+        ska.join(skb, ska.ha == skb.hb)
+        .crossJoin(F.broadcast(ab.select("theta_ab")))
+        .filter(F.col("ha") * 1.0 / two60 < F.col("theta_ab"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_i = (
+        du.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            du.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    return (
+        ab.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            "n_click_exact",
+            F.round("click_est", 4).alias("n_click_est"),
+            "n_purchase_exact",
+            F.round("purchase_est", 4).alias("n_purchase_est"),
+            "n_overlap_exact",
+            F.round(F.col("c") / F.col("theta_ab"), 4).alias(
+                "n_overlap_est"
+            ),
+            (
+                (
+                    F.abs(F.col("click_est") - F.col("n_click_exact"))
+                    <= 0.5 * F.col("n_click_exact")
+                )
+                & (
+                    F.abs(
+                        F.col("purchase_est") - F.col("n_purchase_exact")
+                    )
+                    <= 0.5 * F.col("n_purchase_exact")
+                )
+            ).alias("card_within_50pct"),
+        )
     )
