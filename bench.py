@@ -275,6 +275,23 @@ BENCH_QUERIES = [
     "event_naive_bayes_eval",
     "l_diversity_audit",
     "forecast_scaled_error_metrics",
+    # round-3 waves 4-6: causal/parametric/state-space/basket/fusion,
+    # multimodal motion, privacy triad, PIT hygiene, sketch algebra,
+    # layout planning, Markov steady state
+    "basket_brand_association_rules",
+    "welch_ttest_purchase_vs_click",
+    "anova_value_by_type",
+    "stratified_ate_purchase",
+    "kalman_filter_value_per_user",
+    "retrieval_rrf_fusion",
+    "media_motion_energy",
+    "t_closeness_audit",
+    "label_leakage_audit",
+    "business_days_to_ship",
+    "theta_sketch_user_overlap",
+    "zorder_pruning_benefit",
+    "markov_stationary_distribution",
+    "markov_removal_attribution",
 ]
 
 

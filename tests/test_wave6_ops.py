@@ -116,3 +116,66 @@ def test_markov_stationary_matches_numpy(spark):
     for s, i in idx.items():
         assert abs(got[s] - pi[i]) < 1e-5, s
     assert abs(sum(got.values()) - pi.sum()) < 1e-4
+
+
+def test_markov_removal_attribution_matches_numpy(spark):
+    from bigdata_weather_system_spark.contract.attribution_ops import (
+        _CHANNELS,
+        markov_removal_attribution,
+    )
+
+    got = {
+        r["channel"]: r.asDict()
+        for r in markov_removal_attribution(spark, TEST_SF_DIR).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    states = sorted(["START", "CONV", "DROP"] + _CHANNELS)
+    idx = {s: i for i, s in enumerate(states)}
+    counts = np.zeros((len(states), len(states)))
+    for seq in by_user.values():
+        seq.sort()
+        conv = next((t for t, _, e in seq if e == "purchase"), None)
+        path = ["START"] + [
+            e for t, _, e in seq if e in _CHANNELS and (conv is None or t < conv)
+        ] + (["CONV"] if conv is not None else ["DROP"])
+        for a, b in zip(path, path[1:]):
+            counts[idx[a], idx[b]] += 1
+    counts[idx["CONV"], idx["CONV"]] = 1
+    counts[idx["DROP"], idx["DROP"]] = 1
+
+    def absorption(c):
+        m = counts.copy()
+        if c is not None:
+            # unmerged redirect: all mass into c goes to DROP
+            m[:, idx["DROP"]] += m[:, idx[c]]
+            m[:, idx[c]] = 0
+            m[idx[c], :] = 0
+        P = np.divide(
+            m, m.sum(axis=1, keepdims=True),
+            out=np.zeros_like(m), where=m.sum(axis=1, keepdims=True) > 0,
+        )
+        v = np.zeros(len(states))
+        v[idx["START"]] = 1.0
+        for _ in range(12):
+            v = v @ P
+        return v[idx["CONV"]]
+
+    p_full = absorption(None)
+    effects = {c: 1.0 - absorption(c) / p_full for c in _CHANNELS}
+    tot = sum(effects[c] for c in sorted(_CHANNELS))
+    for c in _CHANNELS:
+        assert abs(got[c]["p_conv_full"] - p_full) < 1e-5, c
+        assert abs(got[c]["removal_effect"] - effects[c]) < 1e-5, c
+        assert abs(got[c]["attribution_share"] - effects[c] / tot) < 1e-4
+    # removal of a channel can only hurt or not help conversion
+    for c in _CHANNELS:
+        assert got[c]["removal_effect"] >= -1e-9
