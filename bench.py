@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "zorder_pruning_benefit",
     "markov_stationary_distribution",
     "markov_removal_attribution",
+    "hampel_filter_anomalies",
+    "part_reorder_points",
+    "embedding_truncation_recall",
 ]
 
 

@@ -1320,3 +1320,195 @@ def kendall_tau_value_time_per_user(
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "hampel_filter_anomalies",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.user_id, c.event_id AS center_id, c.value AS center_v,
+             c.rn, m.value AS member_v
+      FROM o c
+      JOIN o m ON m.user_id = c.user_id
+              AND m.rn BETWEEN c.rn - 3 AND c.rn + 3
+    ),
+    med AS (
+      SELECT user_id, center_id, rn,
+             max(center_v) AS center_v,
+             count(*) AS n_frame,
+             quantile_cont(member_v, 0.5) AS frame_median
+      FROM pairs GROUP BY user_id, center_id, rn
+    ),
+    mad AS (
+      SELECT p.user_id, p.center_id,
+             max(m.center_v)     AS value,
+             max(m.n_frame)      AS n_frame,
+             max(m.frame_median) AS frame_median,
+             quantile_cont(abs(p.member_v - m.frame_median), 0.5) AS fmad
+      FROM pairs p
+      JOIN med m ON m.user_id = p.user_id AND m.center_id = p.center_id
+      GROUP BY p.user_id, p.center_id
+    )
+    SELECT user_id, center_id AS event_id, value,
+           CAST(n_frame AS BIGINT)      AS n_frame,
+           round(frame_median, 6)       AS frame_median,
+           round(fmad, 6)               AS frame_mad
+    FROM mad
+    WHERE fmad > 0
+      AND abs(value - frame_median) > 3 * 1.4826 * fmad
+    """,
+)
+def hampel_filter_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter — the ROBUST sibling of `rolling_zscore_anomalies`:
+    each value is compared against the median ± 3·1.4826·MAD of its
+    ±3-row neighborhood, so a burst of outliers cannot poison its own
+    detection threshold the way it poisons a rolling mean/stddev. The
+    per-frame MAD needs the median of deviations FROM THAT FRAME'S
+    median, which no single window pass can express — so the frame is
+    materialized as an explicit ±3-offset equi-join (explode of 7
+    literal offsets; 7× fan-out, two hash aggregations, everything
+    partitioned by user). Replacement value = frame median. Frames at
+    sequence edges shrink naturally (the join finds fewer members) —
+    identical semantics both engines; zero-MAD frames are skipped
+    (dominated by a constant run, no robust scale to test against)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+    )
+    offsets = F.array(*[F.lit(i) for i in range(-3, 4)])
+    centers = o.select(
+        "user_id",
+        F.col("event_id").alias("center_id"),
+        F.col("value").alias("center_v"),
+        "rn",
+        F.explode(offsets).alias("off"),
+    ).select(
+        "user_id",
+        "center_id",
+        "center_v",
+        "rn",
+        (F.col("rn") + F.col("off")).alias("member_rn"),
+    )
+    members = o.select(
+        "user_id",
+        F.col("rn").alias("member_rn"),
+        F.col("value").alias("member_v"),
+    )
+    pairs = centers.join(members, ["user_id", "member_rn"])
+    med = pairs.groupBy("user_id", "center_id").agg(
+        F.max("center_v").alias("center_v"),
+        F.count(F.lit(1)).alias("n_frame"),
+        F.expr("percentile(member_v, 0.5)").alias("frame_median"),
+    )
+    mad = (
+        pairs.join(
+            med.select("user_id", "center_id", "frame_median"),
+            ["user_id", "center_id"],
+        )
+        .groupBy("user_id", "center_id")
+        .agg(
+            F.expr(
+                "percentile(abs(member_v - frame_median), 0.5)"
+            ).alias("fmad"),
+        )
+    )
+    out = med.join(mad, ["user_id", "center_id"])
+    return out.filter(
+        (F.col("fmad") > 0)
+        & (
+            F.abs(F.col("center_v") - F.col("frame_median"))
+            > 3 * 1.4826 * F.col("fmad")
+        )
+    ).select(
+        "user_id",
+        F.col("center_id").alias("event_id"),
+        F.col("center_v").alias("value"),
+        F.col("n_frame").cast("long").alias("n_frame"),
+        F.round("frame_median", 6).alias("frame_median"),
+        F.round("fmad", 6).alias("frame_mad"),
+    )
+
+
+@register(
+    "embedding_truncation_recall",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    full_sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS s
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    tr_sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                     (q.embedding::DOUBLE[])[1:16],
+                     (c.embedding::DOUBLE[])[1:16]), 6) AS s
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM full_sc) WHERE rn <= 10
+    ),
+    tr_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM tr_sc) WHERE rn <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_common,
+           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM full_top f
+    LEFT JOIN tr_top t ON t.query_id = f.query_id
+                      AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation audit: top-10 cosine recall of
+    16-dim-truncated embeddings against the full-dimension ranking, per
+    query vector — the measurement that decides whether a cheaper
+    truncated index tier (stored prefix dims, MRL-trained or not) can
+    serve first-stage retrieval with full-dim rerank. Both rankings use
+    the exact brute-force operator (linear in corpus × 20 queries — the
+    bounded-query evaluation shape); the truncated side is the same
+    operator over `slice(embedding, 1, 16)`. Ranked on rounded cosine
+    with id tie-breaks, so the ranking is engine-identical."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    full_top = cosine_topk_bruteforce(e, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = e16.filter(F.col("vec_id") < 20)
+    tr_top = (
+        cosine_topk_bruteforce(e16, q16, k=10)
+        .select(
+            F.col("query_id").alias("tq"),
+            F.col("neighbor_id").alias("tn"),
+        )
+    )
+    joined = full_top.join(
+        tr_top,
+        (F.col("query_id") == F.col("tq"))
+        & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("tn").cast("long").alias("n_common"),
+        F.round(F.count("tn") / 10.0, 4).alias("recall_at_10"),
+    )

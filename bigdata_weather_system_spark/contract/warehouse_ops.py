@@ -423,3 +423,65 @@ def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_within_5bd"),
     )
+
+
+@register(
+    "part_reorder_points",
+    oracle="""
+    WITH daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+             sum(l_quantity) AS demand
+      FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+    ),
+    stats AS (
+      SELECT l_partkey,
+             count(*) AS n_days,
+             avg(demand) AS mean_daily,
+             stddev_samp(demand) AS sd_daily
+      FROM daily GROUP BY l_partkey
+      HAVING count(*) >= 5
+    )
+    SELECT l_partkey,
+           CAST(n_days AS BIGINT)                          AS n_days,
+           round(mean_daily, 6)                            AS mean_daily,
+           round(sd_daily, 6)                              AS sd_daily,
+           round(1.64 * sd_daily * sqrt(7), 6)             AS safety_stock,
+           round(mean_daily * 7 + 1.64 * sd_daily * sqrt(7), 6)
+                                                           AS reorder_point
+    FROM stats
+    """,
+)
+def part_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory reorder points per part (lead time L=7 days, 95%
+    service level z=1.64): ROP = μ_daily·L + z·σ_daily·√L — the planning
+    output downstream of `part_inventory_turns`. Daily demand is the
+    per-(part, ship-day) quantity sum over OBSERVED demand days (sparse
+    calendar by construction — the σ is demand-day variability, stated
+    rather than zero-filled; a dense-calendar variant just left-joins a
+    day spine first). Two hash aggregations, both partial-aggregated;
+    √L is a compile-time scalar. Parts below 5 observed days are
+    excluded — no meaningful σ."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum("l_quantity").alias("demand"))
+    stats = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg("demand").alias("mean_daily"),
+            F.stddev_samp("demand").alias("sd_daily"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+    safety = 1.64 * F.col("sd_daily") * F.sqrt(F.lit(7.0))
+    return stats.select(
+        "l_partkey",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("mean_daily", 6).alias("mean_daily"),
+        F.round("sd_daily", 6).alias("sd_daily"),
+        F.round(safety, 6).alias("safety_stock"),
+        F.round(F.col("mean_daily") * 7 + safety, 6).alias(
+            "reorder_point"
+        ),
+    )
