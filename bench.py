@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "hampel_filter_anomalies",
     "part_reorder_points",
     "embedding_truncation_recall",
+    "nelson_aalen_hazard",
+    "functional_dependency_audit",
+    "doc_query_likelihood_search",
 ]
 
 

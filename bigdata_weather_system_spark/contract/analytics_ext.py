@@ -4266,3 +4266,105 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev").over(wc), 2).alias("cum_revenue"),
         F.round(F.sum("rev").over(wc) / F.col("cohort_size"), 6).alias("ltv_per_user"),
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS start_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS buy_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT CASE WHEN buy_ts IS NOT NULL
+                  THEN round(epoch(buy_ts) - epoch(start_ts), 3)
+                  ELSE round(epoch(last_ts) - epoch(start_ts), 3) END AS t,
+             (buy_ts IS NOT NULL)::INT AS observed
+      FROM per_user
+      WHERE epoch(last_ts) > epoch(start_ts)
+    ),
+    ev_t AS (
+      SELECT t, count(*) AS cnt, sum(observed) AS d
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             sum(cnt) OVER (ORDER BY t
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM ev_t
+    )
+    SELECT t AS duration_s,
+           CAST(d AS BIGINT)       AS n_events,
+           CAST(n_risk AS BIGINT)  AS n_at_risk,
+           round(sum(d * 1.0 / n_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+                                   AS cum_hazard,
+           round(sum(d * 1.0 / (n_risk * n_risk))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+                                   AS hazard_var,
+           round(exp(-sum(d * 1.0 / n_risk)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+                                   AS na_survival
+    FROM risk WHERE d > 0
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator for time-to-first-
+    purchase — the hazard-space companion of `km_time_to_purchase`
+    (KM multiplies survival factors; NA sums d/n hazard increments, is
+    defined even when a risk set empties, and carries the standard
+    Σ d/n² variance). Censoring = users with no purchase, censored at
+    their last event. The risk set is a REVERSE cumulative count over
+    the per-duration aggregate (no correlated subquery, no self-join),
+    and both running sums are frame-ordered — the one reproducible
+    float-sum shape — so the only libm call (exp) lands on identical
+    inputs and is rounded to 6dp. Scale: events reduce to one row per
+    user then one per distinct duration; the windows run over the
+    duration relation, not the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("buy_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    end_ts = F.coalesce(F.col("buy_ts"), F.col("last_ts"))
+    durations = per_user.filter(
+        F.col("last_ts").cast("double") > F.col("start_ts").cast("double")
+    ).select(
+        F.round(
+            end_ts.cast("double") - F.col("start_ts").cast("double"), 3
+        ).alias("t"),
+        F.col("buy_ts").isNotNull().cast("int").alias("observed"),
+    )
+    ev_t = durations.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("observed").alias("d")
+    )
+    w_rev = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = ev_t.select(
+        "t", "d", F.sum("cnt").over(w_rev).alias("n_risk")
+    )
+    haz = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(w_fwd)
+    return risk.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_s"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.round(haz, 6).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d") * 1.0 / (F.col("n_risk") * F.col("n_risk"))
+            ).over(w_fwd),
+            6,
+        ).alias("hazard_var"),
+        F.round(F.exp(-haz), 6).alias("na_survival"),
+    )

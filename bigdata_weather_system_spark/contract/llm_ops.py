@@ -2442,3 +2442,154 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "avg_log_ratio",
         (F.row_number().over(w) <= 100).alias("selected"),
     )
+
+
+_QL_TERMS = ("spark", "join", "vector")
+_QL_MU = 300.0
+
+_QL_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+corpus AS (
+  SELECT sum(dl)::DOUBLE AS c_len FROM base
+),
+allhits AS (
+  SELECT doc_id, dl, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+  GROUP BY doc_id, dl, tok
+),
+cfreq AS (
+  SELECT term, sum(tf)::DOUBLE AS ctf FROM allhits
+  WHERE term IN ('spark', 'join', 'vector') GROUP BY term
+),
+hits AS (
+  SELECT h.doc_id, h.term, h.tf, c.ctf
+  FROM allhits h JOIN cfreq c USING (term)
+  WHERE h.term IN ('spark', 'join', 'vector')
+),
+present AS (
+  SELECT h.doc_id,
+         list_reduce(
+           list(ln(h.tf + {_QL_MU} * h.ctf / co.c_len)
+                - ln({_QL_MU} * h.ctf / co.c_len) ORDER BY h.term),
+           (a, b) -> a + b) AS bonus,
+         count(*) AS n_matched_terms
+  FROM hits h CROSS JOIN corpus co
+  GROUP BY h.doc_id
+),
+scored AS (
+  SELECT b.doc_id,
+         coalesce(p.bonus, 0.0)
+         + (SELECT list_reduce(
+              list(ln({_QL_MU} * ctf / co.c_len) ORDER BY term),
+              (a, b) -> a + b)
+            FROM cfreq CROSS JOIN corpus co)
+         - 3 * ln(b.dl + {_QL_MU}) AS ql,
+         coalesce(p.n_matched_terms, 0) AS n_matched_terms
+  FROM base b LEFT JOIN present p ON p.doc_id = b.doc_id
+)
+SELECT doc_id, round(ql, 6) AS ql_score,
+       CAST(n_matched_terms AS BIGINT) AS n_matched_terms
+FROM scored
+ORDER BY round(ql, 6) DESC, doc_id LIMIT 20
+"""
+
+
+@register("doc_query_likelihood_search", oracle=_QL_ORACLE)
+def doc_query_likelihood_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (μ=300) — the
+    language-modeling scorer that completes the lexical-retrieval trio
+    with `doc_bm25_search` and `retrieval_rrf_fusion`:
+    score(d) = Σ_t ln((tf + μ·P(t|C)) / (dl + μ)). Unlike BM25 every
+    document scores (absent terms contribute the smoothed background),
+    but the doc-varying part decomposes into a PRESENT-TERM bonus
+    (term-filtered explode, the BM25 relational skeleton) plus a
+    per-doc −|Q|·ln(dl+μ) length penalty and a query-constant background
+    sum — so the shuffled relation is |docs ∩ terms| rows, never the
+    token stream, and the corpus-wide scalars ride 1-row cross joins.
+    Present-term and background folds run in sorted term order
+    (bit-identical both engines); ln is libm but lands on identical
+    inputs, rounded at 6dp before ranking."""
+    from ..operators.text import tokens as _tok
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.size(_tok(F.col("text"))).alias("dl"),
+        _tok(F.col("text")).alias("toks"),
+    )
+    corpus = base.agg(F.sum("dl").cast("double").alias("c_len"))
+    exploded = base.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*_QL_TERMS))
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cfreq = tf.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("ctf")
+    )
+    hits = tf.join(F.broadcast(cfreq), "term").crossJoin(
+        F.broadcast(corpus)
+    )
+    mu = F.lit(_QL_MU)
+    term_bonus = F.log(
+        F.col("tf") + mu * F.col("ctf") / F.col("c_len")
+    ) - F.log(mu * F.col("ctf") / F.col("c_len"))
+    present = (
+        hits.select(
+            "doc_id", F.struct("term", term_bonus.alias("b")).alias("_s")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["b"],
+            ).alias("bonus"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    background = (
+        cfreq.crossJoin(F.broadcast(corpus))
+        .select(
+            F.struct(
+                "term",
+                F.log(mu * F.col("ctf") / F.col("c_len")).alias("b"),
+            ).alias("_s")
+        )
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["b"],
+            ).alias("bg")
+        )
+    )
+    scored = (
+        base.select("doc_id", "dl")
+        .join(present, "doc_id", "left")
+        .crossJoin(F.broadcast(background))
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("bonus"), F.lit(0.0))
+                + F.col("bg")
+                - 3 * F.log(F.col("dl") + mu)
+            ).alias("ql"),
+            F.coalesce(F.col("n_matched_terms"), F.lit(0)).alias(
+                "n_matched_terms"
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("ql", 6).alias("ql_score"),
+            F.col("n_matched_terms").cast("long").alias(
+                "n_matched_terms"
+            ),
+        )
+        .orderBy(F.col("ql_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

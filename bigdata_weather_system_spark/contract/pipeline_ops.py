@@ -620,3 +620,75 @@ def label_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_grain_leak_rate"),
         F.round(F.avg(lead_h) / 3600, 6).alias("avg_lead_hours"),
     )
+
+
+_FD_CANDIDATES = [
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for table, x, y in _FD_CANDIDATES:
+        selects.append(f"""
+    SELECT '{table}' AS tbl, '{x}' AS determinant, '{y}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN ndv > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violation,
+           round(1.0 - sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS fd_strength
+    FROM (SELECT {x}, count(DISTINCT {y}) AS ndv, count(*) AS n
+          FROM {table} GROUP BY {x})""")
+    return " UNION ALL ".join(selects)
+
+
+@register("functional_dependency_audit", oracle=_fd_oracle())
+def functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency profiling — the schema-inference /
+    data-quality pass that tells a modeler which columns are really
+    determined by which keys: for each candidate X→Y, the share of
+    X-groups carrying more than one distinct Y (an exact FD has
+    strength 1.0; `l_orderkey → o_orderstatus`-style dimension FDs hold,
+    fact-to-fact candidates like `l_partkey → l_suppkey` measurably
+    don't). One groupBy + distinct-count per candidate, unioned — each
+    partial-aggregates per key; candidates are a static audit list, so
+    the plan is a fixed-width union, linear per candidate."""
+    pieces = []
+    for table, x, y in _FD_CANDIDATES:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(x).agg(
+            F.countDistinct(y).alias("ndv"), F.count(F.lit(1)).alias("n")
+        )
+        pieces.append(
+            g.agg(
+                F.lit(table).alias("tbl"),
+                F.lit(x).alias("determinant"),
+                F.lit(y).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("ndv") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.sum(F.when(F.col("ndv") > 1, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("n_rows_in_violation"),
+                F.round(
+                    1.0
+                    - F.sum((F.col("ndv") > 1).cast("long"))
+                    * 1.0
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("fd_strength"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
