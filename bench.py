@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "nelson_aalen_hazard",
     "functional_dependency_audit",
     "doc_query_likelihood_search",
+    "gmm_em_value_mixture",
 ]
 
 

@@ -99,3 +99,166 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive)."""
     emb = _t(spark, sf_dir, "embeddings")
     return power_iteration_top_component(emb, "embedding", _DIM, iterations=_ITERS)
+
+
+_GMM_ITERS = 5
+_TWO_PI = "6.283185307179586"
+
+
+def _gmm_oracle() -> str:
+    parts = ["""
+WITH vals AS MATERIALIZED (
+  SELECT value AS x FROM events WHERE value IS NOT NULL
+),
+p0 AS (
+  SELECT 0.5 AS w2,
+         round(quantile_cont(x, 0.25), 9) AS mu1,
+         round(quantile_cont(x, 0.75), 9) AS mu2,
+         round(pow(quantile_cont(x, 0.75)
+                   - quantile_cont(x, 0.25), 2), 9) AS s1,
+         round(pow(quantile_cont(x, 0.75)
+                   - quantile_cont(x, 0.25), 2), 9) AS s2
+  FROM vals
+)"""]
+    for k in range(1, _GMM_ITERS + 1):
+        parts.append(f""",
+e{k} AS MATERIALIZED (
+  SELECT x,
+         CASE WHEN
+           (1.0 - p.w2) * exp(-(x - p.mu1) * (x - p.mu1) / (2 * p.s1))
+             / sqrt({_TWO_PI} * p.s1)
+           + p.w2 * exp(-(x - p.mu2) * (x - p.mu2) / (2 * p.s2))
+             / sqrt({_TWO_PI} * p.s2) > 0
+         THEN
+           p.w2 * exp(-(x - p.mu2) * (x - p.mu2) / (2 * p.s2))
+             / sqrt({_TWO_PI} * p.s2)
+           / ((1.0 - p.w2) * exp(-(x - p.mu1) * (x - p.mu1) / (2 * p.s1))
+                / sqrt({_TWO_PI} * p.s1)
+              + p.w2 * exp(-(x - p.mu2) * (x - p.mu2) / (2 * p.s2))
+                / sqrt({_TWO_PI} * p.s2))
+         ELSE 0.5 END AS r2
+  FROM vals CROSS JOIN p{k - 1} p
+),
+p{k} AS MATERIALIZED (
+  SELECT round(avg(r2), 9) AS w2,
+         round(sum((1 - r2) * x) / sum(1 - r2), 9) AS mu1,
+         round(sum(r2 * x) / sum(r2), 9) AS mu2,
+         round(sum((1 - r2) * x * x) / sum(1 - r2)
+               - pow(sum((1 - r2) * x) / sum(1 - r2), 2), 9) AS s1,
+         round(sum(r2 * x * x) / sum(r2)
+               - pow(sum(r2 * x) / sum(r2), 2), 9) AS s2
+  FROM e{k}
+)""")
+    parts.append(f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vals) AS n_rows,
+       round(1.0 - w2, 6) AS weight_1,
+       round(w2, 6)       AS weight_2,
+       round(mu1, 6)      AS mean_1,
+       round(mu2, 6)      AS mean_2,
+       round(sqrt(s1), 6) AS sd_1,
+       round(sqrt(s2), 6) AS sd_2
+FROM p{_GMM_ITERS}""")
+    return "".join(parts)
+
+
+@register("gmm_em_value_mixture", oracle=_gmm_oracle())
+def gmm_em_value_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan EM for a 2-component 1-D Gaussian mixture over event
+    values — distribution decomposition (bimodality detection, soft
+    thresholding) as a FIXED 5-round declarative pipeline, no driver
+    loop, no MLlib. Deterministic init from exact quartiles (μ = p25 /
+    p75, σ² = IQR², w = ½); each E-step is pure per-row column math
+    against the broadcast 1-row parameter relation; each M-step is one
+    partially-aggregated scan producing 6 raw-moment sums. Parameters
+    are rounded to 9dp per round — the PCA-family discipline that makes
+    both engines (and any shuffle order) iterate from identical
+    parameters: the ≤1-ulp libm/accumulation noise (relative ~1e-14)
+    sits far below the 1e-9 absolute round at these magnitudes. A
+    zero-density guard assigns r=0.5 where both components underflow.
+    Scale: 5 scans of the (checkpointed) value column + 5 one-row
+    aggregates; state is 5 doubles."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .select(F.col("value").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    two_pi = float(_TWO_PI)
+    q = vals.agg(
+        F.expr("percentile(x, 0.25)").alias("q25"),
+        F.expr("percentile(x, 0.75)").alias("q75"),
+    )
+    params = q.select(
+        F.lit(0.5).alias("w2"),
+        F.round(F.col("q25"), 9).alias("mu1"),
+        F.round(F.col("q75"), 9).alias("mu2"),
+        F.round(F.pow(F.col("q75") - F.col("q25"), 2), 9).alias("s1"),
+        F.round(F.pow(F.col("q75") - F.col("q25"), 2), 9).alias("s2"),
+    )
+    for _ in range(_GMM_ITERS):
+        joined = vals.crossJoin(F.broadcast(params))
+        d1 = (
+            (1.0 - F.col("w2"))
+            * F.exp(
+                -(F.col("x") - F.col("mu1"))
+                * (F.col("x") - F.col("mu1"))
+                / (2 * F.col("s1"))
+            )
+            / F.sqrt(two_pi * F.col("s1"))
+        )
+        d2 = (
+            F.col("w2")
+            * F.exp(
+                -(F.col("x") - F.col("mu2"))
+                * (F.col("x") - F.col("mu2"))
+                / (2 * F.col("s2"))
+            )
+            / F.sqrt(two_pi * F.col("s2"))
+        )
+        e = joined.select(
+            "x",
+            F.when(d1 + d2 > 0, d2 / (d1 + d2))
+            .otherwise(F.lit(0.5))
+            .alias("r2"),
+        )
+        params = e.agg(
+            F.round(F.avg("r2"), 9).alias("w2"),
+            F.round(
+                F.sum((1 - F.col("r2")) * F.col("x"))
+                / F.sum(1 - F.col("r2")),
+                9,
+            ).alias("mu1"),
+            F.round(
+                F.sum(F.col("r2") * F.col("x")) / F.sum("r2"), 9
+            ).alias("mu2"),
+            F.round(
+                F.sum((1 - F.col("r2")) * F.col("x") * F.col("x"))
+                / F.sum(1 - F.col("r2"))
+                - F.pow(
+                    F.sum((1 - F.col("r2")) * F.col("x"))
+                    / F.sum(1 - F.col("r2")),
+                    2,
+                ),
+                9,
+            ).alias("s1"),
+            F.round(
+                F.sum(F.col("r2") * F.col("x") * F.col("x"))
+                / F.sum("r2")
+                - F.pow(
+                    F.sum(F.col("r2") * F.col("x")) / F.sum("r2"), 2
+                ),
+                9,
+            ).alias("s2"),
+        )
+    n = vals.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return params.crossJoin(F.broadcast(n)).select(
+        "n_rows",
+        F.round(1.0 - F.col("w2"), 6).alias("weight_1"),
+        F.round(F.col("w2"), 6).alias("weight_2"),
+        F.round(F.col("mu1"), 6).alias("mean_1"),
+        F.round(F.col("mu2"), 6).alias("mean_2"),
+        F.round(F.sqrt(F.col("s1")), 6).alias("sd_1"),
+        F.round(F.sqrt(F.col("s2")), 6).alias("sd_2"),
+    )

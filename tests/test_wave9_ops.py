@@ -123,3 +123,60 @@ def test_query_likelihood_matches_python(spark):
     assert set(got) == {did for _, did, _ in top}
     for _, did, s in top:
         assert abs(got[did]["ql_score"] - s) < 2e-6, did
+
+
+def test_gmm_em_matches_numpy(spark):
+    from bigdata_weather_system_spark.contract.pca_ops import (
+        gmm_em_value_mixture,
+    )
+
+    got = _rows(gmm_em_value_mixture(spark, TEST_SF_DIR))[0]
+    x = np.array(
+        [
+            r.value
+            for r in spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+            .filter("value IS NOT NULL")
+            .select("value")
+            .collect()
+        ]
+    )
+    q25, q75 = np.percentile(x, 25), np.percentile(x, 75)
+    w2, mu1, mu2 = 0.5, round(q25, 9), round(q75, 9)
+    s1 = s2 = round((q75 - q25) ** 2, 9)
+    two_pi = 6.283185307179586
+    for _ in range(5):
+        d1 = (1 - w2) * np.exp(-((x - mu1) ** 2) / (2 * s1)) / np.sqrt(
+            two_pi * s1
+        )
+        d2 = w2 * np.exp(-((x - mu2) ** 2) / (2 * s2)) / np.sqrt(
+            two_pi * s2
+        )
+        denom = d1 + d2
+        r2 = np.where(denom > 0, d2 / np.where(denom > 0, denom, 1), 0.5)
+        w2 = round(float(r2.mean()), 9)
+        mu1 = round(float(((1 - r2) * x).sum() / (1 - r2).sum()), 9)
+        mu2 = round(float((r2 * x).sum() / r2.sum()), 9)
+        s1 = round(
+            float(
+                ((1 - r2) * x * x).sum() / (1 - r2).sum()
+                - (((1 - r2) * x).sum() / (1 - r2).sum()) ** 2
+            ),
+            9,
+        )
+        s2 = round(
+            float(
+                (r2 * x * x).sum() / r2.sum()
+                - ((r2 * x).sum() / r2.sum()) ** 2
+            ),
+            9,
+        )
+    assert got["n_rows"] == len(x)
+    assert abs(got["weight_2"] - w2) < 1e-5
+    assert abs(got["mean_1"] - mu1) < 1e-4
+    assert abs(got["mean_2"] - mu2) < 1e-4
+    assert abs(got["sd_1"] - np.sqrt(s1)) < 1e-4
+    assert abs(got["sd_2"] - np.sqrt(s2)) < 1e-4
+    # mixture sanity: weights form a distribution, components separate
+    assert abs(got["weight_1"] + got["weight_2"] - 1.0) < 1e-9
+    assert got["sd_1"] > 0 and got["sd_2"] > 0
+    assert got["mean_1"] < got["mean_2"]
