@@ -405,3 +405,54 @@ def test_dsir_scoring_broadcasts_ratio_table(spark):
     plan = plan_of(spark, "doc_dsir_selection")
     # the 256-row log-ratio relation must broadcast onto the token stream
     assert "BroadcastHashJoin" in plan
+
+
+# --- round-3 waves 4-10 ----------------------------------------------------
+
+
+def test_theta_sketch_uses_window_group_limit_and_broadcasts(spark):
+    plan = plan_of(spark, "theta_sketch_user_overlap")
+    # partial top-64 per side before any shuffle (Partial + Final × 2 arms)
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "SortMergeJoin" not in plan  # every join is <=k-row broadcast
+
+
+def test_basket_rules_broadcast_dims_and_partial_agg(spark):
+    plan = plan_of(spark, "basket_brand_association_rules")
+    # part dim + item supports + order total all ride broadcasts
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "partial_count" in plan
+    # at most the orderkey self-join may sort-merge (big-by-big)
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_rrf_fusion_takes_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "retrieval_rrf_fusion")
+    # each BM25 arm's top-50 plus the final top-20 are heap cuts
+    assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_welch_is_single_scan_single_exchange(spark):
+    plan = plan_of(spark, "welch_ttest_purchase_vs_click")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1  # one 1-row final agg shuffle
+    assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_motion_energy_is_pure_map_stage(spark):
+    plan = plan_of(spark, "media_motion_energy")
+    assert plan.count("Exchange") == 0  # decode+diff never shuffles
+    assert plan.count("MapInPandas") == 2  # fabricate + motion kernel
+    assert "BatchEvalPython" not in plan  # Arrow, never row-Python
+
+
+def test_hampel_partial_aggregates(spark):
+    plan = plan_of(spark, "hampel_filter_anomalies")
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gmm_em_has_no_python_stage(spark):
+    plan = plan_of(spark, "gmm_em_value_mixture")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # EM is pure column math + aggs
