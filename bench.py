@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "functional_dependency_audit",
     "doc_query_likelihood_search",
     "gmm_em_value_mixture",
+    "reconciled_weekly_forecast",
 ]
 
 

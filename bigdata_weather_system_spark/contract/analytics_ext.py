@@ -4368,3 +4368,121 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hazard_var"),
         F.round(F.exp(-haz), 6).alias("na_survival"),
     )
+
+
+@register(
+    "reconciled_weekly_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             round(sum(value), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lastday AS (SELECT max(d) AS mx FROM daily),
+    base AS (
+      SELECT dd.event_type, h.h AS horizon_day,
+             coalesce(dd.v, 0.0) AS fc_bottom
+      FROM (SELECT unnest(range(1, 8)) AS h) h
+      CROSS JOIN lastday l
+      LEFT JOIN daily dd
+        ON dd.d = l.mx - INTERVAL 7 DAY + h.h * INTERVAL 1 DAY
+      WHERE dd.event_type IS NOT NULL
+    ),
+    topf AS (
+      SELECT h.h AS horizon_day,
+             round(sum(coalesce(dt.v, 0.0)), 6) AS fc_top
+      FROM (SELECT unnest(range(1, 8)) AS h) h
+      CROSS JOIN lastday l
+      LEFT JOIN daily dt
+        ON dt.d = l.mx - INTERVAL 14 DAY + h.h * INTERVAL 1 DAY
+      GROUP BY h.h
+    ),
+    bsum AS (
+      SELECT horizon_day, round(sum(fc_bottom), 6) AS s
+      FROM base GROUP BY horizon_day
+    )
+    SELECT b.event_type,
+           CAST(b.horizon_day AS BIGINT) AS horizon_day,
+           round(b.fc_bottom, 6) AS base_forecast,
+           round(t.fc_top * b.fc_bottom / s.s, 6) AS reconciled_forecast,
+           round(t.fc_top, 6) AS top_forecast
+    FROM base b
+    JOIN bsum s USING (horizon_day)
+    JOIN topf t USING (horizon_day)
+    WHERE s.s > 0
+    """,
+)
+def reconciled_weekly_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical forecast reconciliation (top-down by forecast
+    proportions): per-type seasonal-naive daily forecasts for the next
+    week (last week's same weekday), an INDEPENDENT total-level forecast
+    (the week before, at the aggregate grain — deliberately a different
+    information set, so the hierarchy is incoherent before
+    reconciliation), and the reconciled bottom series
+    top × (bottom / Σ bottom) that restores Σ_types = total by
+    construction — the coherence property dashboards and planners
+    require of any forecast hierarchy. Daily sums are rounded before any
+    downstream arithmetic (the cohort-LTV float discipline); the
+    forecast lookups are equi-joins on derived dates (no window over the
+    horizon); everything is bounded-grain after the one daily rollup."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    lastday = daily.agg(F.max("d").alias("mx"))
+    horizons = spark.range(1, 8).select(
+        F.col("id").cast("int").alias("horizon_day")
+    )
+    grid = horizons.crossJoin(F.broadcast(lastday))
+    base = (
+        grid.join(
+            daily,
+            (
+                daily.d
+                == F.date_add(
+                    F.col("mx"), F.col("horizon_day") - 7
+                )
+            ),
+            "left",
+        )
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "horizon_day",
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("fc_bottom"),
+        )
+    )
+    topf = (
+        grid.join(
+            daily,
+            daily.d
+            == F.date_add(F.col("mx"), F.col("horizon_day") - 14),
+            "left",
+        )
+        .groupBy("horizon_day")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 6).alias(
+                "fc_top"
+            )
+        )
+    )
+    bsum = base.groupBy("horizon_day").agg(
+        F.round(F.sum("fc_bottom"), 6).alias("s")
+    )
+    return (
+        base.join(F.broadcast(bsum), "horizon_day")
+        .join(F.broadcast(topf), "horizon_day")
+        .filter(F.col("s") > 0)
+        .select(
+            "event_type",
+            F.col("horizon_day").cast("long").alias("horizon_day"),
+            F.round("fc_bottom", 6).alias("base_forecast"),
+            F.round(
+                F.col("fc_top") * F.col("fc_bottom") / F.col("s"), 6
+            ).alias("reconciled_forecast"),
+            F.round("fc_top", 6).alias("top_forecast"),
+        )
+    )

@@ -24,7 +24,7 @@ in this environment) — the parse chain is identical either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pyspark.sql import types as T
@@ -748,4 +748,91 @@ def streaming_station_profile(
             F.min("temperature").alias("min_temperature"),
             F.max("temperature").alias("max_temperature"),
         )
+    )
+
+
+def start_theta_sketch_sink(
+    raw_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    k: int = 64,
+    entity_expr: str = "location",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of a KMV/theta distinct sketch (the
+    incremental twin of the batch `theta_sketch_user_overlap` contract
+    query): each micro-batch reduces to its ≤k smallest distinct 60-bit
+    md5 entity hashes and APPENDS them. Theta merge is
+    k-smallest-of-union, and the union of appended minima is IDEMPOTENT
+    under replay (a re-appended batch's hashes distinct away in the
+    reader), so like the bitmap sink this needs no exactly-once
+    machinery. Each batch appends ≤k rows — the log grows with batch
+    count, never event volume."""
+    parsed = parse_raw_events(raw_stream, keep_payload=False)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(entity_expr).cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sketch_path)
+        )
+
+    writer = parsed.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_theta_sketch(
+    spark: SparkSession, sketch_path: str, k: int = 64
+) -> DataFrame:
+    """Merge every appended batch sketch into the current corpus sketch
+    (k smallest of the distinct union) and evaluate the KMV estimator:
+    1 row with (n_in_sketch, theta, n_distinct_est). With fewer than k
+    distinct hashes the sketch is exhaustive and the estimate exact."""
+    two60 = 1152921504606846976  # 2^60
+    hashes = (
+        spark.read.parquet(sketch_path)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")
+    ranked = hashes.select(
+        "h", F.row_number().over(w).alias("rk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.when(
+            F.count(F.lit(1)) >= k,
+            F.max(F.when(F.col("rk") == k, F.col("h"))) * 1.0 / two60,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("theta"),
+    ).select(
+        "n_in_sketch",
+        F.round("theta", 9).alias("theta"),
+        F.round(
+            F.when(
+                F.col("n_in_sketch") >= k, (k - 1) / F.col("theta")
+            ).otherwise(F.col("n_in_sketch") * 1.0),
+            4,
+        ).alias("n_distinct_est"),
     )

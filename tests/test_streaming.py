@@ -1074,3 +1074,57 @@ def test_streaming_station_profile_stream_static_join(spark, stream_dir, tmp_pat
         assert None in by_station and by_station[None].n_events == 1
     finally:
         q.stop()
+
+
+def test_theta_sketch_sink_estimates_and_is_replay_safe(spark, tmp_path):
+    """Incremental KMV/theta distinct maintenance: micro-batches append
+    their k smallest entity hashes; the reader's k-smallest-of-union
+    re-merge must (a) be EXACT below k distinct entities, and (b) be
+    unchanged when a duplicate batch is replayed (union-of-minima
+    idempotence = replay safety without exactly-once)."""
+    import datetime as dt
+
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        read_theta_sketch,
+        start_theta_sketch_sink,
+    )
+
+    in_dir = tmp_path / "th_in"
+    in_dir.mkdir()
+    log = str(tmp_path / "th_log")
+    t0 = dt.datetime(2024, 3, 1, 9, 0)
+    locs_b1 = ["hanoi", "hue", "danang"]
+    locs_b2 = ["hanoi", "saigon", "cantho"]  # overlaps b1
+    write_batch(
+        str(in_dir), "b1.json", [payload(l, t0, 20.0) for l in locs_b1], t0
+    )
+    q = start_theta_sketch_sink(
+        read_event_stream(spark, path=str(in_dir), max_files_per_trigger=1),
+        sketch_path=log,
+        checkpoint_path=str(tmp_path / "th_ckpt"),
+        k=64,
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(
+            str(in_dir), "b2.json", [payload(l, t0, 21.0) for l in locs_b2], t0
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_theta_sketch(spark, log, k=64).collect()[0]
+    n_true = len(set(locs_b1) | set(locs_b2))
+    # below k the sketch is exhaustive: estimate must be EXACT
+    assert got["n_in_sketch"] == n_true
+    assert got["theta"] == 1.0
+    assert got["n_distinct_est"] == float(n_true)
+
+    # replay: re-append batch 1's sketch rows verbatim — no change
+    import pyspark.sql.functions as F  # noqa: N812
+
+    first = spark.read.parquet(log).filter(F.col("_batch_id") == 0)
+    first.write.mode("append").parquet(log)
+    again = read_theta_sketch(spark, log, k=64).collect()[0]
+    assert again["n_distinct_est"] == got["n_distinct_est"]
+    assert again["n_in_sketch"] == got["n_in_sketch"]

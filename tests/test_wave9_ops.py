@@ -180,3 +180,25 @@ def test_gmm_em_matches_numpy(spark):
     assert abs(got["weight_1"] + got["weight_2"] - 1.0) < 1e-9
     assert got["sd_1"] > 0 and got["sd_2"] > 0
     assert got["mean_1"] < got["mean_2"]
+
+
+def test_reconciled_forecast_is_coherent(spark):
+    from bigdata_weather_system_spark.contract.analytics_ext import (
+        reconciled_weekly_forecast,
+    )
+
+    rows = _rows(reconciled_weekly_forecast(spark, TEST_SF_DIR))
+    assert rows, "expected forecast rows"
+    by_h: dict = {}
+    for r in rows:
+        by_h.setdefault(r["horizon_day"], []).append(r)
+    for h, rs in by_h.items():
+        top = rs[0]["top_forecast"]
+        assert all(abs(r["top_forecast"] - top) < 1e-9 for r in rs)
+        # coherence: reconciled bottoms sum back to the top forecast
+        assert abs(sum(r["reconciled_forecast"] for r in rs) - top) < 1e-3
+        # reconciliation preserves bottom-forecast proportions
+        bsum = sum(r["base_forecast"] for r in rs)
+        for r in rs:
+            expected = top * r["base_forecast"] / bsum
+            assert abs(r["reconciled_forecast"] - expected) < 1e-4
