@@ -300,6 +300,9 @@ BENCH_QUERIES = [
     "doc_query_likelihood_search",
     "gmm_em_value_mixture",
     "reconciled_weekly_forecast",
+    "ransac_trend_per_type",
+    "classifier_gains_table",
+    "ipf_raked_weights",
 ]
 
 

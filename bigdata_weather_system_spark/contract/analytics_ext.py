@@ -4486,3 +4486,171 @@ def reconciled_weekly_forecast(
             F.round("fc_top", 6).alias("top_forecast"),
         )
     )
+
+
+_RANSAC_TOL = 15.0
+_RANSAC_CANDS = 16
+
+_RANSAC_ORACLE = f"""
+    WITH pts AS (
+      SELECT event_type, event_id, value AS y,
+             (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY event_type))
+               / 3600.0 AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    seeded AS (
+      SELECT p.event_type, p.x, p.y, c.c,
+             row_number() OVER (
+               PARTITION BY p.event_type, c.c
+               ORDER BY md5(CAST(p.event_id AS VARCHAR) || '|'
+                            || CAST(c.c AS VARCHAR)), p.event_id) AS rk
+      FROM pts p CROSS JOIN (SELECT unnest(range(0, {_RANSAC_CANDS})) AS c) c
+    ),
+    cand AS (
+      SELECT a.event_type, a.c,
+             (b.y - a.y) / (b.x - a.x) AS slope,
+             a.y - (b.y - a.y) / (b.x - a.x) * a.x AS intercept
+      FROM seeded a JOIN seeded b
+        ON a.event_type = b.event_type AND a.c = b.c
+       AND a.rk = 1 AND b.rk = 2 AND a.x <> b.x
+    ),
+    scored AS (
+      SELECT k.event_type, k.c, k.slope, k.intercept,
+             count(CASE WHEN abs(p.y - (k.intercept + k.slope * p.x))
+                             <= {_RANSAC_TOL} THEN 1 END) AS n_inliers
+      FROM cand k JOIN pts p ON p.event_type = k.event_type
+      GROUP BY k.event_type, k.c, k.slope, k.intercept
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n_inliers DESC, c) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    refit AS (
+      SELECT b.event_type, b.c, b.n_inliers,
+             count(*) AS n, sum(p.x) AS sx, sum(p.y) AS sy,
+             sum(p.x * p.x) AS sxx, sum(p.x * p.y) AS sxy
+      FROM best b JOIN pts p ON p.event_type = b.event_type
+      WHERE abs(p.y - (b.intercept + b.slope * p.x)) <= {_RANSAC_TOL}
+      GROUP BY b.event_type, b.c, b.n_inliers
+    )
+    SELECT event_type,
+           CAST(c AS BIGINT)          AS candidate_id,
+           CAST(n_inliers AS BIGINT)  AS n_inliers,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                                      AS slope_refit,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6)              AS intercept_refit
+    FROM refit
+    """
+
+
+@register("ransac_trend_per_type", oracle=_RANSAC_ORACLE)
+def ransac_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit per event type — the consensus-based
+    member of the robust-trend family (Huber reweights, Theil–Sen
+    medians slopes, RANSAC votes): 16 deterministic candidate lines per
+    type (each through a 2-point sample drawn by a per-candidate md5
+    ranking — reproducible across engines and runs), inliers counted
+    within ±15 of each line, the max-consensus candidate wins (ties to
+    the lower candidate id), and the winner is REFIT by OLS over its own
+    inliers from one-pass raw sums. Candidate and best relations are
+    bounded (types × 16), so both scoring joins broadcast the model side
+    and scan the points once each — no pair stage, no per-key
+    quadratic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wmin = Window.partitionBy("event_type")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").alias("y"),
+        (
+            (
+                F.col("ts").cast("double")
+                - F.min(F.col("ts").cast("double")).over(wmin)
+            )
+            / 3600.0
+        ).alias("x"),
+    )
+    cands = spark.range(_RANSAC_CANDS).select(
+        F.col("id").cast("int").alias("c")
+    )
+    seeded = pts.crossJoin(F.broadcast(cands)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type", "c").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("c").cast("string"),
+                    )
+                ),
+                "event_id",
+            )
+        ),
+    )
+    a = seeded.filter(F.col("rk") == 1).select(
+        "event_type", "c", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = seeded.filter(F.col("rk") == 2).select(
+        "event_type", "c", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slope = (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))
+    cand = (
+        a.join(b, ["event_type", "c"])
+        .filter(F.col("x1") != F.col("x2"))
+        .select(
+            "event_type",
+            "c",
+            slope.alias("slope"),
+            (F.col("y1") - slope * F.col("x1")).alias("intercept"),
+        )
+    )
+    resid = F.abs(
+        F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+    )
+    scored = (
+        pts.join(F.broadcast(cand), "event_type")
+        .groupBy("event_type", "c", "slope", "intercept")
+        .agg(
+            F.count(F.when(resid <= _RANSAC_TOL, 1)).alias("n_inliers")
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("n_inliers").desc(), F.col("c")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    refit = (
+        pts.join(F.broadcast(best), "event_type")
+        .filter(resid <= _RANSAC_TOL)
+        .groupBy("event_type", "c", "n_inliers")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    b_hat = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return refit.select(
+        "event_type",
+        F.col("c").cast("long").alias("candidate_id"),
+        F.col("n_inliers").cast("long").alias("n_inliers"),
+        F.round(b_hat, 6).alias("slope_refit"),
+        F.round(
+            (F.col("sy") - b_hat * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept_refit"),
+    )

@@ -2733,3 +2733,98 @@ def markov_stationary_distribution(
         F.col("t").alias("event_type"),
         F.round("pi", 6).alias("stationary_prob"),
     )
+
+
+@register(
+    "classifier_gains_table",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT)
+               % 64 AS bucket
+      FROM t
+    ),
+    c AS (SELECT doc_id, bucket, count(*) AS n FROM e GROUP BY doc_id, bucket),
+    z AS (
+      SELECT doc_id,
+             sum(n * (((bucket * 2654435761) % 4096) / 4096.0 - 0.5))
+               / sum(n) - 0.05 AS logit
+      FROM c GROUP BY doc_id
+    ),
+    s AS (
+      SELECT z.doc_id,
+             round(round(1.0 / (1.0 + exp(-z.logit)), 6), 4) AS s4,
+             (d.lang = 'en')::INT AS pos
+      FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ),
+    deciled AS (
+      SELECT pos, ntile(10) OVER (ORDER BY s4 DESC, doc_id) AS decile
+      FROM s
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n, sum(pos) AS n_pos
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS n_all, sum(n_pos) AS pos_all FROM agg)
+    SELECT CAST(a.decile AS BIGINT) AS decile,
+           CAST(a.n AS BIGINT) AS n_docs,
+           CAST(a.n_pos AS BIGINT) AS n_pos,
+           round(sum(a.n_pos) OVER (ORDER BY a.decile
+                                    ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / t.pos_all, 6) AS cum_capture,
+           round((a.n_pos * 1.0 / a.n) / (t.pos_all * 1.0 / t.n_all), 6)
+             AS lift
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / decile-lift table for the in-plan quality
+    classifier — the campaign-targeting view that completes the
+    evaluation family (AUC ranks, ECE calibrates, gains answers 'how
+    much of the positive class do the top k deciles capture'). Scores
+    quantize to 4dp (the AUC query's tie policy) and deciles come from
+    a deterministic ntile over (score DESC, doc_id); counts stay exact
+    integers until the two final divisions. The global ntile runs over
+    the document grain — at larger scale swap for the percent_rank-bin
+    formulation; the downstream algebra is unchanged."""
+    scores = doc_quality_classifier_scores(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    s = scores.select(
+        "doc_id", F.round(F.col("quality_score"), 4).alias("s4")
+    ).join(docs, "doc_id")
+    deciled = s.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("s4").desc(), F.col("doc_id")))
+        .alias("decile"),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = agg.agg(
+        F.sum("n").alias("n_all"), F.sum("n_pos").alias("pos_all")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("n_pos").over(w) * 1.0 / F.col("pos_all"), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos") * 1.0 / F.col("n"))
+            / (F.col("pos_all") * 1.0 / F.col("n_all")),
+            6,
+        ).alias("lift"),
+    )

@@ -385,3 +385,132 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("emd"), 6).alias("max_emd"),
         F.round(F.avg("emd"), 6).alias("avg_emd"),
     )
+
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle() -> str:
+    parts = ["""
+WITH base AS (
+  SELECT event_type,
+         CAST(extract(dow FROM ts) AS BIGINT) AS wd,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 5 = 0 AS in_sample
+  FROM events
+),
+cells AS MATERIALIZED (
+  SELECT event_type, wd,
+         CAST(count(CASE WHEN in_sample THEN 1 END) AS DOUBLE) AS n_s
+  FROM base GROUP BY event_type, wd
+  HAVING count(CASE WHEN in_sample THEN 1 END) > 0
+),
+rowt AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS r FROM base
+  GROUP BY event_type
+),
+colt AS MATERIALIZED (
+  SELECT wd, CAST(count(*) AS DOUBLE) AS cl FROM base GROUP BY wd
+),
+w0 AS (SELECT event_type, wd, n_s AS w FROM cells)"""]
+    for k in range(1, _IPF_ROUNDS + 1):
+        parts.append(f""",
+w{k}a AS MATERIALIZED (
+  SELECT c.event_type, c.wd,
+         round(c.w * r.r / sum(c.w) OVER (PARTITION BY c.event_type), 9)
+           AS w
+  FROM w{k - 1 if k > 1 else 0}{"b" if k > 1 else ""} c
+  JOIN rowt r ON r.event_type = c.event_type
+),
+w{k}b AS MATERIALIZED (
+  SELECT c.event_type, c.wd,
+         round(c.w * t.cl / sum(c.w) OVER (PARTITION BY c.wd), 9) AS w
+  FROM w{k}a c JOIN colt t ON t.wd = c.wd
+)""")
+    parts.append(f"""
+SELECT c.event_type, c.wd AS weekday,
+       CAST(s.n_s AS BIGINT) AS n_sample,
+       round(c.w, 4) AS raked_weight,
+       round(abs(sum(c.w) OVER (PARTITION BY c.event_type) - r.r) / r.r,
+             6) AS row_margin_gap
+FROM w{_IPF_ROUNDS}b c
+JOIN cells s ON s.event_type = c.event_type AND s.wd = c.wd
+JOIN rowt r ON r.event_type = c.event_type""")
+    return "".join(parts)
+
+
+@register("ipf_raked_weights", oracle=_ipf_oracle())
+def ipf_raked_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey-weighting /
+    post-stratification operator: a deterministic ~20% hash sample's
+    (event_type × weekday) cell counts are alternately scaled to match
+    the FULL data's row and column margins over 3 fixed rounds, yielding
+    per-cell weights whose totals reproduce the population margins (the
+    column margin exactly after the final scale; the row-margin residual
+    is emitted as the convergence diagnostic). Weights are rounded to
+    9dp per half-step — the PCA/GMM determinism discipline — so both
+    engines iterate on identical tables. Everything after the one
+    counting pass is (types × 7)-grain: window scalings over bounded
+    partitions, margin joins broadcast-sized."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("wd"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        ).alias("in_sample"),
+    )
+    cells = (
+        base.groupBy("event_type", "wd")
+        .agg(
+            F.count(F.when(F.col("in_sample"), 1))
+            .cast("double")
+            .alias("n_s")
+        )
+        .filter(F.col("n_s") > 0)
+    )
+    rowt = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("r")
+    )
+    colt = base.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("double").alias("cl")
+    )
+    w = cells.select("event_type", "wd", F.col("n_s").alias("w"))
+    wrow = Window.partitionBy("event_type")
+    wcol = Window.partitionBy("wd")
+    for _ in range(_IPF_ROUNDS):
+        w = w.join(F.broadcast(rowt), "event_type").select(
+            "event_type",
+            "wd",
+            F.round(
+                F.col("w") * F.col("r") / F.sum("w").over(wrow), 9
+            ).alias("w"),
+        )
+        w = w.join(F.broadcast(colt), "wd").select(
+            "event_type",
+            "wd",
+            F.round(
+                F.col("w") * F.col("cl") / F.sum("w").over(wcol), 9
+            ).alias("w"),
+        )
+    return (
+        w.join(cells, ["event_type", "wd"])
+        .join(F.broadcast(rowt), "event_type")
+        .select(
+            "event_type",
+            F.col("wd").alias("weekday"),
+            F.col("n_s").cast("long").alias("n_sample"),
+            F.round("w", 4).alias("raked_weight"),
+            F.round(
+                F.abs(F.sum("w").over(wrow) - F.col("r")) / F.col("r"), 6
+            ).alias("row_margin_gap"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Semantic tests for wave 12: RANSAC consensus properties vs a numpy
+reimplementation, gains-table accounting identities, and IPF margin
+convergence."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from bigdata_weather_system_spark.contract.analytics_ext import (
+    ransac_trend_per_type,
+)
+from bigdata_weather_system_spark.contract.cleaning_ops import (
+    classifier_gains_table,
+)
+from bigdata_weather_system_spark.contract.eval_ops import ipf_raked_weights
+from tests.conftest import TEST_SF_DIR
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_ransac_matches_numpy_reimplementation(spark):
+    got = {
+        r["event_type"]: r for r in _rows(ransac_trend_per_type(spark, TEST_SF_DIR))
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            (r.event_id, r.ts.timestamp(), r.value)
+        )
+    for etype, rows in by_type.items():
+        t0 = min(t for _, t, _ in rows)
+        pts = [(eid, (t - t0) / 3600.0, v) for eid, t, v in rows]
+        best = None
+        for c in range(16):
+            ranked = sorted(
+                pts,
+                key=lambda p: (
+                    hashlib.md5(f"{p[0]}|{c}".encode()).hexdigest(),
+                    p[0],
+                ),
+            )
+            (_, x1, y1), (_, x2, y2) = ranked[0], ranked[1]
+            if x1 == x2:
+                continue
+            slope = (y2 - y1) / (x2 - x1)
+            inter = y1 - slope * x1
+            n_in = sum(
+                1 for _, x, y in pts if abs(y - (inter + slope * x)) <= 15.0
+            )
+            if best is None or (n_in, -c) > (best[0], -best[1]):
+                best = (n_in, c, slope, inter)
+        n_in, c, slope, inter = best
+        g = got[etype]
+        assert g["candidate_id"] == c, etype
+        assert g["n_inliers"] == n_in, etype
+        xin = np.array(
+            [x for _, x, y in pts if abs(y - (inter + slope * x)) <= 15.0]
+        )
+        yin = np.array(
+            [y for _, x, y in pts if abs(y - (inter + slope * x)) <= 15.0]
+        )
+        b_hat = (
+            len(xin) * (xin * yin).sum() - xin.sum() * yin.sum()
+        ) / (len(xin) * (xin * xin).sum() - xin.sum() ** 2)
+        a_hat = (yin.sum() - b_hat * xin.sum()) / len(xin)
+        assert abs(g["slope_refit"] - b_hat) < 1e-4, etype
+        assert abs(g["intercept_refit"] - a_hat) < 1e-3, etype
+
+
+def test_gains_table_accounting(spark):
+    rows = sorted(
+        _rows(classifier_gains_table(spark, TEST_SF_DIR)),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_all = sum(r["n_docs"] for r in rows)
+    pos_all = sum(r["n_pos"] for r in rows)
+    # deciles balanced to within 1 row
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # cumulative capture is nondecreasing and ends at 1
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9
+    for r in rows:
+        expected_lift = (r["n_pos"] / r["n_docs"]) / (pos_all / n_all)
+        assert abs(r["lift"] - expected_lift) < 1e-5
+
+
+def test_ipf_weights_match_margins(spark):
+    rows = _rows(ipf_raked_weights(spark, TEST_SF_DIR))
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .selectExpr("event_type", "(dayofweek(ts) - 1) AS wd")
+        .collect()
+    )
+    col_tot: dict = {}
+    row_tot: dict = {}
+    for r in ev:
+        col_tot[r.wd] = col_tot.get(r.wd, 0) + 1
+        row_tot[r.event_type] = row_tot.get(r.event_type, 0) + 1
+    # final scale was by column: column margins reproduce (near-)exactly
+    col_w: dict = {}
+    for r in rows:
+        col_w[r["weekday"]] = col_w.get(r["weekday"], 0.0) + r["raked_weight"]
+    for wd, tot in col_tot.items():
+        assert abs(col_w[wd] - tot) / tot < 1e-3, wd
+    # row margins converge to within a few percent after 3 rounds
+    for r in rows:
+        assert r["row_margin_gap"] < 0.05
+    # weights positive wherever the sample had mass
+    assert all(r["raked_weight"] > 0 for r in rows)
