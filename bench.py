@@ -303,6 +303,8 @@ BENCH_QUERIES = [
     "ransac_trend_per_type",
     "classifier_gains_table",
     "ipf_raked_weights",
+    "ps_api_daily_value_profile",
+    "media_ahash_near_dups",
 ]
 
 

@@ -2828,3 +2828,154 @@ def classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+_AHASH_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 16 AS h,
+         16 + doc_id % 24 AS w
+  FROM documents
+),
+px AS (
+  SELECT media_id, h, w,
+         unnest(range(0, h * w)) AS p
+  FROM t
+),
+g AS (
+  SELECT media_id,
+         least(7, (p // w) * 8 // h) AS cr,
+         least(7, (p % w) * 8 // w)  AS cc,
+         (media_id + p * 3) % 256
+         + (media_id + p * 3 + 1) % 256
+         + (media_id + p * 3 + 2) % 256 AS gs
+  FROM px
+),
+cells AS (
+  SELECT media_id, cr, cc,
+         sum(gs) * 1.0 / count(*) AS cm
+  FROM g GROUP BY media_id, cr, cc
+),
+gm AS (
+  SELECT media_id,
+         list_reduce(list(cm ORDER BY cr, cc), (a, b) -> a + b) / 64.0
+           AS gmean
+  FROM cells GROUP BY media_id
+),
+bits AS (
+  SELECT c.media_id, c.cr * 8 + c.cc AS k,
+         CASE WHEN c.cm > m.gmean THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN gm m ON m.media_id = c.media_id
+),
+hash AS MATERIALIZED (
+  SELECT media_id,
+         sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+           AS w1,
+         sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                  ELSE 0 END) AS w2,
+         sum(CASE WHEN k // 8 = 0 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band0,
+         sum(CASE WHEN k // 8 = 1 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band1,
+         sum(CASE WHEN k // 8 = 2 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band2,
+         sum(CASE WHEN k // 8 = 3 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band3,
+         sum(CASE WHEN k // 8 = 4 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band4,
+         sum(CASE WHEN k // 8 = 5 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band5,
+         sum(CASE WHEN k // 8 = 6 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band6,
+         sum(CASE WHEN k // 8 = 7 THEN bit * (1::BIGINT << (k % 8))
+                  ELSE 0 END) AS band7
+  FROM bits GROUP BY media_id
+),
+bands AS (
+  SELECT media_id, 0 AS b, band0 AS v FROM hash
+  UNION ALL SELECT media_id, 1, band1 FROM hash
+  UNION ALL SELECT media_id, 2, band2 FROM hash
+  UNION ALL SELECT media_id, 3, band3 FROM hash
+  UNION ALL SELECT media_id, 4, band4 FROM hash
+  UNION ALL SELECT media_id, 5, band5 FROM hash
+  UNION ALL SELECT media_id, 6, band6 FROM hash
+  UNION ALL SELECT media_id, 7, band7 FROM hash
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(ha.w1, hb.w1))
+            + bit_count(xor(ha.w2, hb.w2)) AS BIGINT) AS hamming
+FROM cand c
+JOIN hash ha ON ha.media_id = c.id_a
+JOIN hash hb ON hb.media_id = c.id_b
+WHERE bit_count(xor(ha.w1, hb.w1)) + bit_count(xor(ha.w2, hb.w2)) <= 6
+"""
+
+
+@register("media_ahash_near_dups", oracle=_AHASH_ORACLE)
+def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual-hash image near-duplicate detection — the image
+    analogue of the text SimHash family: fabricate RAW images, decode
+    the actual pixel buffers, aHash each (8×8 block means thresholded
+    against the image mean), and find pairs within Hamming distance 6
+    via EXACT 8-bit band bucketing (8 bands and ≤6 errors ⇒ pigeonhole
+    guarantees at least one error-free band, so banding is lossless
+    here, not approximate). Candidates equi-join on (band_idx, band_value) —
+    bucket sizes bounded by hash diversity, quadratic work confined to
+    buckets; the final check is two XOR+bit_counts per pair. The oracle
+    regenerates the pixel ramp in SQL and reproduces the REAL decode's
+    hash bit-for-bit (integer gray sums, exact cell-mean divisions,
+    (row, col)-ordered global-mean fold)."""
+    from ..operators.multimodal import ahash_raw_images, fabricate_raw_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_raw_media(docs, "doc_id", video=False)
+    h = ahash_raw_images(media)
+    bands = None
+    for b in range(8):
+        piece = h.select(
+            "media_id",
+            F.lit(b).alias("b"),
+            F.col(f"band{b}").alias("v"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        F.col("w1").alias("a1"),
+        F.col("w2").alias("a2"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        F.col("w1").alias("b1"),
+        F.col("w2").alias("b2"),
+    )
+    hamming = F.bit_count(
+        F.expr("a1 ^ b1")
+    ) + F.bit_count(F.expr("a2 ^ b2"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(hamming <= 6)
+        .select(
+            "id_a", "id_b", hamming.cast("long").alias("hamming")
+        )
+    )

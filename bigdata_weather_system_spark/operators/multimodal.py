@@ -723,3 +723,73 @@ def motion_energy_raw(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         batches, schema=schema
     )
+
+
+def ahash_raw_images(media: DataFrame) -> DataFrame:
+    """REAL perceptual hashing (aHash) via the RAW codec: decode the
+    pixel buffer, 8×8 block-average the integer gray sums, threshold
+    each cell against the image mean, and emit the 64-bit hash as two
+    32-bit words plus eight 8-bit band keys — the image analogue of the
+    text MinHash/SimHash family, and the standard first stage of
+    image-dedup pipelines.
+
+    Determinism contract (what lets a SQL oracle reproduce REAL decode
+    output bit-for-bit): gray values stay INTEGER channel sums (never
+    /3), cell means are single exact divisions of integer sums, and the
+    global mean folds over cells in (row, col) order — so the only
+    float ops are 64 exactly-rounded divisions and one fixed-order
+    64-term sum. Cells are assigned by ``min(7, r*8//h)`` so any
+    aspect ratio partitions identically in numpy and SQL."""
+
+    schema = (
+        "media_id long, w1 long, w2 long, "
+        + ", ".join(f"band{b} long" for b in range(8))
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in it:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_raw_blob(content)
+                if arr is None:
+                    continue
+                f, h, w, c = arr.shape
+                gs = arr[0].astype(np.int64).sum(axis=2)  # integer grays
+                r_idx = np.minimum(7, np.arange(h)[:, None] * 8 // h)
+                c_idx = np.minimum(7, np.arange(w)[None, :] * 8 // w)
+                cell_sum = np.zeros((8, 8), dtype=np.int64)
+                cell_n = np.zeros((8, 8), dtype=np.int64)
+                rr = np.broadcast_to(r_idx, (h, w))
+                cc = np.broadcast_to(c_idx, (h, w))
+                np.add.at(cell_sum, (rr, cc), gs)
+                np.add.at(cell_n, (rr, cc), 1)
+                gm = 0.0
+                cm = cell_sum / cell_n  # exact divisions
+                for i in range(8):
+                    for j in range(8):
+                        gm += cm[i, j]  # fixed (i, j) fold order
+                gm /= 64.0
+                bits = (cm > gm).astype(np.int64).reshape(64)
+                w1 = int((bits[:32] << np.arange(32)).sum())
+                w2 = int((bits[32:] << np.arange(32)).sum())
+                bands = [
+                    int((bits[8 * b: 8 * b + 8] << np.arange(8)).sum())
+                    for b in range(8)
+                ]
+                row = {"media_id": int(mid), "w1": w1, "w2": w2}
+                row.update({f"band{b}": bands[b] for b in range(8)})
+                rows.append(row)
+        import pandas as pd  # noqa: F811
+
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "w1", "w2"]
+            + [f"band{b}" for b in range(8)],
+        )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=schema
+    )

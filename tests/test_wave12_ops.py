@@ -120,3 +120,60 @@ def test_ipf_weights_match_margins(spark):
         assert r["row_margin_gap"] < 0.05
     # weights positive wherever the sample had mass
     assert all(r["raked_weight"] > 0 for r in rows)
+
+
+def test_ahash_near_dups_lossless_vs_bruteforce(spark):
+    """The 8-band bucketing must find EVERY pair within Hamming 6
+    (pigeonhole losslessness) — verified against an all-pairs numpy
+    recompute of the aHash over real decoded buffers."""
+    from bigdata_weather_system_spark.contract.cleaning_ops import (
+        media_ahash_near_dups,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in _rows(media_ahash_near_dups(spark, TEST_SF_DIR))
+    }
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def ahash(mid):
+        h, w = 16 + mid % 16, 16 + mid % 24
+        n = h * w * 3
+        pix = ((mid + np.arange(n, dtype=np.int64)) % 256).reshape(h, w, 3)
+        gs = pix.sum(axis=2)
+        r = np.minimum(7, np.arange(h)[:, None] * 8 // h)
+        cc = np.minimum(7, np.arange(w)[None, :] * 8 // w)
+        cell_sum = np.zeros((8, 8), dtype=np.int64)
+        cell_n = np.zeros((8, 8), dtype=np.int64)
+        np.add.at(
+            cell_sum,
+            (np.broadcast_to(r, (h, w)), np.broadcast_to(cc, (h, w))),
+            gs,
+        )
+        np.add.at(
+            cell_n,
+            (np.broadcast_to(r, (h, w)), np.broadcast_to(cc, (h, w))),
+            1,
+        )
+        cm = cell_sum / cell_n
+        gm = 0.0
+        for i in range(8):
+            for j in range(8):
+                gm += cm[i, j]
+        gm /= 64.0
+        return (cm > gm).astype(np.int8).reshape(64)
+
+    hs = {mid: ahash(mid) for mid in ids}
+    expected = {}
+    sids = sorted(ids)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            d = int((hs[a] != hs[b]).sum())
+            if d <= 6:
+                expected[(a, b)] = d
+    assert got == expected
