@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "ipf_raked_weights",
     "ps_api_daily_value_profile",
     "media_ahash_near_dups",
+    "ips_policy_value_estimate",
 ]
 
 

@@ -514,3 +514,141 @@ def ipf_raked_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_margin_gap"),
         )
     )
+
+
+@register(
+    "ips_policy_value_estimate",
+    oracle="""
+    WITH logged AS (
+      SELECT event_type AS arm,
+             CASE WHEN extract(hour FROM ts) < 12 THEN 0 ELSE 1 END
+               AS ctx,
+             CASE WHEN value > 60 THEN 1.0 ELSE 0.0 END AS r
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    prop AS (
+      SELECT arm, count(*) * 1.0 / (SELECT count(*) FROM logged) AS p
+      FROM logged GROUP BY arm
+    ),
+    qhat AS (
+      SELECT arm, ctx, avg(r) AS q FROM logged GROUP BY arm, ctx
+    ),
+    scored AS (
+      SELECT l.arm, l.ctx, l.r, p.p, q.q,
+             CASE WHEN (l.ctx = 0 AND l.arm = 'click')
+                    OR (l.ctx = 1 AND l.arm = 'view')
+                  THEN 1.0 ELSE 0.0 END AS matched
+      FROM logged l
+      JOIN prop p ON p.arm = l.arm
+      JOIN qhat q ON q.arm = l.arm AND q.ctx = l.ctx
+    ),
+    dm AS (
+      SELECT sum(cnt * q) / sum(cnt) AS dm_value FROM (
+        SELECT l.ctx, count(*) AS cnt, max(q.q) AS q
+        FROM logged l
+        JOIN qhat q ON q.ctx = l.ctx
+         AND q.arm = CASE WHEN l.ctx = 0 THEN 'click' ELSE 'view' END
+        GROUP BY l.ctx)
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_logged,
+           round(avg(matched * r / p), 6)                 AS ips_value,
+           round(sum(matched * r / p) / sum(matched / p), 6)
+                                                          AS snips_value,
+           round(max(d.dm_value), 6)                      AS dm_value,
+           round(max(d.dm_value)
+                 + avg(matched / p * (r - q)), 6)         AS dr_value
+    FROM scored CROSS JOIN dm d
+    """,
+)
+def ips_policy_value_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Off-policy (counterfactual) evaluation suite — what a
+    recommendation/bandit team computes before shipping a new policy
+    without an A/B test: the target policy ("click in the morning, view
+    in the afternoon") is scored on LOGGED data from the empirical
+    logging policy via all four standard estimators — IPS (unbiased,
+    high variance), SNIPS (self-normalized), the direct method (reward
+    model q̂(a, ctx) from the same log), and doubly-robust
+    (DM + importance-weighted residual correction, unbiased if EITHER
+    the propensities or q̂ are right). Everything reduces to two bounded
+    aggregates (per-arm propensities, per-(arm, ctx) reward model)
+    broadcast back onto one scan; no per-row Python, no window. The
+    estimator algebra is exact counts and means; one final 6dp round."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    logged = ev.select(
+        F.col("event_type").alias("arm"),
+        F.when(F.hour("ts") < 12, 0).otherwise(1).alias("ctx"),
+        F.when(F.col("value") > 60, 1.0).otherwise(0.0).alias("r"),
+    )
+    n = logged.agg(F.count(F.lit(1)).alias("n_all"))
+    prop = (
+        logged.groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(F.broadcast(n))
+        .select("arm", (F.col("n_a") * 1.0 / F.col("n_all")).alias("p"))
+    )
+    qhat = logged.groupBy("arm", "ctx").agg(F.avg("r").alias("q"))
+    target_arm = F.when(F.col("ctx") == 0, F.lit("click")).otherwise(
+        F.lit("view")
+    )
+    scored = (
+        logged.join(F.broadcast(prop), "arm")
+        .join(F.broadcast(qhat), ["arm", "ctx"])
+        .select(
+            "arm",
+            "ctx",
+            "r",
+            "p",
+            "q",
+            F.when(F.col("arm") == target_arm, 1.0)
+            .otherwise(0.0)
+            .alias("matched"),
+        )
+    )
+    q_t = qhat.select(
+        F.col("arm").alias("t_arm"),
+        F.col("ctx").alias("t_ctx"),
+        F.col("q").alias("t_q"),
+    )
+    target_of_ctx = F.when(F.col("ctx") == 0, F.lit("click")).otherwise(
+        F.lit("view")
+    )
+    dm = (
+        logged.select("ctx")
+        .join(
+            F.broadcast(q_t),
+            (F.col("t_arm") == target_of_ctx)
+            & (F.col("t_ctx") == F.col("ctx")),
+        )
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("t_q").alias("q"))
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("q")) / F.sum("cnt")
+            ).alias("dm_value")
+        )
+    )
+    return scored.crossJoin(F.broadcast(dm)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.round(
+            F.avg(F.col("matched") * F.col("r") / F.col("p")), 6
+        ).alias("ips_value"),
+        F.round(
+            F.sum(F.col("matched") * F.col("r") / F.col("p"))
+            / F.sum(F.col("matched") / F.col("p")),
+            6,
+        ).alias("snips_value"),
+        F.round(F.max("dm_value"), 6).alias("dm_value"),
+        F.round(
+            F.max("dm_value")
+            + F.avg(
+                F.col("matched") / F.col("p") * (F.col("r") - F.col("q"))
+            ),
+            6,
+        ).alias("dr_value"),
+    )

@@ -177,3 +177,53 @@ def test_ahash_near_dups_lossless_vs_bruteforce(spark):
             if d <= 6:
                 expected[(a, b)] = d
     assert got == expected
+
+
+def test_ips_ope_matches_python(spark):
+    from bigdata_weather_system_spark.contract.eval_ops import (
+        ips_policy_value_estimate,
+    )
+
+    got = _rows(ips_policy_value_estimate(spark, TEST_SF_DIR))[0]
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("event_type IN ('click','view') AND value IS NOT NULL")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    logged = [
+        (r.event_type, 0 if r.ts.hour < 12 else 1, 1.0 if r.value > 60 else 0.0)
+        for r in ev
+    ]
+    n = len(logged)
+    p = {}
+    for a, _, _ in logged:
+        p[a] = p.get(a, 0) + 1
+    p = {a: c / n for a, c in p.items()}
+    q: dict = {}
+    cnt: dict = {}
+    for a, ctx, r in logged:
+        q[(a, ctx)] = q.get((a, ctx), 0.0) + r
+        cnt[(a, ctx)] = cnt.get((a, ctx), 0) + 1
+    q = {k: v / cnt[k] for k, v in q.items()}
+    tgt = lambda ctx: "click" if ctx == 0 else "view"  # noqa: E731
+    ips = sum(
+        (1.0 if a == tgt(ctx) else 0.0) * r / p[a] for a, ctx, r in logged
+    ) / n
+    wsum = sum((1.0 if a == tgt(ctx) else 0.0) / p[a] for a, ctx, _ in logged)
+    snips = sum(
+        (1.0 if a == tgt(ctx) else 0.0) * r / p[a] for a, ctx, r in logged
+    ) / wsum
+    dm = sum(q[(tgt(ctx), ctx)] for _, ctx, _ in logged) / n
+    dr = dm + sum(
+        (1.0 if a == tgt(ctx) else 0.0) / p[a] * (r - q[(a, ctx)])
+        for a, ctx, r in logged
+    ) / n
+    assert got["n_logged"] == n
+    assert abs(got["ips_value"] - ips) < 1e-5
+    assert abs(got["snips_value"] - snips) < 1e-5
+    assert abs(got["dm_value"] - dm) < 1e-5
+    assert abs(got["dr_value"] - dr) < 1e-5
+    # all four estimate the same quantity: they should be in a sane band
+    vals = [got["ips_value"], got["snips_value"], got["dm_value"], got["dr_value"]]
+    assert all(0 <= v <= 1 for v in vals)
