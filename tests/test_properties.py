@@ -283,3 +283,47 @@ def test_fellegi_sunter_u_is_a_probability(keys):
     mass = sum(c * (c - 1) for c in Counter(keys).values())
     u = max(mass, 1) / (n * (n - 1))
     assert 0 < u <= 1
+
+
+# --- wave-5 motion-energy closed form ---------------------------------------
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=17, max_value=40),
+    st.integers(min_value=17, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_motion_energy_wrap_count_closed_form(mid, f, h, w):
+    """The SQL oracle's mod-256 wrap-count formula must equal the
+    brute-force count for arbitrary (id, frames, dims) — the identity
+    that lets a DuckDB oracle predict REAL numpy frame diffs exactly."""
+    import numpy as np
+
+    if f < 2:
+        return
+    sz = h * w * 3
+    d = sz % 256
+    for j in range(f - 1):
+        b = (mid + j * sz) % 256
+        full_cycles, rem = sz // 256, sz % 256
+        if b + rem <= 256:
+            n_wrap = full_cycles * d + max(
+                0, b + rem - max(256 - d, b)
+            )
+        else:
+            n_wrap = (
+                full_cycles * d
+                + max(0, 256 - max(256 - d, b))
+                + max(0, (b + rem - 256) - (256 - d))
+            )
+        # brute force
+        vals = (mid + j * sz + np.arange(sz, dtype=np.int64)) % 256
+        nxt = (mid + (j + 1) * sz + np.arange(sz, dtype=np.int64)) % 256
+        diff = nxt.astype(np.int64) - vals.astype(np.int64)
+        brute_wraps = int((diff < 0).sum()) if d > 0 else 0
+        assert n_wrap == brute_wraps, (mid, j, h, w)
+        expected_mean = (
+            (n_wrap * (256 - d) + (sz - n_wrap) * d) / sz
+        )
+        assert abs(np.abs(diff).mean() - expected_mean) < 1e-12
