@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "media_ahash_near_dups",
     "ips_policy_value_estimate",
     "bitemporal_state_lookup",
+    "adf_unit_root_per_type",
+    "watermark_tuning_curve",
 ]
 
 

@@ -1621,3 +1621,179 @@ def bitemporal_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("was_revised"),
     )
+
+
+@register(
+    "adf_unit_root_per_type",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS y_lag
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, y_lag AS x, value - y_lag AS dy
+      FROM o WHERE y_lag IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(dy) AS sy,
+             sum(x * x) AS sxx, sum(x * dy) AS sxy,
+             sum(dy * dy) AS syy
+      FROM d GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS alpha,
+             sx, sy, sxx, sxy, syy
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           round(beta, 6) AS beta,
+           round(beta / sqrt(
+             ((syy - 2 * beta * sxy - 2 * alpha * sy
+               + beta * beta * sxx + 2 * alpha * beta * sx
+               + n * alpha * alpha) / (n - 2))
+             / (sxx - sx * sx / n)), 6) AS adf_t_stat,
+           beta / sqrt(
+             ((syy - 2 * beta * sxy - 2 * alpha * sy
+               + beta * beta * sxx + 2 * alpha * beta * sx
+               + n * alpha * alpha) / (n - 2))
+             / (sxx - sx * sx / n)) < -2.86 AS stationary_05
+    FROM fit
+    """,
+)
+def adf_unit_root_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test per event type (the no-lag ADF
+    regression Δy_t = α + β·y_{t−1} + ε): β near 0 means a random walk
+    (differencing required before any ARIMA-family model); β
+    significantly negative (t < −2.86, the 5% DF critical value) means
+    the series mean-reverts and is safe to model in levels — the
+    stationarity gate every forecasting pipeline should run before the
+    smoothers this registry already has (EWMA/Holt/Kalman). One lag
+    window pass builds (y_{t−1}, Δy); everything else is closed-form
+    OLS from five partial-aggregated raw sums, with the residual sum of
+    squares expanded algebraically (Σε² = Σdy² − 2βΣx·dy − 2αΣdy +
+    β²Σx² + 2αβΣx + nα²) so no second data pass is needed. Exact same
+    float expression both engines; 6dp round."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("y_lag"),
+    ).filter(F.col("y_lag").isNotNull())
+    d = o.select(
+        "event_type",
+        F.col("y_lag").alias("x"),
+        (F.col("value") - F.col("y_lag")).alias("dy"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    beta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    rss = (
+        F.col("syy")
+        - 2 * beta * F.col("sxy")
+        - 2 * alpha * F.col("sy")
+        + beta * beta * F.col("sxx")
+        + 2 * alpha * beta * F.col("sx")
+        + F.col("n") * alpha * alpha
+    )
+    se = F.sqrt(
+        (rss / (F.col("n") - 2))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(beta / se, 6).alias("adf_t_stat"),
+        (beta / se < -2.86).alias("stationary_05"),
+    )
+
+
+@register(
+    "watermark_tuning_curve",
+    oracle="""
+    WITH arr AS (
+      SELECT ts, value,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS max_seen
+      FROM events
+    ),
+    delays AS (
+      SELECT unnest([0, 3600, 21600, 86400]) AS delay_s
+    ),
+    flagged AS (
+      SELECT d.delay_s,
+             CASE WHEN a.max_seen IS NOT NULL
+                   AND epoch(a.ts) < epoch(a.max_seen) - d.delay_s
+                  THEN 1 ELSE 0 END AS dropped
+      FROM arr a CROSS JOIN delays d
+    )
+    SELECT CAST(delay_s AS BIGINT) AS watermark_delay_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           round(sum(dropped) * 1.0 / count(*), 6) AS drop_rate
+    FROM flagged GROUP BY delay_s
+    """,
+)
+def watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning curve — the operational planning query behind
+    every `withWatermark` setting: replaying the batch table in ARRIVAL
+    order (event_id, the ingestion sequence), how many events would a
+    streaming job DROP at watermark delays of 0 / 1h / 6h / 24h? An
+    event is dropped when its event time is older than the max event
+    time already seen minus the delay — exactly Structured Streaming's
+    late-data rule. One running-max window over arrival order, a 4-row
+    broadcast delay grid, one aggregate; the output is the
+    completeness-vs-state-size trade-off curve an operator reads before
+    setting the production watermark (pair with
+    `event_lateness_profile` for WHERE the lateness comes from)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    arr = ev.select(
+        F.col("ts").cast("double").alias("es"),
+        F.max(F.col("ts").cast("double")).over(w).alias("max_seen"),
+    )
+    delays = spark.createDataFrame(
+        [(0,), (3600,), (21600,), (86400,)], "delay_s long"
+    )
+    flagged = arr.crossJoin(F.broadcast(delays)).select(
+        "delay_s",
+        F.when(
+            F.col("max_seen").isNotNull()
+            & (F.col("es") < F.col("max_seen") - F.col("delay_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return flagged.groupBy("delay_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dropped").cast("long").alias("n_dropped"),
+        F.round(
+            F.sum("dropped") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("drop_rate"),
+    ).select(
+        F.col("delay_s").alias("watermark_delay_s"),
+        "n_events",
+        "n_dropped",
+        "drop_rate",
+    )

@@ -279,3 +279,61 @@ def test_bitemporal_revisions_are_late_arrivals(spark):
     assert any(r["was_revised"] for r in rows) or all(
         not r["was_revised"] for r in rows
     )
+
+
+def test_adf_matches_numpy_ols(spark):
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        adf_unit_root_per_type,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in _rows(adf_unit_root_per_type(spark, TEST_SF_DIR))
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for etype, rows in by_type.items():
+        rows.sort()
+        y = np.array([v for _, _, v in rows])
+        x, dy = y[:-1], np.diff(y)
+        n = len(x)
+        X = np.column_stack([np.ones(n), x])
+        coef, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        alpha, beta = coef
+        resid = dy - X @ coef
+        se = np.sqrt(
+            (resid @ resid / (n - 2)) / ((x - x.mean()) ** 2).sum()
+        )
+        g = got[etype]
+        assert g["n_obs"] == n
+        assert abs(g["beta"] - beta) < 1e-5, etype
+        assert abs(g["adf_t_stat"] - beta / se) < 1e-3, etype
+        assert g["stationary_05"] == (beta / se < -2.86)
+        # synthetic iid-ish values mean-revert hard: t should be very negative
+        assert g["adf_t_stat"] < -2.86
+
+
+def test_watermark_curve_is_monotone(spark):
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        watermark_tuning_curve,
+    )
+
+    rows = sorted(
+        _rows(watermark_tuning_curve(spark, TEST_SF_DIR)),
+        key=lambda r: r["watermark_delay_s"],
+    )
+    assert [r["watermark_delay_s"] for r in rows] == [0, 3600, 21600, 86400]
+    n = rows[0]["n_events"]
+    assert all(r["n_events"] == n for r in rows)
+    drops = [r["n_dropped"] for r in rows]
+    # longer watermark delay can only drop FEWER events
+    assert drops == sorted(drops, reverse=True)
+    for r in rows:
+        assert abs(r["drop_rate"] - r["n_dropped"] / n) < 1e-6
