@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "bitemporal_state_lookup",
     "adf_unit_root_per_type",
     "watermark_tuning_curve",
+    "type_mean_shift_fdr",
 ]
 
 

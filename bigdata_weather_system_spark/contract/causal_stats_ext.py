@@ -682,3 +682,169 @@ def ps_api_daily_value_profile(
         F.round("avg_value", 6).alias("avg_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+# Abramowitz-Stegun 7.1.26 erf approximation — written ONCE as SQL text
+# and reused verbatim by both engines so the float op sequence is
+# literally identical (the only transcendental is exp on equal inputs).
+def _phi_sql(z: str) -> str:
+    """P(Z <= z) for z >= 0 via A&S 7.1.26 (|err| < 1.5e-7)."""
+    x = f"(({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    return f"(0.5 * (1.0 + (1.0 - {poly} * exp(-{x} * {x}))))"
+
+
+_BH_Q = 0.10
+
+_FDR_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (
+      SELECT list_reduce(list(n  ORDER BY event_type), (a, b) -> a + b)
+               AS n_all,
+             list_reduce(list(s  ORDER BY event_type), (a, b) -> a + b)
+               AS s_all,
+             list_reduce(list(ss ORDER BY event_type), (a, b) -> a + b)
+               AS ss_all
+      FROM g
+    ),
+    z AS (
+      SELECT g.event_type, g.n,
+             (g.s / g.n - (t.s_all - g.s) / (t.n_all - g.n))
+             / sqrt(
+                 ((g.ss - g.s * g.s / g.n) / (g.n - 1)) / g.n
+                 + (((t.ss_all - g.ss)
+                     - (t.s_all - g.s) * (t.s_all - g.s)
+                       / (t.n_all - g.n)) / (t.n_all - g.n - 1))
+                   / (t.n_all - g.n)) AS zstat
+      FROM g CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT event_type, n, zstat,
+             2.0 * (1.0 - {_phi_sql('abs(zstat)')}) AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pval, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    cut AS (
+      SELECT max(CASE WHEN pval <= rk * {_BH_Q} / m THEN rk
+                      ELSE 0 END) OVER () AS k_max, *
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT)   AS n_obs,
+           round(zstat, 4) + 0 AS z_stat,
+           round(pval, 6)      AS p_value,
+           CAST(rk AS BIGINT)  AS p_rank,
+           rk <= k_max         AS rejected_fdr10
+    FROM cut
+    """
+
+
+@register("type_mean_shift_fdr", oracle=_FDR_ORACLE)
+def type_mean_shift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — Benjamini–Hochberg FDR at q=0.10 over
+    the family of per-type mean-shift tests (each type's value mean vs
+    the complement, Welch z from sufficient statistics): the correction
+    every metrics platform needs once it tests many segments at once,
+    completing the testing family (single tests exist; this governs the
+    FAMILY). The normal CDF is the Abramowitz–Stegun 7.1.26 erf
+    polynomial written once as shared SQL text, so both engines run the
+    literally identical float sequence (exp is the only libm call, on
+    equal inputs). Complement-arm statistics come from (total − type)
+    sufficient stats — one groupBy + one fold-ordered total, no second
+    scan; the BH step-up runs as two windows over the |types|-row
+    relation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+            F.lit(0.0),
+            lambda a, x: a + x["n"],
+        ).alias("n_all"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "s"))),
+            F.lit(0.0),
+            lambda a, x: a + x["s"],
+        ).alias("s_all"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "ss"))),
+            F.lit(0.0),
+            lambda a, x: a + x["ss"],
+        ).alias("ss_all"),
+    )
+    zdf = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        (
+            (F.col("s") / F.col("n"))
+            - (F.col("s_all") - F.col("s"))
+            / (F.col("n_all") - F.col("n"))
+        ).alias("_md"),
+        (
+            ((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+             / (F.col("n") - 1)) / F.col("n")
+            + (
+                (
+                    (F.col("ss_all") - F.col("ss"))
+                    - (F.col("s_all") - F.col("s"))
+                    * (F.col("s_all") - F.col("s"))
+                    / (F.col("n_all") - F.col("n"))
+                )
+                / (F.col("n_all") - F.col("n") - 1)
+            )
+            / (F.col("n_all") - F.col("n"))
+        ).alias("_se2"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("_md") / F.sqrt(F.col("_se2"))).alias("zstat"),
+    )
+    p = zdf.select(
+        "event_type",
+        "n",
+        "zstat",
+        (2.0 * (1.0 - F.expr(_phi_sql("abs(zstat)")))).alias("pval"),
+    )
+    w_rank = Window.orderBy("pval", "event_type")
+    w_all = Window.partitionBy()
+    ranked = p.select(
+        "*",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    cut = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("pval") <= F.col("rk") * _BH_Q / F.col("m"),
+                F.col("rk"),
+            ).otherwise(0)
+        )
+        .over(w_all)
+        .alias("k_max"),
+    )
+    return cut.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        # + 0.0 canonicalizes IEEE negative zero (raw-repr compare)
+        (F.round("zstat", 4) + F.lit(0.0)).alias("z_stat"),
+        F.round("pval", 6).alias("p_value"),
+        F.col("rk").cast("long").alias("p_rank"),
+        (F.col("rk") <= F.col("k_max")).alias("rejected_fdr10"),
+    )

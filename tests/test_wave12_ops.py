@@ -337,3 +337,60 @@ def test_watermark_curve_is_monotone(spark):
     assert drops == sorted(drops, reverse=True)
     for r in rows:
         assert abs(r["drop_rate"] - r["n_dropped"] / n) < 1e-6
+
+
+def test_bh_fdr_matches_python(spark):
+    import math
+
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        type_mean_shift_fdr,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in _rows(type_mean_shift_fdr(spark, TEST_SF_DIR))
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r.value)
+
+    def phi(z):  # same A&S 7.1.26 polynomial as the query
+        x = z / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592
+        ) * t
+        return 0.5 * (1.0 + (1.0 - poly * math.exp(-x * x)))
+
+    stats = {}
+    all_vals = [v for vs in groups.values() for v in vs]
+    for etype, vs in groups.items():
+        rest = [v for k, g in groups.items() if k != etype for v in g]
+        n1, n2 = len(vs), len(rest)
+        m1 = sum(vs) / n1
+        m2 = sum(rest) / n2
+        v1 = sum((v - m1) ** 2 for v in vs) / (n1 - 1)
+        v2 = sum((v - m2) ** 2 for v in rest) / (n2 - 1)
+        z = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+        p = 2.0 * (1.0 - phi(abs(z)))
+        stats[etype] = (z, p)
+        assert abs(got[etype]["z_stat"] - z) < 1e-3, etype
+        assert abs(got[etype]["p_value"] - p) < 1e-4, etype
+    # BH step-up recompute
+    m = len(stats)
+    ordered = sorted(stats.items(), key=lambda kv: (kv[1][1], kv[0]))
+    k_max = 0
+    for i, (etype, (_, p)) in enumerate(ordered, 1):
+        if p <= i * 0.10 / m:
+            k_max = i
+    for i, (etype, _) in enumerate(ordered, 1):
+        assert got[etype]["p_rank"] == i
+        assert got[etype]["rejected_fdr10"] == (i <= k_max), etype
+    del all_vals
