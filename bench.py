@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "adf_unit_root_per_type",
     "watermark_tuning_curve",
     "type_mean_shift_fdr",
+    "revenue_pvm_decomposition",
 ]
 
 

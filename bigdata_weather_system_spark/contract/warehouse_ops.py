@@ -485,3 +485,165 @@ def part_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reorder_point"
         ),
     )
+
+
+@register(
+    "revenue_pvm_decomposition",
+    oracle="""
+    WITH pins AS (
+      SELECT min(l_shipdate) AS t0,
+             min(l_shipdate) + INTERVAL 365 DAY AS t1,
+             min(l_shipdate) + INTERVAL 730 DAY AS t2
+      FROM lineitem
+    ),
+    per AS (
+      SELECT l.l_partkey,
+             CASE WHEN l.l_shipdate >= p.t0 AND l.l_shipdate < p.t1
+                  THEN 1 ELSE 2 END AS period,
+             sum(l.l_quantity) AS q,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l CROSS JOIN pins p
+      WHERE l.l_shipdate >= p.t0 AND l.l_shipdate < p.t2
+      GROUP BY l.l_partkey,
+               CASE WHEN l.l_shipdate >= p.t0 AND l.l_shipdate < p.t1
+                    THEN 1 ELSE 2 END
+    ),
+    wide AS (
+      SELECT coalesce(a.l_partkey, b.l_partkey) AS pk,
+             a.q AS q1, a.rev / a.q AS p1,
+             b.q AS q2, b.rev / b.q AS p2,
+             coalesce(a.rev, 0.0) AS r1, coalesce(b.rev, 0.0) AS r2
+      FROM (SELECT * FROM per WHERE period = 1) a
+      FULL OUTER JOIN (SELECT * FROM per WHERE period = 2) b
+        ON a.l_partkey = b.l_partkey
+    ),
+    eff AS (
+      SELECT
+        CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN 'continuing'
+             WHEN q1 IS NULL THEN 'new' ELSE 'discontinued' END AS bucket,
+        round(r2 - r1, 4) AS d_total,
+        CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+             THEN round(q1 * (p2 - p1), 4) ELSE 0.0 END AS d_price,
+        CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+             THEN round(p1 * (q2 - q1), 4) ELSE 0.0 END AS d_volume,
+        CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL
+             THEN round((p2 - p1) * (q2 - q1), 4) ELSE 0.0 END AS d_cross
+      FROM wide
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)    AS n_parts,
+           round(sum(d_total), 2)      AS delta_revenue,
+           round(sum(d_price), 2)      AS price_effect,
+           round(sum(d_volume), 2)     AS volume_effect,
+           round(sum(d_cross), 2)      AS cross_effect,
+           abs(sum(d_total)
+               - (sum(d_price) + sum(d_volume) + sum(d_cross)))
+             < 0.05 OR bucket <> 'continuing' AS decomposition_closes
+    FROM eff GROUP BY bucket
+    """,
+)
+def revenue_pvm_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price–volume–mix revenue bridge between two consecutive years —
+    the FP&A decomposition behind every 'why did revenue move' review:
+    for parts sold in BOTH periods, ΔR splits exactly into
+    q₁·Δp (price) + p₁·Δq (volume) + Δp·Δq (cross), with new and
+    discontinued parts reported as their own buckets (their delta IS
+    their revenue). Per-part effects are rounded to 4dp BEFORE the
+    cross-part sums (the cohort-LTV float discipline) and the closure
+    identity rides along as an oracle-checked boolean. One period-tagged
+    groupBy + one full-outer self-alignment on partkey — both keyed on
+    the part dimension, partial-aggregated, no window, no pair stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    pins = li.agg(
+        F.min("l_shipdate").alias("t0"),
+        (F.min("l_shipdate") + F.expr("INTERVAL 365 DAYS")).alias("t1"),
+        (F.min("l_shipdate") + F.expr("INTERVAL 730 DAYS")).alias("t2"),
+    )
+    tagged = (
+        li.crossJoin(F.broadcast(pins))
+        .filter(
+            (F.col("l_shipdate") >= F.col("t0"))
+            & (F.col("l_shipdate") < F.col("t2"))
+        )
+        .select(
+            "l_partkey",
+            F.when(F.col("l_shipdate") < F.col("t1"), 1)
+            .otherwise(2)
+            .alias("period"),
+            "l_quantity",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("net"),
+        )
+    )
+    per = tagged.groupBy("l_partkey", "period").agg(
+        F.sum("l_quantity").alias("q"), F.sum("net").alias("rev")
+    )
+    a = per.filter(F.col("period") == 1).select(
+        F.col("l_partkey").alias("pk_a"),
+        F.col("q").alias("q1"),
+        (F.col("rev") / F.col("q")).alias("p1"),
+        F.col("rev").alias("r1"),
+    )
+    b = per.filter(F.col("period") == 2).select(
+        F.col("l_partkey").alias("pk_b"),
+        F.col("q").alias("q2"),
+        (F.col("rev") / F.col("q")).alias("p2"),
+        F.col("rev").alias("r2"),
+    )
+    wide = a.join(b, a.pk_a == b.pk_b, "full_outer").select(
+        F.coalesce("pk_a", "pk_b").alias("pk"),
+        "q1",
+        "p1",
+        "q2",
+        "p2",
+        F.coalesce("r1", F.lit(0.0)).alias("r1"),
+        F.coalesce("r2", F.lit(0.0)).alias("r2"),
+    )
+    both = F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    eff = wide.select(
+        F.when(both, "continuing")
+        .when(F.col("q1").isNull(), "new")
+        .otherwise("discontinued")
+        .alias("bucket"),
+        F.round(F.col("r2") - F.col("r1"), 4).alias("d_total"),
+        F.when(both, F.round(F.col("q1") * (F.col("p2") - F.col("p1")), 4))
+        .otherwise(0.0)
+        .alias("d_price"),
+        F.when(both, F.round(F.col("p1") * (F.col("q2") - F.col("q1")), 4))
+        .otherwise(0.0)
+        .alias("d_volume"),
+        F.when(
+            both,
+            F.round(
+                (F.col("p2") - F.col("p1"))
+                * (F.col("q2") - F.col("q1")),
+                4,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("d_cross"),
+    )
+    return eff.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("d_total"), 2).alias("delta_revenue"),
+        F.round(F.sum("d_price"), 2).alias("price_effect"),
+        F.round(F.sum("d_volume"), 2).alias("volume_effect"),
+        F.round(F.sum("d_cross"), 2).alias("cross_effect"),
+        (
+            (
+                F.abs(
+                    F.sum("d_total")
+                    - (
+                        F.sum("d_price")
+                        + F.sum("d_volume")
+                        + F.sum("d_cross")
+                    )
+                )
+                < 0.05
+            )
+            | (F.first("bucket") != "continuing")
+        ).alias("decomposition_closes"),
+    )
