@@ -311,6 +311,10 @@ BENCH_QUERIES = [
     "watermark_tuning_curve",
     "type_mean_shift_fdr",
     "revenue_pvm_decomposition",
+    "ljung_box_white_noise",
+    "price_elasticity_per_brand",
+    "ams_f2_user_sketch",
+    "brier_score_decomposition",
 ]
 
 

@@ -27,5 +27,6 @@ from . import eval_ops  # noqa: F401, E402
 from . import causal_stats_ext  # noqa: F401, E402
 from . import layout_ops  # noqa: F401, E402
 from . import attribution_ops  # noqa: F401, E402
+from . import diagnostics_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

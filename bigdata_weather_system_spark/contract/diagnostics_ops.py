@@ -1,0 +1,549 @@
+"""Contract queries: model/data diagnostics wave.
+
+The families already in the registry FIT things (OLS trends, smoothers,
+classifiers, forecasts); this wave adds the DIAGNOSTIC layer a pipeline
+runs before trusting them: a portmanteau white-noise test on residual
+structure (Ljung–Box), a count-model overdispersion gate (Poisson vs
+negative-binomial dispatch), a proper-score decomposition
+(Brier = uncertainty + reliability − resolution), a log-log demand
+elasticity fit, a sharp regression-discontinuity effect, and an AMS
+F2 sketch (the classic second-moment estimator behind join-size
+planning). Every query is closed-form from one or two partial-aggregate
+passes — no iteration, no collect, no Python row path — so each one
+survives a 1000-executor scale-up unchanged: the shuffle carries a few
+aggregate rows per group, never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core import register, _t
+
+
+@register(
+    "ljung_box_white_noise",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, sum(value) / count(*) AS ybar
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.ts, e.event_id, e.value - m.ybar AS d
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_type, d,
+             lag(d, 1) OVER w AS d1,
+             lag(d, 2) OVER w AS d2,
+             lag(d, 3) OVER w AS d3
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(d * d) AS s0,
+             sum(d * d1) AS s1, sum(d * d2) AS s2, sum(d * d3) AS s3
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           round(s1 / s0, 6) AS r1,
+           round(s2 / s0, 6) AS r2,
+           round(s3 / s0, 6) AS r3,
+           round(n * (n + 2.0) * (
+             (s1 / s0) * (s1 / s0) / (n - 1)
+             + (s2 / s0) * (s2 / s0) / (n - 2)
+             + (s3 / s0) * (s3 / s0) / (n - 3)), 4) AS lb_q3,
+           n * (n + 2.0) * (
+             (s1 / s0) * (s1 / s0) / (n - 1)
+             + (s2 / s0) * (s2 / s0) / (n - 2)
+             + (s3 / s0) * (s3 / s0) / (n - 3)) > 7.8147 AS reject_white_noise_05
+    FROM s
+    """,
+)
+def ljung_box_white_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type (lags 1–3): is there ANY
+    autocorrelation structure left in the value series, jointly across
+    the first k lags?  Q = n(n+2)·Σ_k r_k²/(n−k) ~ χ²(k) under white
+    noise; Q > 7.8147 (the 5% χ²₃ critical value) rejects. This is the
+    residual gate for the registry's forecasting family (EWMA / Holt /
+    Kalman / ADF): a model whose residuals reject white noise is leaving
+    signal on the table. Two passes only — one tiny groupBy for the per
+    type mean (broadcast back), one window-lag pass collapsing to five
+    raw sums per type — so the shuffle payload is O(#types), not O(rows),
+    at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("ybar")
+    )
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value") - F.col("ybar")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = d.select(
+        "event_type",
+        "d",
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("d", 2).over(w).alias("d2"),
+        F.lag("d", 3).over(w).alias("d3"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("s0"),
+        F.sum(F.col("d") * F.col("d1")).alias("s1"),
+        F.sum(F.col("d") * F.col("d2")).alias("s2"),
+        F.sum(F.col("d") * F.col("d3")).alias("s3"),
+    )
+    r1 = F.col("s1") / F.col("s0")
+    r2 = F.col("s2") / F.col("s0")
+    r3 = F.col("s3") / F.col("s0")
+    n = F.col("n")
+    q = (
+        n
+        * (n + 2.0)
+        * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_obs"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(q, 4).alias("lb_q3"),
+        (q > 7.8147).alias("reject_white_noise_05"),
+    )
+
+
+@register(
+    "event_count_overdispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(c) AS sc,
+             sum(c * c) AS scc
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round(sc * 1.0 / n, 6) AS mean_daily,
+           round((scc - sc * 1.0 * sc / n) / (n - 1), 6) AS var_daily,
+           round(((scc - sc * 1.0 * sc / n) / (n - 1)) / (sc * 1.0 / n), 6)
+             AS dispersion_index,
+           round(((n - 1) * ((scc - sc * 1.0 * sc / n) / (n - 1))
+                    / (sc * 1.0 / n) - (n - 1))
+                 / sqrt(2.0 * (n - 1)), 4) AS z_stat,
+           ((n - 1) * ((scc - sc * 1.0 * sc / n) / (n - 1))
+              / (sc * 1.0 / n) - (n - 1))
+             / sqrt(2.0 * (n - 1)) > 1.645 AS overdispersed_05
+    FROM s
+    """,
+)
+def event_count_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Overdispersion gate for daily event counts per type: a Poisson
+    arrival model demands variance ≈ mean; real traffic (bursts,
+    campaigns, outages) is overdispersed and needs a negative-binomial
+    (or at least quasi-Poisson) model. The chi-square dispersion test
+    statistic (n−1)·s²/m̄ ~ χ²(n−1) is normalized to a one-sided z via
+    the standard (χ² − df)/√(2df) approximation; z > 1.645 rejects
+    equidispersion at 5%. Two cheap aggregations: daily counts (bounded
+    by types × days) then three raw sums per type — the choose-your-
+    count-model dispatch that precedes the anomaly/forecast queries,
+    priced at two tiny shuffles regardless of data volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("n")
+    mean = F.col("sc") * 1.0 / n
+    var = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / n) / (n - 1)
+    disp = var / mean
+    z = ((n - 1) * disp - (n - 1)) / F.sqrt(2.0 * (n - 1))
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.round(z, 4).alias("z_stat"),
+        (z > 1.645).alias("overdispersed_05"),
+    )
+
+
+@register(
+    "brier_score_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS b, p, o FROM scored
+    ),
+    per_bin AS (
+      SELECT b, count(*) AS nb, sum(p) AS sp, sum(o) AS so
+      FROM binned GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(nb) AS n, sum(so) AS so_all FROM per_bin
+    ),
+    parts AS (
+      SELECT
+        sum(nb * (sp / nb) * (sp / nb) - 2 * (sp / nb) * so + so)
+          / any_value(g.n) AS bs,
+        sum(nb * ((sp / nb) - (so / nb)) * ((sp / nb) - (so / nb)))
+          / any_value(g.n) AS rel,
+        sum(nb * ((so / nb) - (g.so_all / g.n))
+               * ((so / nb) - (g.so_all / g.n))) / any_value(g.n) AS res,
+        any_value((g.so_all / g.n) * (1.0 - g.so_all / g.n)) AS unc
+      FROM per_bin CROSS JOIN tot g
+    )
+    SELECT round(bs, 6) AS brier_score,
+           round(rel, 6) AS reliability,
+           round(res, 6) AS resolution,
+           round(unc, 6) AS uncertainty,
+           abs(bs - (unc + rel - res)) < 1e-9 AS decomposition_closes
+    FROM parts
+    """,
+)
+def brier_score_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — BS = uncertainty +
+    reliability − resolution — for a deterministic logistic forecast of
+    "this event is a purchase" from the value column, binned into 10
+    probability buckets with the bin-mean forecast (which makes the
+    decomposition an exact algebraic identity, asserted in-row as
+    ``decomposition_closes``). Reliability says how miscalibrated the
+    forecast is; resolution says how much it separates outcomes; the
+    identity check is the self-test. One row-level projection collapses
+    to ≤10 bin aggregates (n_b, Σp, Σo — and since o is binary,
+    Σ(p̄_b − o)² within a bin is closed-form n_b·p̄_b² − 2·p̄_b·Σo + Σo,
+    no second data pass), then a 10-row rollup. Shuffle payload: 10
+    rows, at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+    o = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    binned = ev.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("b"),
+        p.alias("p"),
+        o.alias("o"),
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("p").alias("sp"),
+        F.sum("o").alias("so"),
+    )
+    glob = per_bin.agg(
+        F.sum("nb").alias("n"), F.sum("so").alias("so_all")
+    )
+    pb = F.col("sp") / F.col("nb")
+    ob = F.col("so") / F.col("nb")
+    obar = F.col("so_all") / F.col("n")
+    joined = per_bin.crossJoin(F.broadcast(glob))
+    parts = joined.agg(
+        (
+            F.sum(
+                F.col("nb") * pb * pb
+                - 2 * pb * F.col("so")
+                + F.col("so")
+            )
+            / F.first("n")
+        ).alias("bs"),
+        (
+            F.sum(F.col("nb") * (pb - ob) * (pb - ob)) / F.first("n")
+        ).alias("rel"),
+        (
+            F.sum(F.col("nb") * (ob - obar) * (ob - obar)) / F.first("n")
+        ).alias("res"),
+        F.first(obar * (1.0 - obar)).alias("unc"),
+    )
+    return parts.select(
+        F.round("bs", 6).alias("brier_score"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        (
+            F.abs(
+                F.col("bs")
+                - (F.col("unc") + F.col("rel") - F.col("res"))
+            )
+            < 1e-9
+        ).alias("decomposition_closes"),
+    )
+
+
+@register(
+    "price_elasticity_per_brand",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_brand,
+             ln(l.l_quantity) AS y,
+             ln(l.l_extendedprice / l.l_quantity) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+      SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r_squared
+    FROM s
+    ORDER BY p_brand
+    """,
+)
+def price_elasticity_per_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log price elasticity of demand per part brand: OLS slope of
+    ln(quantity) on ln(unit price) over every lineitem, brand by brand —
+    the classic constant-elasticity fit behind pricing and what-if
+    revenue models (a slope near −1 means revenue-neutral price moves).
+    The fact-side pass joins lineitem to the part dim (broadcast — the
+    dim is tiny relative to the fact table at every scale factor) and
+    collapses immediately to six raw sums per brand; slope and R² are
+    closed-form from those partials. One broadcast join + one partial
+    aggregation: the shuffle carries #brands rows, so the plan is
+    unchanged at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.log(F.col("l_quantity")).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+    )
+    s = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return (
+        s.select(
+            "p_brand",
+            n.cast("long").alias("n_lines"),
+            F.round(slope, 6).alias("elasticity"),
+            F.round(r2, 6).alias("r_squared"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "purchase_rd_effect_at_50",
+    oracle="""
+    WITH obs AS (
+      SELECT value - 50.0 AS v,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             value >= 50.0 AS rhs
+      FROM events
+      WHERE value IS NOT NULL AND value >= 25.0 AND value <= 75.0
+    ),
+    s AS (
+      SELECT
+        count(*) FILTER (WHERE NOT rhs) AS nl,
+        sum(v)  FILTER (WHERE NOT rhs) AS sxl,
+        sum(y)  FILTER (WHERE NOT rhs) AS syl,
+        sum(v * v) FILTER (WHERE NOT rhs) AS sxxl,
+        sum(v * y) FILTER (WHERE NOT rhs) AS sxyl,
+        count(*) FILTER (WHERE rhs) AS nr,
+        sum(v)  FILTER (WHERE rhs) AS sxr,
+        sum(y)  FILTER (WHERE rhs) AS syr,
+        sum(v * v) FILTER (WHERE rhs) AS sxxr,
+        sum(v * y) FILTER (WHERE rhs) AS sxyr
+      FROM obs
+    )
+    SELECT CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           round((syl - (nl * sxyl - sxl * syl)
+                    / (nl * sxxl - sxl * sxl) * sxl) / nl, 6)
+             AS alpha_left,
+           round((syr - (nr * sxyr - sxr * syr)
+                    / (nr * sxxr - sxr * sxr) * sxr) / nr, 6)
+             AS alpha_right,
+           round((syr - (nr * sxyr - sxr * syr)
+                    / (nr * sxxr - sxr * sxr) * sxr) / nr
+                 - (syl - (nl * sxyl - sxl * syl)
+                      / (nl * sxxl - sxl * sxl) * sxl) / nl, 6)
+             AS rd_effect
+    FROM s
+    """,
+)
+def purchase_rd_effect_at_50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the value = 50 cutoff:
+    within a ±25 bandwidth, fit a local linear probability model of
+    "purchase" on the centered running variable separately on each side,
+    and report the jump in the fitted intercepts at the cutoff — the
+    canonical quasi-experimental design when treatment switches on at a
+    threshold (free-shipping minimums, credit-score cutoffs). Both side
+    fits come from ONE single-pass conditional aggregation (FILTER-ed
+    raw sums, ten numbers total) followed by closed-form OLS intercepts
+    α = (Σy − β·Σx)/n — no second pass, no per-side subquery scans, one
+    shuffle carrying a single row."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 25.0)
+        & (F.col("value") <= 75.0)
+    )
+    v = F.col("value") - 50.0
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    rhs = F.col("value") >= 50.0
+    obs = ev.select(v.alias("v"), y.alias("y"), rhs.alias("rhs"))
+
+    def side(cond, suffix):
+        c = cond if suffix == "r" else ~cond
+        return [
+            F.count(F.when(c, F.lit(1))).alias(f"n{suffix}"),
+            F.sum(F.when(c, F.col("v"))).alias(f"sx{suffix}"),
+            F.sum(F.when(c, F.col("y"))).alias(f"sy{suffix}"),
+            F.sum(F.when(c, F.col("v") * F.col("v"))).alias(
+                f"sxx{suffix}"
+            ),
+            F.sum(F.when(c, F.col("v") * F.col("y"))).alias(
+                f"sxy{suffix}"
+            ),
+        ]
+
+    s = obs.agg(*(side(F.col("rhs"), "l") + side(F.col("rhs"), "r")))
+
+    def alpha(sfx):
+        n, sx, sy = F.col(f"n{sfx}"), F.col(f"sx{sfx}"), F.col(f"sy{sfx}")
+        sxx, sxy = F.col(f"sxx{sfx}"), F.col(f"sxy{sfx}")
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return (sy - beta * sx) / n
+
+    return s.select(
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.round(alpha("l"), 6).alias("alpha_left"),
+        F.round(alpha("r"), 6).alias("alpha_right"),
+        F.round(alpha("r") - alpha("l"), 6).alias("rd_effect"),
+    )
+
+
+@register(
+    "ams_f2_user_sketch",
+    oracle="""
+    WITH exact AS (
+      SELECT sum(n * n) AS f2
+      FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    ),
+    fan AS (
+      SELECT j.rep,
+             CASE WHEN CAST(('0x' || substring(
+                      md5(j.rep || ':' || CAST(e.user_id AS VARCHAR)),
+                      1, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM events e CROSS JOIN (
+        SELECT CAST(unnest(range(32)) AS VARCHAR) AS rep) j
+    ),
+    counters AS (
+      SELECT rep, sum(sign) AS z FROM fan GROUP BY rep
+    ),
+    est AS (
+      SELECT sum(z * 1.0 * z) / count(*) AS f2_hat FROM counters
+    )
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+           round(est.f2_hat, 2) AS ams_estimate,
+           round(abs(est.f2_hat - exact.f2) / exact.f2, 6) AS rel_error,
+           abs(est.f2_hat - exact.f2) / exact.f2 < 1.0 AS within_bound
+    FROM exact CROSS JOIN est
+    """,
+)
+def ams_f2_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) second-moment sketch over the event
+    stream's user_id column, checked against the exact F2 = Σ n_u² — the
+    self-join size that query planners need for join-cardinality and
+    skew estimates without a full groupBy on the key. 32 independent
+    ±1 hash counters (sign = md5 parity of rep:user, identical
+    expression in both engines, so the estimate itself is deterministic
+    and value-checked, not just bounded): each counter is a single SUM,
+    the estimate is the mean of their squares, and the standard AMS
+    variance bound 2·F2²/32 puts the relative error well inside the
+    asserted 1.0. The 32× fan-out collapses immediately to map-side
+    partial sums — the shuffle carries 32 rows per partition at any
+    scale, the same pattern as bootstrap_value_mean."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+    )
+    fan = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        "user_id",
+    ).select(
+        "rep",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("rep").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    counters = fan.groupBy("rep").agg(F.sum("sign").alias("z"))
+    est = counters.agg(
+        (F.sum(F.col("z") * 1.0 * F.col("z")) / F.count(F.lit(1))).alias(
+            "f2_hat"
+        )
+    )
+    joined = exact.crossJoin(F.broadcast(est))
+    rel = F.abs(F.col("f2_hat") - F.col("f2")) / F.col("f2")
+    return joined.select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.round("f2_hat", 2).alias("ams_estimate"),
+        F.round(rel, 6).alias("rel_error"),
+        (rel < 1.0).alias("within_bound"),
+    )

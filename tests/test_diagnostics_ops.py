@@ -1,0 +1,144 @@
+"""Semantic pins for the diagnostics wave: decomposition identities,
+statistical invariants, and numpy cross-checks beyond the oracle parity
+gate (which already value-matches every query against DuckDB)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from bigdata_weather_system_spark.contract.diagnostics_ops import (
+    ams_f2_user_sketch,
+    brier_score_decomposition,
+    event_count_overdispersion,
+    ljung_box_white_noise,
+    price_elasticity_per_brand,
+    purchase_rd_effect_at_50,
+)
+from tests.conftest import TEST_SF_DIR
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_brier_murphy_identity_closes(spark):
+    (row,) = _rows(brier_score_decomposition(spark, TEST_SF_DIR))
+    assert row["decomposition_closes"] is True
+    # the rounded components must also reconstruct the rounded score
+    # to within the rounding tolerance
+    recon = row["uncertainty"] + row["reliability"] - row["resolution"]
+    assert abs(recon - row["brier_score"]) < 2e-6
+    # proper-score sanity: all components non-negative, BS in [0, 1]
+    assert 0.0 <= row["brier_score"] <= 1.0
+    assert row["reliability"] >= 0.0
+    assert row["resolution"] >= 0.0
+    assert 0.0 <= row["uncertainty"] <= 0.25
+
+
+def test_ljung_box_matches_numpy(spark):
+    got = {r["event_type"]: r for r in _rows(ljung_box_white_noise(spark, TEST_SF_DIR))}
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for etype, rows in by_type.items():
+        rows.sort(key=lambda p: (p[0], p[1]))
+        y = np.array([v for _, _, v in rows])
+        d = y - y.mean()
+        n = len(y)
+        s0 = float(d @ d)
+        q = 0.0
+        for k in (1, 2, 3):
+            rk = float(d[k:] @ d[:-k]) / s0
+            q += rk * rk / (n - k)
+        q *= n * (n + 2.0)
+        assert got[etype]["n_obs"] == n
+        assert math.isclose(got[etype]["lb_q3"], q, rel_tol=1e-3, abs_tol=5e-4)
+        assert got[etype]["reject_white_noise_05"] == (q > 7.8147)
+
+
+def test_overdispersion_matches_numpy(spark):
+    got = {
+        r["event_type"]: r
+        for r in _rows(event_count_overdispersion(spark, TEST_SF_DIR))
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .selectExpr("event_type", "to_date(ts) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r["count"])
+    for etype, counts in by_type.items():
+        c = np.array(counts, dtype=float)
+        n = len(c)
+        mean, var = c.mean(), c.var(ddof=1)
+        disp = var / mean
+        z = ((n - 1) * disp - (n - 1)) / math.sqrt(2.0 * (n - 1))
+        assert got[etype]["n_days"] == n
+        assert math.isclose(got[etype]["dispersion_index"], disp, rel_tol=1e-6)
+        assert math.isclose(got[etype]["z_stat"], z, rel_tol=1e-3, abs_tol=5e-4)
+
+
+def test_elasticity_matches_numpy_ols(spark):
+    got = {
+        r["p_brand"]: r for r in _rows(price_elasticity_per_brand(spark, TEST_SF_DIR))
+    }
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{TEST_SF_DIR}/part.parquet")
+    obs = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "ln(l_quantity) AS y",
+            "ln(l_extendedprice / l_quantity) AS x",
+        )
+        .collect()
+    )
+    by_brand: dict = {}
+    for r in obs:
+        by_brand.setdefault(r.p_brand, []).append((r.x, r.y))
+    for brand, pts in by_brand.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope = np.polyfit(x, y, 1)[0]
+        assert got[brand]["n_lines"] == len(pts)
+        assert math.isclose(got[brand]["elasticity"], slope, rel_tol=1e-4, abs_tol=1e-5)
+        assert 0.0 <= got[brand]["r_squared"] <= 1.0
+
+
+def test_rd_effect_is_intercept_gap(spark):
+    (row,) = _rows(purchase_rd_effect_at_50(spark, TEST_SF_DIR))
+    assert row["n_left"] > 0 and row["n_right"] > 0
+    assert math.isclose(
+        row["rd_effect"],
+        row["alpha_right"] - row["alpha_left"],
+        abs_tol=2e-6,
+    )
+    # linear-probability intercepts stay in a sane band around [0, 1]
+    assert -0.5 <= row["alpha_left"] <= 1.5
+    assert -0.5 <= row["alpha_right"] <= 1.5
+
+
+def test_ams_sketch_brackets_exact_f2(spark):
+    (row,) = _rows(ams_f2_user_sketch(spark, TEST_SF_DIR))
+    assert row["within_bound"] is True
+    assert row["exact_f2"] > 0
+    assert row["ams_estimate"] > 0
+    assert row["rel_error"] == round(
+        abs(row["ams_estimate"] - row["exact_f2"]) / row["exact_f2"], 6
+    ) or math.isclose(
+        row["rel_error"],
+        abs(row["ams_estimate"] - row["exact_f2"]) / row["exact_f2"],
+        abs_tol=1e-5,
+    )
