@@ -315,6 +315,9 @@ BENCH_QUERIES = [
     "price_elasticity_per_brand",
     "ams_f2_user_sketch",
     "brier_score_decomposition",
+    "part_harmonic_centrality",
+    "embedding_rp_projection_recall",
+    "purchase_rate_trend_test",
 ]
 
 

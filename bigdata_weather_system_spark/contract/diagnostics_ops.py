@@ -547,3 +547,208 @@ def ams_f2_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rel, 6).alias("rel_error"),
         (rel < 1.0).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection audit
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+_RP_IN, _RP_OUT = 64, 16
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """Deterministic ±1 sign for projection row j, input dim i (md5
+    parity — content-addressed, so both engines and every executor see
+    the identical matrix with zero coordination)."""
+    h = _hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+#: 16×64 sign matrix, a module-level constant (model state, not data).
+_RP_SIGNS = [
+    [_rp_sign(j, i) for i in range(_RP_IN)] for j in range(_RP_OUT)
+]
+
+
+def _rp_sql_rows() -> str:
+    comps = []
+    for row in _RP_SIGNS:
+        lits = ", ".join(str(s) for s in row)
+        comps.append(
+            f"list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[])"
+        )
+    return ",\n             ".join(comps)
+
+
+@register(
+    "embedding_rp_projection_recall",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             [{_rp_sql_rows()}]::DOUBLE[] AS p
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    full_sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS s
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    rp_sc AS (
+      SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qp.p, cp.p), 6) AS s
+      FROM proj qp JOIN proj cp ON qp.vec_id <> cp.vec_id
+      WHERE qp.vec_id < 20
+    ),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM full_sc) WHERE rn <= 10
+    ),
+    rp_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM rp_sc) WHERE rn <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_common,
+           round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM full_top f
+    LEFT JOIN rp_top t ON t.query_id = f.query_id
+                      AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_rp_projection_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss audit: top-10 cosine recall of a 64→16
+    ±1 random-sign projection (Achlioptas-style, the sparse-friendly JL
+    construction) against the full-dimension ranking, per query vector —
+    the measurement that prices a 4× cheaper projected first-stage index
+    before committing to it (the sibling of `embedding_truncation_recall`,
+    which audits PREFIX truncation; sign projection mixes all dims and
+    typically retains more geometry at the same budget). The sign matrix
+    is a 16×64 content-hashed constant, so the projection is one
+    zip-with/fold per component with zero data movement; both rankings
+    use the exact brute-force operator, rounded + id-tie-broken so the
+    ranking is engine-identical."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def project(vec):
+        comps = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in _RP_SIGNS
+        ]
+        return F.array(*comps)
+
+    q = e.filter(F.col("vec_id") < 20)
+    full_top = cosine_topk_bruteforce(e, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    proj = e.select("vec_id", project(F.col("embedding")).alias("embedding"))
+    projq = proj.filter(F.col("vec_id") < 20)
+    rp_top = cosine_topk_bruteforce(proj, projq, k=10).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    joined = full_top.join(
+        rp_top,
+        (F.col("query_id") == F.col("tq"))
+        & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("tn").cast("long").alias("n_common"),
+        F.round(F.count("tn") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
+@register(
+    "purchase_rate_trend_test",
+    oracle="""
+    WITH obs AS (
+      SELECT GREATEST(LEAST(CAST(floor(value / 10) AS INT), 9), 0) AS b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_bin AS (
+      SELECT b, count(*) AS nb, sum(r) AS rb FROM obs GROUP BY b
+    ),
+    s AS (
+      SELECT sum(nb) AS n, sum(rb) AS r,
+             sum(nb * b) AS sx, sum(nb * b * b) AS sxx,
+             sum(rb * b) AS srx
+      FROM per_bin
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(r AS BIGINT) AS n_purchases,
+           round((srx - r * 1.0 * sx / n)
+                 / sqrt((r * 1.0 / n) * (1.0 - r * 1.0 / n)
+                        * (sxx - sx * 1.0 * sx / n)), 4) AS z_stat,
+           (srx - r * 1.0 * sx / n)
+             / sqrt((r * 1.0 / n) * (1.0 - r * 1.0 / n)
+                    * (sxx - sx * 1.0 * sx / n)) > 1.645
+             AS increasing_trend_05
+    FROM s
+    """,
+)
+def purchase_rate_trend_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage trend test: does the purchase RATE increase
+    monotonically across ordered value bins (fixed-width deciles of the
+    value column)? The test statistic T = Σr_b·x_b − R·Σn_b·x_b/N over
+    its null variance (R/N)(1−R/N)(Σn_b·x_b² − (Σn_b·x_b)²/N) is the
+    standard dose-response z — strictly more powerful than the χ²
+    independence test when the alternative is ordered, which is exactly
+    the funnel question ("do higher-value events convert more?"). One
+    row-level pass to ≤10 bin aggregates, then a 10-row rollup: shuffle
+    payload is 10 rows at any scale, and every sum is integer until the
+    final closed-form division."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.greatest(
+        F.least(F.floor(F.col("value") / 10).cast("int"), F.lit(9)),
+        F.lit(0),
+    )
+    r = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    per_bin = ev.select(b.alias("b"), r.alias("r")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("r").alias("rb")
+    )
+    s = per_bin.agg(
+        F.sum("nb").alias("n"),
+        F.sum("rb").alias("r"),
+        F.sum(F.col("nb") * F.col("b")).alias("sx"),
+        F.sum(F.col("nb") * F.col("b") * F.col("b")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("b")).alias("srx"),
+    )
+    n, rr = F.col("n"), F.col("r")
+    t = F.col("srx") - rr * 1.0 * F.col("sx") / n
+    var = (
+        (rr * 1.0 / n)
+        * (1.0 - rr * 1.0 / n)
+        * (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / n)
+    )
+    z = t / F.sqrt(var)
+    return s.select(
+        n.cast("long").alias("n_total"),
+        rr.cast("long").alias("n_purchases"),
+        F.round(z, 4).alias("z_stat"),
+        (z > 1.645).alias("increasing_trend_05"),
+    )

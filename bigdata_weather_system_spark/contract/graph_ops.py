@@ -479,3 +479,74 @@ def part_khop_size_fm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return fm_neighborhood_sizes(edges, rounds=2, n_bits=24)
+
+
+@register(
+    "part_harmonic_centrality",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    seeds AS (SELECT DISTINCT src AS s FROM edges ORDER BY s LIMIT 5),
+    h0 AS (SELECT s, s AS node, 0 AS hop FROM seeds),
+    f1 AS MATERIALIZED (
+      SELECT DISTINCT h.s, e.dst AS node
+      FROM h0 h JOIN edges e ON e.src = h.node
+      WHERE NOT EXISTS (SELECT 1 FROM h0 v
+                        WHERE v.s = h.s AND v.node = e.dst)),
+    h1 AS MATERIALIZED (
+      SELECT * FROM h0 UNION ALL SELECT s, node, 1 FROM f1),
+    f2 AS MATERIALIZED (
+      SELECT DISTINCT h.s, e.dst AS node
+      FROM f1 h JOIN edges e ON e.src = h.node
+      WHERE NOT EXISTS (SELECT 1 FROM h1 v
+                        WHERE v.s = h.s AND v.node = e.dst)),
+    h2 AS MATERIALIZED (
+      SELECT * FROM h1 UNION ALL SELECT s, node, 2 FROM f2),
+    f3 AS MATERIALIZED (
+      SELECT DISTINCT h.s, e.dst AS node
+      FROM f2 h JOIN edges e ON e.src = h.node
+      WHERE NOT EXISTS (SELECT 1 FROM h2 v
+                        WHERE v.s = h.s AND v.node = e.dst)),
+    h3 AS (SELECT * FROM h2 UNION ALL SELECT s, node, 3 FROM f3)
+    SELECT s AS source,
+           CAST(count(*) FILTER (WHERE hop = 1) AS BIGINT) AS n_1hop,
+           CAST(count(*) FILTER (WHERE hop = 2) AS BIGINT) AS n_2hop,
+           CAST(count(*) FILTER (WHERE hop = 3) AS BIGINT) AS n_3hop,
+           round(count(*) FILTER (WHERE hop = 1)
+                 + count(*) FILTER (WHERE hop = 2) / 2.0
+                 + count(*) FILTER (WHERE hop = 3) / 3.0, 6) AS harmonic_c3
+    FROM h3 GROUP BY s
+    """,
+)
+def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded harmonic centrality H(s) = Σ_{{v: 0<d(s,v)≤3}} 1/d(s,v)
+    for the five lowest-id parts — the centrality that stays well-defined
+    on disconnected graphs (unreachable nodes contribute zero instead of
+    poisoning an average like closeness). Runs the labeled multi-source
+    BFS (frontier keyed by (seed, node), visited-set anti-join per hop),
+    then derives the score from the per-hop COUNTS (n₁ + n₂/2 + n₃/3) so
+    the float result is a deterministic three-term expression, not an
+    order-dependent sum. Per-hop cost is the frontiers' edge boundary —
+    the bounded-seed-set shape that scales to huge graphs because state
+    is |seeds| × reached, never all-pairs. The oracle unrolls the same
+    three labeled expansions as MATERIALIZED CTEs."""
+    from ..operators.graph import multi_source_bfs
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").cache()
+    nodes = edges.select("src").union(edges.select("dst")).distinct()
+    seeds = nodes.orderBy("src").limit(5)
+    vis = multi_source_bfs(edges, seeds, max_hops=3)
+    counts = vis.groupBy("s").agg(
+        F.count(F.when(F.col("hop") == 1, F.lit(1))).alias("n1"),
+        F.count(F.when(F.col("hop") == 2, F.lit(1))).alias("n2"),
+        F.count(F.when(F.col("hop") == 3, F.lit(1))).alias("n3"),
+    )
+    return counts.select(
+        F.col("s").alias("source"),
+        F.col("n1").cast("long").alias("n_1hop"),
+        F.col("n2").cast("long").alias("n_2hop"),
+        F.col("n3").cast("long").alias("n_3hop"),
+        F.round(
+            F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6
+        ).alias("harmonic_c3"),
+    )

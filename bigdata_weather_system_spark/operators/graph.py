@@ -215,6 +215,47 @@ def bfs_layers(
     return visited
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Per-source bounded-depth BFS: (s, node, hop) where hop is the
+    shortest distance from source ``s`` specifically (unlike
+    ``bfs_layers``, which merges all sources into one wavefront). The
+    frontier is keyed by (source, node), so the per-hop work is the
+    union of the individual frontiers' edge boundaries — the standard
+    labeled multi-BFS used for per-seed centralities and ego-network
+    features. Visited-set anti-join + per-hop ``localCheckpoint`` keep
+    the plan linear in depth; seeds are expected to be a bounded set
+    (the per-source state grows with |seeds| × reachable nodes)."""
+    directed = _directed(edges).cache()
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"))
+    )
+    visited = frontier.select("s", "node", F.lit(0).alias("hop")).cache()
+    visited.count()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            directed.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("s", "node", F.lit(h).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def personalized_pagerank(
     edges: DataFrame,
     sources: DataFrame,

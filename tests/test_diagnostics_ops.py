@@ -142,3 +142,93 @@ def test_ams_sketch_brackets_exact_f2(spark):
         abs(row["ams_estimate"] - row["exact_f2"]) / row["exact_f2"],
         abs_tol=1e-5,
     )
+
+
+def test_harmonic_centrality_matches_python_bfs(spark):
+    from bigdata_weather_system_spark.contract.graph_ops import (
+        part_harmonic_centrality,
+    )
+    from bigdata_weather_system_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    got = {r["source"]: r for r in _rows(part_harmonic_centrality(spark, TEST_SF_DIR))}
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").collect()
+    adj: dict = {}
+    for e in edges:
+        adj.setdefault(e.src, set()).add(e.dst)
+        adj.setdefault(e.dst, set()).add(e.src)
+    seeds = sorted(adj)[:5]
+    for s in seeds:
+        dist = {s: 0}
+        frontier = {s}
+        for hop in (1, 2, 3):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt.add(v)
+            for v in nxt:
+                dist[v] = hop
+            frontier = nxt
+        n1 = sum(1 for d in dist.values() if d == 1)
+        n2 = sum(1 for d in dist.values() if d == 2)
+        n3 = sum(1 for d in dist.values() if d == 3)
+        assert got[s]["n_1hop"] == n1
+        assert got[s]["n_2hop"] == n2
+        assert got[s]["n_3hop"] == n3
+        assert math.isclose(
+            got[s]["harmonic_c3"], n1 + n2 / 2.0 + n3 / 3.0, abs_tol=1e-6
+        )
+
+
+def test_rp_projection_recall_beats_floor(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        embedding_rp_projection_recall,
+    )
+
+    rows = _rows(embedding_rp_projection_recall(spark, TEST_SF_DIR))
+    assert len(rows) == 20
+    mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
+    # a 64->16 sign projection must do clearly better than chance
+    # (10/499 ~ 0.02); this floor fails loudly if the projection or the
+    # ranking plumbing breaks
+    assert mean_recall > 0.15
+    for r in rows:
+        assert 0 <= r["n_common"] <= 10
+
+
+def test_trend_test_matches_numpy(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        purchase_rate_trend_test,
+    )
+
+    (row,) = _rows(purchase_rate_trend_test(spark, TEST_SF_DIR))
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .selectExpr(
+            "GREATEST(LEAST(CAST(floor(value / 10) AS INT), 9), 0) AS b",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r",
+        )
+        .collect()
+    )
+    import collections
+
+    nb = collections.Counter()
+    rb = collections.Counter()
+    for x in ev:
+        nb[x.b] += 1
+        rb[x.b] += x.r
+    n = sum(nb.values())
+    rr = sum(rb.values())
+    sx = sum(c * b for b, c in nb.items())
+    sxx = sum(c * b * b for b, c in nb.items())
+    srx = sum(c * b for b, c in rb.items())
+    t = srx - rr * sx / n
+    var = (rr / n) * (1 - rr / n) * (sxx - sx * sx / n)
+    z = t / math.sqrt(var)
+    assert row["n_total"] == n
+    assert row["n_purchases"] == rr
+    assert math.isclose(row["z_stat"], z, rel_tol=1e-3, abs_tol=5e-4)
