@@ -318,6 +318,9 @@ BENCH_QUERIES = [
     "part_harmonic_centrality",
     "embedding_rp_projection_recall",
     "purchase_rate_trend_test",
+    "incremental_agg_retraction",
+    "cube_materialization_advisor",
+    "theta_sketch_a_not_b",
 ]
 
 

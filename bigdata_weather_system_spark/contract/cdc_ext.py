@@ -1797,3 +1797,121 @@ def watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         "drop_rate",
     )
+
+
+@register(
+    "incremental_agg_retraction",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    base AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cutoff WHERE ts < c
+      ) WHERE rn = 1
+    ),
+    chg AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cutoff WHERE ts >= c
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+             CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                  ELSE b.event_type END AS event_type,
+             CASE WHEN c.user_id IS NOT NULL THEN c.value
+                  ELSE b.value END AS value
+      FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      WHERE NOT COALESCE(c.event_type = 'error', FALSE)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(coalesce(value, 0.0)), 4) AS sum_value
+    FROM merged GROUP BY event_type
+    """,
+)
+def incremental_agg_retraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate-view maintenance with RETRACTIONS — the
+    third leg of the IVM family (`incremental_profile_merge` merges
+    append-only partials, `incremental_join_view_delta` maintains a
+    join): a per-event-type (n_users, Σvalue) view over per-user latest
+    state is maintained under a change feed by applying signed deltas —
+    retract (−1, −old_value) for every changed user's prior state, add
+    (+1, +new_value) for its new state (tombstones add nothing) — and
+    the maintained result must equal a from-scratch recompute, which is
+    exactly what the oracle computes. At scale this is the whole point
+    of retraction streams: the delta pass touches only the CHANGE FEED
+    joined to the (user-bucketed) base snapshot, never rescanning the
+    fact history; the final combine is a #types-row full-outer join.
+    Groups whose count reaches zero drop out, matching the recompute."""
+    from ..operators.cdc import latest_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("_cut"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    base = latest_changes(
+        ev.filter(F.col("ts") < F.col("_cut")).drop("_cut"),
+        ["user_id"],
+        ["ts", "event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("b_type"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("b_val"),
+    )
+    chg = latest_changes(
+        ev.filter(F.col("ts") >= F.col("_cut")).drop("_cut"),
+        ["user_id"],
+        ["ts", "event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("c_type"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("c_val"),
+    )
+    base_view = base.groupBy(F.col("b_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("b_val").alias("sv")
+    )
+    # retraction: every changed user's OLD contribution leaves the view
+    retract = chg.join(base, "user_id").select(
+        F.col("b_type").alias("t"),
+        F.lit(-1).alias("dn"),
+        (-F.col("b_val")).alias("dv"),
+    )
+    # addition: the new state enters, unless the change is a tombstone
+    add = chg.filter(F.col("c_type") != "error").select(
+        F.col("c_type").alias("t"),
+        F.lit(1).alias("dn"),
+        F.col("c_val").alias("dv"),
+    )
+    deltas = (
+        retract.unionByName(add)
+        .groupBy("t")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    combined = base_view.join(
+        deltas, base_view.event_type == deltas.t, "full_outer"
+    ).select(
+        F.coalesce(F.col("event_type"), F.col("t")).alias("event_type"),
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_users"),
+        (
+            F.coalesce(F.col("sv"), F.lit(0.0))
+            + F.coalesce(F.col("dv"), F.lit(0.0))
+        ).alias("sum_raw"),
+    )
+    return combined.filter(F.col("n_users") > 0).select(
+        "event_type",
+        "n_users",
+        F.round("sum_raw", 4).alias("sum_value"),
+    )

@@ -309,7 +309,6 @@ def brier_score_decomposition(
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
              AS r_squared
     FROM s
-    ORDER BY p_brand
     """,
 )
 def price_elasticity_per_brand(
@@ -352,14 +351,11 @@ def price_elasticity_per_brand(
         * (n * sxy - sx * sy)
         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
     )
-    return (
-        s.select(
-            "p_brand",
-            n.cast("long").alias("n_lines"),
-            F.round(slope, 6).alias("elasticity"),
-            F.round(r2, 6).alias("r_squared"),
-        )
-        .orderBy("p_brand")
+    return s.select(
+        "p_brand",
+        n.cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(r2, 6).alias("r_squared"),
     )
 
 

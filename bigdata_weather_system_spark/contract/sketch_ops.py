@@ -479,3 +479,155 @@ def theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("card_within_50pct"),
         )
     )
+
+
+@register(
+    "theta_sketch_a_not_b",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    ),
+    sk AS (SELECT * FROM ranked WHERE rk <= 64),
+    stats AS (
+      SELECT event_type, max(n_exact) AS n_exact,
+             count(*) AS n_in_sketch,
+             CASE WHEN max(n_exact) >= 64
+                  THEN max(CASE WHEN rk = 64 THEN h END) * 1.0
+                       / 1152921504606846976
+                  ELSE 1.0 END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    ab AS (
+      SELECT least(ca.theta, cb.theta) AS theta_ab,
+             ca.n_exact AS n_click_exact
+      FROM stats ca, stats cb
+      WHERE ca.event_type = 'click' AND cb.event_type = 'purchase'
+    ),
+    diff AS (
+      SELECT count(*) AS c
+      FROM sk a
+      CROSS JOIN ab
+      WHERE a.event_type = 'click'
+        AND a.h * 1.0 / 1152921504606846976 < ab.theta_ab
+        AND NOT EXISTS (SELECT 1 FROM sk b
+                        WHERE b.event_type = 'purchase' AND b.h = a.h)
+    ),
+    exact_d AS (
+      SELECT count(*) AS n_anotb_exact FROM (
+        SELECT user_id FROM du WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM du WHERE event_type = 'purchase'
+      )
+    )
+    SELECT CAST(ab.n_click_exact AS BIGINT) AS n_click_exact,
+           CAST(ed.n_anotb_exact AS BIGINT) AS n_anotb_exact,
+           round(d.c / ab.theta_ab, 4) AS n_anotb_est,
+           abs(d.c / ab.theta_ab - ed.n_anotb_exact)
+             <= 0.5 * ed.n_anotb_exact AS within_50pct
+    FROM ab, diff d, exact_d ed
+    """,
+)
+def theta_sketch_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B (clickers who never purchased) — the set
+    DIFFERENCE that completes the sketch algebra started by
+    `theta_sketch_user_overlap` (union and intersection): keep the
+    click sketch's entries below θ_∩ = min(θ_A, θ_B) that are absent
+    from the purchase sketch (an anti-join over ≤k rows), scale by
+    1/θ_∩. Deterministic (md5 KMV order), so the oracle checks exact
+    values; the exact EXCEPT cardinality and a self-documenting ±50%
+    band ride along. Scale: both sketches are ≤k=64 rows regardless of
+    corpus size, so the difference costs an anti-join over 64 rows —
+    the audience-exclusion primitive (retargeting suppression lists)
+    at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    two60 = 1152921504606846976  # 2^60
+    hashed = du.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    sk = ranked.filter(F.col("rk") <= 64)
+    stats = sk.groupBy("event_type").agg(
+        F.max("n_exact").alias("n_exact"),
+        F.when(
+            F.max("n_exact") >= 64,
+            F.max(F.when(F.col("rk") == 64, F.col("h"))) * 1.0 / two60,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("theta"),
+    )
+    ca = stats.filter(F.col("event_type") == "click").select(
+        F.col("n_exact").alias("n_click_exact"),
+        F.col("theta").alias("theta_a"),
+    )
+    cb = stats.filter(F.col("event_type") == "purchase").select(
+        F.col("theta").alias("theta_b")
+    )
+    ab = ca.crossJoin(cb).select(
+        "n_click_exact",
+        F.least("theta_a", "theta_b").alias("theta_ab"),
+    )
+    ska = sk.filter(F.col("event_type") == "click").select("h")
+    skb = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb")
+    )
+    diff = (
+        ska.join(skb, ska.h == skb.hb, "left_anti")
+        .crossJoin(F.broadcast(ab.select("theta_ab")))
+        .filter(F.col("h") * 1.0 / two60 < F.col("theta_ab"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_d = (
+        du.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .exceptAll(
+            du.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct()
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_anotb_exact"))
+    )
+    est = F.col("c") / F.col("theta_ab")
+    return (
+        ab.crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(exact_d))
+        .select(
+            F.col("n_click_exact").cast("long").alias("n_click_exact"),
+            F.col("n_anotb_exact").cast("long").alias("n_anotb_exact"),
+            F.round(est, 4).alias("n_anotb_est"),
+            (
+                F.abs(est - F.col("n_anotb_exact"))
+                <= 0.5 * F.col("n_anotb_exact")
+            ).alias("within_50pct"),
+        )
+    )

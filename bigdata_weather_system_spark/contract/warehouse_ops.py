@@ -647,3 +647,106 @@ def revenue_pvm_decomposition(
             | (F.first("bucket") != "continuing")
         ).alias("decomposition_closes"),
     )
+
+
+@register(
+    "cube_materialization_advisor",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS t, dayofweek(ts) AS w,
+             GREATEST(LEAST(CAST(floor(value / 25) AS INT), 3), 0) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cube_rows AS (
+      SELECT grouping(t) AS gt, grouping(w) AS gw, grouping(v) AS gv
+      FROM obs GROUP BY CUBE (t, w, v)
+    ),
+    per AS (
+      SELECT gt, gw, gv, count(*) AS n_groups
+      FROM cube_rows GROUP BY gt, gw, gv
+    ),
+    base AS (
+      SELECT n_groups AS n_base FROM per
+      WHERE gt = 0 AND gw = 0 AND gv = 0
+    ),
+    scored AS (
+      SELECT concat(CASE WHEN gt = 0 THEN 't' ELSE '-' END,
+                    CASE WHEN gw = 0 THEN 'w' ELSE '-' END,
+                    CASE WHEN gv = 0 THEN 'v' ELSE '-' END) AS dims,
+             n_groups,
+             CAST(pow(2, (1 - gt) + (1 - gw) + (1 - gv)) AS BIGINT)
+               AS n_answerable,
+             b.n_base - n_groups AS storage_saving,
+             CAST(pow(2, (1 - gt) + (1 - gw) + (1 - gv)) AS BIGINT)
+               * (b.n_base - n_groups) AS benefit_score
+      FROM per CROSS JOIN base b
+    )
+    SELECT dims,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           n_answerable,
+           CAST(storage_saving AS BIGINT) AS storage_saving,
+           CAST(benefit_score AS BIGINT) AS benefit_score,
+           CAST(row_number() OVER (ORDER BY benefit_score DESC, dims)
+                AS BIGINT) AS greedy_rank
+    FROM scored
+    """,
+)
+def cube_materialization_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view selection over the 3-dim cube lattice
+    (event_type × weekday × value-tier), Harinarayan–Rajaraman–Ullman
+    style: ONE cube pass counts the group cardinality of all 2³
+    groupings simultaneously (each cube output row carries its
+    grouping flags; counting rows per flag combination IS the per-view
+    size estimate), then each candidate view is scored by
+    benefit = (#queries it can answer: 2^|dims|) × (rows saved vs the
+    finest view). The rank orders what to materialize first under a
+    storage budget — the advisor every rollup pipeline runs before
+    committing cube storage. Single shuffle for the cube (Spark's
+    Expand feeds one hash aggregate), then an 8-row relation: the
+    advisor costs one aggregation at any scale, and swapping exact
+    counts for HLL partials makes the same plan stream-mergeable."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        F.col("event_type").alias("t"),
+        F.dayofweek("ts").alias("w"),
+        F.greatest(
+            F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(3)),
+            F.lit(0),
+        ).alias("v"),
+    )
+    cube_rows = obs.cube("t", "w", "v").agg(
+        F.grouping("t").alias("gt"),
+        F.grouping("w").alias("gw"),
+        F.grouping("v").alias("gv"),
+    )
+    per = cube_rows.groupBy("gt", "gw", "gv").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    base = per.filter(
+        (F.col("gt") == 0) & (F.col("gw") == 0) & (F.col("gv") == 0)
+    ).select(F.col("n_groups").alias("n_base"))
+    n_dims = (1 - F.col("gt")) + (1 - F.col("gw")) + (1 - F.col("gv"))
+    answerable = F.pow(F.lit(2), n_dims).cast("long")
+    scored = per.crossJoin(F.broadcast(base)).select(
+        F.concat(
+            F.when(F.col("gt") == 0, F.lit("t")).otherwise(F.lit("-")),
+            F.when(F.col("gw") == 0, F.lit("w")).otherwise(F.lit("-")),
+            F.when(F.col("gv") == 0, F.lit("v")).otherwise(F.lit("-")),
+        ).alias("dims"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        answerable.alias("n_answerable"),
+        (F.col("n_base") - F.col("n_groups"))
+        .cast("long")
+        .alias("storage_saving"),
+        (answerable * (F.col("n_base") - F.col("n_groups")))
+        .cast("long")
+        .alias("benefit_score"),
+    )
+    # 8-row relation: the partitionless rank is bounded by the lattice
+    # size (2^dims), never the data
+    w = Window.orderBy(F.col("benefit_score").desc(), F.col("dims"))
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("greedy_rank")
+    )

@@ -232,3 +232,78 @@ def test_trend_test_matches_numpy(spark):
     assert row["n_total"] == n
     assert row["n_purchases"] == rr
     assert math.isclose(row["z_stat"], z, rel_tol=1e-3, abs_tol=5e-4)
+
+
+def test_ivm_retraction_equals_direct_recompute(spark):
+    """The maintained view must equal a from-scratch recompute built in
+    Spark itself (independent of the DuckDB oracle)."""
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        cdc_apply_user_state,
+        incremental_agg_retraction,
+    )
+    import pyspark.sql.functions as F
+
+    maintained = {
+        r["event_type"]: r
+        for r in _rows(incremental_agg_retraction(spark, TEST_SF_DIR))
+    }
+    merged = cdc_apply_user_state(spark, TEST_SF_DIR)
+    recomputed = {
+        r["event_type"]: r
+        for r in _rows(
+            merged.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.round(
+                    F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4
+                ).alias("sum_value"),
+            )
+        )
+    }
+    assert set(maintained) == set(recomputed)
+    for t in maintained:
+        assert maintained[t]["n_users"] == recomputed[t]["n_users"]
+        assert math.isclose(
+            maintained[t]["sum_value"],
+            recomputed[t]["sum_value"],
+            abs_tol=1e-3,
+        )
+
+
+def test_cube_advisor_lattice_invariants(spark):
+    from bigdata_weather_system_spark.contract.warehouse_ops import (
+        cube_materialization_advisor,
+    )
+
+    rows = _rows(cube_materialization_advisor(spark, TEST_SF_DIR))
+    assert len(rows) == 8
+    by_dims = {r["dims"]: r for r in rows}
+    # apex and base groupings exist
+    assert by_dims["---"]["n_groups"] == 1
+    base = by_dims["twv"]
+    assert base["storage_saving"] == 0 and base["benefit_score"] == 0
+    # monotone: a grouping can never have more groups than a supergroup
+    assert by_dims["t--"]["n_groups"] <= base["n_groups"]
+    assert by_dims["-w-"]["n_groups"] == 7  # dayofweek domain
+    # answerable counts follow 2^|dims|
+    for r in rows:
+        k = sum(1 for c in r["dims"] if c != "-")
+        assert r["n_answerable"] == 2**k
+    # greedy_rank is a permutation of 1..8 ordered by benefit
+    ranks = sorted(r["greedy_rank"] for r in rows)
+    assert ranks == list(range(1, 9))
+    ordered = sorted(rows, key=lambda r: r["greedy_rank"])
+    scores = [r["benefit_score"] for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_theta_a_not_b_tracks_exact_difference(spark):
+    from bigdata_weather_system_spark.contract.sketch_ops import (
+        theta_sketch_a_not_b,
+    )
+
+    (row,) = _rows(theta_sketch_a_not_b(spark, TEST_SF_DIR))
+    assert row["n_anotb_exact"] >= 0
+    assert row["n_anotb_est"] >= 0
+    assert row["within_50pct"] is True
+    # difference can never exceed the A-side cardinality
+    assert row["n_anotb_exact"] <= row["n_click_exact"]
