@@ -321,6 +321,9 @@ BENCH_QUERIES = [
     "incremental_agg_retraction",
     "cube_materialization_advisor",
     "theta_sketch_a_not_b",
+    "triple_barrier_labels",
+    "walk_forward_cv_folds",
+    "uplift_qini_by_bin",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Semantic pins for the labeling/protocol wave: lookahead-free
+triple-barrier labels vs a pure-python replay, CV-fold accounting
+identities, and Qini curve invariants."""
+
+from __future__ import annotations
+
+import math
+
+from bigdata_weather_system_spark.contract.labeling_ops import (
+    triple_barrier_labels,
+    uplift_qini_by_bin,
+    walk_forward_cv_folds,
+)
+from tests.conftest import TEST_SF_DIR
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_triple_barrier_matches_python_replay(spark):
+    got = {
+        (r["user_id"], r["event_id"]): r
+        for r in _rows(triple_barrier_labels(spark, TEST_SF_DIR))
+    }
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    n_checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda p: (p[0], p[1]))
+        vals = [v for _, _, v in rows]
+        for i, (_, eid, v) in enumerate(rows):
+            fut = vals[i + 1 : i + 21]
+            up = next((j + 1 for j, x in enumerate(fut) if x >= v * 1.2), None)
+            dn = next((j + 1 for j, x in enumerate(fut) if x <= v * 0.8), None)
+            if up is not None and (dn is None or up < dn):
+                label, steps = 1, up
+            elif dn is not None and (up is None or dn <= up):
+                label, steps = -1, dn
+            else:
+                label, steps = 0, None
+            g = got[(uid, eid)]
+            assert g["n_future"] == len(fut)
+            assert g["label"] == label, (uid, eid, label, g)
+            assert g["steps_to_hit"] == steps
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_walk_forward_folds_accounting(spark):
+    rows = {r["test_fold"]: r for r in _rows(walk_forward_cv_folds(spark, TEST_SF_DIR))}
+    assert set(rows) == {1, 2, 3, 4}
+    total = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet").count()
+    prev_train = -1
+    for k in (1, 2, 3, 4):
+        r = rows[k]
+        # every fold must actually have train and test data
+        assert r["n_train"] > 0 and r["n_test"] > 0
+        # train+embargo can never exceed everything before the test fold
+        assert r["n_train"] + r["n_embargoed"] + r["n_test"] <= total
+        # walk-forward: later folds have at least as much usable history
+        assert r["n_train"] + r["n_embargoed"] > prev_train
+        prev_train = r["n_train"] + r["n_embargoed"]
+
+
+def test_qini_curve_invariants(spark):
+    rows = sorted(
+        _rows(uplift_qini_by_bin(spark, TEST_SF_DIR)),
+        key=lambda r: -r["score_bin"],
+    )
+    assert len(rows) == 10
+    for r in rows:
+        assert r["conv_treated"] <= r["n_treated"]
+        assert r["conv_control"] <= r["n_control"]
+        assert math.isclose(
+            r["uplift"],
+            r["conv_treated"] / r["n_treated"]
+            - r["conv_control"] / r["n_control"],
+            abs_tol=2e-6,
+        )
+    # the last cumulative point is the overall incremental conversions
+    cum_ct = sum(r["conv_treated"] for r in rows)
+    cum_cc = sum(r["conv_control"] for r in rows)
+    cum_nt = sum(r["n_treated"] for r in rows)
+    cum_nc = sum(r["n_control"] for r in rows)
+    assert math.isclose(
+        rows[-1]["qini"], cum_ct - cum_cc * cum_nt / cum_nc, abs_tol=2e-4
+    )
