@@ -324,6 +324,9 @@ BENCH_QUERIES = [
     "triple_barrier_labels",
     "walk_forward_cv_folds",
     "uplift_qini_by_bin",
+    "boxcox_lambda_grid",
+    "hashing_collision_audit",
+    "token_cms_drift",
 ]
 
 

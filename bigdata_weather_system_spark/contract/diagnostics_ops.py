@@ -748,3 +748,156 @@ def purchase_rate_trend_test(
         F.round(z, 4).alias("z_stat"),
         (z > 1.645).alias("increasing_trend_05"),
     )
+
+
+@register(
+    "boxcox_lambda_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0]) AS DOUBLE)
+        AS lam
+    ),
+    obs AS (
+      SELECT g.lam,
+             CASE WHEN g.lam = 0.0 THEN ln(value)
+                  ELSE (pow(value, g.lam) - 1.0) / g.lam END AS t,
+             ln(value) AS ly
+      FROM events CROSS JOIN grid g
+      WHERE value IS NOT NULL AND value > 0
+    ),
+    s AS (
+      SELECT lam, count(*) AS n, sum(t) AS st, sum(t * t) AS stt,
+             sum(ly) AS sly
+      FROM obs GROUP BY lam
+    ),
+    ll AS (
+      SELECT lam, n,
+             -n / 2.0 * ln((stt - st * st / n) / n)
+               + (lam - 1.0) * sly AS loglik
+      FROM s
+    )
+    SELECT round(lam, 1) AS lam,
+           CAST(n AS BIGINT) AS n_obs,
+           round(loglik, 4) AS profile_loglik,
+           loglik = max(loglik) OVER () AS is_best
+    FROM ll
+    """,
+)
+def boxcox_lambda_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box–Cox variance-stabilization selection over a fixed λ grid
+    (−1, −0.5, 0, 0.5, 1, 2): for each candidate the profile Gaussian
+    log-likelihood −n/2·ln(σ̂²_λ) + (λ−1)·Σln y is closed-form from
+    three partial-aggregated sums of the transformed values, and the
+    argmax is the transform a forecasting/regression pipeline should
+    apply before fitting. The 6× grid fan-out collapses immediately to
+    map-side partials (the bootstrap/AMS pattern) — shuffle payload is
+    6 rows per partition at any scale, and the winner flag is a window
+    max over the 6-row grid relation."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    grid = [-1.0, -0.5, 0.0, 0.5, 1.0, 2.0]
+    fan = ev.select(
+        F.explode(F.array(*[F.lit(x) for x in grid])).alias("lam"),
+        "value",
+    ).select(
+        "lam",
+        F.when(F.col("lam") == 0.0, F.log("value"))
+        .otherwise(
+            (F.pow(F.col("value"), F.col("lam")) - 1.0) / F.col("lam")
+        )
+        .alias("t"),
+        F.log("value").alias("ly"),
+    )
+    s = fan.groupBy("lam").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("ly").alias("sly"),
+    )
+    n = F.col("n")
+    loglik = -n / 2.0 * F.log(
+        (F.col("stt") - F.col("st") * F.col("st") / n) / n
+    ) + (F.col("lam") - 1.0) * F.col("sly")
+    ll = s.select("lam", n.alias("n"), loglik.alias("loglik"))
+    w = Window.partitionBy()
+    return ll.select(
+        F.round("lam", 1).alias("lam"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round("loglik", 4).alias("profile_loglik"),
+        (F.col("loglik") == F.max("loglik").over(w)).alias("is_best"),
+    )
+
+
+@register(
+    "hashing_collision_audit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    hashed AS (
+      SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1024 AS bucket
+      FROM keys
+    ),
+    s AS (
+      SELECT (SELECT count(*) FROM keys) AS n_keys,
+             count(DISTINCT bucket) AS occupied,
+             max(cnt) AS max_load
+      FROM (SELECT bucket, count(*) AS cnt FROM hashed GROUP BY bucket)
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(occupied AS BIGINT) AS n_buckets_occupied,
+           round(1024.0 * (1.0 - pow(1023.0 / 1024.0, n_keys)), 4)
+             AS expected_occupied,
+           round(1.0 - occupied * 1.0 / n_keys, 6) AS collision_rate,
+           CAST(max_load AS BIGINT) AS max_bucket_load,
+           abs(occupied - 1024.0 * (1.0 - pow(1023.0 / 1024.0, n_keys)))
+             <= 0.15 * 1024.0 * (1.0 - pow(1023.0 / 1024.0, n_keys))
+             AS matches_birthday_model
+    FROM s
+    """,
+)
+def hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit for a 1024-bucket hash space over
+    the distinct user keys: observed occupied buckets vs the
+    birthday-model expectation B·(1 − (1−1/B)^K), the collision rate a
+    hashed-feature model silently absorbs, and the max bucket load (the
+    skew a hashed shuffle key would inherit). The ±15%% agreement flag
+    is the canary for a BROKEN hash (a biased hash under-occupies).
+    Same md5 convention as the registry's split buckets, so both
+    engines agree exactly. One distinct + one 1024-group aggregate —
+    bounded relations all the way down."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    hashed = keys.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        ).alias("bucket")
+    )
+    per_bucket = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nk = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    s = per_bucket.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.max("cnt").alias("max_load"),
+    ).crossJoin(F.broadcast(nk))
+    expected = 1024.0 * (
+        1.0 - F.pow(F.lit(1023.0 / 1024.0), F.col("n_keys"))
+    )
+    return s.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("occupied").cast("long").alias("n_buckets_occupied"),
+        F.round(expected, 4).alias("expected_occupied"),
+        F.round(
+            1.0 - F.col("occupied") * 1.0 / F.col("n_keys"), 6
+        ).alias("collision_rate"),
+        F.col("max_load").cast("long").alias("max_bucket_load"),
+        (
+            F.abs(F.col("occupied") - expected) <= 0.15 * expected
+        ).alias("matches_birthday_model"),
+    )

@@ -631,3 +631,164 @@ def theta_sketch_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_50pct"),
         )
     )
+
+
+@register(
+    "token_cms_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS token
+      FROM documents
+    ),
+    probes AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT 10
+      )
+    ),
+    fan AS (
+      SELECT t.half, r.r,
+             CAST(('0x' || substring(md5(r.r || ':' || t.token), 1, 15))
+                  AS BIGINT) % 256 AS col
+      FROM tok t CROSS JOIN (
+        SELECT CAST(unnest(range(4)) AS VARCHAR) AS r) r
+    ),
+    counters AS (
+      SELECT half, r, col, count(*) AS cnt FROM fan GROUP BY half, r, col
+    ),
+    probe_cells AS (
+      SELECT p.token, h.half, r.r,
+             CAST(('0x' || substring(md5(r.r || ':' || p.token), 1, 15))
+                  AS BIGINT) % 256 AS col
+      FROM probes p
+      CROSS JOIN (SELECT CAST(unnest(range(4)) AS VARCHAR) AS r) r
+      CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+    ),
+    est AS (
+      SELECT pc.token, pc.half, min(c.cnt) AS est
+      FROM probe_cells pc JOIN counters c
+        ON c.half = pc.half AND c.r = pc.r AND c.col = pc.col
+      GROUP BY pc.token, pc.half
+    ),
+    exact AS (
+      SELECT p.token, t.half, count(*) AS exact
+      FROM probes p JOIN tok t ON t.token = p.token
+      GROUP BY p.token, t.half
+    ),
+    wide AS (
+      SELECT e.token,
+             max(CASE WHEN e.half = 0 THEN e.exact END) AS exact_h0,
+             max(CASE WHEN e.half = 1 THEN e.exact END) AS exact_h1,
+             max(CASE WHEN s.half = 0 THEN s.est END) AS est_h0,
+             max(CASE WHEN s.half = 1 THEN s.est END) AS est_h1
+      FROM exact e JOIN est s ON s.token = e.token AND s.half = e.half
+      GROUP BY e.token
+    )
+    SELECT token,
+           CAST(exact_h0 AS BIGINT) AS exact_h0,
+           CAST(exact_h1 AS BIGINT) AS exact_h1,
+           CAST(est_h0 AS BIGINT) AS est_h0,
+           CAST(est_h1 AS BIGINT) AS est_h1,
+           CAST(exact_h1 - exact_h0 AS BIGINT) AS delta_exact,
+           CAST(est_h1 - est_h0 AS BIGINT) AS delta_est,
+           est_h0 >= exact_h0 AND est_h1 >= exact_h1 AS never_undercounts
+    FROM wide
+    """,
+)
+def token_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based token drift between two corpus halves (doc_id
+    parity): a 4×256 Count-Min sketch is built PER HALF from one
+    grouped aggregation (≤2·4·256 counter rows regardless of corpus
+    size), and the 10 globally most frequent tokens are probed in both
+    sketches — delta_est is the drift a monitoring pipeline reads
+    WITHOUT storing per-token counts, and the CMS one-sided guarantee
+    (estimates never undercount) rides along as a checked boolean per
+    probe. md5 row-hashes (not xxhash) so the whole sketch is
+    engine-replayable and every value is hash-checked. At 100 TB the
+    counter relation is still 2048 rows; only the token explode scans
+    the corpus, and it partial-aggregates map-side."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    probes = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(10)
+        .select("token")
+    )
+    reps = spark.range(4).select(F.col("id").cast("string").alias("r"))
+    col_for = lambda r, t: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", r, t)), 1, 15), 16, 10
+        ).cast("long")
+        % 256
+    )
+    fan = tok.crossJoin(F.broadcast(reps)).select(
+        "half", "r", col_for(F.col("r"), F.col("token")).alias("col")
+    )
+    counters = fan.groupBy("half", "r", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    halves = spark.range(2).select(F.col("id").alias("half"))
+    probe_cells = (
+        probes.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(halves))
+        .select(
+            "token",
+            "half",
+            "r",
+            col_for(F.col("r"), F.col("token")).alias("col"),
+        )
+    )
+    est = (
+        probe_cells.join(counters, ["half", "r", "col"])
+        .groupBy("token", "half")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = (
+        tok.join(F.broadcast(probes), "token")
+        .groupBy("token", "half")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    wide = (
+        exact.join(est, ["token", "half"])
+        .groupBy("token")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("exact"))).alias(
+                "exact_h0"
+            ),
+            F.max(F.when(F.col("half") == 1, F.col("exact"))).alias(
+                "exact_h1"
+            ),
+            F.max(F.when(F.col("half") == 0, F.col("est"))).alias(
+                "est_h0"
+            ),
+            F.max(F.when(F.col("half") == 1, F.col("est"))).alias(
+                "est_h1"
+            ),
+        )
+    )
+    return wide.select(
+        "token",
+        F.col("exact_h0").cast("long").alias("exact_h0"),
+        F.col("exact_h1").cast("long").alias("exact_h1"),
+        F.col("est_h0").cast("long").alias("est_h0"),
+        F.col("est_h1").cast("long").alias("est_h1"),
+        (F.col("exact_h1") - F.col("exact_h0"))
+        .cast("long")
+        .alias("delta_exact"),
+        (F.col("est_h1") - F.col("est_h0"))
+        .cast("long")
+        .alias("delta_est"),
+        (
+            (F.col("est_h0") >= F.col("exact_h0"))
+            & (F.col("est_h1") >= F.col("exact_h1"))
+        ).alias("never_undercounts"),
+    )

@@ -93,3 +93,40 @@ def test_qini_curve_invariants(spark):
     assert math.isclose(
         rows[-1]["qini"], cum_ct - cum_cc * cum_nt / cum_nc, abs_tol=2e-4
     )
+
+
+def test_boxcox_grid_picks_single_best(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        boxcox_lambda_grid,
+    )
+
+    rows = _rows(boxcox_lambda_grid(spark, TEST_SF_DIR))
+    assert len(rows) == 6
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    # every lambda sees the same observation count
+    assert len({r["n_obs"] for r in rows}) == 1
+
+
+def test_hashing_audit_is_consistent(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        hashing_collision_audit,
+    )
+
+    (row,) = _rows(hashing_collision_audit(spark, TEST_SF_DIR))
+    assert row["n_buckets_occupied"] <= min(row["n_keys"], 1024)
+    assert row["max_bucket_load"] >= 1
+    assert 0.0 <= row["collision_rate"] < 1.0
+    assert row["matches_birthday_model"] is True
+
+
+def test_cms_drift_never_undercounts_and_deltas_close(spark):
+    from bigdata_weather_system_spark.contract.sketch_ops import (
+        token_cms_drift,
+    )
+
+    rows = _rows(token_cms_drift(spark, TEST_SF_DIR))
+    assert len(rows) == 10
+    for r in rows:
+        assert r["never_undercounts"] is True
+        assert r["delta_exact"] == r["exact_h1"] - r["exact_h0"]
+        assert r["delta_est"] == r["est_h1"] - r["est_h0"]
