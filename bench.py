@@ -327,6 +327,10 @@ BENCH_QUERIES = [
     "boxcox_lambda_grid",
     "hashing_collision_audit",
     "token_cms_drift",
+    "part_edge_triangle_support",
+    "ab_test_power_grid",
+    "quantile_treatment_effects",
+    "waterfill_budget_allocation",
 ]
 
 

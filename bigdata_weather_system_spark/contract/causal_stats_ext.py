@@ -848,3 +848,164 @@ def type_mean_shift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("p_rank"),
         (F.col("rk") <= F.col("k_max")).alias("rejected_fdr10"),
     )
+
+
+@register(
+    "ab_test_power_grid",
+    oracle=f"""
+    WITH base AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               * 1.0 / count(*) AS p0
+      FROM events
+    ),
+    grid AS (
+      SELECT CAST(unnest([0.01, 0.02, 0.03, 0.04, 0.05]) AS DOUBLE)
+        AS mde
+    ),
+    calc AS (
+      SELECT g.mde, b.n, b.p0,
+             g.mde / sqrt((b.p0 * (1 - b.p0)
+                           + (b.p0 + g.mde) * (1 - b.p0 - g.mde))
+                          / (b.n / 2.0))
+               - 1.6448536269514722 AS zshift
+      FROM grid g CROSS JOIN base b
+    )
+    SELECT round(mde, 2) AS mde,
+           CAST(n AS BIGINT) AS n_obs,
+           round(p0, 6) AS baseline_rate,
+           round(CASE WHEN zshift >= 0 THEN {_phi_sql('zshift')}
+                      ELSE 1.0 - {_phi_sql('(-zshift)')} END, 4)
+             AS power,
+           (CASE WHEN zshift >= 0 THEN {_phi_sql('zshift')}
+                 ELSE 1.0 - {_phi_sql('(-zshift)')} END) >= 0.8
+             AS powered_80
+    FROM calc
+    """,
+)
+def ab_test_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power planning grid: with the observed event volume
+    split 50/50 and the observed purchase share as the baseline rate,
+    the power of a one-sided two-proportion z-test (α = 0.05) to detect
+    minimum effects of +1..5pp is power = Φ(δ/SE − z_α) with the
+    unpooled SE at the candidate rates — the pre-registration
+    calculation every experimentation pipeline runs before committing
+    traffic. The normal CDF is the same A&S 7.1.26 polynomial shared as
+    SQL text with the FDR query (valid for z ≥ 0; the negative branch
+    goes through Φ(−z) symmetry EXPLICITLY on both engines so the
+    approximation error is identical). One 1-row baseline aggregate
+    crossed with a 5-row grid: constant work beyond one scan."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("p0"),
+    )
+    grid = spark.range(1, 6).select((F.col("id") / 100.0).alias("mde"))
+    se = F.sqrt(
+        (
+            F.col("p0") * (1 - F.col("p0"))
+            + (F.col("p0") + F.col("mde"))
+            * (1 - F.col("p0") - F.col("mde"))
+        )
+        / (F.col("n") / 2.0)
+    )
+    calc = grid.crossJoin(F.broadcast(base)).withColumn(
+        "zshift", F.col("mde") / se - 1.6448536269514722
+    )
+    power = F.when(
+        F.col("zshift") >= 0, F.expr(_phi_sql("zshift"))
+    ).otherwise(1.0 - F.expr(_phi_sql("(-zshift)")))
+    return calc.select(
+        F.round("mde", 2).alias("mde"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round("p0", 6).alias("baseline_rate"),
+        F.round(power, 4).alias("power"),
+        (power >= 0.8).alias("powered_80"),
+    )
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS treated,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    qs AS (
+      SELECT treated,
+             quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS q
+      FROM obs GROUP BY treated
+    ),
+    wide AS (
+      SELECT t.q AS qt, c.q AS qc
+      FROM (SELECT q FROM qs WHERE treated = 1) t
+      CROSS JOIN (SELECT q FROM qs WHERE treated = 0) c
+    ),
+    pos AS (SELECT unnest([1, 2, 3, 4, 5]) AS i)
+    SELECT round(CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE), 2)
+             AS quantile,
+           round(qt[i], 4) AS treated_q,
+           round(qc[i], 4) AS control_q,
+           round(qt[i] - qc[i], 4) AS qte
+    FROM wide CROSS JOIN pos
+    """,
+)
+def quantile_treatment_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects across the value distribution for the
+    deterministic hashed 50/50 assignment: differences of exact
+    interpolated quantiles (p10/p25/p50/p75/p90) between arms — the
+    distributional read-out that catches effects a mean comparison
+    hides (a treatment that helps the p90 while hurting the p10 nets
+    to zero in the ATE). Each arm's five quantiles come from ONE
+    percentile-array aggregate (a single pass sharing one sort buffer
+    instead of five), then the two 5-element arrays meet in a 1×1
+    cross join and unzip into a 5-row relation by index. Same md5
+    assignment convention as the uplift/CUPED family, so both engines
+    agree exactly."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    treated = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    qs = (
+        ev.select(treated.alias("treated"), "value")
+        .groupBy("treated")
+        .agg(
+            F.percentile(
+                "value", F.array(*[F.lit(p) for p in ps])
+            ).alias("q")
+        )
+    )
+    t = qs.filter(F.col("treated") == 1).select(F.col("q").alias("qt"))
+    c = qs.filter(F.col("treated") == 0).select(F.col("q").alias("qc"))
+    wide = t.crossJoin(F.broadcast(c))
+    idx = wide.select(
+        "qt",
+        "qc",
+        F.posexplode(F.array(*[F.lit(p) for p in ps])).alias("i", "p"),
+    )
+    return idx.select(
+        F.round("p", 2).alias("quantile"),
+        F.round(F.element_at("qt", F.col("i") + 1), 4).alias("treated_q"),
+        F.round(F.element_at("qc", F.col("i") + 1), 4).alias("control_q"),
+        F.round(
+            F.element_at("qt", F.col("i") + 1)
+            - F.element_at("qc", F.col("i") + 1),
+            4,
+        ).alias("qte"),
+    )

@@ -550,3 +550,73 @@ def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6
         ).alias("harmonic_c3"),
     )
+
+
+@register(
+    "part_edge_triangle_support",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    ce AS (SELECT src AS lo, dst AS hi FROM pairs),
+    tri AS (
+      SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      FROM ce w1 JOIN ce w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+      JOIN ce bc ON bc.lo = w1.hi AND bc.hi = w2.hi
+    ),
+    credits AS (
+      SELECT a AS u, b AS v FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    ),
+    support AS (
+      SELECT u, v, count(*) AS n_triangles
+      FROM credits GROUP BY u, v
+    )
+    SELECT u, v,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(n_triangles + 2 AS BIGINT) AS max_truss_level
+    FROM support
+    """,
+)
+def part_edge_triangle_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-edge triangle support over the co-purchase graph — the
+    k-truss building block (an edge belongs to the k-truss only if its
+    support ≥ k−2, so max_truss_level = support+2 upper-bounds each
+    edge's truss membership before any peeling iteration). Triangles
+    are enumerated once via the id-ordered wedge join (a<b<c, each
+    triangle exactly once), then each triangle credits its three edges
+    and one groupBy counts support — two equi-joins and one
+    aggregation, all on the canonical edge relation. The full iterative
+    k-truss peel would repeat this to fixpoint; the support relation
+    computed here is the state it iterates on, and the one-shot upper
+    bound is what cohesion-screening pipelines actually read. Cited
+    shape: triangle orientation as in `triangle_stats`
+    (operators/graph.py:100)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ce = edges.select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+    ).distinct()
+    w1 = ce.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = ce.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = ce.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    credits = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+    )
+    support = credits.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return support.select(
+        "u",
+        "v",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        (F.col("n_triangles") + 2).cast("long").alias("max_truss_level"),
+    )

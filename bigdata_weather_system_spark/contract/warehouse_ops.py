@@ -750,3 +750,108 @@ def cube_materialization_advisor(
     return scored.select(
         "*", F.row_number().over(w).cast("long").alias("greedy_rank")
     )
+
+
+@register(
+    "waterfill_budget_allocation",
+    oracle="""
+    WITH demand AS (
+      SELECT event_type, sum(value) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (SELECT sum(d) * 0.5 AS budget, count(*) AS k FROM demand),
+    ranked AS (
+      SELECT event_type, d,
+             row_number() OVER (ORDER BY d, event_type) AS i,
+             sum(d) OVER (ORDER BY d, event_type
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prefix
+      FROM demand
+    ),
+    feas AS (
+      SELECT r.*, t.budget, t.k,
+             coalesce(r.prefix, 0.0)
+               + r.d * (t.k - r.i + 1) <= t.budget AS fully_served
+      FROM ranked r CROSS JOIN tot t
+    ),
+    lvl AS (
+      SELECT max(CASE WHEN fully_served THEN i ELSE 0 END) AS j,
+             max(CASE WHEN fully_served THEN coalesce(prefix, 0.0) + d
+                      ELSE 0.0 END) AS p_j,
+             any_value(budget) AS budget,
+             any_value(k) AS k
+      FROM feas
+    )
+    SELECT f.event_type,
+           round(f.d, 4) AS demand,
+           round(LEAST(f.d, CASE WHEN l.k > l.j
+                                 THEN (l.budget - l.p_j) / (l.k - l.j)
+                                 ELSE f.d END), 4) AS allocation,
+           f.fully_served
+    FROM feas f CROSS JOIN lvl l
+    """,
+)
+def waterfill_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Water-filling (max-min fair) budget allocation: a budget of half
+    the total demand is split across event types so that small demands
+    are fully served and the rest share the remaining budget equally at
+    the water level λ = (B − Σ_{served} d) / (#unserved) — the
+    proportional-fairness primitive behind quota assignment, capacity
+    planning, and rate limiting. The classic sort-based solve needs
+    only the #types-row demand relation: a prefix-sum feasibility scan
+    (type i is fully servable iff prefix_{i−1} + d_i·(k−i+1) ≤ B)
+    finds the last fully-served rank j in one window pass, and every
+    allocation is closed-form from (j, prefix_j). All windows operate
+    on the bounded demand relation, never the fact table; the fact
+    scan is one partial-aggregated groupBy."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    demand = ev.groupBy("event_type").agg(F.sum("value").alias("d"))
+    tot = demand.agg(
+        (F.sum("d") * 0.5).alias("budget"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # #types-row relation: the partitionless windows are bounded
+    w_rank = Window.orderBy("d", "event_type")
+    w_pre = Window.orderBy("d", "event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = demand.select(
+        "event_type",
+        "d",
+        F.row_number().over(w_rank).alias("i"),
+        F.sum("d").over(w_pre).alias("prefix"),
+    )
+    feas = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "fully_served",
+        F.coalesce(F.col("prefix"), F.lit(0.0))
+        + F.col("d") * (F.col("k") - F.col("i") + 1)
+        <= F.col("budget"),
+    )
+    lvl = feas.agg(
+        F.max(
+            F.when(F.col("fully_served"), F.col("i")).otherwise(0)
+        ).alias("j"),
+        F.max(
+            F.when(
+                F.col("fully_served"),
+                F.coalesce(F.col("prefix"), F.lit(0.0)) + F.col("d"),
+            ).otherwise(0.0)
+        ).alias("p_j"),
+        F.first("budget").alias("budget"),
+        F.first("k").alias("k"),
+    )
+    out = feas.select("event_type", "d", "fully_served").crossJoin(
+        F.broadcast(lvl)
+    )
+    level = F.when(
+        F.col("k") > F.col("j"),
+        (F.col("budget") - F.col("p_j")) / (F.col("k") - F.col("j")),
+    ).otherwise(F.col("d"))
+    return out.select(
+        "event_type",
+        F.round("d", 4).alias("demand"),
+        F.round(F.least(F.col("d"), level), 4).alias("allocation"),
+        "fully_served",
+    )

@@ -130,3 +130,68 @@ def test_cms_drift_never_undercounts_and_deltas_close(spark):
         assert r["never_undercounts"] is True
         assert r["delta_exact"] == r["exact_h1"] - r["exact_h0"]
         assert r["delta_est"] == r["est_h1"] - r["est_h0"]
+
+
+def test_edge_support_counts_each_triangle_thrice(spark):
+    from bigdata_weather_system_spark.contract.graph_ops import (
+        part_copurchase_triangles,
+        part_edge_triangle_support,
+    )
+
+    support = _rows(part_edge_triangle_support(spark, TEST_SF_DIR))
+    total_credits = sum(r["n_triangles"] for r in support)
+    (tri_row,) = _rows(part_copurchase_triangles(spark, TEST_SF_DIR))
+    assert total_credits == 3 * tri_row["n_triangles"]
+    for r in support:
+        assert r["u"] < r["v"]
+        assert r["max_truss_level"] == r["n_triangles"] + 2
+
+
+def test_power_grid_is_monotone_in_effect(spark):
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        ab_test_power_grid,
+    )
+
+    rows = sorted(_rows(ab_test_power_grid(spark, TEST_SF_DIR)),
+                  key=lambda r: r["mde"])
+    assert len(rows) == 5
+    powers = [r["power"] for r in rows]
+    assert powers == sorted(powers)
+    for r in rows:
+        assert 0.0 <= r["power"] <= 1.0
+        assert r["powered_80"] == (r["power"] >= 0.8)
+
+
+def test_qte_quantiles_are_monotone_within_arm(spark):
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        quantile_treatment_effects,
+    )
+
+    rows = sorted(_rows(quantile_treatment_effects(spark, TEST_SF_DIR)),
+                  key=lambda r: r["quantile"])
+    assert [r["quantile"] for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    tq = [r["treated_q"] for r in rows]
+    cq = [r["control_q"] for r in rows]
+    assert tq == sorted(tq) and cq == sorted(cq)
+    for r in rows:
+        assert math.isclose(r["qte"], r["treated_q"] - r["control_q"],
+                            abs_tol=2e-4)
+
+
+def test_waterfill_exhausts_budget_exactly(spark):
+    from bigdata_weather_system_spark.contract.warehouse_ops import (
+        waterfill_budget_allocation,
+    )
+
+    rows = _rows(waterfill_budget_allocation(spark, TEST_SF_DIR))
+    total_demand = sum(r["demand"] for r in rows)
+    total_alloc = sum(r["allocation"] for r in rows)
+    # budget = half of demand, and water-filling spends ALL of it
+    assert math.isclose(total_alloc, total_demand * 0.5, rel_tol=1e-6)
+    for r in rows:
+        assert r["allocation"] <= r["demand"] + 1e-9
+        if r["fully_served"]:
+            assert math.isclose(r["allocation"], r["demand"], abs_tol=1e-3)
+    # unserved types all sit at the common water level
+    levels = {r["allocation"] for r in rows if not r["fully_served"]}
+    assert len(levels) <= 1
