@@ -331,6 +331,9 @@ BENCH_QUERIES = [
     "ab_test_power_grid",
     "quantile_treatment_effects",
     "waterfill_budget_allocation",
+    "best_split_changepoint_per_type",
+    "lorenz_value_concentration",
+    "error_prr_by_weekday",
 ]
 
 

@@ -901,3 +901,293 @@ def hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("occupied") - expected) <= 0.15 * expected
         ).alias("matches_birthday_model"),
     )
+
+
+@register(
+    "best_split_changepoint_per_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(value) / count(*) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, day, y,
+             row_number() OVER w AS i,
+             sum(y) OVER w AS p,
+             sum(y * y) OVER w AS q,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS p_n,
+             sum(y * y) OVER (PARTITION BY event_type) AS q_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gains AS (
+      SELECT event_type, day, i, n, p, p_n,
+             (q_n - p_n * p_n / n)
+               - ((q - p * p / i)
+                  + ((q_n - q) - (p_n - p) * (p_n - p) / (n - i)))
+               AS gain,
+             q_n - p_n * p_n / n AS sse_total
+      FROM pre WHERE i < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, day) AS rk
+      FROM gains
+    )
+    SELECT event_type, day AS split_day,
+           CAST(i AS BIGINT) AS n_left,
+           CAST(n - i AS BIGINT) AS n_right,
+           round(p / i, 6) AS mean_left,
+           round((p_n - p) / (n - i), 6) AS mean_right,
+           round(gain, 6) AS sse_gain,
+           round(gain / sse_total, 6) AS gain_ratio
+    FROM best WHERE rk = 1
+    """,
+)
+def best_split_changepoint_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-segmentation changepoint (first split) on each type's daily
+    mean-value series: the split day that maximizes the SSE reduction of
+    a two-segment piecewise-constant fit — the greedy step that CART,
+    binary segmentation, and PELT all build on, and the complement to
+    the registry's CUSUM query (CUSUM thresholds cumulative drift; this
+    finds the single best structural break and its explained-variance
+    share). Everything is prefix-sum algebra over the bounded
+    (type × day) relation: one window pass produces (P_i, Q_i, totals),
+    each candidate split's gain is closed-form, and a per-type rank
+    picks the argmax. The fact scan is one partial-aggregated groupBy;
+    windows never touch raw events."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+        F.sum("y").over(w).alias("p"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("q"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("y").over(wp).alias("p_n"),
+        F.sum(F.col("y") * F.col("y")).over(wp).alias("q_n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    p, q = F.col("p"), F.col("q")
+    pn, qn = F.col("p_n"), F.col("q_n")
+    sse_total = qn - pn * pn / n
+    gain = sse_total - (
+        (q - p * p / i) + ((qn - q) - (pn - p) * (pn - p) / (n - i))
+    )
+    gains = pre.filter(i < n).select(
+        "event_type",
+        "day",
+        "i",
+        "n",
+        "p",
+        "p_n",
+        gain.alias("gain"),
+        sse_total.alias("sse_total"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("gain").desc(), "day"
+        )
+    )
+    best = gains.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+        F.round(F.col("p") / F.col("i"), 6).alias("mean_left"),
+        F.round(
+            (F.col("p_n") - F.col("p")) / (F.col("n") - F.col("i")), 6
+        ).alias("mean_right"),
+        F.round("gain", 6).alias("sse_gain"),
+        F.round(F.col("gain") / F.col("sse_total"), 6).alias(
+            "gain_ratio"
+        ),
+    )
+
+
+@register(
+    "lorenz_value_concentration",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, round(sum(value), 6) AS tv
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT quantile_cont(tv, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                0.6, 0.7, 0.8, 0.9]) AS b
+      FROM totals
+    ),
+    binned AS (
+      SELECT t.tv,
+             1 + CASE WHEN t.tv > b.b[9] THEN 9
+                      WHEN t.tv > b.b[8] THEN 8
+                      WHEN t.tv > b.b[7] THEN 7
+                      WHEN t.tv > b.b[6] THEN 6
+                      WHEN t.tv > b.b[5] THEN 5
+                      WHEN t.tv > b.b[4] THEN 4
+                      WHEN t.tv > b.b[3] THEN 3
+                      WHEN t.tv > b.b[2] THEN 2
+                      WHEN t.tv > b.b[1] THEN 1
+                      ELSE 0 END AS decile
+      FROM totals t CROSS JOIN bounds b
+    ),
+    per AS (
+      SELECT decile, count(*) AS n_users, sum(tv) AS v
+      FROM binned GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_users, v,
+             sum(v) OVER (ORDER BY decile) AS cum_v,
+             sum(v) OVER () AS tot_v,
+             sum(n_users) OVER (ORDER BY decile) AS cum_n,
+             sum(n_users) OVER () AS tot_n
+      FROM per
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(cum_n * 1.0 / tot_n, 6) AS cum_user_share,
+           round(cum_v / tot_v, 6) AS cum_value_share
+    FROM cum
+    """,
+)
+def lorenz_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz concentration curve of per-user value totals WITHOUT a
+    global sort: decile BOUNDARIES come from one percentile-array
+    aggregate, each user is bucketed against the broadcast boundaries
+    (strictly-greater comparison, so both engines bucket ties
+    identically), and cumulative user/value shares accumulate over the
+    10-row relation — the 'top 10% of users hold X% of value' read-out
+    behind whale analysis and revenue-risk audits, as curve points the
+    registry's per-type Gini summarizes. User totals are ROUNDED to 6dp
+    before bucketing on BOTH engines so a last-ulp float-sum difference
+    can never flip a boundary assignment. The naive Lorenz curve sorts
+    every user globally; this plan never sorts anything bigger than 10
+    rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("tv")
+    )
+    ps = [i / 10.0 for i in range(1, 10)]
+    bounds = totals.agg(
+        F.percentile("tv", F.array(*[F.lit(p) for p in ps])).alias("b")
+    )
+    binned = totals.crossJoin(F.broadcast(bounds)).select(
+        "tv",
+        (
+            1
+            + F.aggregate(
+                F.col("b"),
+                F.lit(0),
+                lambda acc, bd: acc
+                + F.when(F.col("tv") > bd, 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("tv").alias("v")
+    )
+    # 10-row relation: partitionless cumulative bounded by decile count
+    wo = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = per.select(
+        "decile",
+        "n_users",
+        F.sum("v").over(wo).alias("cum_v"),
+        F.sum("v").over(wa).alias("tot_v"),
+        F.sum("n_users").over(wo).alias("cum_n"),
+        F.sum("n_users").over(wa).alias("tot_n"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("cum_n") * 1.0 / F.col("tot_n"), 6).alias(
+            "cum_user_share"
+        ),
+        F.round(F.col("cum_v") / F.col("tot_v"), 6).alias(
+            "cum_value_share"
+        ),
+    )
+
+
+@register(
+    "error_prr_by_weekday",
+    oracle="""
+    WITH o AS (
+      -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — shift
+      SELECT dayofweek(ts) + 1 AS dow,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    per AS (
+      SELECT dow, sum(is_err) AS a, count(*) - sum(is_err) AS b
+      FROM o GROUP BY dow
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM per)
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(a AS BIGINT) AS n_errors,
+           CAST(a + b AS BIGINT) AS n_events,
+           round((a * 1.0 / (a + b))
+                 / ((t.ta - a) * 1.0 / ((t.ta - a) + (t.tb - b))), 4)
+             AS prr,
+           a >= 3 AND (a * 1.0 / (a + b))
+             / ((t.ta - a) * 1.0 / ((t.ta - a) + (t.tb - b))) > 2.0
+             AS signal
+    FROM per CROSS JOIN tot t
+    """,
+)
+def error_prr_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional reporting ratio (PRR) screen for error events by
+    weekday — the pharmacovigilance-style disproportionality monitor
+    applied to ops data: for each weekday, the error rate ON that day
+    over the error rate on all OTHER days; PRR > 2 with ≥3 cases is the
+    classic signal threshold for 'errors concentrate here'. The
+    complement arm is algebraic from the totals (the same one-scan
+    trick as the FDR family), so screening all 7 signals costs ONE
+    partial-aggregated pass and a 7-row broadcast combine."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .alias("is_err"),
+    )
+    per = o.groupBy("dow").agg(
+        F.sum("is_err").alias("a"),
+        (F.count(F.lit(1)) - F.sum("is_err")).alias("b"),
+    )
+    tot = per.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    j = per.crossJoin(F.broadcast(tot))
+    rate_in = F.col("a") * 1.0 / (F.col("a") + F.col("b"))
+    rate_out = (F.col("ta") - F.col("a")) * 1.0 / (
+        (F.col("ta") - F.col("a")) + (F.col("tb") - F.col("b"))
+    )
+    prr = rate_in / rate_out
+    return j.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("a").cast("long").alias("n_errors"),
+        (F.col("a") + F.col("b")).cast("long").alias("n_events"),
+        F.round(prr, 4).alias("prr"),
+        ((F.col("a") >= 3) & (prr > 2.0)).alias("signal"),
+    )

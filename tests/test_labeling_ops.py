@@ -195,3 +195,74 @@ def test_waterfill_exhausts_budget_exactly(spark):
     # unserved types all sit at the common water level
     levels = {r["allocation"] for r in rows if not r["fully_served"]}
     assert len(levels) <= 1
+
+
+def test_changepoint_split_matches_numpy(spark):
+    import numpy as np
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        best_split_changepoint_per_type,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in _rows(best_split_changepoint_per_type(spark, TEST_SF_DIR))
+    }
+    daily = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .selectExpr("event_type", "to_date(ts) AS day", "value")
+        .groupBy("event_type", "day")
+        .agg({"value": "avg"})
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r["avg(value)"]))
+    for etype, pts in series.items():
+        pts.sort()
+        y = np.array([v for _, v in pts])
+        n = len(y)
+        sse_tot = float(((y - y.mean()) ** 2).sum())
+        best = None
+        for i in range(1, n):
+            l, r_ = y[:i], y[i:]
+            sse = float(((l - l.mean()) ** 2).sum()) + float(
+                ((r_ - r_.mean()) ** 2).sum()
+            )
+            gain = sse_tot - sse
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, i)
+        g = got[etype]
+        assert g["n_left"] == best[1]
+        assert math.isclose(g["sse_gain"], best[0], rel_tol=1e-6, abs_tol=1e-4)
+        assert 0.0 <= g["gain_ratio"] <= 1.0
+
+
+def test_lorenz_curve_is_convex_and_ends_at_one(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        lorenz_value_concentration,
+    )
+
+    rows = sorted(_rows(lorenz_value_concentration(spark, TEST_SF_DIR)),
+                  key=lambda r: r["decile"])
+    assert rows[-1]["cum_user_share"] == 1.0
+    assert rows[-1]["cum_value_share"] == 1.0
+    shares = [r["cum_value_share"] for r in rows]
+    assert shares == sorted(shares)
+    # Lorenz curve lies at or below the diagonal
+    for r in rows:
+        assert r["cum_value_share"] <= r["cum_user_share"] + 1e-9
+
+
+def test_prr_screen_accounting(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        error_prr_by_weekday,
+    )
+
+    rows = _rows(error_prr_by_weekday(spark, TEST_SF_DIR))
+    assert len(rows) == 7
+    assert {r["dow"] for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert r["n_errors"] <= r["n_events"]
+        assert r["prr"] > 0
+        assert r["signal"] == (r["n_errors"] >= 3 and r["prr"] > 2.0)
