@@ -334,6 +334,9 @@ BENCH_QUERIES = [
     "best_split_changepoint_per_type",
     "lorenz_value_concentration",
     "error_prr_by_weekday",
+    "wasserstein_value_shift",
+    "competing_risks_incidence",
+    "thompson_arm_posteriors",
 ]
 
 

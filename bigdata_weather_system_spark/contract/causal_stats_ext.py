@@ -1009,3 +1009,204 @@ def quantile_treatment_effects(
             4,
         ).alias("qte"),
     )
+
+
+@register(
+    "wasserstein_value_shift",
+    oracle="""
+    WITH qs AS (
+      SELECT event_type,
+             quantile_cont(value, [0.05, 0.10, 0.15, 0.20, 0.25, 0.30,
+                                   0.35, 0.40, 0.45, 0.50, 0.55, 0.60,
+                                   0.65, 0.70, 0.75, 0.80, 0.85, 0.90,
+                                   0.95]) AS q,
+             count(*) AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ),
+    wide AS (
+      SELECT c.q AS qc, p.q AS qp, c.n AS n_click, p.n AS n_purchase
+      FROM (SELECT q, n FROM qs WHERE event_type = 'click') c
+      CROSS JOIN (SELECT q, n FROM qs WHERE event_type = 'purchase') p
+    ),
+    pos AS (SELECT unnest(range(1, 20)) AS i)
+    SELECT CAST(any_value(n_click) AS BIGINT) AS n_click,
+           CAST(any_value(n_purchase) AS BIGINT) AS n_purchase,
+           round(sum(abs(qc[i] - qp[i])) / 19.0, 4) AS w1_distance
+    FROM wide CROSS JOIN pos
+    """,
+)
+def wasserstein_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the click and
+    purchase value distributions via the quantile-function identity
+    W₁ = ∫|F₁⁻¹(u) − F₂⁻¹(u)|du, approximated on a 19-point quantile
+    grid — the drift metric that, unlike KS (sup of CDF gap) or PSI
+    (binned likelihood ratio), measures HOW FAR mass moved in value
+    units, which is what makes it the preferred embedding/feature-shift
+    monitor. Each side's entire quantile grid comes from ONE
+    percentile-array aggregate (a single sort buffer), so the distance
+    costs two partial-aggregated passes and a 19-term fold — no global
+    sort, no pairwise transport problem."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    ps = [i / 20.0 for i in range(1, 20)]
+    qs = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias(
+            "q"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = qs.filter(F.col("event_type") == "click").select(
+        F.col("q").alias("qc"), F.col("n").alias("n_click")
+    )
+    p = qs.filter(F.col("event_type") == "purchase").select(
+        F.col("q").alias("qp"), F.col("n").alias("n_purchase")
+    )
+    wide = c.crossJoin(F.broadcast(p))
+    w1 = (
+        F.aggregate(
+            F.zip_with(
+                F.col("qc"),
+                F.col("qp"),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 19.0
+    )
+    return wide.select(
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.round(w1, 4).alias("w1_distance"),
+    )
+
+
+@register(
+    "competing_risks_incidence",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type AS cause, CAST(ts AS DATE) AS day
+      FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    n0 AS (SELECT count(*) AS n_users FROM firsts),
+    daily AS (
+      SELECT day, cause, count(*) AS c FROM firsts GROUP BY day, cause
+    ),
+    cum AS (
+      SELECT day, cause, c,
+             sum(c) OVER (PARTITION BY cause ORDER BY day) AS cum_c
+      FROM daily
+    )
+    SELECT cum.day, cum.cause,
+           CAST(cum.c AS BIGINT) AS n_first_events,
+           round(cum.cum_c * 1.0 / n0.n_users, 6) AS cum_incidence
+    FROM cum CROSS JOIN n0
+    """,
+)
+def competing_risks_incidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Competing-risks cumulative incidence: each user 'fails' once, by
+    whichever event type arrives FIRST, and CIF_cause(t) is the share
+    of users whose first event was that cause by day t — the third leg
+    of the survival family (Kaplan–Meier: one risk; Nelson–Aalen:
+    hazard; this: which-cause-wins), and the correct read-out when
+    causes compete (naively running KM per cause overestimates every
+    one of them). With complete observation the Aalen–Johansen
+    estimator reduces to this empirical first-event distribution, which
+    keeps it closed-form: one latest/earliest-per-key rank
+    (WindowGroupLimit), one bounded daily aggregate, and a per-cause
+    running sum over (days × causes) rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cause"),
+            F.to_date("ts").alias("day"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n0 = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    daily = firsts.groupBy("day", "cause").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("cause").orderBy("day")
+    cum = daily.select(
+        "day", "cause", "c", F.sum("c").over(wc).alias("cum_c")
+    )
+    return cum.crossJoin(F.broadcast(n0)).select(
+        "day",
+        "cause",
+        F.col("c").cast("long").alias("n_first_events"),
+        F.round(F.col("cum_c") * 1.0 / F.col("n_users"), 6).alias(
+            "cum_incidence"
+        ),
+    )
+
+
+@register(
+    "thompson_arm_posteriors",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS wins
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_plays,
+           CAST(wins AS BIGINT) AS n_wins,
+           CAST(1 + wins AS BIGINT) AS alpha,
+           CAST(1 + n - wins AS BIGINT) AS beta,
+           round((1.0 + wins) / (2.0 + n), 6) AS posterior_mean,
+           round(((1.0 + wins) / (2.0 + n)) * (1.0 - (1.0 + wins) / (2.0 + n))
+                 / (3.0 + n), 10) AS posterior_var
+    FROM arms
+    """,
+)
+def thompson_arm_posteriors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thompson-sampling posterior state per arm: Beta(1+wins,
+    1+losses) conjugate updates from one aggregation pass — the entire
+    state a Bernoulli bandit needs to run (sampling happens at serve
+    time; the BATCH job's product is exactly these sufficient
+    statistics, refreshed per window). Posterior mean and variance are
+    closed-form Beta moments, so the engine-side cost is one groupBy
+    emitting #arms rows regardless of traffic — the same
+    sufficient-statistics-not-data contract as the registry's
+    off-policy evaluation suite, which consumes these arms as its
+    logging policy."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value") >= 50, 1).otherwise(0)
+        ).alias("wins"),
+    )
+    mean = (1.0 + F.col("wins")) / (2.0 + F.col("n"))
+    return arms.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_plays"),
+        F.col("wins").cast("long").alias("n_wins"),
+        (1 + F.col("wins")).cast("long").alias("alpha"),
+        (1 + F.col("n") - F.col("wins")).cast("long").alias("beta"),
+        F.round(mean, 6).alias("posterior_mean"),
+        F.round(mean * (1.0 - mean) / (3.0 + F.col("n")), 10).alias(
+            "posterior_var"
+        ),
+    )

@@ -266,3 +266,63 @@ def test_prr_screen_accounting(spark):
         assert r["n_errors"] <= r["n_events"]
         assert r["prr"] > 0
         assert r["signal"] == (r["n_errors"] >= 3 and r["prr"] > 2.0)
+
+
+def test_wasserstein_matches_numpy_grid(spark):
+    import numpy as np
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        wasserstein_value_shift,
+    )
+
+    (row,) = _rows(wasserstein_value_shift(spark, TEST_SF_DIR))
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL AND event_type IN ('click','purchase')")
+        .select("event_type", "value")
+        .collect()
+    )
+    c = np.array([r.value for r in ev if r.event_type == "click"])
+    p = np.array([r.value for r in ev if r.event_type == "purchase"])
+    grid = [i / 20.0 for i in range(1, 20)]
+    qc = np.quantile(c, grid)
+    qp = np.quantile(p, grid)
+    w1 = float(np.abs(qc - qp).mean())
+    assert row["n_click"] == len(c) and row["n_purchase"] == len(p)
+    assert math.isclose(row["w1_distance"], w1, rel_tol=1e-3, abs_tol=5e-4)
+    assert row["w1_distance"] >= 0
+
+
+def test_competing_risks_cif_sums_to_one(spark):
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        competing_risks_incidence,
+    )
+
+    rows = _rows(competing_risks_incidence(spark, TEST_SF_DIR))
+    last_day = max(r["day"] for r in rows)
+    # at the horizon, per-cause incidences partition the user base
+    final = {}
+    for r in rows:
+        final[r["cause"]] = max(
+            final.get(r["cause"], 0.0), r["cum_incidence"]
+        )
+    assert math.isclose(sum(final.values()), 1.0, abs_tol=1e-5)
+    # each cause's CIF is non-decreasing in time
+    by_cause: dict = {}
+    for r in sorted(rows, key=lambda x: x["day"]):
+        prev = by_cause.get(r["cause"], 0.0)
+        assert r["cum_incidence"] >= prev - 1e-12
+        by_cause[r["cause"]] = r["cum_incidence"]
+
+
+def test_thompson_posteriors_are_conjugate_updates(spark):
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        thompson_arm_posteriors,
+    )
+
+    rows = _rows(thompson_arm_posteriors(spark, TEST_SF_DIR))
+    for r in rows:
+        assert r["alpha"] == 1 + r["n_wins"]
+        assert r["beta"] == 1 + r["n_plays"] - r["n_wins"]
+        a, b = r["alpha"], r["beta"]
+        assert math.isclose(r["posterior_mean"], a / (a + b), abs_tol=2e-6)
+        assert r["posterior_var"] > 0
