@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "wasserstein_value_shift",
     "competing_risks_incidence",
     "thompson_arm_posteriors",
+    "heaps_law_vocab_growth",
+    "source_shingle_similarity",
 ]
 
 

@@ -2593,3 +2593,319 @@ def doc_query_likelihood_search(
         .orderBy(F.col("ql_score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    firsts AS (
+      SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    bounds AS (
+      SELECT max(doc_id) AS max_id, count(DISTINCT doc_id) AS n_docs
+      FROM tok
+    ),
+    cuts AS (SELECT unnest(range(1, 11)) AS decile),
+    pts AS (
+      SELECT c.decile,
+             CAST(floor(b.max_id * c.decile / 10.0) AS BIGINT) AS cutoff,
+             (SELECT count(*) FROM firsts f
+              WHERE f.first_doc <= floor(b.max_id * c.decile / 10.0))
+               AS vocab,
+             (SELECT count(*) FROM tok t
+              WHERE t.doc_id <= floor(b.max_id * c.decile / 10.0))
+               AS n_tokens
+      FROM cuts c CROSS JOIN bounds b
+    ),
+    fit AS (
+      SELECT count(*) AS k,
+             sum(ln(n_tokens)) AS sx, sum(ln(vocab)) AS sy,
+             sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
+             sum(ln(n_tokens) * ln(vocab)) AS sxy
+      FROM pts
+    )
+    SELECT CAST(p.decile AS INT) AS decile,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.vocab AS BIGINT) AS vocab,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS heaps_beta
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth curve V(n) ≈ K·n^β for the corpus:
+    cumulative distinct vocabulary at 10 nested doc-id prefixes, plus
+    the log-log OLS slope β (typically 0.4–0.6 for natural text; β near
+    1 means near-random tokens, near 0 means a closed vocabulary) — the
+    curve that sizes tokenizer vocabularies and predicts how much NEW
+    vocabulary the next 10× of crawl will add. The naive construction
+    re-deduplicates per prefix (10 passes); this plan computes each
+    token's FIRST-occurrence doc once (one groupBy), after which every
+    prefix's vocabulary is a bounded count over the firsts relation —
+    the incremental-dedup trick that makes nested-prefix curves one-pass
+    at any corpus size."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    bounds = tok.agg(F.max("doc_id").alias("max_id"))
+    cuts = spark.range(1, 11).select(F.col("id").alias("decile"))
+    grid = cuts.crossJoin(F.broadcast(bounds)).select(
+        "decile",
+        F.floor(F.col("max_id") * F.col("decile") / 10.0)
+        .cast("long")
+        .alias("cutoff"),
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("decile", "cutoff")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    ntok = (
+        tok.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    pts = vocab.join(ntok, "decile").select(
+        "decile", "n_tokens", "vocab"
+    )
+    lx = F.log("n_tokens")
+    ly = F.log("vocab")
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(beta, 6).alias("heaps_beta"),
+    )
+
+
+@register(
+    "source_shingle_similarity",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    src AS (
+      SELECT d.source, e.shingle
+      FROM e JOIN documents d USING (doc_id)
+      GROUP BY d.source, e.shingle
+    ),
+    hashed AS (
+      SELECT source,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM src
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM hashed
+    ),
+    sk AS (SELECT source, h FROM ranked WHERE rk <= 128),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM src) a
+      JOIN (SELECT DISTINCT source FROM src) b ON a.source < b.source
+    ),
+    est AS (
+      SELECT p.source_a, p.source_b,
+             (SELECT count(*) FROM (
+                SELECT h FROM (
+                  SELECT u.h, row_number() OVER (ORDER BY u.h) AS rk
+                  FROM (SELECT DISTINCT h FROM sk
+                        WHERE source IN (p.source_a, p.source_b)) u
+                ) WHERE rk <= 128
+              ) mu
+              JOIN sk x ON x.source = p.source_a AND x.h = mu.h
+              JOIN sk y ON y.source = p.source_b AND y.h = mu.h)
+               * 1.0 / 128 AS j_est
+      FROM pairs p
+    ),
+    exact AS (
+      SELECT p.source_a, p.source_b,
+             (SELECT count(*) FROM
+                (SELECT shingle FROM src WHERE source = p.source_a
+                 INTERSECT
+                 SELECT shingle FROM src WHERE source = p.source_b))
+               * 1.0 /
+             (SELECT count(*) FROM
+                (SELECT shingle FROM src WHERE source = p.source_a
+                 UNION
+                 SELECT shingle FROM src WHERE source = p.source_b))
+               AS j_exact
+      FROM pairs p
+    )
+    SELECT e.source_a, e.source_b,
+           round(x.j_exact, 6) AS jaccard_exact,
+           round(e.j_est, 6) AS jaccard_est,
+           abs(e.j_est - x.j_exact) <= 0.15 AS within_band
+    FROM est e JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    """,
+)
+def source_shingle_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level source-to-source similarity via bottom-k (KMV)
+    sketches of each source's 3-shingle set: the standard MinHash
+    estimator Ĵ = |sk(A) ∩ sk(B) ∩ sk(A∪B)|/k, exact-checked against
+    the true Jaccard of the distinct-shingle sets — the curation
+    question 'which sources mirror each other?' answered from 128-row
+    sketches instead of a shingle-level join. Deterministic md5 order
+    makes the estimate value-checkable, and the ±0.15 band (k=128 ⇒
+    σ≈0.09 at J≈0.5) rides along per pair. Scale: per-source sketches
+    are ≤k rows no matter the corpus; only the distinct (source,
+    shingle) projection scans data, and pairwise estimation is
+    source-count quadratic over 128-row inputs — the sketch-algebra
+    shape that prices a 1000-source matrix at pennies."""
+    from ..operators.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    src = (
+        d.select(
+            "source",
+            F.explode(word_shingles(F.col("text"))).alias("shingle"),
+        )
+        .distinct()
+    )
+    hashed = src.select(
+        "source",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.select(
+            "source", "h", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 128)
+        .drop("rk")
+    )
+    # sketches are tiny (#sources × 128): collect-free pairwise algebra
+    # via self-joins on the bounded sketch relation
+    sources = src.select("source").distinct()
+    pairs = (
+        sources.alias("a")
+        .join(
+            sources.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    both = pairs.join(
+        sk.select(F.col("source").alias("source_a"), "h"), "source_a"
+    ).select("source_a", "source_b", "h").unionByName(
+        pairs.join(
+            sk.select(F.col("source").alias("source_b"), "h"),
+            "source_b",
+        ).select("source_a", "source_b", "h")
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_k = (
+        both.distinct()
+        .select(
+            "source_a",
+            "source_b",
+            "h",
+            F.row_number().over(wu).alias("rk"),
+        )
+        .filter(F.col("rk") <= 128)
+        .drop("rk")
+    )
+    in_a = sk.select(
+        F.col("source").alias("source_a"), F.col("h").alias("ha")
+    )
+    in_b = sk.select(
+        F.col("source").alias("source_b"), F.col("h").alias("hb")
+    )
+    est = (
+        union_k.join(
+            in_a,
+            (union_k.source_a == in_a.source_a)
+            & (union_k.h == in_a.ha),
+        )
+        .drop(in_a.source_a)
+        .join(
+            in_b,
+            (union_k.source_b == in_b.source_b)
+            & (union_k.h == in_b.hb),
+        )
+        .drop(in_b.source_b)
+        .groupBy("source_a", "source_b")
+        .agg((F.count(F.lit(1)) * 1.0 / 128).alias("j_est"))
+    )
+    sa = src.select(F.col("source").alias("source_a"),
+                    F.col("shingle").alias("sha"))
+    sb = src.select(F.col("source").alias("source_b"),
+                    F.col("shingle").alias("shb"))
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sha") == F.col("shb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = src.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    exact = (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"),
+                         F.col("sz").alias("sz_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"),
+                         F.col("sz").alias("sz_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("n_inter")
+                * 1.0
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("j_exact"),
+        )
+    )
+    # zero-overlap pairs vanish from the joins above — restore them
+    # from the full pair list with J = 0 on both paths
+    full = (
+        pairs.join(est, ["source_a", "source_b"], "left")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("j_est"), F.lit(0.0)).alias("j_est"),
+            F.coalesce(F.col("j_exact"), F.lit(0.0)).alias("j_exact"),
+        )
+    )
+    return full.select(
+        "source_a",
+        "source_b",
+        F.round("j_exact", 6).alias("jaccard_exact"),
+        F.round("j_est", 6).alias("jaccard_est"),
+        (F.abs(F.col("j_est") - F.col("j_exact")) <= 0.15).alias(
+            "within_band"
+        ),
+    )

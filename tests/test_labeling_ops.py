@@ -326,3 +326,39 @@ def test_thompson_posteriors_are_conjugate_updates(spark):
         a, b = r["alpha"], r["beta"]
         assert math.isclose(r["posterior_mean"], a / (a + b), abs_tol=2e-6)
         assert r["posterior_var"] > 0
+
+
+def test_heaps_law_growth_is_monotone_and_sublinear(spark):
+    from bigdata_weather_system_spark.contract.llm_ops import (
+        heaps_law_vocab_growth,
+    )
+
+    rows = sorted(_rows(heaps_law_vocab_growth(spark, TEST_SF_DIR)),
+                  key=lambda r: r["decile"])
+    assert len(rows) == 10
+    vocab = [r["vocab"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert vocab == sorted(vocab) and toks == sorted(toks)
+    assert all(v <= t for v, t in zip(vocab, toks))
+    betas = {r["heaps_beta"] for r in rows}
+    assert len(betas) == 1
+    beta = betas.pop()
+    # sublinear always; the synthetic corpus has a CLOSED ~31-token
+    # vocabulary, so its curve saturates in decile 1 and beta == 0.0
+    # exactly — natural text would land in (0.4, 0.6)
+    assert 0.0 <= beta < 1.0
+    assert vocab[0] == vocab[-1]  # saturation is real in this corpus
+
+
+def test_source_similarity_sketch_tracks_exact(spark):
+    from bigdata_weather_system_spark.contract.llm_ops import (
+        source_shingle_similarity,
+    )
+
+    rows = _rows(source_shingle_similarity(spark, TEST_SF_DIR))
+    n_src = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["jaccard_exact"] <= 1.0
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert r["within_band"] is True
