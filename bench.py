@@ -339,6 +339,9 @@ BENCH_QUERIES = [
     "thompson_arm_posteriors",
     "heaps_law_vocab_growth",
     "source_shingle_similarity",
+    "expected_calibration_error",
+    "gumbel_daily_max_extremes",
+    "seasonality_periodogram",
 ]
 
 

@@ -1191,3 +1191,240 @@ def error_prr_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prr, 4).alias("prr"),
         ((F.col("a") >= 3) & (prr > 2.0)).alias("signal"),
     )
+
+
+@register(
+    "expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_bin AS (
+      SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS b,
+             count(*) AS nb, sum(p) AS sp, sum(o) AS so
+      FROM scored GROUP BY LEAST(CAST(floor(p * 10) AS INT), 9)
+    ),
+    tot AS (SELECT sum(nb) AS n FROM per_bin)
+    SELECT CAST(any_value(t.n) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(nb * abs(sp / nb - so / nb)) / any_value(t.n), 6)
+             AS ece,
+           round(max(abs(sp / nb - so / nb)), 6) AS mce
+    FROM per_bin CROSS JOIN tot t
+    """,
+)
+def expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected calibration error (ECE) and max calibration error (MCE)
+    for the same logistic purchase forecast the Brier query scores:
+    per-confidence-bin |mean forecast − empirical rate|, averaged
+    weighted by bin mass (ECE) and taken at its worst bin (MCE) — the
+    pair every model card reports next to the proper score (Brier says
+    how GOOD the forecast is; ECE says whether you can TRUST its
+    probabilities as frequencies). Same ≤10-row bin relation as the
+    Brier decomposition — the marginal cost of adding a calibration
+    metric to the scoring pass is zero extra scans."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+    o = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    per_bin = (
+        ev.select(
+            F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("b"),
+            p.alias("p"),
+            o.alias("o"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("p").alias("sp"),
+            F.sum("o").alias("so"),
+        )
+    )
+    tot = per_bin.agg(F.sum("nb").alias("n"))
+    gap = F.abs(F.col("sp") / F.col("nb") - F.col("so") / F.col("nb"))
+    j = per_bin.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.first("n").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum(F.col("nb") * gap) / F.first("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+@register(
+    "gumbel_daily_max_extremes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(mx) AS sm,
+             sum(mx * mx) AS smm
+      FROM daily GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             sqrt((smm - sm * sm / n) / (n - 1))
+               * 0.7796968012336761 AS beta,
+             sm / n - sqrt((smm - sm * sm / n) / (n - 1))
+               * 0.7796968012336761 * 0.5772156649015329 AS mu
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round(mu, 4) AS gumbel_mu,
+           round(beta, 4) AS gumbel_beta,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 100.0)), 4)
+             AS return_level_100d,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 4)
+             AS return_level_365d
+    FROM fit
+    """,
+)
+def gumbel_daily_max_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value capacity planning per event type: fit a Gumbel
+    distribution to the DAILY BLOCK MAXIMA of value (the Fisher–
+    Tippett domain for light-tailed maxima) by method of moments
+    (β̂ = s·√6/π, μ̂ = m̄ − γ·β̂ with γ = Euler–Mascheroni), then read
+    off the 100-day and 365-day return levels μ − β·ln(−ln(1−1/N)) —
+    'the peak you should expect once per N days', the tail question
+    p99-style percentiles systematically understate because they
+    interpolate INSIDE the observed range. Two bounded aggregations
+    (daily maxima, then three raw sums per type); the EVT constants are
+    literals, so both engines run the identical float sequence."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.max("value").alias("mx"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("sm"),
+        F.sum(F.col("mx") * F.col("mx")).alias("smm"),
+    )
+    n = F.col("n")
+    sd = F.sqrt(
+        (F.col("smm") - F.col("sm") * F.col("sm") / n) / (n - 1)
+    )
+    beta = sd * 0.7796968012336761  # sqrt(6)/pi
+    mu = F.col("sm") / n - beta * 0.5772156649015329
+    rl = lambda days: mu - beta * F.log(  # noqa: E731
+        -F.log(F.lit(1.0 - 1.0 / days))
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(rl(100.0), 4).alias("return_level_100d"),
+        F.round(rl(365.0), 4).alias("return_level_365d"),
+    )
+
+
+@register(
+    "seasonality_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(value) / count(*) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    anchored AS (
+      SELECT d.event_type, d.y,
+             datediff('day', m.d0, d.day) AS i
+      FROM daily d JOIN (
+        SELECT event_type, min(day) AS d0 FROM daily GROUP BY event_type
+      ) m USING (event_type)
+    ),
+    centered AS (
+      SELECT a.event_type, a.i, a.y - s.ybar AS d
+      FROM anchored a JOIN (
+        SELECT event_type, sum(y) / count(*) AS ybar
+        FROM anchored GROUP BY event_type
+      ) s USING (event_type)
+    ),
+    fan AS (
+      SELECT c.event_type, p.period, c.d, c.i
+      FROM centered c CROSS JOIN (
+        SELECT CAST(unnest([7, 14, 30]) AS INT) AS period) p
+    ),
+    spec AS (
+      SELECT event_type, period,
+             sum(d * cos(2 * pi() * i / period)) AS sc,
+             sum(d * sin(2 * pi() * i / period)) AS ss,
+             sum(d * d) AS energy,
+             count(*) AS n
+      FROM fan GROUP BY event_type, period
+    )
+    SELECT event_type,
+           CAST(period AS INT) AS period_days,
+           round((sc * sc + ss * ss) / (n * energy), 6)
+             AS power_share,
+           (sc * sc + ss * ss) = max(sc * sc + ss * ss)
+             OVER (PARTITION BY event_type) AS dominant
+    FROM spec
+    """,
+)
+def seasonality_periodogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-frequency periodogram over each type's daily mean series:
+    spectral power at candidate periods 7/14/30 days via the Goertzel
+    sums P = (Σd·cos ωi)² + (Σd·sin ωi)², normalized by n·Σd² so the
+    share is scale-free — the cycle detector that tells the
+    forecasting family WHICH seasonality to model before committing to
+    a seasonal decomposition (the event-series sibling of the PCM
+    Goertzel tone probe). Series are centered (per-type mean join)
+    so the DC component can't leak into every bin. One bounded daily
+    aggregate, one 3-period fan-out collapsing to five sums per
+    (type, period): the fact table is scanned once."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    anchored = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type", "y", F.datediff("day", "d0").alias("i")
+    )
+    means = anchored.groupBy("event_type").agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("ybar")
+    )
+    centered = anchored.join(F.broadcast(means), "event_type").select(
+        "event_type", "i", (F.col("y") - F.col("ybar")).alias("d")
+    )
+    fan = centered.select(
+        "event_type",
+        "i",
+        "d",
+        F.explode(F.array(F.lit(7), F.lit(14), F.lit(30))).alias(
+            "period"
+        ),
+    )
+    two_pi = 2 * 3.141592653589793
+    spec = fan.groupBy("event_type", "period").agg(
+        F.sum(
+            F.col("d") * F.cos(two_pi * F.col("i") / F.col("period"))
+        ).alias("sc"),
+        F.sum(
+            F.col("d") * F.sin(two_pi * F.col("i") / F.col("period"))
+        ).alias("ss"),
+        F.sum(F.col("d") * F.col("d")).alias("energy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    power = F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+    w = Window.partitionBy("event_type")
+    return spec.select(
+        "event_type",
+        F.col("period").cast("int").alias("period_days"),
+        F.round(power / (F.col("n") * F.col("energy")), 6).alias(
+            "power_share"
+        ),
+        (power == F.max(power).over(w)).alias("dominant"),
+    )

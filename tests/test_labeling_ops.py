@@ -362,3 +362,63 @@ def test_source_similarity_sketch_tracks_exact(spark):
         assert 0.0 <= r["jaccard_exact"] <= 1.0
         assert 0.0 <= r["jaccard_est"] <= 1.0
         assert r["within_band"] is True
+
+
+def test_ece_mce_relationship_and_bounds(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        expected_calibration_error,
+    )
+
+    (row,) = _rows(expected_calibration_error(spark, TEST_SF_DIR))
+    assert 0.0 <= row["ece"] <= row["mce"] <= 1.0
+    assert 1 <= row["n_bins"] <= 10
+
+
+def test_gumbel_return_levels_grow_with_horizon(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        gumbel_daily_max_extremes,
+    )
+
+    rows = _rows(gumbel_daily_max_extremes(spark, TEST_SF_DIR))
+    daily_max = {}
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .selectExpr("event_type", "to_date(ts) AS d", "value")
+        .groupBy("event_type", "d")
+        .agg({"value": "max"})
+        .collect()
+    )
+    for r in ev:
+        daily_max.setdefault(r.event_type, []).append(r["max(value)"])
+    for r in rows:
+        assert r["gumbel_beta"] > 0
+        assert r["return_level_365d"] > r["return_level_100d"]
+        # return level extrapolates BEYOND the observed block maxima
+        assert r["return_level_365d"] > max(
+            daily_max[r["event_type"]]
+        ) * 0.5
+        import numpy as np
+
+        mx = np.array(daily_max[r["event_type"]])
+        beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+        mu = mx.mean() - 0.5772156649015329 * beta
+        assert math.isclose(r["gumbel_mu"], mu, rel_tol=1e-4)
+        assert math.isclose(r["gumbel_beta"], beta, rel_tol=1e-4)
+
+
+def test_periodogram_shares_bounded_and_one_dominant(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        seasonality_periodogram,
+    )
+
+    rows = _rows(seasonality_periodogram(spark, TEST_SF_DIR))
+    by_type: dict = {}
+    for r in rows:
+        assert 0.0 <= r["power_share"] <= 1.0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for etype, rs in by_type.items():
+        assert len(rs) == 3
+        assert sum(1 for r in rs if r["dominant"]) == 1
+        dom = next(r for r in rs if r["dominant"])
+        assert dom["power_share"] == max(r["power_share"] for r in rs)
