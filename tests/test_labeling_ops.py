@@ -133,14 +133,23 @@ def test_cms_drift_never_undercounts_and_deltas_close(spark):
 
 
 def test_edge_support_counts_each_triangle_thrice(spark):
+    import pyspark.sql.functions as F
     from bigdata_weather_system_spark.contract.graph_ops import (
-        part_copurchase_triangles,
         part_edge_triangle_support,
+    )
+    from bigdata_weather_system_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_stats,
     )
 
     support = _rows(part_edge_triangle_support(spark, TEST_SF_DIR))
     total_credits = sum(r["n_triangles"] for r in support)
-    (tri_row,) = _rows(part_copurchase_triangles(spark, TEST_SF_DIR))
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    # same weight >= 2 repeat-co-purchase filter as the query
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").filter(
+        F.col("weight") >= 2
+    )
+    (tri_row,) = triangle_stats(edges).collect()
     assert total_credits == 3 * tri_row["n_triangles"]
     for r in support:
         assert r["u"] < r["v"]
