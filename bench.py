@@ -342,6 +342,9 @@ BENCH_QUERIES = [
     "expected_calibration_error",
     "gumbel_daily_max_extremes",
     "seasonality_periodogram",
+    "nb_moments_fit_per_type",
+    "weekday_seasonal_strength",
+    "recommender_cold_start_audit",
 ]
 
 

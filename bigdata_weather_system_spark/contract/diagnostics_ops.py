@@ -1428,3 +1428,135 @@ def seasonality_periodogram(
         ),
         (power == F.max(power).over(w)).alias("dominant"),
     )
+
+
+@register(
+    "nb_moments_fit_per_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+      FROM daily GROUP BY event_type
+    ),
+    mo AS (
+      SELECT event_type, n,
+             sc * 1.0 / n AS m,
+             (scc - sc * 1.0 * sc / n) / (n - 1) AS v
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round(m, 6) AS mean_daily,
+           round(v, 6) AS var_daily,
+           v > m AS fit_valid,
+           CASE WHEN v > m THEN round(m * m / (v - m), 6) END AS nb_r,
+           CASE WHEN v > m THEN round(m / v, 6) END AS nb_p
+    FROM mo
+""",
+)
+def nb_moments_fit_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit on daily counts per type
+    (r̂ = m²/(s²−m), p̂ = m/s²) — the model the overdispersion gate
+    dispatches TO when it rejects Poisson; a type whose variance does
+    not exceed its mean gets fit_valid = false and NULL parameters
+    instead of a garbage fit. Same two bounded aggregations as the
+    dispersion test; the parameters are closed-form from the same three
+    sums."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("n")
+    m = F.col("sc") * 1.0 / n
+    v = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / n) / (n - 1)
+    valid = v > m
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(m, 6).alias("mean_daily"),
+        F.round(v, 6).alias("var_daily"),
+        valid.alias("fit_valid"),
+        F.when(valid, F.round(m * m / (v - m), 6)).alias("nb_r"),
+        F.when(valid, F.round(m / v, 6)).alias("nb_p"),
+    )
+
+@register(
+    "weekday_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             sum(value) / count(*) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+      FROM daily GROUP BY event_type
+    ),
+    dw AS (
+      SELECT event_type, dow, count(*) AS nw, sum(y) AS syw
+      FROM daily GROUP BY event_type, dow
+    ),
+    ss AS (
+      SELECT d.event_type,
+             any_value(g.n) AS n,
+             any_value(g.syy - g.sy * g.sy / g.n) AS ss_total,
+             sum(d.nw * (d.syw / d.nw - g.sy / g.n)
+                      * (d.syw / d.nw - g.sy / g.n)) AS ss_between
+      FROM dw d JOIN g ON g.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round(ss_between / ss_total, 6) AS weekday_eta2,
+           ss_between / ss_total > 0.2 AS strongly_seasonal
+    FROM ss
+""",
+)
+def weekday_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal-strength index per type: η² = SS_between(weekday)
+    / SS_total over the daily mean series — the share of day-to-day
+    variance the weekly cycle explains, the scalar that decides whether
+    the forecasting family should bother with weekday seasonality
+    (complementing the periodogram, which finds the PERIOD; this scores
+    a KNOWN period's strength). Two bounded aggregations on the daily
+    relation; the between-group sum reuses the same raw sums."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+    daily = daily.withColumn("dow", F.dayofweek("day") + 1)
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dw = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nw"), F.sum("y").alias("syw")
+    )
+    j = dw.join(F.broadcast(g), "event_type")
+    mean_all = F.col("sy") / F.col("n")
+    dev = F.col("syw") / F.col("nw") - mean_all
+    ss = j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first(
+            F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+        ).alias("ss_total"),
+        F.sum(F.col("nw") * dev * dev).alias("ss_between"),
+    )
+    eta2 = F.col("ss_between") / F.col("ss_total")
+    return ss.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(eta2, 6).alias("weekday_eta2"),
+        (eta2 > 0.2).alias("strongly_seasonal"),
+    )

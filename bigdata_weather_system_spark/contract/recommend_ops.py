@@ -139,3 +139,100 @@ def als_training_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_bad") == 0).alias("factors_finite"),
         )
     )
+
+
+@register(
+    "recommender_cold_start_audit",
+    oracle="""
+    WITH tagged AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS part,
+             CAST(('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 10 < 8
+               AS in_train
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    train_parts AS (
+      SELECT DISTINCT part FROM tagged WHERE in_train
+    ),
+    train_custs AS (
+      SELECT DISTINCT cust FROM tagged WHERE in_train
+    ),
+    test AS (
+      SELECT DISTINCT cust, part FROM tagged WHERE NOT in_train
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test_pairs,
+           CAST(sum(CASE WHEN tp.part IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cold_part_pairs,
+           CAST(sum(CASE WHEN tc.cust IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cold_cust_pairs,
+           round(sum(CASE WHEN tp.part IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS cold_part_rate,
+           round(sum(CASE WHEN tc.cust IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS cold_cust_rate
+    FROM test t
+    LEFT JOIN train_parts tp ON tp.part = t.part
+    LEFT JOIN train_custs tc ON tc.cust = t.cust
+""",
+)
+def recommender_cold_start_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cold-start exposure audit for the recommender family: hash-split
+    orders 80/20 into train/test and measure what share of held-out
+    (customer, part) interactions involve a part (or customer) NEVER
+    seen in training — the number that bounds any collaborative model's
+    reachable recall before content features enter (ALS simply cannot
+    score an unseen id). Distinct projections + two left anti-style
+    joins on bounded id relations; the md5 split convention matches the
+    registry's other split buckets."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    tagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8
+        ).alias("in_train"),
+    )
+    train_parts = (
+        tagged.filter("in_train").select("part").distinct()
+        .withColumn("seen_p", F.lit(1))
+    )
+    train_custs = (
+        tagged.filter("in_train").select("cust").distinct()
+        .withColumn("seen_c", F.lit(1))
+    )
+    test = tagged.filter(~F.col("in_train")).select("cust", "part").distinct()
+    j = test.join(train_parts, "part", "left").join(
+        train_custs, "cust", "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_pairs"),
+        F.sum(F.when(F.col("seen_p").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("cold_part_pairs"),
+        F.sum(F.when(F.col("seen_c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("cold_cust_pairs"),
+        F.round(
+            F.sum(F.when(F.col("seen_p").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cold_part_rate"),
+        F.round(
+            F.sum(F.when(F.col("seen_c").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cold_cust_rate"),
+    )
+

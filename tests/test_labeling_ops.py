@@ -431,3 +431,52 @@ def test_periodogram_shares_bounded_and_one_dominant(spark):
         assert sum(1 for r in rs if r["dominant"]) == 1
         dom = next(r for r in rs if r["dominant"])
         assert dom["power_share"] == max(r["power_share"] for r in rs)
+
+
+def test_nb_fit_consistent_with_overdispersion_gate(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        event_count_overdispersion,
+        nb_moments_fit_per_type,
+    )
+
+    fit = {r["event_type"]: r for r in _rows(nb_moments_fit_per_type(spark, TEST_SF_DIR))}
+    gate = {
+        r["event_type"]: r
+        for r in _rows(event_count_overdispersion(spark, TEST_SF_DIR))
+    }
+    for t, r in fit.items():
+        assert r["fit_valid"] == (r["var_daily"] > r["mean_daily"])
+        if r["fit_valid"]:
+            m, v = r["mean_daily"], r["var_daily"]
+            assert math.isclose(r["nb_r"], m * m / (v - m), rel_tol=1e-4)
+            assert math.isclose(r["nb_p"], m / v, rel_tol=1e-4)
+            assert 0.0 < r["nb_p"] <= 1.0
+        # same daily relation as the gate
+        assert gate[t]["n_days"] == r["n_days"]
+
+
+def test_seasonal_strength_is_a_variance_share(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        weekday_seasonal_strength,
+    )
+
+    rows = _rows(weekday_seasonal_strength(spark, TEST_SF_DIR))
+    for r in rows:
+        assert 0.0 <= r["weekday_eta2"] <= 1.0
+        assert r["strongly_seasonal"] == (r["weekday_eta2"] > 0.2)
+
+
+def test_cold_start_rates_are_shares(spark):
+    from bigdata_weather_system_spark.contract.recommend_ops import (
+        recommender_cold_start_audit,
+    )
+
+    (row,) = _rows(recommender_cold_start_audit(spark, TEST_SF_DIR))
+    assert row["n_test_pairs"] > 0
+    assert 0 <= row["cold_part_pairs"] <= row["n_test_pairs"]
+    assert 0 <= row["cold_cust_pairs"] <= row["n_test_pairs"]
+    assert math.isclose(
+        row["cold_part_rate"],
+        row["cold_part_pairs"] / row["n_test_pairs"],
+        abs_tol=2e-6,
+    )
