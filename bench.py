@@ -345,6 +345,9 @@ BENCH_QUERIES = [
     "nb_moments_fit_per_type",
     "weekday_seasonal_strength",
     "recommender_cold_start_audit",
+    "burrows_delta_sources",
+    "simpson_slope_reversal",
+    "kish_effective_sample_size",
 ]
 
 

@@ -1560,3 +1560,127 @@ def weekday_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eta2, 6).alias("weekday_eta2"),
         (eta2 > 0.2).alias("strongly_seasonal"),
     )
+
+
+@register(
+    "simpson_slope_reversal",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x, value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM obs GROUP BY event_type
+    ),
+    tot AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(sxy) AS sxy
+      FROM per
+    )
+    SELECT p.event_type,
+           CAST(p.n AS BIGINT) AS n_obs,
+           round((p.n * p.sxy - p.sx * p.sy)
+                 / (p.n * p.sxx - p.sx * p.sx), 6) AS slope_type,
+           round((t.n * t.sxy - t.sx * t.sy)
+                 / (t.n * t.sxx - t.sx * t.sx), 6) AS slope_global,
+           ((p.n * p.sxy - p.sx * p.sy) > 0)
+             <> ((t.n * t.sxy - t.sx * t.sy) > 0) AS sign_reversed
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def simpson_slope_reversal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox detector: the OLS slope of value on hour-of-day
+    computed globally AND within each event type; a type whose
+    within-group slope has the opposite sign of the pooled slope is the
+    textbook aggregation trap (the pooled trend is a composition
+    artifact, not a causal signal) — the sanity gate before anyone
+    reads the global trend chart. The global sufficient statistics are
+    the SUM of the per-group ones, so the whole detector is one
+    partial-aggregated scan + a #types-row broadcast combine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    per = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    slope_t = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope_g = (
+        F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")
+    ) / (F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx"))
+    num_t = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_g = F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(slope_t, 6).alias("slope_type"),
+        F.round(slope_g, 6).alias("slope_global"),
+        ((num_t > 0) != (num_g > 0)).alias("sign_reversed"),
+    )
+
+
+@register(
+    "kish_effective_sample_size",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n, sum(value) AS sw,
+             sum(value * value) AS sww
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           round(sw * sw / sww, 2) AS kish_ess,
+           round((sw * sw / sww) / n, 6) AS efficiency,
+           (sw * sw / sww) / n < 0.5 AS weights_degenerate
+    FROM s
+    """,
+)
+def kish_effective_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kish effective sample size per type when rows are weighted by
+    value: ESS = (Σw)²/Σw² — the number every weighted estimator
+    (IPS, raked surveys, importance-sampled evals) should report next
+    to its point estimate, because n rows with degenerate weights can
+    carry the information of far fewer. Efficiency = ESS/n; below 0.5
+    flags a weight distribution whose variance is eating more than
+    half the sample — the trigger for the registry's weight-clipping
+    / sampling-rate queries. One partial-aggregated pass, three sums
+    per group."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sw"),
+        F.sum(F.col("value") * F.col("value")).alias("sww"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(ess, 2).alias("kish_ess"),
+        F.round(ess / F.col("n"), 6).alias("efficiency"),
+        (ess / F.col("n") < 0.5).alias("weights_degenerate"),
+    )

@@ -2909,3 +2909,136 @@ def source_shingle_similarity(
             "within_band"
         ),
     )
+
+
+@register(
+    "burrows_delta_sources",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, unnest({_TOKS}) AS token FROM documents d
+    ),
+    top_toks AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT 20)
+    ),
+    src_tot AS (
+      SELECT source, count(*) AS n_tok FROM tok GROUP BY source
+    ),
+    freq AS (
+      SELECT st.source, tt.token,
+             coalesce(c.cnt, 0) * 1.0 / st.n_tok AS f
+      FROM src_tot st CROSS JOIN top_toks tt
+      LEFT JOIN (
+        SELECT source, token, count(*) AS cnt
+        FROM tok JOIN top_toks USING (token)
+        GROUP BY source, token
+      ) c ON c.source = st.source AND c.token = tt.token
+    ),
+    stats AS (
+      SELECT token, count(*) AS k, sum(f) AS sf, sum(f * f) AS sff
+      FROM freq GROUP BY token
+    ),
+    z AS (
+      SELECT fr.source, fr.token,
+             (fr.f - s.sf / s.k)
+               / sqrt((s.sff - s.sf * s.sf / s.k) / (s.k - 1)) AS z
+      FROM freq fr JOIN stats s USING (token)
+      WHERE (s.sff - s.sf * s.sf / s.k) / (s.k - 1) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_marker_tokens,
+           round(sum(abs(a.z - b.z)) / count(*), 4) AS burrows_delta
+    FROM z a JOIN z b
+      ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources — the classic stylometric
+    distance: z-score each source's relative frequency of the 20 most
+    common corpus tokens (marker words) against the cross-source
+    distribution, then Delta(a,b) = mean |z_a − z_b| — the
+    author/register fingerprint that separates 'same pipeline,
+    different topic' from 'different provenance entirely', which is
+    exactly the question source-level curation asks before merging
+    crawls. Everything reduces to bounded relations: one token scan,
+    then (sources × 20) frequency cells, 20 per-token moment rows, and
+    a pairwise join over the z relation (sources² × 20, constant for
+    bounded source counts). Zero-variance markers are excluded on both
+    engines."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    top_toks = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(20)
+        .select("token")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    cnt = (
+        tok.join(F.broadcast(top_toks), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(top_toks))
+        .join(cnt, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                * 1.0
+                / F.col("n_tok")
+            ).alias("f"),
+        )
+    )
+    stats = freq.groupBy("token").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    )
+    var = (
+        F.col("sff") - F.col("sf") * F.col("sf") / F.col("k")
+    ) / (F.col("k") - 1)
+    z = (
+        freq.join(F.broadcast(stats), "token")
+        .filter(var > 0)
+        .select(
+            "source",
+            "token",
+            (
+                (F.col("f") - F.col("sf") / F.col("k")) / F.sqrt(var)
+            ).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("z").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("token").alias("tb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("token") == F.col("tb"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_marker_tokens"),
+        F.round(
+            F.sum(F.abs(F.col("za") - F.col("zb"))) / F.count(F.lit(1)),
+            4,
+        ).alias("burrows_delta"),
+    )

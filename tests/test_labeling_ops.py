@@ -480,3 +480,53 @@ def test_cold_start_rates_are_shares(spark):
         row["cold_part_pairs"] / row["n_test_pairs"],
         abs_tol=2e-6,
     )
+
+
+def test_burrows_delta_symmetry_and_positivity(spark):
+    from bigdata_weather_system_spark.contract.llm_ops import (
+        burrows_delta_sources,
+    )
+
+    rows = _rows(burrows_delta_sources(spark, TEST_SF_DIR))
+    n_src = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["burrows_delta"] >= 0
+        assert 1 <= r["n_marker_tokens"] <= 20
+
+
+def test_simpson_detector_slope_consistency(spark):
+    import numpy as np
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        simpson_slope_reversal,
+    )
+
+    rows = _rows(simpson_slope_reversal(spark, TEST_SF_DIR))
+    assert len({r["slope_global"] for r in rows}) == 1
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .selectExpr("event_type", "CAST(hour(ts) AS DOUBLE) AS x", "value AS y")
+        .collect()
+    )
+    x = np.array([r.x for r in ev])
+    y = np.array([r.y for r in ev])
+    g = np.polyfit(x, y, 1)[0]
+    assert math.isclose(rows[0]["slope_global"], g, rel_tol=1e-3, abs_tol=1e-5)
+    for r in rows:
+        assert r["sign_reversed"] == (
+            (r["slope_type"] > 0) != (r["slope_global"] > 0)
+        ) or abs(r["slope_type"]) < 1e-5
+
+
+def test_kish_ess_bounds(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        kish_effective_sample_size,
+    )
+
+    rows = _rows(kish_effective_sample_size(spark, TEST_SF_DIR))
+    for r in rows:
+        assert 1.0 <= r["kish_ess"] <= r["n_rows"] + 0.01
+        assert 0.0 < r["efficiency"] <= 1.0 + 1e-9
+        assert r["weights_degenerate"] == (r["efficiency"] < 0.5)
