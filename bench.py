@@ -348,6 +348,8 @@ BENCH_QUERIES = [
     "burrows_delta_sources",
     "simpson_slope_reversal",
     "kish_effective_sample_size",
+    "hurst_rescaled_range",
+    "runs_test_randomness",
 ]
 
 

@@ -1684,3 +1684,237 @@ def kish_effective_sample_size(
         F.round(ess / F.col("n"), 6).alias("efficiency"),
         (ess / F.col("n") < 0.5).alias("weights_degenerate"),
     )
+
+
+@register(
+    "hurst_rescaled_range",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, sum(value) / count(*) AS ybar
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    seq AS (
+      SELECT e.event_type, e.value - m.ybar AS d,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY e.ts, e.event_id) - 1 AS i
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    fan AS (
+      SELECT s.event_type, b.bs, CAST(floor(s.i / b.bs) AS INT) AS blk,
+             s.d, s.i
+      FROM seq s CROSS JOIN (
+        SELECT CAST(unnest([32, 64, 128]) AS INT) AS bs) b
+    ),
+    walk AS (
+      SELECT event_type, bs, blk, d,
+             sum(d) OVER (PARTITION BY event_type, bs, blk
+                          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM fan
+    ),
+    per_blk AS (
+      SELECT event_type, bs, blk,
+             count(*) AS n,
+             max(cum) - min(cum) AS r,
+             sqrt(greatest(sum(d * d) / count(*)
+                  - (sum(d) / count(*)) * (sum(d) / count(*)), 1e-300))
+               AS s
+      FROM walk GROUP BY event_type, bs, blk
+    ),
+    rs AS (
+      SELECT event_type, bs,
+             sum(ln(r / s)) / count(*) AS mean_log_rs
+      FROM per_blk WHERE n = bs AND r > 0 GROUP BY event_type, bs
+    ),
+    fit AS (
+      SELECT event_type, count(*) AS k,
+             sum(ln(CAST(bs AS DOUBLE))) AS sx, sum(mean_log_rs) AS sy,
+             sum(ln(CAST(bs AS DOUBLE)) * ln(CAST(bs AS DOUBLE))) AS sxx,
+             sum(ln(CAST(bs AS DOUBLE)) * mean_log_rs) AS sxy
+      FROM rs GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(r.bs AS INT) AS block_size,
+           round(r.mean_log_rs, 6) AS mean_log_rs,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 4) AS hurst_h
+    FROM rs r JOIN fit f USING (event_type)
+    """,
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via classic rescaled-range (R/S)
+    analysis: split each demeaned value series into blocks of 32/64/128
+    observations, compute each block's cumulative-walk range over its
+    standard deviation, and fit H as the log-log slope of mean ln(R/S)
+    against block size — H ≈ 0.5 is a random walk, H > 0.5 long-range
+    persistence (trends compound; EWMA-style smoothers underreact),
+    H < 0.5 mean reversion. The memory diagnostic that complements ADF
+    (unit root) and Ljung–Box (short-lag correlation) with LONG-range
+    structure. All windows are per-(type, block-size, block) —
+    partitions of a bounded fan-out of the series — and the fit is
+    closed-form from three points per type. Partial blocks and
+    zero-range blocks are excluded identically on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("ybar")
+    )
+    w_i = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        (F.col("value") - F.col("ybar")).alias("d"),
+        (F.row_number().over(w_i) - 1).alias("i"),
+    )
+    fan = seq.select(
+        "event_type",
+        "d",
+        "i",
+        F.explode(F.array(F.lit(32), F.lit(64), F.lit(128))).alias("bs"),
+    ).withColumn("blk", F.floor(F.col("i") / F.col("bs")).cast("int"))
+    w_cum = (
+        Window.partitionBy("event_type", "bs", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = fan.select(
+        "event_type", "bs", "blk", "d", F.sum("d").over(w_cum).alias("cum")
+    )
+    per_blk = walk.groupBy("event_type", "bs", "blk").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("cum") - F.min("cum")).alias("r"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("d") * F.col("d")) / F.count(F.lit(1))
+                - (F.sum("d") / F.count(F.lit(1)))
+                * (F.sum("d") / F.count(F.lit(1))),
+                F.lit(1e-300),
+            )
+        ).alias("s"),
+    )
+    rs = (
+        per_blk.filter(
+            (F.col("n") == F.col("bs")) & (F.col("r") > 0)
+        )
+        .groupBy("event_type", "bs")
+        .agg(
+            (
+                F.sum(F.log(F.col("r") / F.col("s")))
+                / F.count(F.lit(1))
+            ).alias("mean_log_rs")
+        )
+    )
+    lx = F.log(F.col("bs").cast("double"))
+    fit = rs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum("mean_log_rs").alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * F.col("mean_log_rs")).alias("sxy"),
+    )
+    h = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return rs.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        F.col("bs").cast("int").alias("block_size"),
+        F.round("mean_log_rs", 6).alias("mean_log_rs"),
+        F.round(h, 4).alias("hurst_h"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, sum(value) / count(*) AS ybar
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    signs AS (
+      SELECT e.event_type,
+             CASE WHEN e.value > m.ybar THEN 1 ELSE 0 END AS s,
+             lag(CASE WHEN e.value > m.ybar THEN 1 ELSE 0 END)
+               OVER (PARTITION BY e.event_type
+                     ORDER BY e.ts, e.event_id) AS prev
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(s) AS n1, count(*) - sum(s) AS n2,
+             1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                          THEN 1 ELSE 0 END) AS runs
+      FROM signs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+             AS z_stat,
+           abs((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))
+             > 1.959964 AS reject_random_05
+    FROM agg
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: are above-mean and
+    below-mean values RANDOMLY interleaved in time, or do they clump
+    (too few runs = positive serial dependence / regimes; too many =
+    oscillation)? The nonparametric cousin of Ljung–Box — it needs no
+    moments, only the sign sequence, so heavy tails can't distort it.
+    Runs are counted with one lag window (a run starts wherever the
+    sign changes); the z statistic is closed-form from (n₁, n₂, R).
+    One mean pass + one lag-window pass per key, three integers per
+    type shuffled."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("ybar")
+    )
+    s = F.when(F.col("value") > F.col("ybar"), 1).otherwise(0)
+    # the lag runs over TIME order — a run starts at every sign change
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    signs = (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_type", "ts", "event_id", s.alias("s"))
+        .select(
+            "event_type",
+            "s",
+            F.lag("s").over(w).alias("prev"),
+        )
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.sum("s").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (runs - mu) / sig
+    return agg.select(
+        "event_type",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        runs.cast("long").alias("n_runs"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("reject_random_05"),
+    )

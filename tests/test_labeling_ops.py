@@ -530,3 +530,63 @@ def test_kish_ess_bounds(spark):
         assert 1.0 <= r["kish_ess"] <= r["n_rows"] + 0.01
         assert 0.0 < r["efficiency"] <= 1.0 + 1e-9
         assert r["weights_degenerate"] == (r["efficiency"] < 0.5)
+
+
+def test_hurst_in_plausible_band_and_shared_per_type(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        hurst_rescaled_range,
+    )
+
+    rows = _rows(hurst_rescaled_range(spark, TEST_SF_DIR))
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for etype, rs in by_type.items():
+        hs = {r["hurst_h"] for r in rs}
+        assert len(hs) == 1  # one fitted slope per type
+        h = hs.pop()
+        # R/S estimates land in (0, 1.2) for any real series
+        assert 0.0 < h < 1.2
+        sizes = sorted(r["block_size"] for r in rs)
+        assert sizes in ([32, 64], [32, 64, 128])
+        # mean log(R/S) grows with block size
+        srt = sorted(rs, key=lambda r: r["block_size"])
+        vals = [r["mean_log_rs"] for r in srt]
+        assert vals == sorted(vals)
+
+
+def test_runs_test_matches_python_replay(spark):
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        runs_test_randomness,
+    )
+
+    got = {r["event_type"]: r for r in _rows(runs_test_randomness(spark, TEST_SF_DIR))}
+    ev = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for etype, pts in series.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        ys = [v for _, _, v in pts]
+        mean = sum(ys) / len(ys)
+        signs = [1 if v > mean else 0 for v in ys]
+        runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        n1 = sum(signs)
+        n2 = len(signs) - n1
+        g = got[etype]
+        assert g["n_above"] == n1 and g["n_below"] == n2
+        assert g["n_runs"] == runs
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+        )
+        z = (runs - mu) / math.sqrt(var)
+        assert math.isclose(g["z_stat"], z, rel_tol=1e-3, abs_tol=5e-4)
