@@ -57,6 +57,12 @@ SHOWCASE = [
     ("media_ahash_near_dups", "perceptual-hash image near-dup: zero-shuffle hash map stage + lossless band join"),
     ("gmm_em_value_mixture", "in-plan EM: 5 moment scans against broadcast 1-row parameters, no Python"),
     ("retrieval_rrf_fusion", "RRF: two BM25 arms, TakeOrderedAndProject top-50 each, 50x50 fusion join"),
+    ("triple_barrier_labels", "bounded 20-row future frame + array-lambda first-crossing: one window pass, no future self-join"),
+    ("part_harmonic_centrality", "labeled multi-source BFS: per-hop frontier joins with visited anti-join, localCheckpoint lineage cut"),
+    ("incremental_agg_retraction", "IVM with retractions: change-feed-sized delta join + #types-row full-outer combine"),
+    ("cube_materialization_advisor", "one Expand-fed cube sizing all 2^3 lattice groupings; 8-row scored relation"),
+    ("part_edge_triangle_support", "degree-ordered wedges on the weight>=2 repeat graph; O(3 triangles) credit aggregation"),
+    ("hurst_rescaled_range", "R/S: per-(type,bs,block) cumulative windows; skew-free fine-grained keys; 3-point log-log fit"),
 ]
 
 HEADER = """# PLANS — executed physical plans (flagship queries)
