@@ -724,12 +724,25 @@ def cube_materialization_advisor(
     per = cube_rows.groupBy("gt", "gw", "gv").agg(
         F.count(F.lit(1)).alias("n_groups")
     )
-    base = per.filter(
-        (F.col("gt") == 0) & (F.col("gw") == 0) & (F.col("gv") == 0)
-    ).select(F.col("n_groups").alias("n_base"))
+    # the base (finest) grouping's size comes from a window max over the
+    # 8-row lattice relation — a filter+cross-join here would RECOMPUTE
+    # the whole cube for the base branch (2 fact scans, 2 Expands;
+    # caught by tests/test_plan_hygiene.py)
+    w_all = Window.partitionBy()
+    per = per.withColumn(
+        "n_base",
+        F.max(
+            F.when(
+                (F.col("gt") == 0)
+                & (F.col("gw") == 0)
+                & (F.col("gv") == 0),
+                F.col("n_groups"),
+            )
+        ).over(w_all),
+    )
     n_dims = (1 - F.col("gt")) + (1 - F.col("gw")) + (1 - F.col("gv"))
     answerable = F.pow(F.lit(2), n_dims).cast("long")
-    scored = per.crossJoin(F.broadcast(base)).select(
+    scored = per.select(
         F.concat(
             F.when(F.col("gt") == 0, F.lit("t")).otherwise(F.lit("-")),
             F.when(F.col("gw") == 0, F.lit("w")).otherwise(F.lit("-")),

@@ -456,3 +456,56 @@ def test_gmm_em_has_no_python_stage(spark):
     plan = plan_of(spark, "gmm_em_value_mixture")
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan  # EM is pure column math + aggs
+
+
+def test_triple_barrier_has_no_future_self_join(spark):
+    plan = plan_of(spark, "triple_barrier_labels")
+    # the 20-step future scan is a WINDOW FRAME, not a join against the
+    # events table — a time-range self-join here would shuffle the fact
+    # table against itself
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_edge_triangle_support_joins_stay_hash(spark):
+    plan = plan_of(spark, "part_edge_triangle_support")
+    # degree orientation + weight>=2 keep every join a hash join on the
+    # bounded edge relation; no Python stage, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivm_retraction_is_delta_sized(spark):
+    plan = plan_of(spark, "incremental_agg_retraction")
+    # the view combine is a #types-row full-outer join, and the change
+    # feed collapses via WindowGroupLimit before touching the base
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cube_advisor_single_expand_pass(spark):
+    plan = plan_of(spark, "cube_materialization_advisor")
+    # one Expand feeds all 2^3 groupings — not 8 separate scans
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_wasserstein_has_no_global_sort(spark):
+    plan = plan_of(spark, "wasserstein_value_shift")
+    # the quantile-function identity replaces the transport problem:
+    # percentile-array aggregates only, no Sort over the fact table
+    fact_sorts = [
+        l for l in plan.splitlines()
+        if "Sort " in l and "ENSURE_REQUIREMENTS" not in l
+    ]
+    assert not fact_sorts
+    assert "partial_percentile" in plan or "percentile" in plan
+
+
+def test_lorenz_no_global_sort_of_users(spark):
+    plan = plan_of(spark, "lorenz_value_concentration")
+    # boundaries come from ONE percentile-array aggregate; the only
+    # window runs on the 10-row decile relation
+    assert "percentile" in plan
+    assert "BatchEvalPython" not in plan
