@@ -350,6 +350,8 @@ BENCH_QUERIES = [
     "kish_effective_sample_size",
     "hurst_rescaled_range",
     "runs_test_randomness",
+    "assignment_srm_check",
+    "mean_reversion_halflife",
 ]
 
 

@@ -1210,3 +1210,67 @@ def thompson_arm_posteriors(
             "posterior_var"
         ),
     )
+
+
+@register(
+    "assignment_srm_check",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t
+      FROM users
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n_t AS BIGINT) AS n_treated,
+           CAST(n - n_t AS BIGINT) AS n_control,
+           round((n_t - n / 2.0) * (n_t - n / 2.0) / (n / 4.0)
+                 + ((n - n_t) - n / 2.0) * ((n - n_t) - n / 2.0)
+                   / (n / 4.0), 4) AS chi2_stat,
+           ((n_t - n / 2.0) * (n_t - n / 2.0) / (n / 4.0)
+            + ((n - n_t) - n / 2.0) * ((n - n_t) - n / 2.0) / (n / 4.0))
+             > 3.8415 AS srm_detected
+    FROM s
+    """,
+)
+def assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the registry's hashed 50/50
+    assignment: a one-degree chi-square of the observed arm counts
+    against the designed split — the FIRST health gate every experiment
+    readout runs, because a biased assignment invalidates all the
+    downstream effect estimates (CUPED, QTE, uplift) no matter how
+    careful they are. SRM detected (χ² > 3.84) on a content-hashed
+    assignment would mean the hash itself is broken — this query is the
+    canary wired to the same md5 convention every treatment query uses.
+    One distinct + one 1-row conditional aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm")
+    )
+    s = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+    )
+    n, nt = F.col("n"), F.col("n_t")
+    chi2 = (nt - n / 2.0) * (nt - n / 2.0) / (n / 4.0) + (
+        (n - nt) - n / 2.0
+    ) * ((n - nt) - n / 2.0) / (n / 4.0)
+    return s.select(
+        n.cast("long").alias("n_users"),
+        nt.cast("long").alias("n_treated"),
+        (n - nt).cast("long").alias("n_control"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        (chi2 > 3.8415).alias("srm_detected"),
+    )

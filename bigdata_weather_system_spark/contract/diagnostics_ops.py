@@ -1918,3 +1918,81 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.959964).alias("reject_random_05"),
     )
+
+
+@register(
+    "mean_reversion_halflife",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS y_lag
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, y_lag AS x, value - y_lag AS dy
+      FROM o WHERE y_lag IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(dy) AS sy,
+             sum(x * x) AS sxx, sum(x * dy) AS sxy
+      FROM d GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           round(beta, 6) AS ar_beta,
+           beta > -1 AND beta < 0 AS reverting,
+           CASE WHEN beta > -1 AND beta < 0
+                THEN round(-0.6931471805599453 / ln(1.0 + beta), 4)
+           END AS halflife_steps
+    FROM fit
+    """,
+)
+def mean_reversion_halflife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ornstein–Uhlenbeck mean-reversion half-life per type from the
+    same Δy = α + β·y_{t−1} regression the ADF gate fits: when
+    −1 < β < 0 the series reverts and the half-life is
+    −ln 2 / ln(1+β) steps — the number that turns 'stationary' (ADF's
+    yes/no) into an actionable horizon (how long a deviation takes to
+    halve: the window length for the registry's rolling z-score and
+    seasonal-baseline anomaly rules). Non-reverting series emit NULL
+    instead of a nonsense horizon. Same single lag-window pass + five
+    raw sums as ADF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("y_lag")
+    ).filter(F.col("y_lag").isNotNull())
+    d = o.select(
+        "event_type",
+        F.col("y_lag").alias("x"),
+        (F.col("value") - F.col("y_lag")).alias("dy"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
+    )
+    beta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    reverting = (beta > -1) & (beta < 0)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(beta, 6).alias("ar_beta"),
+        reverting.alias("reverting"),
+        F.when(
+            reverting,
+            F.round(-0.6931471805599453 / F.log(1.0 + beta), 4),
+        ).alias("halflife_steps"),
+    )

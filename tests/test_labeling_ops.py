@@ -590,3 +590,36 @@ def test_runs_test_matches_python_replay(spark):
         )
         z = (runs - mu) / math.sqrt(var)
         assert math.isclose(g["z_stat"], z, rel_tol=1e-3, abs_tol=5e-4)
+
+
+def test_srm_check_counts_partition_users(spark):
+    from bigdata_weather_system_spark.contract.causal_stats_ext import (
+        assignment_srm_check,
+    )
+
+    (row,) = _rows(assignment_srm_check(spark, TEST_SF_DIR))
+    assert row["n_treated"] + row["n_control"] == row["n_users"]
+    assert row["chi2_stat"] >= 0
+    # a content-hashed 50/50 split must NOT trip the SRM alarm
+    assert row["srm_detected"] is False
+
+
+def test_halflife_consistent_with_adf_beta(spark):
+    from bigdata_weather_system_spark.contract.cdc_ext import (
+        adf_unit_root_per_type,
+    )
+    from bigdata_weather_system_spark.contract.diagnostics_ops import (
+        mean_reversion_halflife,
+    )
+
+    hl = {r["event_type"]: r for r in _rows(mean_reversion_halflife(spark, TEST_SF_DIR))}
+    adf = {r["event_type"]: r for r in _rows(adf_unit_root_per_type(spark, TEST_SF_DIR))}
+    for t, r in hl.items():
+        # identical regression as ADF: betas agree exactly
+        assert math.isclose(r["ar_beta"], adf[t]["beta"], abs_tol=2e-6)
+        if r["reverting"]:
+            expect = -math.log(2) / math.log(1 + r["ar_beta"])
+            assert math.isclose(r["halflife_steps"], expect, rel_tol=1e-3)
+            assert r["halflife_steps"] > 0
+        else:
+            assert r["halflife_steps"] is None
