@@ -1534,7 +1534,10 @@ def weekday_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
-    daily = daily.withColumn("dow", F.dayofweek("day") + 1)
+    # Bare F.dayofweek (1..7) matches the oracle's DuckDB dayofweek+1 —
+    # same convention as error_prr_by_weekday. dow is only a grouping
+    # key today, but keep the labels aligned so emitting it stays safe.
+    daily = daily.withColumn("dow", F.dayofweek("day"))
     g = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("sy"),

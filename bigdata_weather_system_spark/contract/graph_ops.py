@@ -536,6 +536,9 @@ def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select("src").union(edges.select("dst")).distinct()
     seeds = nodes.orderBy("src").limit(5)
     vis = multi_source_bfs(edges, seeds, max_hops=3)
+    # BFS is eager (per-hop localCheckpoints), so the cached edge list has
+    # served its purpose; release it so bench sweeps don't leak storage.
+    edges.unpersist()
     counts = vis.groupBy("s").agg(
         F.count(F.when(F.col("hop") == 1, F.lit(1))).alias("n1"),
         F.count(F.when(F.col("hop") == 2, F.lit(1))).alias("n2"),

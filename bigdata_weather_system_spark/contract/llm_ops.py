@@ -2674,8 +2674,18 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
-    pts = vocab.join(ntok, "decile").select(
-        "decile", "n_tokens", "vocab"
+    # Left-join onto the full 10-row grid (coalesce 0) so a decile whose
+    # cutoff precedes every doc still appears, matching the oracle's
+    # correlated-subquery semantics (which emits vocab=0/n_tokens=0 for
+    # degenerate corpora with large doc_id gaps at the low end).
+    pts = (
+        grid.join(vocab.drop("cutoff"), "decile", "left")
+        .join(ntok, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        )
     )
     lx = F.log("n_tokens")
     ly = F.log("vocab")

@@ -454,29 +454,35 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column statistics (the optimizer-stats collection an
     engine runs before CBO): per column — row/null counts, exact NDV,
-    min/max, and equi-depth quartile bounds — unpivoted to a row per
-    column. The distinct-count aggregates and the percentile aggregates
-    run as TWO separate 1-row aggregations cross-joined at the end:
-    Spark plans multiple count_distincts with an EXPAND (one input copy
-    per distinct column), and a combined agg would drag every
-    percentile's full value buffer through that 4× shuffle — measured 11s
-    combined vs 1.8s + 2.1s split at sf0.1."""
+    min/max, and EXACT interpolated quartiles — unpivoted to a row per
+    column. The quartiles are exact (they hash-match quantile_cont) yet
+    fully distributed: instead of `percentile(value, q, freq)` — whose
+    final aggregation buffers the whole value histogram in ONE task, an
+    O(NDV) single-reducer state for near-unique columns like
+    l_extendedprice — the plan range-partitions the histogram by value,
+    builds a global prefix-sum of frequencies (per-range-partition window
+    + a P-row partition-offset relation, P = shuffle parallelism, never
+    data-sized), and reads each quantile's bracketing values with plain
+    partial-aggregating MAX(CASE) passes. Largest per-task state is one
+    range partition of the histogram (~NDV/P), so the same plan survives
+    a 100× scale-up; the only single-task window runs over the P-row
+    offsets relation."""
     li = _t(spark, sf_dir, "lineitem")
 
     def column_stats(c):
         """All stats for one column from its VALUE HISTOGRAM: groupBy the
         value (map-side combining, ndv-sized result), then NDV = histogram
-        rows, min/max over the histogram, and weighted percentiles via
-        percentile(value, q, frequency) — identical by definition to the
-        row-level quantile, but the single-task percentile sort handles
-        ndv rows instead of the table (9s → ~4s at sf0.1, and the shape
-        an ANALYZE job wants at 100 TB: per-column histograms, never a
-        full-column sort on one task)."""
+        rows, min/max over the histogram, and exact quantile_cont via a
+        distributed rank lookup: global frequency prefix-sums give each
+        distinct value its row-rank interval [cum_excl, cum_excl + n);
+        the value bracketing rank r = (n_tot - 1) * q is selected with a
+        MAX(CASE) aggregate and linearly interpolated — bit-identical to
+        percentile()/quantile_cont, with no NDV-sized task state."""
         g = li.groupBy(F.col(c).alias("_v")).agg(
             F.count(F.lit(1)).alias("_n")
         )
         nn = F.col("_v").isNotNull()
-        return g.agg(
+        base = g.agg(
             F.sum("_n").alias(f"{c}__n_rows"),
             F.sum(F.when(~nn, F.col("_n")).otherwise(0)).alias(
                 f"{c}__n_nulls"
@@ -484,16 +490,78 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nn.cast("long")).alias(f"{c}__ndv"),
             F.round(F.min("_v"), 4).alias(f"{c}__min_value"),
             F.round(F.max("_v"), 4).alias(f"{c}__max_value"),
-            F.round(F.percentile("_v", 0.25, F.col("_n")), 4).alias(
-                f"{c}__p25"
-            ),
-            F.round(F.percentile("_v", 0.50, F.col("_n")), 4).alias(
-                f"{c}__p50"
-            ),
-            F.round(F.percentile("_v", 0.75, F.col("_n")), 4).alias(
-                f"{c}__p75"
-            ),
         )
+        # Range-partition the not-null histogram so partition id order ==
+        # value order; distinct values mean no value straddles a boundary.
+        hist = (
+            g.filter(nn)
+            .repartitionByRange(32, "_v")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        ptot = hist.groupBy("_pid").agg(F.sum("_n").alias("_ptot"))
+        # Exclusive prefix over the ≤32-row per-partition totals — the
+        # single-task window here is bounded by parallelism, not data.
+        offs = ptot.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        ).select("_pid", "_off")
+        ntot = ptot.agg(F.sum("_ptot").alias("_nt"))
+        # Per-value exclusive cumulative frequency: partition-local window
+        # (one task per range partition, ~NDV/P rows) + broadcast offset.
+        cum = (
+            hist.join(F.broadcast(offs), "_pid")
+            .withColumn(
+                "_cum_excl",
+                F.col("_off")
+                + F.coalesce(
+                    F.sum("_n").over(
+                        Window.partitionBy("_pid")
+                        .orderBy("_v")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .crossJoin(F.broadcast(ntot))
+        )
+        quartiles = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+        aggs = []
+        for name, q in quartiles:
+            pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
+            in_rank = lambda r: (F.col("_cum_excl") <= r) & (
+                r < F.col("_cum_excl") + F.col("_n")
+            )
+            aggs.append(
+                F.max(F.when(in_rank(F.floor(pos)), F.col("_v"))).alias(
+                    f"_{name}_lo"
+                )
+            )
+            aggs.append(
+                F.max(F.when(in_rank(F.ceil(pos)), F.col("_v"))).alias(
+                    f"_{name}_hi"
+                )
+            )
+        qrow = cum.agg(F.max("_nt").alias("_nt"), *aggs)
+        sel = []
+        for name, q in quartiles:
+            pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
+            frac = pos - F.floor(pos)
+            sel.append(
+                F.round(
+                    F.col(f"_{name}_lo")
+                    + frac
+                    * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo")),
+                    4,
+                ).alias(f"{c}__{name}")
+            )
+        return base.crossJoin(qrow.select(*sel))
 
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     one = column_stats(cols[0])

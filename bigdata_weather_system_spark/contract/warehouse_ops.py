@@ -710,7 +710,10 @@ def cube_materialization_advisor(
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     obs = ev.select(
         F.col("event_type").alias("t"),
-        F.dayofweek("ts").alias("w"),
+        # Spark dayofweek is 1..7 (Sun=1); DuckDB's is 0..6 (Sun=0).
+        # Shift to the oracle's base so w's VALUES agree, not just the
+        # (label-invariant) per-grouping-set counts the advisor emits.
+        (F.dayofweek("ts") - F.lit(1)).alias("w"),
         F.greatest(
             F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(3)),
             F.lit(0),

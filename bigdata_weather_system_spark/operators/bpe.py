@@ -76,10 +76,54 @@ def _apply_merge(syms, a: str, b: str):
     return F.aggregate(syms, init, step, finish)
 
 
+def _batch_accept(cand, peaks, colliding):
+    """Driver-side selection: the longest PREFIX of the sorted candidate
+    list that is provably sequential-faithful. Candidate j (after the
+    first) is accepted only if, versus every already-accepted pair i:
+
+    - symbol-disjoint, and neither of j's symbols equals i's concat
+      (so j's round-start count is exactly its count at sequential
+      step j — merges of disjoint symbols can neither create nor
+      destroy j's occurrences);
+    - i's concat does not already exist as a symbol (else applying i
+      INCREASES some old pair's count and the sorted order below the
+      collected prefix can no longer be trusted);
+    - n_j strictly exceeds i's context peak — the trigram-derived upper
+      bound on the count of ANY pair the merge of i can create — so no
+      new pair can outrank j at its sequential step.
+
+    The first violation stops the batch (prefix-only: skipping a
+    conflicted pair could let its decreased-but-still-large count win a
+    later sequential step). With batch size 1 this degenerates to the
+    exact sequential algorithm; the conditions make any accepted batch
+    bit-identical to it too.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    for j, (a, b, n) in enumerate(cand):
+        if j > 0:
+            ok = True
+            for ai, bi, _ni in accepted:
+                ab_i = ai + bi
+                if (
+                    {a, b} & {ai, bi}
+                    or a == ab_i
+                    or b == ab_i
+                    or ab_i in colliding
+                    or n <= peaks.get((ai, bi), 0)
+                ):
+                    ok = False
+                    break
+            if not ok:
+                break
+        accepted.append((a, b, n))
+    return accepted
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    batch_m: int = 8,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules from a document corpus.
 
@@ -87,6 +131,17 @@ def bpe_train(
     DataFrame, the final word table with its symbol sequences).
     Deterministic: ties break on (count desc, left asc, right asc), so
     two runs — and the pytest reference implementation — agree exactly.
+
+    Merges are selected in BATCHES of up to ``batch_m`` per counting
+    round (Spark jobs scale as rounds, not vocabulary size — the fix for
+    the one-job-per-merge loop a 32k-vocab train cannot afford), but the
+    output is guaranteed bit-identical to the sequential Sennrich
+    algorithm: a candidate joins its batch only when the round's trigram
+    context peaks PROVE no merge ahead of it can change its count or
+    spawn a pair that would outrank it (see ``_batch_accept``). Chained
+    merges (the next-best pair contains the symbol just created, common
+    on tiny corpora) therefore fall back to singleton batches; broad
+    real vocabularies, whose top pairs are symbol-disjoint, batch fully.
     """
     spark = df.sparkSession
     words = word_counts(df, text_col).select(
@@ -96,7 +151,7 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         n_sym = F.size("syms")
         bigrams = words.filter(n_sym >= 2).select(
             "cnt",
@@ -109,19 +164,92 @@ def bpe_train(
             ).alias("p"),
         )
         counts = bigrams.groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
-        best = counts.orderBy(
+        m = min(batch_m, n_merges - len(merges))
+        cand_rows = counts.orderBy(
             F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
-        ).limit(1).collect()
-        if not best:
+        ).limit(m).collect()
+        if not cand_rows:
             break
-        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        merges.append((r, a, b, n))
-        # the word table feeds both this round's counts and the next
-        # round's apply — truncate lineage so the fold chain doesn't
-        # re-evaluate (and deepen) every round
-        words = words.withColumn(
-            "syms", _apply_merge(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
+        cand = [(r["l"], r["r"], int(r["n"])) for r in cand_rows]
+
+        peaks: dict[tuple[str, str], int] = {}
+        colliding: set[str] = set()
+        if len(cand) > 1:
+            # One bounded job for the faithfulness evidence: per
+            # candidate, the max weighted trigram count with the pair on
+            # the right (x·a·b → new pair (x, ab)) or on the left
+            # (a·b·z → (ab, z)) — an upper bound on any created pair's
+            # count — plus whether the concat already exists as a symbol.
+            cand_df = F.broadcast(
+                spark.createDataFrame(
+                    [(a, b, a + b) for a, b, _ in cand],
+                    "ca string, cb string, cab string",
+                )
+            )
+            tri = words.filter(n_sym >= 3).select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n_sym - 2).alias("x"),
+                        F.slice("syms", 2, n_sym - 2).alias("y"),
+                        F.slice("syms", 3, n_sym - 2).alias("z"),
+                    )
+                ).alias("t"),
+            ).select("cnt", "t.x", "t.y", "t.z")
+            left = (
+                tri.join(
+                    cand_df,
+                    (F.col("y") == F.col("ca"))
+                    & (F.col("z") == F.col("cb")),
+                )
+                .groupBy("ca", "cb", "x")
+                .agg(F.sum("cnt").alias("w"))
+            )
+            right = (
+                tri.join(
+                    cand_df,
+                    (F.col("x") == F.col("ca"))
+                    & (F.col("y") == F.col("cb")),
+                )
+                .groupBy("ca", "cb", "z")
+                .agg(F.sum("cnt").alias("w"))
+            )
+            peak_rows = (
+                left.select("ca", "cb", "w")
+                .unionByName(right.select("ca", "cb", "w"))
+                .groupBy("ca", "cb")
+                .agg(F.max("w").alias("peak"))
+            )
+            sym_hits = (
+                words.select(F.explode("syms").alias("s"))
+                .join(cand_df, F.col("s") == F.col("cab"))
+                .select("cab")
+                .distinct()
+            )
+            evidence = peak_rows.unionByName(
+                sym_hits.select(
+                    F.lit(None).cast("string").alias("ca"),
+                    F.col("cab").alias("cb"),
+                    F.lit(-1).cast("bigint").alias("peak"),
+                )
+            ).collect()
+            for r in evidence:
+                if r["ca"] is None:
+                    colliding.add(r["cb"])
+                else:
+                    peaks[(r["ca"], r["cb"])] = int(r["peak"])
+
+        accepted = _batch_accept(cand, peaks, colliding)
+        for a, b, n in accepted:
+            merges.append((len(merges) + 1, a, b, n))
+            # rank-order application — identical to the sequential loop
+            words = words.withColumn(
+                "syms", _apply_merge(F.col("syms"), a, b)
+            )
+        # the word table feeds both the next round's counts and apply —
+        # truncate lineage ONCE per round so the fold chain doesn't
+        # re-evaluate (and deepen) every merge
+        words = words.localCheckpoint(eager=True)
     merge_df = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )

@@ -194,24 +194,33 @@ def bfs_layers(
     """
     directed = _directed(edges).cache()
     frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-    visited = frontier.select("node", F.lit(0).alias("hop")).cache()
-    visited.count()
-    for h in range(1, max_hops + 1):
-        nxt = (
-            directed.join(
-                frontier.withColumnRenamed("node", "src"), "src"
+    seed = frontier.select("node", F.lit(0).alias("hop")).cache()
+    seed.count()
+    visited = seed
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                directed.join(
+                    frontier.withColumnRenamed("node", "src"), "src"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
             )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(h).alias("hop"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.select("node", F.lit(h).alias("hop"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        # Drop the per-call cached blocks so long registry sweeps (the
+        # 405-query bench loop) don't accumulate executor storage; the
+        # returned relation is localCheckpoint-ed (or trivially
+        # recomputable from sources), so unpersisting is safe.
+        directed.unpersist()
+        seed.unpersist()
     return visited
 
 
@@ -235,24 +244,31 @@ def multi_source_bfs(
         .distinct()
         .select("s", F.col("s").alias("node"))
     )
-    visited = frontier.select("s", "node", F.lit(0).alias("hop")).cache()
-    visited.count()
-    for h in range(1, max_hops + 1):
-        nxt = (
-            directed.join(
-                frontier.withColumnRenamed("node", "src"), "src"
+    seed = frontier.select("s", "node", F.lit(0).alias("hop")).cache()
+    seed.count()
+    visited = seed
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                directed.join(
+                    frontier.withColumnRenamed("node", "src"), "src"
+                )
+                .select("s", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("s", "node"), ["s", "node"], "left_anti")
             )
-            .select("s", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.select("s", "node", F.lit(h).alias("hop"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.select("s", "node", F.lit(h).alias("hop"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        # Mirror bfs_layers' cleanup: per-call caches must not outlive
+        # the call in a 405-query sweep. The result is checkpointed.
+        directed.unpersist()
+        seed.unpersist()
     return visited
 
 

@@ -855,6 +855,7 @@ def cosine_topk_pq(
     iters: int = 2,
     rerank_factor: int = 4,
     round_digits: int = 6,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC) and
     exact rerank — the standard two-stage shape of IVF-PQ engines:
@@ -878,11 +879,27 @@ def cosine_topk_pq(
     cb = np.asarray(cb_list, dtype=np.float64)  # (m, k, d)
     d = cb.shape[2]
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
-    ).collect()
+    # The ADC lookup tables are driver-built (n_q × m_sub × n_codes
+    # einsum), which bounds how large a query side this entry point may
+    # serve. limit(max+1) keeps the guard itself from collecting an
+    # unbounded relation before it can raise.
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pq: query side exceeds max_queries="
+            f"{max_queries}. ADC LUTs are built on the driver, so this "
+            "operator serves bounded probe sets; for join-shaped "
+            "workloads chunk the query side and union the results, or "
+            "raise max_queries explicitly if the driver has headroom."
+        )
     if not qrows:
         raise ValueError("cosine_topk_pq: empty query side")
     qmat = np.asarray(
@@ -965,6 +982,7 @@ def cosine_topk_ivf_pq(
     iters: int = 1,
     rerank_factor: int = 4,
     round_digits: int = 6,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN shape — coarse cells prune
     WHICH rows get scored, PQ codes make each scored row cost ``m_sub``
@@ -986,11 +1004,24 @@ def cosine_topk_ivf_pq(
     cb = np.asarray(cb_list, dtype=np.float64)
     d = cb.shape[2]
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
-    ).collect()
+    # Same driver-side LUT bound as cosine_topk_pq: guard before collect.
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_ivf_pq: query side exceeds max_queries="
+            f"{max_queries}. ADC LUTs are built on the driver, so this "
+            "operator serves bounded probe sets; for join-shaped "
+            "workloads chunk the query side and union the results, or "
+            "raise max_queries explicitly if the driver has headroom."
+        )
     if not qrows:
         raise ValueError("cosine_topk_ivf_pq: empty query side")
     qmat = np.asarray(

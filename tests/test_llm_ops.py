@@ -584,6 +584,30 @@ def test_pq_codebooks_encode_and_recall(spark, sf_dir):
     assert hits / len(exact) >= 0.15  # same floor the driver contract pins
 
 
+def test_pq_query_side_guard(spark, sf_dir):
+    """The driver-side ADC LUT build is bounded: a query side larger
+    than max_queries raises with guidance instead of collecting an
+    unbounded relation to the driver (a join-shaped caller passing 1M
+    queries must fail fast, not OOM)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_ivf_pq,
+        cosine_topk_pq,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    for fn in (cosine_topk_pq, cosine_topk_ivf_pq):
+        with pytest.raises(ValueError, match="max_queries"):
+            fn(e, q, k=5, iters=1, max_queries=5)
+    # at the limit exactly, the call still works
+    got = cosine_topk_pq(e, q, k=5, iters=1, max_queries=10).collect()
+    assert {r.query_id for r in got} == set(range(10))
+
+
 def test_ivf_pq_prunes_cells_and_meets_recall_floor(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -835,7 +859,33 @@ def test_bpe_train_matches_reference_on_testdata(spark, sf_dir):
     assert [(a, b, n) for _, a, b, n in merges] == ref
 
 
-def test_isotonic_calibration_matches_reference_pav(spark):
+def test_bpe_batched_rounds_cut_job_count(spark):
+    """On a broad vocabulary whose top pairs are symbol-disjoint, the
+    batched trainer learns many merges per counting round, so Spark jobs
+    scale as rounds, not vocabulary: 8 merges must cost well under the
+    sequential loop's ~2 jobs/merge. The merge table stays bit-identical
+    to the sequential reference (the batch conditions PROVE faithfulness
+    before accepting a candidate)."""
+    from bigdata_weather_system_spark.operators.bpe import bpe_train
+
+    # 8 disjoint two-letter words, distinct letters → one batch round
+    vocab = ["qz", "xv", "jw", "kf", "mh", "pd", "gy", "cu"]
+    words = {w: 100 - 10 * i for i, w in enumerate(vocab)}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    df = spark.createDataFrame([(text,)], "text string")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    merges, _, _ = bpe_train(df, n_merges=8, batch_m=8)
+    after = len(tracker.getJobIdsForGroup() or [])
+
+    ref = _bpe_reference(words, 8)
+    assert [(a, b, n) for _, a, b, n in merges] == ref
+    # sequential = 8 count actions + 8 checkpoints (+ word table), and
+    # AQE splits each action into 1-2 jobs → ~17+; the single batched
+    # round (word table + candidates + evidence + one checkpoint) must
+    # stay far below that even with AQE's per-stage jobs
+    assert after - before <= 12, f"jobs: {after - before}"
     """PAV fit must equal a hand-rolled reference on a crafted sample with
     a known violation structure."""
     from bigdata_weather_system_spark.operators.inference import (

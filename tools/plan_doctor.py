@@ -62,6 +62,15 @@ ALLOW = {
         # sorted-neighborhood blocking: the global sort by blocking key
         # IS the algorithm (candidates = sliding window over sorted order)
         "snm_candidate_pairs": "sorted-neighborhood method sorts by design",
+        # distributed exact quantiles: the range EXCHANGE (not a sort)
+        # partitions each value histogram so the frequency prefix-sum
+        # runs one bounded window task per range partition — this
+        # replaced the single-task percentile() whose final buffer was
+        # O(NDV); largest task state is now ~NDV/32
+        "lineitem_column_stats": (
+            "range-partitioned histogram prefix-sum, the replacement "
+            "FOR the old single-task percentile buffer"
+        ),
     },
 }
 
