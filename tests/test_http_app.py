@@ -138,3 +138,17 @@ def test_end_to_end_socket(service):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_fastapi_adapter_gate(service):
+    """The FastAPI twin is import-gated: without fastapi it raises with
+    guidance pointing at the stdlib frontend; with it, make_app would
+    serve the SAME route() dispatcher (no second semantics to drift)."""
+    from bigdata_weather_system_spark.service import fastapi_app
+
+    if fastapi_app.fastapi is None:
+        with pytest.raises(ImportError, match="http_app.serve"):
+            fastapi_app.make_app(service)
+    else:  # pragma: no cover - only in fastapi-equipped environments
+        app = fastapi_app.make_app(service)
+        assert app is not None

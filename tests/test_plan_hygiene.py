@@ -317,14 +317,17 @@ def test_erasure_rewrite_broadcasts_deletion_list(spark):
 
 def test_column_stats_computed_from_value_histograms(spark):
     """Column stats must come from per-column VALUE HISTOGRAMS (groupBy
-    value with map-side combine, then weighted percentiles over ndv
-    rows) — no multi-distinct Expand dragging percentile buffers through
-    a 4x shuffle, and no full-column single-task percentile sort
-    (measured 9s Expand-plan vs 4.5s histogram-plan at sf0.1)."""
+    value with map-side combine) with quantiles read via the
+    range-partitioned prefix-sum — no multi-distinct Expand dragging
+    buffers through a 4x shuffle, and NO percentile() aggregate at all:
+    its final buffer is O(NDV) in one task, the scale-killer this plan
+    exists to avoid (quartiles are exact via distributed rank lookup)."""
     plan = plan_of(spark, "lineitem_column_stats")
     assert "Expand" not in plan  # no count_distinct planning at all
-    assert "percentile" in plan
+    assert "percentile" not in plan  # no NDV-sized single-task buffer
     assert "partial_count" in plan  # histogram build combines map-side
+    # the quantile rank lookup rides a range exchange of the histogram
+    assert "rangepartitioning" in plan
     # cross-joined 1-row aggregates → a BroadcastNestedLoopJoin appears
     assert "BroadcastNestedLoopJoin" in plan
 
