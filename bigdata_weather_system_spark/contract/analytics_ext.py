@@ -4591,21 +4591,28 @@ def ransac_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a = seeded.filter(F.col("rk") == 1).select(
-        "event_type", "c", F.col("x").alias("x1"), F.col("y").alias("y1")
+    # one rk<=2 filter directly above the row_number window lets Spark
+    # infer a WindowGroupLimit (map-side top-2 per (type, candidate)
+    # BEFORE the shuffle), and min_by/max_by over the two survivors
+    # replaces the old two-branch self-join that evaluated the 16xN
+    # window sort twice (measured 5.5s -> ~2x less window work at sf0.1)
+    two = seeded.filter(F.col("rk") <= 2).groupBy("event_type", "c").agg(
+        F.min_by(F.struct("x", "y"), "rk").alias("p1"),
+        F.max_by(F.struct("x", "y"), "rk").alias("p2"),
+        F.count(F.lit(1)).alias("_np"),
     )
-    b = seeded.filter(F.col("rk") == 2).select(
-        "event_type", "c", F.col("x").alias("x2"), F.col("y").alias("y2")
+    slope = (F.col("p2.y") - F.col("p1.y")) / (
+        F.col("p2.x") - F.col("p1.x")
     )
-    slope = (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))
     cand = (
-        a.join(b, ["event_type", "c"])
-        .filter(F.col("x1") != F.col("x2"))
+        two.filter(
+            (F.col("_np") == 2) & (F.col("p1.x") != F.col("p2.x"))
+        )
         .select(
             "event_type",
             "c",
             slope.alias("slope"),
-            (F.col("y1") - slope * F.col("x1")).alias("intercept"),
+            (F.col("p1.y") - slope * F.col("p1.x")).alias("intercept"),
         )
     )
     resid = F.abs(
