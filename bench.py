@@ -352,6 +352,11 @@ BENCH_QUERIES = [
     "runs_test_randomness",
     "assignment_srm_check",
     "mean_reversion_halflife",
+    # training-run assembly (round 4)
+    "preference_pair_mining",
+    "tokenizer_fertility_by_lang",
+    "lsh_parameter_planner",
+    "mixture_temperature_weights",
 ]
 
 

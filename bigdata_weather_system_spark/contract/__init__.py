@@ -29,5 +29,6 @@ from . import layout_ops  # noqa: F401, E402
 from . import attribution_ops  # noqa: F401, E402
 from . import diagnostics_ops  # noqa: F401, E402
 from . import labeling_ops  # noqa: F401, E402
+from . import training_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]
