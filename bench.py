@@ -357,6 +357,9 @@ BENCH_QUERIES = [
     "tokenizer_fertility_by_lang",
     "lsh_parameter_planner",
     "mixture_temperature_weights",
+    "token_heavy_hitters_mg",
+    "quality_gates_kappa",
+    "embedding_silhouette_by_label",
 ]
 
 

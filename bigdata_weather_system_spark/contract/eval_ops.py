@@ -652,3 +652,250 @@ def ips_policy_value_estimate(
             6,
         ).alias("dr_value"),
     )
+
+
+@register(
+    "quality_gates_kappa",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(tk)), 1, 15)) AS BIGINT) % 64
+               AS bucket
+      FROM toks
+    ),
+    c AS (SELECT doc_id, bucket, count(*) AS n FROM e GROUP BY doc_id, bucket),
+    clf AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               sum(n * (((bucket * 2654435761) % 4096) / 4096.0 - 0.5))
+                 / sum(n) - 0.05))), 6) > 0.5 AS a
+      FROM c GROUP BY doc_id
+    ),
+    heur AS (
+      SELECT doc_id,
+             round(least(len(tk) / 50.0, 1.0) * 0.4
+               + (1 - least(CASE WHEN length(text) > 0
+                     THEN (length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{}<>-]', '', 'g')))::DOUBLE
+                          / length(text) ELSE 0.0 END * 5, 1.0)) * 0.2
+               + (1 - least(CASE WHEN length(text) > 0
+                     THEN (length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')))::DOUBLE / length(text)
+                     ELSE 0.0 END * 5, 1.0)) * 0.2
+               + least(CASE WHEN len(tk) > 0
+                     THEN len(list_filter(tk, x -> list_contains(
+                           ['the','and','of','to','is','a'], x)))::DOUBLE
+                          / len(tk) ELSE 0.0 END * 4, 1.0) * 0.2,
+               4) >= 0.5 AS b
+      FROM toks
+    ),
+    conf AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+      FROM clf JOIN heur USING (doc_id)
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n_both_keep,
+           CAST(n10 AS BIGINT) AS n_clf_only,
+           CAST(n01 AS BIGINT) AS n_heur_only,
+           CAST(n00 AS BIGINT) AS n_both_drop,
+           round((n11 + n00) * 1.0 / n, 6) AS observed_agreement,
+           round(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n), 6)
+             AS expected_agreement,
+           round(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n)),
+                 6) AS cohens_kappa
+    FROM conf
+    """,
+)
+def quality_gates_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the corpus' two independent quality gates —
+    the hashed-bucket linear classifier (`doc_quality_classifier_scores`
+    keep flag) and the C4-style heuristic (`doc_quality_scores`
+    composite ≥ 0.5): the standard annotator-agreement audit a pipeline
+    runs before trusting a learned filter to replace its heuristic
+    (κ ≈ 0 means the classifier learned something orthogonal to — or
+    instead of — the heuristic; κ near 1 means it is a re-derivation).
+    All inputs are exact integer confusion counts from one join of two
+    per-doc relations; κ's three divisions are the only float ops, each
+    rounded once. One scan per gate, one broadcast-sized join, one
+    1-row aggregate — nothing here grows faster than the corpus."""
+    from ..operators.text import quality_score, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 64
+    )
+    weight = ((F.col("bucket") * F.lit(2654435761)) % 4096) / F.lit(
+        4096.0
+    ) - F.lit(0.5)
+    c = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.sum(F.col("n") * weight) / F.sum("n") - F.lit(0.05)))
+    )
+    clf = c.groupBy("doc_id").agg(
+        (F.round(score, 6) > 0.5).alias("a")
+    )
+    heur = quality_score(docs).select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("b")
+    )
+    j = clf.join(heur, "doc_id")
+    conf = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * F.col("n"))
+    return conf.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both_keep"),
+        F.col("n10").cast("long").alias("n_clf_only"),
+        F.col("n01").cast("long").alias("n_heur_only"),
+        F.col("n00").cast("long").alias("n_both_drop"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+@register(
+    "embedding_silhouette_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, dim, round(avg(val), 4) AS cv
+      FROM ex GROUP BY label, dim
+    ),
+    carr AS (
+      SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+      FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             sqrt(list_reduce(
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                      * (e.embedding[i]::DOUBLE - c.cvec[i])),
+               (a, x) -> a + x)) AS d
+      FROM embeddings e CROSS JOIN carr c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN d END) AS a,
+             min(CASE WHEN clabel <> label THEN d END) AS b
+      FROM dists GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label, (b - a) / greatest(a, b) AS sil FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(list_reduce(list(sil ORDER BY vec_id), (x, y) -> x + y)
+                 / count(*), 6) AS mean_silhouette,
+           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misassigned
+    FROM s GROUP BY label
+    """,
+)
+def embedding_silhouette_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simplified silhouette per label over the embedding table (the
+    centroid-based silhouette of Hruschka et al. — a(i) = distance to
+    the OWN label's centroid, b(i) = distance to the nearest other
+    centroid, s = (b−a)/max(a,b)): the label-quality score that tells a
+    curation pipeline which class clusters are coherent and how many
+    points sit closer to a foreign centroid (n_misassigned — relabel or
+    drop candidates). Exact-parity float discipline: centroids are
+    per-dim means ROUNDED to 4 decimals (kills summation-order ULPs),
+    every distance folds its 64 dims in index order with plain
+    multiplies (no pow), sqrt is IEEE-exact, and the per-label mean
+    folds in vec_id order. Scale shape: the centroid relation is
+    labels×dims (tiny, broadcast); the point pass is one narrow
+    projection per point×centroid — never point×point like the true
+    silhouette, which is quadratic and dies first at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id", "label", "dim", F.col("val").cast("double").alias("val")
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 4).alias("cv")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda st: st["cv"],
+        ).alias("cvec")
+    ).withColumnRenamed("label", "clabel")
+    pts = e.crossJoin(F.broadcast(carr))
+    diff = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("cvec"), diff),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    dists = pts.select("vec_id", "label", "clabel", d.alias("d"))
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    s = ab.select("vec_id", "label", sil.alias("sil"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("vec_id", "sil"))
+                ),
+                F.lit(0.0),
+                lambda acc, st: acc + st["sil"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+        F.sum((F.col("sil") < 0).cast("long")).alias("n_misassigned"),
+    )

@@ -792,3 +792,88 @@ def token_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est_h1") >= F.col("exact_h1"))
         ).alias("never_undercounts"),
     )
+
+
+@register(
+    "token_heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    exact AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS n_total FROM exact),
+    top AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+      FROM exact
+    )
+    SELECT t.token,
+           CAST(t.n AS BIGINT) AS true_count,
+           CAST(x.n_total // 33 AS BIGINT) AS guarantee_threshold,
+           t.n > x.n_total / 33.0 AS is_guaranteed,
+           TRUE AS recovered_or_not_guaranteed,
+           TRUE AS never_overcounts,
+           TRUE AS undercount_within_bound
+    FROM top t CROSS JOIN tot x
+    WHERE t.rk <= 10
+    """,
+)
+def token_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy-hitters accuracy contract: the DETERMINISTIC
+    sketch of the frequency family (Count-Min bounds hold with
+    probability; MG's hold always). The query emits the exact top-10
+    tokens (count desc, token asc — oracle-matched values) plus three
+    Spark-computed booleans the oracle asserts TRUE: every token
+    guaranteed by theory (true_count > n/(k+1), k=32) is in the MG
+    summary; every MG estimate ≤ its true count; every undercount
+    ≤ n/(k+1). The booleans are order-independent even though the MG
+    candidate SET itself varies with partition order — exactly the
+    property that makes the summary safe to ship from 1000 executors.
+    Scale shape: one Arrow pass with k counters per partition, a
+    partitions×k merge relation, and a bounded top-10."""
+    from ..operators.estimate import misra_gries_heavy_hitters
+    from ..operators.text import tokens
+
+    k = 32
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = exact.agg(F.sum("n").alias("n_total"))
+    mg = misra_gries_heavy_hitters(tok, "token", k=k).withColumnRenamed(
+        "item", "token"
+    )
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("token").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    j = (
+        top.join(mg, "token", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    thresh = F.col("n_total") / (k + 1.0)
+    found = F.col("mg_estimate").isNotNull()
+    return j.select(
+        "token",
+        F.col("n").cast("long").alias("true_count"),
+        F.floor(F.col("n_total") / (k + 1)).cast("long").alias(
+            "guarantee_threshold"
+        ),
+        (F.col("n") > thresh).alias("is_guaranteed"),
+        (found | ~(F.col("n") > thresh)).alias(
+            "recovered_or_not_guaranteed"
+        ),
+        F.coalesce(
+            F.col("mg_estimate") <= F.col("n"), F.lit(True)
+        ).alias("never_overcounts"),
+        F.coalesce(
+            (F.col("n") - F.col("mg_estimate")) <= thresh, F.lit(True)
+        ).alias("undercount_within_bound"),
+    )

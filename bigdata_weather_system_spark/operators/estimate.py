@@ -123,3 +123,53 @@ def cms_point_estimates(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Deterministic-guarantee heavy hitters via mergeable Misra–Gries
+    summaries (Agarwal et al., "Mergeable Summaries", PODS'12): each
+    partition streams its rows through a k-counter MG summary inside one
+    Arrow `mapInPandas` pass (constant memory: ≤ k counters), and the
+    partials merge by a plain item-sum over the ≤ partitions×k surviving
+    rows — a relation bounded by PARALLELISM, never by data.
+
+    Guarantees (order-independent, unlike the candidate SET itself,
+    which may vary with row order): for every item,
+    ``estimate ≤ true_count`` and ``true_count − estimate ≤ n/(k+1)``
+    (per-partition undercounts ≤ n_p/(k+1) sum to ≤ n/(k+1)); hence any
+    item with ``true_count > n/(k+1)`` has a positive estimate and IS in
+    the summary — the no-false-negative property Count-Min cannot give
+    without randomness. Returns (item, mg_estimate), the summed partial
+    union (callers top-k it for reporting).
+    """
+
+    def mg_partition(it):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in it:
+            for item in pdf[item_col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        mg_partition, schema="item string, cnt long"
+    )
+    return partials.groupBy("item").agg(F.sum("cnt").alias("mg_estimate"))

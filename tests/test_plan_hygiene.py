@@ -512,3 +512,21 @@ def test_lorenz_no_global_sort_of_users(spark):
     # window runs on the 10-row decile relation
     assert "percentile" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_preference_pairs_single_aggregation(spark):
+    """Both extremes of every prompt group must come from ONE
+    partial-aggregating pass (max_by/min_by on composite keys): no
+    window, no self-join, exactly one hash Exchange."""
+    plan = plan_of(spark, "preference_pair_mining")
+    assert "partial_max_by" in plan and "partial_min_by" in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_planner_scans_nothing(spark):
+    """The banding planner is closed-form: zero table scans, zero hash
+    shuffles — only the 6-row SinglePartition rank exchange."""
+    plan = plan_of(spark, "lsh_parameter_planner")
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert "Exchange hashpartitioning" not in plan
