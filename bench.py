@@ -476,6 +476,10 @@ def main() -> None:
             fn(spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        # drop per-query operator caches (graph/dedup internals pin
+        # relations they cannot unpersist before a lazy return) so a
+        # 300-query sweep doesn't accumulate executor storage
+        spark.catalog.clearCache()
         # stream each timing as its own line so a stdout-tail capture
         # keeps as many as fit even if the summary were ever lost
         print(json.dumps({"q": name, "sec": timings[name]}), flush=True)

@@ -922,3 +922,36 @@ def test_bpe_batched_rounds_cut_job_count(spark):
     # calibrated means strictly increase across segments
     ps = [p for _, _, p, _ in seg]
     assert all(a < b for a, b in zip(ps, ps[1:]))
+
+
+def test_misra_gries_guarantees_on_adversarial_stream(spark):
+    """MG invariants on a stream DESIGNED to force decrements (many
+    singletons drowning a few heavy items), across multiple partitions:
+    estimates never overcount, undercounts stay within n/(k+1), and
+    every item above the threshold is present — regardless of how rows
+    landed in partitions."""
+    from bigdata_weather_system_spark.operators.estimate import (
+        misra_gries_heavy_hitters,
+    )
+
+    k = 4
+    heavy = {"a": 400, "b": 300, "c": 150}
+    rows = [(t,) for t, n in heavy.items() for _ in range(n)]
+    rows += [(f"noise{i}",) for i in range(350)]  # 350 singletons
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {
+        r.item: r.mg_estimate
+        for r in misra_gries_heavy_hitters(df, "item", k=k).collect()
+    }
+    n = len(rows)
+    bound = n / (k + 1)  # 1200/5 = 240
+    for t, true_n in heavy.items():
+        if true_n > bound:
+            assert t in got, f"{t} (count {true_n}) must survive"
+        if t in got:
+            assert got[t] <= true_n
+            assert true_n - got[t] <= bound
+    for item, est in got.items():
+        true_n = heavy.get(item, 1)
+        assert est <= true_n
+        assert true_n - est <= bound

@@ -56,6 +56,7 @@ def main() -> int:
             sdf = contract.QUERIES[name](spark, sf_dir)
             scols = [c.lower() for c in sdf.columns]
             srows = [tuple(r) for r in sdf.collect()]
+            spark.catalog.clearCache()  # no cross-query cache buildup
             res = con.execute(contract.ORACLES[name])
             dcols = [d[0].lower() for d in res.description]
             drows = res.fetchall()

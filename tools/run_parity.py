@@ -107,6 +107,9 @@ def main() -> int:
             scols = [c.lower() for c in sdf.columns]
             srows = [tuple(r) for r in sdf.collect()]
             row["spark_rows"] = len(srows)
+            # per-query operator caches must not accumulate over the
+            # 400+-query sweep (lazy-return operators cannot unpersist)
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             row["err"] = f"spark:{type(e).__name__}: {e}"[:300]
             results[name] = row
