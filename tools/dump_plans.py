@@ -63,6 +63,11 @@ SHOWCASE = [
     ("cube_materialization_advisor", "one Expand-fed cube sizing all 2^3 lattice groupings; 8-row scored relation"),
     ("part_edge_triangle_support", "degree-ordered wedges on the weight>=2 repeat graph; O(3 triangles) credit aggregation"),
     ("hurst_rescaled_range", "R/S: per-(type,bs,block) cumulative windows; skew-free fine-grained keys; 3-point log-log fit"),
+    ("lineitem_column_stats", "exact ANALYZE quartiles: range-partitioned histogram prefix-sum, no NDV-sized task state"),
+    ("preference_pair_mining", "DPO pairs: both extremes per group from ONE max_by/min_by partial aggregation"),
+    ("lsh_parameter_planner", "banding S-curve planner: closed-form literal folds, zero scans"),
+    ("token_heavy_hitters_mg", "Misra-Gries: k counters per partition in one Arrow pass, parallelism-bounded merge"),
+    ("embedding_silhouette_by_label", "centroid silhouette: broadcast labels-x-dims centroids, point-x-centroid only"),
 ]
 
 HEADER = """# PLANS — executed physical plans (flagship queries)
