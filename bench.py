@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "token_heavy_hitters_mg",
     "quality_gates_kappa",
     "embedding_silhouette_by_label",
+    "media_bmp_decode",
+    "media_wav_decode",
 ]
 
 

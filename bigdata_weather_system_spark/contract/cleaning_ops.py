@@ -3010,3 +3010,117 @@ def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("hamming"),
     )
     return cross.unionByName(same)
+
+
+@register(
+    "media_bmp_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 8 AS h,
+             8 + doc_id % 12 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, h, w, (media_id + i) % 256 AS b
+      FROM t, unnest(range(0, h * w)) AS g(i)
+    )
+    SELECT media_id,
+           CAST(14 + 40 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4)
+                AS BIGINT) AS byte_len,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           round(avg((b + 170) % 256), 4) AS mean_r,
+           round(avg((b + 85) % 256), 4) AS mean_g,
+           round(avg(b), 4) AS mean_b,
+           CAST((any_value(media_id) + 170) % 256 AS INT) AS r00,
+           CAST((any_value(media_id) + 85) % 256 AS INT) AS g00,
+           CAST(any_value(media_id) % 256 AS INT) AS b00
+    FROM px GROUP BY media_id
+    """,
+)
+def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL standard-format image decode — genuine 24-bit BMP files
+    (BITMAPFILEHEADER + INFOHEADER, bottom-up BGR rows, 4-byte row
+    padding) fabricated from a closed-form ramp, then parsed back with
+    the stdlib-struct codec: dims from the header, per-channel means
+    from the actual pixel buffer, and the TOP-LEFT pixel — which lives
+    in the LAST stored row, so matching it proves the bottom-up/BGR
+    layout round-trips, not merely the pixel multiset. This is the
+    no-external-libs member of the codec family (RAW/PCM are the
+    engine's own container; PNG/JPEG stay env-gated); one narrow Arrow
+    pass per stage, blob bytes never leave Arrow batches."""
+    from ..operators.multimodal import (
+        decode_bmp_features,
+        fabricate_bmp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_bmp_media(docs, "doc_id")
+    out = decode_bmp_features(media)
+    return out.select(
+        "media_id",
+        "byte_len",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "r00",
+        "g00",
+        "b00",
+    )
+
+
+@register(
+    "media_wav_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             64 + doc_id % 64 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, n, rate,
+             ((media_id * 7 + i * 13) % 4096) - 2048 AS v
+      FROM t, unnest(range(0, n)) AS g(i)
+    )
+    SELECT media_id,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           round(1000.0 * any_value(n) / any_value(rate), 4)
+             AS duration_ms,
+           round(sum(v) * 1.0 / any_value(n), 4) AS mean_amplitude,
+           CAST(max(abs(v)) AS INT) AS peak,
+           round(sqrt(sum(v * v) * 1.0 / any_value(n)), 4) AS rms
+    FROM s GROUP BY media_id
+    """,
+)
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL standard-format audio decode — genuine RIFF/WAVE files
+    (PCM16 mono, plus a deliberate unknown LIST chunk so the decoder
+    must WALK word-aligned chunks like any compliant reader, never
+    assume fixed offsets) fabricated from a closed-form ramp and parsed
+    back with the stdlib-struct codec: sample rate and duration from
+    the header, mean/peak/RMS amplitude from the actual int16 samples.
+    Amplitude stats are exact-integer sums (mean and RMS are single
+    rounded divisions; sqrt is IEEE-exact), so the SQL oracle matches
+    bit-for-bit."""
+    from ..operators.multimodal import (
+        decode_wav_features,
+        fabricate_wav_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_wav_media(docs, "doc_id")
+    out = decode_wav_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("mean_amplitude", 4).alias("mean_amplitude"),
+        "peak",
+        F.round("rms", 4).alias("rms"),
+    )

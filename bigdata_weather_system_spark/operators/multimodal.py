@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The engine treats media as ``binary`` content columns with a typed metadata
-struct, processed by Arrow-batched ``mapInPandas`` stages. The decode kernels
-themselves (PIL/librosa/ffmpeg) are NOT available in this environment, so the
-pixel/sample decode step is stubbed behind ``require_codec`` /
-deterministic fake features — clearly marked. Everything Spark-side is real
-and tested: schemas, batch iteration, partition sizing, UDF signatures.
+struct, processed by Arrow-batched ``mapInPandas`` stages. Codec tiers:
+
+- REAL, no external libs: the engine's own RAW container (images/video
+  frames) and PCM blocks, plus the STANDARD formats 24-bit BMP and
+  RIFF/WAVE PCM16 (pure ``struct`` parsing — byte-exact with any other
+  reader; see ``encode_bmp``/``decode_wav`` below).
+- Env-gated: compressed formats (PNG/JPEG/MP4) need PIL/ffmpeg, which are
+  NOT in this container — those paths fail loudly via ``require_codec`` /
+  are deterministic fakes, clearly marked. Everything Spark-side is real
+  and tested either way: schemas, batch iteration, partition sizing, UDF
+  signatures.
 
 Scale notes:
 - media bytes never pass through Python row-at-a-time: ``mapInPandas``
@@ -793,3 +799,285 @@ def ahash_raw_images(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         batches, schema=schema
     )
+
+
+# --- real standard-format codecs (no external libs needed) ------------------
+#
+# BMP (24-bit uncompressed) and WAV (PCM16) are fully specified by fixed
+# binary headers — the two standard media formats an engine can decode with
+# nothing but `struct`. These are REAL codecs (byte-exact with any other
+# reader), not the env-gated PIL/ffmpeg paths: fabricate writes genuine
+# .bmp/.wav files, decode walks genuine headers (including unknown-chunk
+# skipping for RIFF), and the contract oracles predict the decoded stats
+# from the closed-form content ramps.
+
+
+def encode_bmp(pixels) -> bytes:
+    """Pack an (h, w, 3) uint8 RGB array into a real 24-bit BMP: 14-byte
+    BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, rows stored BOTTOM-UP in
+    BGR order, each row padded to a 4-byte boundary — the actual
+    Windows-bitmap layout any image viewer opens."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _c = arr.shape
+    row_len = (3 * w + 3) // 4 * 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_len - len(row))
+    file_size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(blob: bytes):
+    """Parse a 24-bit uncompressed BMP → (h, w, 3) uint8 RGB array, or
+    None on malformed input (wrong magic, compressed, truncated)."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 54:
+        return None
+    blob = bytes(blob)
+    magic, _size, _r1, _r2, offset = struct.unpack("<2sIHHI", blob[:14])
+    if magic != b"BM":
+        return None
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (3 * w + 3) // 4 * 4
+    if len(blob) < offset + row_len * h:
+        return None
+    rows = []
+    for r in range(h):
+        start = offset + r * row_len
+        row = np.frombuffer(blob, dtype=np.uint8, count=3 * w, offset=start)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    arr = np.stack(rows)
+    return arr[::-1] if bottom_up else arr
+
+
+def fabricate_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real BMP files from a deterministic ramp: h = 8 + id%8,
+    w = 8 + id%12, pixel (r, c) has B = (id + r*w + c) % 256,
+    G = (B + 85) % 256, R = (B + 170) % 256 — closed-form so a SQL
+    oracle can predict every decoded statistic."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h, w = 8 + mid % 8, 8 + mid % 12
+                v = (mid + np.arange(h * w, dtype=np.int64)).reshape(h, w)
+                rgb = np.stack(
+                    [(v + 170) % 256, (v + 85) % 256, v % 256], axis=-1
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": mid, "content": encode_bmp(rgb)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.lit("image/bmp").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL BMP decode: dims + per-channel means + the
+    top-left pixel (which lives in the LAST stored row — decoding it
+    correctly proves the bottom-up/BGR layout round-trips, not just the
+    pixel multiset)."""
+    schema = (
+        "media_id long, byte_len long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, "
+        "r00 int, g00 int, b00 int"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content, blen in zip(
+                pdf["media_id"], pdf["content"], pdf["byte_len"]
+            ):
+                arr = decode_bmp(content)
+                if arr is None:
+                    continue
+                h, w, _ = arr.shape
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "byte_len": int(blen),
+                        "width": w,
+                        "height": h,
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "r00": int(arr[0, 0, 0]),
+                        "g00": int(arr[0, 0, 1]),
+                        "b00": int(arr[0, 0, 2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_len", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "r00", "g00", "b00",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Pack int16 mono samples into a real RIFF/WAVE file — 'fmt ' chunk
+    (PCM, 1 channel, 16-bit) + a deliberate unknown 'LIST' chunk (so
+    decoders must WALK chunks, not assume fixed offsets) + 'data'."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    body = b"WAVE" + fmt + lst + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """Walk a RIFF/WAVE file → (sample_rate, int16 ndarray) or None.
+    Skips unknown chunks (word-aligned) like any compliant reader."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 12:
+        return None
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, pcm = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, clen = struct.unpack("<4sI", blob[pos : pos + 8])
+        body = blob[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_tag != 1 or ch != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        return None
+    return rate, pcm
+
+
+def fabricate_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real WAV files from a deterministic ramp: n = 64 + id%64 mono
+    samples at rate 8000 + (id%4)*4000, sample[i] =
+    ((id*7 + i*13) % 4096) - 2048."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 64 + mid % 64
+                rate = 8000 + (mid % 4) * 4000
+                s = ((mid * 7 + np.arange(n, dtype=np.int64) * 13) % 4096
+                     ) - 2048
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_wav(s.astype(np.int16), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode: sample rate, duration, exact
+    integer mean numerator, peak amplitude, RMS."""
+    schema = (
+        "media_id long, sample_rate int, n_samples long, "
+        "duration_ms double, mean_amplitude double, peak int, rms double"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                got = decode_wav(content)
+                if got is None:
+                    continue
+                rate, pcm = got
+                s = pcm.astype(np.int64)
+                n = len(s)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(rate),
+                        "n_samples": n,
+                        "duration_ms": 1000.0 * n / rate,
+                        "mean_amplitude": float(s.sum()) / n,
+                        "peak": int(np.abs(s).max()),
+                        "rms": math.sqrt(float((s * s).sum()) / n),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_ms", "mean_amplitude", "peak", "rms",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)
