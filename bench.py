@@ -365,26 +365,71 @@ BENCH_QUERIES = [
 ]
 
 
-def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
-    """Per-query timings from the newest BENCH_r{N}.json in the repo root —
-    the regression baseline (the reference publishes no numbers, so each
-    round is graded against the previous one)."""
+def _rounds_of(pattern: str) -> list[tuple[int, str]]:
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds: list[tuple[int, str]] = []
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
+    out: list[tuple[int, str]] = []
+    glob_pat = pattern.replace("{N}", "*").replace("\\", "")
+    for p in glob.glob(os.path.join(here, glob_pat)):
+        m = re.search(pattern.replace("{N}", r"(\d+)") + "$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def current_round() -> int:
+    """The round now in progress: the driver writes CORRECTNESS_r{N}.json
+    when it CLOSES round N, so max(N)+1 is the live round. Stable for the
+    whole round, unlike BENCH_r*/bench_full.json mtimes."""
+    rounds = _rounds_of(r"CORRECTNESS_r{N}\.json")
+    return (rounds[-1][0] + 1) if rounds else 1
+
+
+def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
+    """Per-query timings of the newest FULL prior-round snapshot — the
+    regression baseline (the reference publishes no numbers, so each round
+    is graded against the previous one).
+
+    Preference order:
+    1. ``BENCHFULL_r{N}.json`` with N < the live round — the complete
+       per-query payload this script archives at every sf0.1 run and the
+       round-close commit persists. Snapshots at a different scale factor
+       are skipped.
+    2. The driver's ``BENCH_r{N}.json`` — LAST resort only: its ``tail``
+       field keeps just the final ~20 stdout lines, so harvesting it
+       yields a ~15-query baseline. Round 4's comparator read it FIRST
+       and produced a false "zero regressions" claim against a 10.8s
+       prev_total (VERDICT r4, What's-wrong #1); hence the reordering.
+    Regardless of source, main() suppresses the regression report when
+    the recovered baseline covers <80% of the current query set.
+    """
+    live = current_round()
+    for n, path in reversed(_rounds_of(r"BENCHFULL_r{N}\.json")):
+        if n >= live:
+            continue  # an earlier run of THIS round is not a baseline
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if sf is not None and payload.get("sf") != sf:
+            continue
+        queries = {
+            k: float(v) for k, v in payload.get("queries", {}).items()
+        }
+        if queries:
+            return n, queries
+
+    rounds = _rounds_of(r"BENCH_r{N}\.json")
     if not rounds:
         return None, {}
-    n, path = max(rounds)
+    n, path = rounds[-1]
     try:
         with open(path) as f:
             data = json.load(f)
-        queries: dict[str, float] = {}
+        queries = {}
         if isinstance(data.get("queries"), dict):
             queries = {k: float(v) for k, v in data["queries"].items()}
         elif isinstance(data.get("tail"), str):
@@ -405,20 +450,6 @@ def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
                     queries.update(
                         {k: float(v) for k, v in obj["queries"].items()}
                     )
-        if not queries:
-            # fall back to the full-payload file the previous local run
-            # left behind (overwritten per run, so only trust it when the
-            # driver artifact yielded nothing)
-            full = os.path.join(here, "bench_full.json")
-            if os.path.exists(full):
-                with open(full) as f:
-                    payload = json.load(f)
-                # only comparable at the same scale factor
-                if sf is None or payload.get("sf") == sf:
-                    queries = {
-                        k: float(v)
-                        for k, v in payload.get("queries", {}).items()
-                    }
         return n, queries
     except (OSError, ValueError):
         return None, {}
@@ -486,17 +517,32 @@ def main() -> None:
         # keeps as many as fit even if the summary were ever lost
         print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
     total = round(sum(timings.values()), 4)
-    sfv0 = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev_round, prev = previous_round_queries(sfv0)
-    regressions = {
-        name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
-        for name, t in timings.items()
-        if name in prev
-        and prev[name] > 0
-        and t > prev[name] * REGRESSION_RATIO
-        and t - prev[name] > REGRESSION_FLOOR_SEC
-    }
     sfv = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev_round, prev = previous_round_queries(sfv)
+    # A regression claim is only meaningful against a (near-)complete
+    # baseline: round 4 compared against a tail-truncated ~15-query set
+    # and committed a false "zero regressions". Require >=80% coverage
+    # of the CURRENT query set; below that, suppress the comparison and
+    # say so instead of reporting an empty dict that reads as "clean".
+    common = [k for k in timings if k in prev]
+    coverage = len(common) / len(timings) if timings else 0.0
+    coverage_ok = coverage >= 0.8
+    regressions = (
+        {
+            name: {
+                "prev": prev[name],
+                "now": t,
+                "ratio": round(t / prev[name], 2),
+            }
+            for name, t in timings.items()
+            if name in prev
+            and prev[name] > 0
+            and t > prev[name] * REGRESSION_RATIO
+            and t - prev[name] > REGRESSION_FLOOR_SEC
+        }
+        if coverage_ok
+        else {}
+    )
     full = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -519,19 +565,37 @@ def main() -> None:
         ),
     }
     if prev_round is not None:
-        prev_total = round(sum(v for k, v in prev.items() if k in timings), 4)
+        prev_total = round(sum(prev[k] for k in common), 4)
         for d in (out, full):
             d["prev_round"] = prev_round
             d["prev_total"] = prev_total
-        full["regressions"] = regressions
-        out["regressions"] = dict(
-            sorted(
-                regressions.items(), key=lambda kv: -kv[1]["ratio"]
-            )[:10]
-        )
+            d["prev_coverage"] = round(coverage, 3)
+        if coverage_ok:
+            full["regressions"] = regressions
+            out["regressions"] = dict(
+                sorted(
+                    regressions.items(), key=lambda kv: -kv[1]["ratio"]
+                )[:10]
+            )
+        else:
+            note = (
+                f"baseline covers only {len(common)}/{len(timings)} "
+                "current queries (<80%); regression comparison suppressed"
+            )
+            full["regressions_suppressed"] = note
+            out["regressions_suppressed"] = note
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # Archive the COMPLETE per-query payload per round so future rounds
+    # always have a full-coverage baseline (the committed BENCHFULL_r{N}
+    # files are what previous_round_queries prefers). Only the canonical
+    # sf0.1 run is archived — ad-hoc sf0.01 iteration must not overwrite
+    # the round's snapshot.
+    if sfv == 0.1:
+        arch = os.path.join(here, f"BENCHFULL_r{current_round()}.json")
+        with open(arch, "w") as f:
+            json.dump(full, f, indent=1)
     print(json.dumps(out), flush=True)
     spark.stop()
 

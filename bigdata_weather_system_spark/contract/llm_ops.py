@@ -2625,7 +2625,7 @@ def doc_query_likelihood_search(
              sum(ln(n_tokens)) AS sx, sum(ln(vocab)) AS sy,
              sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
              sum(ln(n_tokens) * ln(vocab)) AS sxy
-      FROM pts
+      FROM pts WHERE n_tokens > 0 AND vocab > 0
     )
     SELECT CAST(p.decile AS INT) AS decile,
            CAST(p.n_tokens AS BIGINT) AS n_tokens,
@@ -2689,7 +2689,11 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lx = F.log("n_tokens")
     ly = F.log("vocab")
-    fit = pts.agg(
+    # Zero-count deciles (degenerate corpora with doc_id gaps) are kept
+    # in the output grid but excluded from the log-log fit on BOTH sides:
+    # Spark's log(0) is NULL (silently skipped) while DuckDB's ln(0)
+    # raises, so the fit must agree on the same positive-row set.
+    fit = pts.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).agg(
         F.count(F.lit(1)).alias("k"),
         F.sum(lx).alias("sx"),
         F.sum(ly).alias("sy"),

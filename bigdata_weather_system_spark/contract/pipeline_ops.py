@@ -493,10 +493,18 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Range-partition the not-null histogram so partition id order ==
         # value order; distinct values mean no value straddles a boundary.
+        # Materialized ONCE (eager localCheckpoint): both `offs` and `cum`
+        # below re-read this relation, and correctness requires the two
+        # reads to see IDENTICAL partition ids. Without pinning, a plan
+        # change (e.g. AQE declining to reuse the range exchange, or the
+        # sampled range bounds differing on recomputation) could shift a
+        # boundary between the two evaluations and silently corrupt the
+        # prefix sums.
         hist = (
             g.filter(nn)
             .repartitionByRange(32, "_v")
             .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
         ptot = hist.groupBy("_pid").agg(F.sum("_n").alias("_ptot"))
         # Exclusive prefix over the ≤32-row per-partition totals — the

@@ -194,8 +194,12 @@ def bfs_layers(
     """
     directed = _directed(edges).cache()
     frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-    seed = frontier.select("node", F.lit(0).alias("hop")).cache()
-    seed.count()
+    # Checkpoint (not cache) the seed: if the hop loop breaks on its very
+    # first iteration the returned `visited` IS the seed, and the finally
+    # block must not strip the only materialization the return value has.
+    seed = frontier.select("node", F.lit(0).alias("hop")).localCheckpoint(
+        eager=True
+    )
     visited = seed
     try:
         for h in range(1, max_hops + 1):
@@ -217,10 +221,9 @@ def bfs_layers(
     finally:
         # Drop the per-call cached blocks so long registry sweeps (the
         # 405-query bench loop) don't accumulate executor storage; the
-        # returned relation is localCheckpoint-ed (or trivially
-        # recomputable from sources), so unpersisting is safe.
+        # returned relation is localCheckpoint-ed on every path, so
+        # unpersisting the inputs is safe.
         directed.unpersist()
-        seed.unpersist()
     return visited
 
 
@@ -244,8 +247,10 @@ def multi_source_bfs(
         .distinct()
         .select("s", F.col("s").alias("node"))
     )
-    seed = frontier.select("s", "node", F.lit(0).alias("hop")).cache()
-    seed.count()
+    # Checkpointed for the same first-hop-break reason as bfs_layers.
+    seed = frontier.select(
+        "s", "node", F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
     visited = seed
     try:
         for h in range(1, max_hops + 1):
@@ -268,7 +273,6 @@ def multi_source_bfs(
         # Mirror bfs_layers' cleanup: per-call caches must not outlive
         # the call in a 405-query sweep. The result is checkpointed.
         directed.unpersist()
-        seed.unpersist()
     return visited
 
 

@@ -886,6 +886,9 @@ def test_bpe_batched_rounds_cut_job_count(spark):
     # round (word table + candidates + evidence + one checkpoint) must
     # stay far below that even with AQE's per-stage jobs
     assert after - before <= 12, f"jobs: {after - before}"
+
+
+def test_isotonic_calibration_matches_reference_pav(spark):
     """PAV fit must equal a hand-rolled reference on a crafted sample with
     a known violation structure."""
     from bigdata_weather_system_spark.operators.inference import (
