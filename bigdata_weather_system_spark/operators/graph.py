@@ -6,8 +6,9 @@ clustering structure for community and spam detection, and degree
 profiles for skew diagnostics. Everything here is pure DataFrame algebra:
 
 - the graph is an edge relation, built from a co-occurrence fact table
-  with the same grouped-postings ``pair_up`` core the dedup family uses
-  (one shuffle, no self-join);
+  with the same grouped-postings shape the dedup family's ``pair_up``
+  uses, specialized to scalar items (one ``collect_set`` shuffle, no
+  self-join, no separate distinct pass);
 - PageRank is a FIXED-ITERATION loop of join + groupBy — each iteration
   is one shuffle on the destination key, the rank/degree relation is
   cached, and undirected edges mean no dangling-mass correction (every
@@ -23,9 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import pair_up
-
-
 def cooccurrence_edges(
     df: DataFrame,
     group_col: str,
@@ -34,15 +32,38 @@ def cooccurrence_edges(
 ) -> DataFrame:
     """Canonical undirected edges (src < dst, weight = #groups where the
     pair co-occurs) from a (group, item) fact table. Items are
-    de-duplicated per group first, so a repeated line in one group is a
-    single incidence. ``max_group_size`` caps pathological groups (the
-    quadratic guard, same semantics as the dedup hot-bucket cap)."""
-    inc = df.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
-    ).distinct()
-    pairs = pair_up(inc, ["_g"], ["_i"], max_bucket_size=max_group_size)
+    de-duplicated per group (``collect_set``), so a repeated line in one
+    group is a single incidence. ``max_group_size`` caps pathological
+    groups (the quadratic guard, same semantics as the dedup hot-bucket
+    cap).
+
+    ONE shuffle to postings: ``collect_set`` aggregates straight off the
+    fact table with map-side partial aggregation (the per-group set
+    dedups in the map phase), replacing the earlier distinct→pair_up
+    chain whose separate ``distinct`` paid a full extra exchange of the
+    incidence relation before grouping. Pairs are generated in-place
+    from the sorted postings array (scalar elements, no struct boxing),
+    then one aggregation on the canonical pair computes weights."""
+    postings = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_set("_i")).alias("_ps"))
+        .filter(F.size("_ps") > 1)
+    )
+    if max_group_size is not None:
+        postings = postings.filter(F.size("_ps") <= max_group_size)
+    combos = F.flatten(
+        F.transform(
+            F.col("_ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        pairs.select(F.col("a._i").alias("src"), F.col("b._i").alias("dst"))
+        postings.select(F.explode(combos).alias("p"))
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )

@@ -146,6 +146,11 @@ def main() -> int:
         status = "pass" if row["hash_match"] else "FAIL"
         print(json.dumps({"q": name, "status": status}), flush=True)
 
+    from bigdata_weather_system_spark.contract.graph_ops import (
+        clear_shared_edges,
+    )
+
+    clear_shared_edges()  # end-of-sweep drop of the family-shared relation
     n_oracle = sum(1 for r in results.values() if r["err"] != "no_oracle")
     n_pass = sum(1 for r in results.values() if r["hash_match"])
     summary = {
