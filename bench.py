@@ -362,6 +362,11 @@ BENCH_QUERIES = [
     "embedding_silhouette_by_label",
     "media_bmp_decode",
     "media_wav_decode",
+    # URL/domain curation (round 5)
+    "doc_url_canonicalize",
+    "domain_cap_survivors",
+    "domain_concentration_metrics",
+    "url_tracking_prevalence",
 ]
 
 

@@ -30,5 +30,6 @@ from . import attribution_ops  # noqa: F401, E402
 from . import diagnostics_ops  # noqa: F401, E402
 from . import labeling_ops  # noqa: F401, E402
 from . import training_ops  # noqa: F401, E402
+from . import web_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]

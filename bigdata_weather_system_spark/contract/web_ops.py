@@ -1,0 +1,321 @@
+"""Contract queries: URL / domain curation (round 5).
+
+The first pass of a web-scale text pipeline is URL hygiene — canonical
+keys for exact dedup, per-domain caps against crawl skew, and domain
+concentration diagnostics. The testdata has no URL column, so the
+family fabricates deterministic messy URLs from ``(doc_id, source)``
+closed-form (the fabricate→operate discipline of the media codec
+family, `operators/multimodal.py fabricate_bmp_media`) and the DuckDB
+oracles regenerate the identical strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core import register, _t
+from ..operators.web import (
+    canonicalize_urls,
+    fabricate_doc_urls,
+    has_tracking_params,
+)
+
+#: DuckDB twin of `operators/web.fabricate_doc_urls` + `canonicalize_urls`
+#: — every CASE arm mirrors the Spark column expression verbatim.
+_URL_CTES = r"""
+    u0 AS (
+      SELECT doc_id, source,
+             (['com','org','net','io','edu'])[CAST(doc_id % 5 AS INT) + 1]
+               AS tld
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, source,
+        (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+              ELSE 'https' END)
+        || '://'
+        || (CASE doc_id % 4
+              WHEN 0 THEN 'WWW.' || upper(source || '.example.' || tld)
+              WHEN 1 THEN 'www.' || source || '.example.' || tld
+              WHEN 2 THEN upper(source || '.example.' || tld)
+              ELSE source || '.example.' || tld END)
+        || (CASE doc_id % 6 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                 WHEN 2 THEN ':8080' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ''
+                 ELSE '/a/' || (doc_id % 50) || '/item' END)
+        || (CASE WHEN doc_id % 5 = 4 THEN ''
+                 WHEN doc_id % 2 = 0 THEN
+                   '?utm_source=feed' || (doc_id % 4) || '&id=' || doc_id
+                   || '&page=' || (doc_id % 9) || '&ref=tw'
+                 ELSE '?page=' || (doc_id % 9) || '&id=' || doc_id END)
+        || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || (doc_id % 7)
+                 ELSE '' END)
+          AS raw_url
+      FROM u0
+    ),
+    parts AS (
+      SELECT doc_id, source, raw_url,
+        lower(regexp_extract(raw_url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(raw_url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        coalesce(regexp_extract(raw_url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+          AS rawpath,
+        -- DuckDB regexp_extract yields NULL (not '') when the pattern
+        -- has no match — Spark yields '' — so URLs without a query
+        -- string must coalesce or the whole concat goes NULL
+        coalesce(regexp_extract(raw_url, '\?([^#]*)', 1), '') AS rawq
+      FROM urls
+    ),
+    canon AS (
+      SELECT doc_id, source, raw_url, scheme, rawq,
+        regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                       '^www\.', '') AS domain,
+        scheme || '://'
+          || regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                            '^www\.', '')
+          || (CASE
+                WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' THEN ''
+                WHEN scheme = 'https'
+                     AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'
+                  THEN ''
+                WHEN scheme = 'http'
+                     AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80'
+                  THEN ''
+                ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END)
+          || (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END)
+          || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+          AS canonical_url
+      FROM (
+        SELECT *,
+          -- DuckDB array_to_string(empty list) is NULL, not '' — every
+          -- tracker-only or query-less URL needs the coalesce or the
+          -- whole canonical concat goes NULL
+          coalesce(array_to_string(list_sort(list_filter(
+            str_split(rawq, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+              '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))), '&'), '') AS qs
+        FROM parts
+      )
+    )
+"""
+
+
+def _canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return canonicalize_urls(fabricate_doc_urls(docs))
+
+
+@register(
+    "doc_url_canonicalize",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, raw_url, canonical_url, domain FROM canon
+    """,
+)
+def doc_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the exact-dedup key of a crawl pipeline:
+    lowercase scheme/host, www strip, scheme-default port strip (other
+    ports kept), empty path → '/', tracking params dropped, surviving
+    query keys sorted, fragment removed. Pure regexp/array column
+    algebra fused into the scan (no shuffle, no UDF); the messy input
+    side is fabricated closed-form so the oracle replays both the
+    generator and the canonicalizer."""
+    return _canon(spark, sf_dir).select(
+        "doc_id", "raw_url", "canonical_url", "domain"
+    )
+
+
+@register(
+    "domain_cap_survivors",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT domain, doc_id,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM canon
+    ) WHERE rk <= 3
+    """,
+)
+def domain_cap_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (K=3) with deterministic survivor
+    selection — the crawl-balance policy that stops one hot domain from
+    dominating the training mix. Survivors are the K smallest by
+    md5(doc_id): a content-independent pseudo-random draw that is
+    reproducible across engines and runs (no rand() seed drift). The
+    rank ≤ K predicate compiles to WindowGroupLimit, so each shuffle
+    partition retains only K rows per domain before the window runs —
+    the plan never materializes a hot domain's full posting list."""
+    c = _canon(spark, sf_dir)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        c.select("domain", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("domain", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "domain_concentration_metrics",
+    oracle=f"""
+    WITH {_URL_CTES},
+    dc AS (SELECT domain, count(*) AS cnt FROM canon GROUP BY domain),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+                   count(*) AS nd FROM dc),
+    r AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt, domain) AS i FROM dc),
+    gini_num AS (SELECT sum(i * cnt) AS s FROM r),
+    top AS (
+      SELECT sum(cnt) FILTER (WHERE rnk <= 1) AS t1,
+             sum(cnt) FILTER (WHERE rnk <= 5) AS t5
+      FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, domain)
+                     AS rnk FROM dc)
+    ),
+    hhi AS (
+      SELECT sum((cnt / t.tot) * (cnt / t.tot)) AS h
+      FROM dc CROSS JOIN tot t
+    )
+    SELECT CAST(t.tot AS BIGINT)           AS n_docs,
+           CAST(t.nd AS BIGINT)            AS n_domains,
+           round(top.t1 / t.tot, 6)        AS top1_share,
+           round(top.t5 / t.tot, 6)        AS top5_share,
+           round(hhi.h, 6)                 AS hhi,
+           round(2.0 * gini_num.s / (t.nd * t.tot)
+                 - (t.nd + 1.0) / t.nd, 6) AS gini
+    FROM tot t CROSS JOIN top CROSS JOIN hhi CROSS JOIN gini_num
+    """,
+)
+def domain_concentration_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Domain-share concentration of the corpus — top-1/top-5 share,
+    HHI, and Gini over per-domain document counts: the diagnostic that
+    says whether the crawl is a broad web sample or three hot domains
+    wearing a trenchcoat. Everything derives from the domain histogram
+    (one groupBy). The Gini needs a GLOBAL rank of that histogram; at
+    web scale n_domains is ~1e8, so instead of a single-partition
+    window the rank rides the range-partition + partition-offset
+    prefix-sum pattern (`contract/pipeline_ops.py lineitem_column_stats`):
+    per-range-partition row_number + a P-row offset relation, largest
+    task state ~n_domains/P. Top-k shares are TakeOrderedAndProject
+    (never a global sort)."""
+    dc = (
+        _canon(spark, sf_dir)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Materialized once: offsets and ranks below must read IDENTICAL
+    # partition ids (same discipline as the quantile plan's histogram).
+    hist = (
+        dc.repartitionByRange(32, "cnt", "domain")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = hist.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    offs = ptot.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_pn").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    ranked = hist.join(F.broadcast(offs), "_pid").withColumn(
+        "i",
+        F.col("_off")
+        + F.row_number().over(
+            Window.partitionBy("_pid").orderBy("cnt", "domain")
+        ),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    gini_num = ranked.agg(F.sum(F.col("i") * F.col("cnt")).alias("s"))
+    top5 = (
+        hist.orderBy(F.col("cnt").desc(), F.col("domain"))
+        .limit(5)
+        .agg(
+            F.max(F.col("cnt")).alias("t1"),
+            F.sum("cnt").alias("t5"),
+        )
+    )
+    hhi = (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("cnt") / F.col("tot")) * (F.col("cnt") / F.col("tot")))
+            .alias("h")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(top5))
+        .crossJoin(F.broadcast(hhi))
+        .crossJoin(F.broadcast(gini_num))
+        .select(
+            F.col("tot").cast("long").alias("n_docs"),
+            F.col("nd").cast("long").alias("n_domains"),
+            F.round(F.col("t1") / F.col("tot"), 6).alias("top1_share"),
+            F.round(F.col("t5") / F.col("tot"), 6).alias("top5_share"),
+            F.round(F.col("h"), 6).alias("hhi"),
+            F.round(
+                2.0 * F.col("s") / (F.col("nd") * F.col("tot"))
+                - (F.col("nd") + 1.0) / F.col("nd"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
+    "url_tracking_prevalence",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN len(list_filter(str_split(rawq, '&'),
+                  x -> regexp_matches(x,
+                    '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking,
+           CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_secure,
+           round(sum(CASE WHEN len(list_filter(str_split(rawq, '&'),
+                  x -> regexp_matches(x,
+                    '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) > 0
+                THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pct_tracking
+    FROM canon GROUP BY source
+    """,
+)
+def url_tracking_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of URLs carrying tracking parameters (and the
+    https share) — the provenance-hygiene report that tells a curation
+    team which feeds need the canonicalizer most. One narrow projection
+    + one groupBy on the source key; the tracker test is an EXISTS over
+    the split query string, still whole-stage-codegen column algebra."""
+    c = _canon(spark, sf_dir).withColumn(
+        "has_trk", has_tracking_params("raw_url")
+    )
+    scheme = F.lower(
+        F.regexp_extract(F.col("raw_url"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    return (
+        c.withColumn("is_https", scheme == "https")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("has_trk").cast("long")).alias("n_tracking"),
+            F.sum(F.col("is_https").cast("long")).alias("n_secure"),
+            F.round(
+                F.sum(F.col("has_trk").cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_tracking"),
+        )
+    )

@@ -1,0 +1,175 @@
+"""URL / domain curation operators — the first pass of a web-crawl text
+pipeline (reference scope: the crawler feed in
+/root/reference/crawl/README-adjacent tooling has no analytics surface;
+this family supplies the standard curation operators a 100 TB corpus
+needs before any text op runs: canonical URLs for exact dedup keys,
+per-domain caps against crawl skew, and domain-concentration
+diagnostics).
+
+Everything is pure column algebra (regexp + array functions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path), so the same logic is
+expressible verbatim in the DuckDB oracles.
+
+The testdata has no URL column, so URLs are FABRICATED closed-form from
+``(doc_id, source)`` — the same fabricate→operate discipline the media
+codec family uses (`multimodal.fabricate_bmp_media`): a deterministic
+generator both engines can evaluate, messy on purpose (mixed-case scheme
+and host, default and non-default ports, empty paths, tracking params in
+varying order, fragments) so the canonicalizer has real work to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Query parameters dropped during canonicalization: trackers carry no
+#: content identity, and leaving them in splits one page into dozens of
+#: "distinct" URLs (the #1 inflation source in crawl frontier dedup).
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+#: TLD wheel for the fabricated hosts (index = doc_id % 5).
+_TLDS = ["com", "org", "net", "io", "edu"]
+
+
+def fabricate_doc_urls(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic messy URL per document, closed-form from the id —
+    every branch below is a plain CASE over ``doc_id % k`` so a SQL
+    oracle regenerates the identical string. Shapes exercised:
+
+    - scheme case (``HTTPS``/``http``/``https``) and the www prefix in
+      three casings;
+    - default ports that must be stripped (``:443`` only co-occurs with
+      https, ``:80`` with http, by modulus arithmetic) and a non-default
+      ``:8080`` that must be KEPT;
+    - empty paths (canonical form ``/``);
+    - tracking params (``utm_source``, ``ref``) interleaved with real
+      ones (``id``, ``page``) in id-dependent order;
+    - fragments on even ids.
+    """
+    d = F.col(id_col)
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _TLDS]), (d % 5 + 1).cast("int")
+    )
+    host_core = F.concat(F.col(source_col), F.lit(".example."), tld)
+    scheme_raw = (
+        F.when(d % 3 == 0, "HTTPS").when(d % 3 == 1, "http").otherwise("https")
+    )
+    host_raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("WWW."), F.upper(host_core)))
+        .when(d % 4 == 1, F.concat(F.lit("www."), host_core))
+        .when(d % 4 == 2, F.upper(host_core))
+        .otherwise(host_core)
+    )
+    port_raw = (
+        F.when(d % 6 == 0, ":443")
+        .when(d % 6 == 1, ":80")
+        .when(d % 6 == 2, ":8080")
+        .otherwise("")
+    )
+    path_raw = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/a/"), (d % 50).cast("string"), F.lit("/item"))
+    )
+    query_raw = (
+        F.when(d % 5 == 4, F.lit(""))
+        .when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("utm_source=feed"),
+                (d % 4).cast("string"),
+                F.lit("&id="),
+                d.cast("string"),
+                F.lit("&page="),
+                (d % 9).cast("string"),
+                F.lit("&ref=tw"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("page="),
+                (d % 9).cast("string"),
+                F.lit("&id="),
+                d.cast("string"),
+            )
+        )
+    )
+    frag_raw = F.when(
+        d % 2 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_raw,
+        F.lit("://"),
+        host_raw,
+        port_raw,
+        path_raw,
+        F.when(query_raw == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query_raw)
+        ),
+        frag_raw,
+    )
+    return df.withColumn("raw_url", url)
+
+
+def _canon_parts(u: Column) -> dict[str, Column]:
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    port_out = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    q_canon = F.concat_ws("&", F.array_sort(kept))
+    q_out = F.when(q_canon == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q_canon)
+    )
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port_out": port_out,
+        "path": path,
+        "q_out": q_out,
+    }
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "raw_url") -> DataFrame:
+    """Adds ``canonical_url`` and ``domain``. Canonical form: lowercase
+    scheme and host, ``www.`` prefix stripped, scheme-default port
+    stripped (non-default ports kept), empty path normalized to ``/``,
+    tracking params dropped, surviving query keys sorted, fragment
+    removed. ``domain`` is the canonical host. Pure narrow column
+    algebra — no shuffle, no UDF; at 100 TB this is a map stage fused
+    into the scan."""
+    p = _canon_parts(F.col(url_col))
+    canonical = F.concat(
+        p["scheme"], F.lit("://"), p["host"], p["port_out"], p["path"],
+        p["q_out"],
+    )
+    return df.withColumn("canonical_url", canonical).withColumn(
+        "domain", p["host"]
+    )
+
+
+def has_tracking_params(url_col: str = "raw_url") -> Column:
+    """True when any query parameter of the raw URL is a tracker."""
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    return F.exists(
+        F.split(q, "&"), lambda x: x.rlike(TRACKING_PARAM_RE)
+    )

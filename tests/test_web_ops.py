@@ -1,0 +1,122 @@
+"""URL canonicalization operator unit tests — exact pinned strings for
+each messy shape the fabricator emits, plus hand-written URLs covering
+cases the fabricator cannot produce (non-default port with mismatched
+scheme, tracker-only query, no scheme)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_weather_system_spark.operators.web import (
+    canonicalize_urls,
+    fabricate_doc_urls,
+    has_tracking_params,
+)
+
+
+def _canon_of(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "raw_url string")
+    out = canonicalize_urls(df).select("raw_url", "canonical_url", "domain")
+    return {r["raw_url"]: (r["canonical_url"], r["domain"]) for r in out.collect()}
+
+
+def test_fabricated_urls_pinned(spark):
+    df = spark.createDataFrame(
+        [(0, "srcA"), (4, "srcB"), (9, "srcC"), (14, "srcD")],
+        "doc_id long, source string",
+    )
+    got = {
+        r["doc_id"]: r["raw_url"]
+        for r in fabricate_doc_urls(df).collect()
+    }
+    # d=0: HTTPS scheme, WWW.+upper host, :443, empty path, utm query, frag
+    assert got[0] == (
+        "HTTPS://WWW.SRCA.EXAMPLE.COM:443"
+        "?utm_source=feed0&id=0&page=0&ref=tw#sec0"
+    )
+    # d=4: http? 4%3=1 -> http; 4%4=0 -> WWW.upper; 4%6=4 -> no port;
+    # 4%7=4 -> path; 4%5=4 -> no query; 4%2=0 -> frag sec4
+    assert got[4] == "http://WWW.SRCB.EXAMPLE.EDU/a/4/item#sec4"
+    # d=9: HTTPS (9%3=0), www. lower (9%4=1), no port, path, no query
+    assert got[9] == "HTTPS://www.srcC.example.edu/a/9/item"
+    # d=14: https (14%3=2), UPPER (14%4=2), :8080 kept, empty path (14%7=0),
+    # no query (14%5=4), frag sec0 (14%2=0, 14%7=0)
+    assert got[14] == "https://SRCD.EXAMPLE.EDU:8080#sec0"
+
+
+def test_canonicalize_pinned_shapes(spark):
+    cases = {
+        # default https port + www + tracking + fragment all stripped,
+        # query keys sorted
+        "HTTPS://WWW.Ex.COM:443/p?b=2&utm_source=x&a=1#f": (
+            "https://ex.com/p?a=1&b=2",
+            "ex.com",
+        ),
+        # NON-default port kept, even the scheme-mismatched one
+        "http://ex.com:443/p": ("http://ex.com:443/p", "ex.com"),
+        "https://ex.com:80/p": ("https://ex.com:80/p", "ex.com"),
+        "http://ex.com:8080/p": ("http://ex.com:8080/p", "ex.com"),
+        # default http port stripped
+        "http://ex.com:80/p": ("http://ex.com/p", "ex.com"),
+        # empty path -> '/', tracker-only query dropped entirely
+        "https://ex.com?utm_source=a&ref=b": ("https://ex.com/", "ex.com"),
+        # www stripped only as a PREFIX label
+        "https://wwwx.ex.com/": ("https://wwwx.ex.com/", "wwwx.ex.com"),
+        # empty query segments dropped
+        "https://ex.com/p?&&a=1&": ("https://ex.com/p?a=1", "ex.com"),
+    }
+    got = _canon_of(spark, list(cases))
+    for raw, want in cases.items():
+        assert got[raw] == want, raw
+
+
+def test_malformed_urls_degrade_without_nulls(spark):
+    # no scheme -> regexp extracts yield '', canonical degrades to the
+    # '://' skeleton rather than NULL (curation drops these by predicate,
+    # the operator must not poison the column)
+    got = _canon_of(spark, ["not a url", ""])
+    for raw in ["not a url", ""]:
+        canon, domain = got[raw]
+        assert canon is not None and domain == ""
+
+
+def test_has_tracking_params(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://e.com/?utm_campaign=x&a=1", True),
+            ("https://e.com/?a=1&b=2", False),
+            ("https://e.com/", False),
+            ("https://e.com/?fbclid=zz", True),
+            # 'ref' must match as a whole key, not a prefix of 'referer'
+            ("https://e.com/?referer=zz", False),
+        ],
+        "raw_url string, want boolean",
+    )
+    rows = df.withColumn("got", has_tracking_params("raw_url")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["raw_url"]
+
+
+def test_domain_cap_is_deterministic_and_capped(spark):
+    # 10 docs in one domain -> exactly 3 survivors, stable across runs
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(10)], "doc_id long, source string"
+    )
+    from bigdata_weather_system_spark.contract.web_ops import (
+        domain_cap_survivors,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id",
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+            "source",
+            F.lit(1).alias("n_chars"),
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        a = sorted(map(tuple, domain_cap_survivors(spark, d).collect()))
+        b = sorted(map(tuple, domain_cap_survivors(spark, d).collect()))
+    assert a == b
+    # 10 ids spread over 5 tlds -> 2 per domain, all survive (cap 3)
+    assert len(a) == 10
