@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "domain_cap_survivors",
     "domain_concentration_metrics",
     "url_tracking_prevalence",
+    "doc_html_extract",
 ]
 
 

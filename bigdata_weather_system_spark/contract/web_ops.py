@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .core import register, _t
 from ..operators.web import (
     canonicalize_urls,
+    extract_html_text,
+    fabricate_doc_html,
     fabricate_doc_urls,
     has_tracking_params,
 )
@@ -318,4 +320,77 @@ def url_tracking_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pct_tracking"),
         )
+    )
+
+
+@register(
+    "doc_html_extract",
+    oracle=r"""
+    WITH h0 AS (
+      SELECT doc_id, source, text,
+        CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || doc_id || ' &amp; notes'
+             ELSE source || ' - doc ' || doc_id END AS title_raw,
+        replace(replace(replace(text, '&', '&amp;'),
+                        '<', '&lt;'), '>', '&gt;') AS esc_text
+      FROM documents
+    ),
+    pages AS (
+      SELECT doc_id,
+        '<!DOCTYPE html><html><head><title>' || title_raw
+        || '</title><script type="text/javascript">var id=' || doc_id
+        || ';track("' || source
+        || '");</script><style>.nav a{color:#00f}</style></head><body>'
+        || '<nav><a href="/">Home</a> <a href="/' || source || '">'
+        || source || '</a></nav>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<aside class="promo">Subscribe to ' || source
+                     || ' updates &amp; offers!</aside>' ELSE '' END
+        || '<div id="main"><h1>Doc ' || doc_id || '</h1>'
+        || CASE WHEN doc_id % 4 = 1
+                THEN '<script>inlineTrack();</script>' ELSE '' END
+        || '<p>' || esc_text || '</p></div><footer>&copy; 2026 ' || source
+        || ' &middot; All rights reserved</footer></body></html>' AS html
+      FROM h0
+    ),
+    strip AS (
+      SELECT doc_id, html,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(html,
+          '(?s)<head(\s[^>]*)?>.*?</head>', ' ', 'g'),
+          '(?s)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+          '(?s)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
+          '(?s)<nav(\s[^>]*)?>.*?</nav>', ' ', 'g'),
+          '(?s)<aside(\s[^>]*)?>.*?</aside>', ' ', 'g'),
+          '(?s)<footer(\s[^>]*)?>.*?</footer>', ' ', 'g') AS deblocked
+      FROM pages
+    )
+    SELECT doc_id,
+      replace(replace(replace(
+        regexp_extract(html, '<title>(.*?)</title>', 1),
+        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS title,
+      CAST(len(regexp_extract_all(html, '<a\s')) AS BIGINT) AS n_links,
+      trim(regexp_replace(
+        replace(replace(replace(
+          regexp_replace(deblocked, '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS text_clean
+    FROM strip
+    """,
+)
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (boilerplate strip) — the raw-web front
+    end of the text path: closed-form fabricated pages (title, head
+    script/style, nav, id-dependent promo aside + inline body script,
+    escaped document text, entity-soup footer) pushed through a
+    block-drop + tag-strip + entity-decode + whitespace-normalize
+    extractor that is pure column algebra (`operators/web.py
+    extract_html_text`). The content survives exactly ('Doc {id} ' +
+    the normalized text); every boilerplate block vanishes. No shuffle,
+    no UDF — a scan-fused map stage at any corpus size; the DuckDB
+    oracle replays both generator and extractor (RE2-safe patterns:
+    non-greedy blocks, no backreferences)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pages = fabricate_doc_html(docs)
+    return extract_html_text(pages).select(
+        "doc_id", "title", "n_links", "text_clean"
     )

@@ -173,3 +173,113 @@ def has_tracking_params(url_col: str = "raw_url") -> Column:
     return F.exists(
         F.split(q, "&"), lambda x: x.rlike(TRACKING_PARAM_RE)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the raw-web front end of the text path)
+# ---------------------------------------------------------------------------
+
+#: Block elements whose ENTIRE content is boilerplate for corpus text:
+#: chrome (nav), promos (aside), legal (footer), and non-content head/
+#: script/style payloads. Removed as whole blocks before tag stripping.
+_BOILERPLATE_BLOCKS = ["head", "script", "style", "nav", "aside", "footer"]
+
+
+def _esc(c: Column) -> Column:
+    """HTML-escape the three structural characters (order matters: &
+    first, or already-escaped entities double-escape)."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _unesc(c: Column) -> Column:
+    """Inverse of ``_esc`` (&amp; LAST, the exact reverse order)."""
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def fabricate_doc_html(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic closed-form HTML page per document — title + head
+    script/style, nav links, an id-dependent promo aside and inline body
+    script, the escaped document text as the single content block, and a
+    footer with entity soup. Same fabricate→operate discipline as the
+    URL and media-codec families: both engines can regenerate the page,
+    so the extractor is fully oracle-checkable."""
+    d = F.col(id_col)
+    src = F.col(source_col)
+    title = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("Doc "), d.cast("string"), F.lit(" &amp; notes")),
+    ).otherwise(
+        F.concat(src, F.lit(" - doc "), d.cast("string"))
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>"),
+        title,
+        F.lit('</title><script type="text/javascript">var id='),
+        d.cast("string"),
+        F.lit(';track("'),
+        src,
+        F.lit('");</script><style>.nav a{color:#00f}</style></head><body>'),
+        F.lit('<nav><a href="/">Home</a> <a href="/'),
+        src,
+        F.lit('">'),
+        src,
+        F.lit("</a></nav>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<aside class="promo">Subscribe to '),
+                src,
+                F.lit(" updates &amp; offers!</aside>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<div id="main"><h1>Doc '),
+        d.cast("string"),
+        F.lit("</h1>"),
+        F.when(
+            d % 4 == 1, F.lit("<script>inlineTrack();</script>")
+        ).otherwise(F.lit("")),
+        F.lit("<p>"),
+        _esc(F.col(text_col)),
+        F.lit("</p></div><footer>&copy; 2026 "),
+        src,
+        F.lit(" &middot; All rights reserved</footer></body></html>"),
+    )
+    return df.withColumn("html", html)
+
+
+def extract_html_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Boilerplate-stripping HTML→text extraction as pure column
+    algebra: drop whole non-content blocks (head incl. title/script/
+    style, body scripts, nav/aside/footer), strip remaining tags, decode
+    the structural entities, collapse whitespace. Adds ``title`` (from
+    the head, entity-decoded), ``n_links`` (anchor count in the RAW
+    page) and ``text_clean``. Regex-based by design — RE2-safe patterns
+    (non-greedy blocks, no backreferences) so the DuckDB oracle replays
+    the identical extraction; a real parser is the obvious upgrade path
+    but the Spark-side plumbing (scan-fused map stage, no shuffle, no
+    UDF) is what matters at 100 TB."""
+    h = F.col(html_col)
+    title = _unesc(F.regexp_extract(h, r"<title>(.*?)</title>", 1))
+    n_links = F.regexp_count(h, F.lit(r"<a\s")).cast("long")
+    body = h
+    for tag in _BOILERPLATE_BLOCKS:
+        body = F.regexp_replace(
+            body, rf"(?s)<{tag}(\s[^>]*)?>.*?</{tag}>", " "
+        )
+    body = F.regexp_replace(body, r"<[^>]*>", " ")
+    body = _unesc(body)
+    body = F.trim(F.regexp_replace(body, r"\s+", " "))
+    return (
+        df.withColumn("title", title)
+        .withColumn("n_links", n_links)
+        .withColumn("text_clean", body)
+    )

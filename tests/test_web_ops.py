@@ -120,3 +120,52 @@ def test_domain_cap_is_deterministic_and_capped(spark):
     assert a == b
     # 10 ids spread over 5 tlds -> 2 per domain, all survive (cap 3)
     assert len(a) == 10
+
+
+def test_html_extract_pinned_and_malformed(spark):
+    from bigdata_weather_system_spark.operators.web import (
+        extract_html_text,
+        fabricate_doc_html,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha & beta <tag>", "srcA"), (1, "plain words", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_html_text(fabricate_doc_html(df)).collect()
+    }
+    # d=0: title branch (%5==0) with entity; aside present (%3==0);
+    # content = h1 + the escaped-then-decoded text, boilerplate gone
+    assert out[0]["title"] == "Doc 0 & notes"
+    assert out[0]["text_clean"] == "Doc 0 alpha & beta <tag>"
+    assert out[0]["n_links"] == 2
+    # d=1: source title; inline body script (%4==1) stripped
+    assert out[1]["title"] == "srcB - doc 1"
+    assert out[1]["text_clean"] == "Doc 1 plain words"
+
+    # malformed pages degrade without NULLs: unclosed tags, no title,
+    # stray '<' — the extractor must yield a (possibly imperfect)
+    # string, never poison the column
+    bad = spark.createDataFrame(
+        [
+            ("<html><body><p>unclosed",),
+            ("no tags at all",),
+            ("<script>evil(",),  # unclosed script: block-drop can't fire
+            ("",),
+        ],
+        "html string",
+    )
+    rows = extract_html_text(bad).collect()
+    for r in rows:
+        assert r["text_clean"] is not None
+        assert r["title"] == ""  # no <title> -> empty, not NULL
+    got = {r["html"]: r["text_clean"] for r in rows}
+    assert got["<html><body><p>unclosed"] == "unclosed"
+    assert got["no tags at all"] == "no tags at all"
+    # unclosed <script> survives tag-strip as its code payload — the
+    # documented regex-extractor limitation (a parser upgrades this);
+    # the guarantee is non-NULL, not perfection
+    assert got["<script>evil("] == "evil("
+    assert got[""] == ""
