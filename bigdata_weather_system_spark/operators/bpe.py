@@ -151,6 +151,19 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
+    # Adaptive evidence throttle: when an evidence job buys a
+    # single-merge batch anyway (chain-dominated stretches), run the
+    # next 8 evidence-eligible rounds in plain sequential mode (top-1,
+    # no evidence job) before probing again — worst-case throttle
+    # overhead is one wasted job per 9 eligible rounds. Deterministic —
+    # a pure function of the (deterministic) merge history — and sound:
+    # the top-1 candidate is always sequential-faithful by definition.
+    # Measured on the sf0.01 corpus (89 learnable merges): always-on
+    # evidence cost 531 jobs vs the sequential loop's 270; overlap
+    # precheck + this throttle lands at ~345 while keeping full batches
+    # on symbol-disjoint vocabularies.
+    reject_streak = 0
+    probe_cooldown = 0
     while len(merges) < n_merges:
         n_sym = F.size("syms")
         bigrams = words.filter(n_sym >= 2).select(
@@ -172,9 +185,40 @@ def bpe_train(
             break
         cand = [(r["l"], r["r"], int(r["n"])) for r in cand_rows]
 
+        # Driver-side PREcheck on the ≤batch_m collected candidates: the
+        # symbol-overlap/concat conditions of _batch_accept need no
+        # cluster evidence, and on Zipfian natural text the top pairs
+        # CHAIN (the next-best pair contains the symbol just created),
+        # collapsing most batches to singletons by overlap alone.
+        # Measured on the sf0.01 corpus: paying the trigram-evidence job
+        # every round made batch_m=8 cost 531 jobs where the sequential
+        # loop cost 270. Skipping the evidence job whenever overlap
+        # already caps the batch at one candidate restores the
+        # sequential cost on chain-y stretches while keeping full
+        # batches (and their round-count win) on symbol-disjoint ones —
+        # output provably unchanged: peaks/colliding only ever shrink
+        # the overlap-derived prefix, so an overlap prefix of 1 is
+        # already final.
+        overlap_prefix = 1
+        for j in range(1, len(cand)):
+            a_j, b_j, _n_j = cand[j]
+            if all(
+                not ({a_j, b_j} & {ai, bi})
+                and a_j != ai + bi
+                and b_j != ai + bi
+                for ai, bi, _ in cand[:j]
+            ):
+                overlap_prefix += 1
+            else:
+                break
+
         peaks: dict[tuple[str, str], int] = {}
         colliding: set[str] = set()
-        if len(cand) > 1:
+        want_evidence = len(cand) > 1 and overlap_prefix > 1
+        run_evidence = want_evidence and probe_cooldown == 0
+        if want_evidence and not run_evidence:
+            probe_cooldown -= 1
+        if run_evidence:
             # One bounded job for the faithfulness evidence: per
             # candidate, the max weighted trigram count with the pair on
             # the right (x·a·b → new pair (x, ab)) or on the left
@@ -239,7 +283,19 @@ def bpe_train(
                 else:
                     peaks[(r["ca"], r["cb"])] = int(r["peak"])
 
-        accepted = _batch_accept(cand, peaks, colliding)
+        # Without evidence only the top-1 is provably faithful — never
+        # let _batch_accept extend a batch on overlap conditions alone.
+        accepted = _batch_accept(
+            cand if run_evidence else cand[:1], peaks, colliding
+        )
+        if run_evidence:
+            if len(accepted) == 1:
+                reject_streak += 1
+                if reject_streak >= 1:
+                    probe_cooldown = 8
+                    reject_streak = 0
+            else:
+                reject_streak = 0
         for a, b, n in accepted:
             merges.append((len(merges) + 1, a, b, n))
             # rank-order application — identical to the sequential loop
