@@ -198,3 +198,98 @@ def test_quality_gated_sink_100_batch_soak(spark, tmp_path):
         report.filter(~F.col("passed")).count() == n_bad
     )  # only temp_range rows fail
     _assert_stable(lat)
+
+
+@pytest.mark.slow
+def test_parquet_sink_crash_recovery_soak(spark, tmp_path):
+    """Round-5 verdict item #7 — the T6 exactly-once pin under sustained
+    load WITH a mid-soak crash: feed 100 single-record micro-batches,
+    kill the query partway through (while unprocessed files remain),
+    restart from the same checkpoint, drain, and assert the parquet sink
+    holds each record EXACTLY once — no batch lost at the stop point, no
+    batch replayed across the restart (the file sink's transaction log +
+    the source's checkpointed offsets are the mechanism under test).
+    A third start on the drained stream must also append nothing."""
+    import time
+
+    from bigdata_weather_system_spark.streaming import read_event_stream
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        start_parquet_sink,
+    )
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    t0 = dt.datetime(2025, 11, 14, 10, 0)
+    for i in range(N_BATCHES):
+        p = {
+            "location_name": f"L{i % 3}",
+            "time": (t0 + dt.timedelta(minutes=i)).isoformat(
+                timespec="minutes"
+            ),
+            "temperature": str(15.0 + (i % 9)),
+            "weathercode": str(i % 4),
+            "interval": "900",
+            "is_day": "1",
+        }
+        rec = {
+            "key": p["location_name"],
+            "value": json.dumps(p),
+            "timestamp": (t0 + dt.timedelta(minutes=i)).isoformat(),
+        }
+        path = src / f"b{i:03d}.json"
+        with open(path, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        stamp = 1_700_000_000 + i
+        os.utime(path, (stamp, stamp))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        raw = read_event_stream(
+            spark, "files", str(src), max_files_per_trigger=1
+        )
+        return start_parquet_sink(raw, sink, ckpt)
+
+    # Phase 1: run until ~40 batches committed, then stop MID-STREAM.
+    q = start()
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            lp = q.lastProgress
+            prog = json.loads(lp) if isinstance(lp, str) else lp
+            if prog and prog.get("batchId", -1) >= 40:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    n_after_crash = spark.read.parquet(sink).count()
+    assert 0 < n_after_crash < N_BATCHES, (
+        f"crash point degenerate: {n_after_crash} rows"
+    )
+
+    # Phase 2: restart from the same checkpoint, drain everything.
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+    rows = spark.read.parquet(sink).collect()
+    # exactly-once: every minute-stamped record once, none lost, none
+    # duplicated across the crash/restart boundary
+    stamps = sorted(r.event_timestamp for r in rows)
+    want = sorted(t0 + dt.timedelta(minutes=i) for i in range(N_BATCHES))
+    assert len(rows) == N_BATCHES, f"{len(rows)} rows != {N_BATCHES}"
+    assert stamps == want
+
+    # Phase 3: a fresh start on the drained stream appends nothing.
+    q3 = start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+        q3.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == N_BATCHES
