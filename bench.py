@@ -368,6 +368,8 @@ BENCH_QUERIES = [
     "domain_concentration_metrics",
     "url_tracking_prevalence",
     "doc_html_extract",
+    "robots_rule_filter",
+    "crawl_politeness_schedule",
 ]
 
 

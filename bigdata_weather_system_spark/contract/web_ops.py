@@ -72,6 +72,7 @@ _URL_CTES = r"""
     ),
     canon AS (
       SELECT doc_id, source, raw_url, scheme, rawq,
+        CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
                        '^www\.', '') AS domain,
         scheme || '://'
@@ -393,4 +394,97 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = fabricate_doc_html(docs)
     return extract_html_text(pages).select(
         "doc_id", "title", "n_links", "text_clean"
+    )
+
+
+_ROBOTS_CTES = r"""
+    doms AS (SELECT DISTINCT domain FROM canon),
+    rules AS (
+      SELECT domain, '/a/' AS path_prefix, 3 AS prefix_len,
+             ascii(substring(md5(domain), 1, 1)) % 2 = 0 AS allow
+      FROM doms
+      UNION ALL
+      SELECT domain, '/a/1', 4,
+             NOT (ascii(substring(md5(domain), 1, 1)) % 2 = 0)
+      FROM doms
+      UNION ALL
+      SELECT domain, '/', 1, TRUE FROM doms
+    ),
+    matched AS (
+      SELECT c.doc_id, c.domain, c.path,
+             arg_max(r.path_prefix, r.prefix_len) AS matched_prefix,
+             arg_max(r.allow, r.prefix_len) AS allowed
+      FROM canon c JOIN rules r ON c.domain = r.domain
+       AND starts_with(c.path, r.path_prefix)
+      GROUP BY c.doc_id, c.domain, c.path
+    )
+"""
+
+
+@register(
+    "robots_rule_filter",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_ROBOTS_CTES}
+    SELECT doc_id, domain, path, matched_prefix, allowed FROM matched
+    """,
+)
+def robots_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style longest-prefix-match fetch policy per URL — the
+    compliance gate a crawl pipeline runs before anything else. Rules
+    are fabricated closed-form per domain (a polarity-keyed section
+    rule, a deeper override with the OPPOSITE polarity, and the root
+    default — so the longest-match semantics actually decide outcomes),
+    then each URL keeps its longest matching rule via max_by. The rule
+    relation is a few rows per domain — broadcast — so the decision is
+    a map-side join + one doc-keyed aggregation at any crawl size."""
+    from ..operators.web import fabricate_robots_rules, robots_match
+
+    c = _canon(spark, sf_dir)
+    rules = fabricate_robots_rules(c.select("domain").distinct())
+    return robots_match(c.select("doc_id", "domain", "path"), rules)
+
+
+@register(
+    "crawl_politeness_schedule",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_ROBOTS_CTES}
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_allowed,
+           CAST(1 + ascii(substring(md5(domain), 1, 1)) % 5 AS BIGINT)
+             AS crawl_delay_s,
+           CAST((1 + ascii(substring(md5(domain), 1, 1)) % 5)
+                * (count(*) - 1) AS BIGINT) AS makespan_s
+    FROM matched WHERE allowed
+    GROUP BY domain
+    """,
+)
+def crawl_politeness_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-domain crawl-frontier schedule over the robots-ALLOWED URLs
+    (composes with `robots_rule_filter`): each domain gets a
+    deterministic crawl-delay (1-5 s, md5-keyed — the politeness budget
+    robots.txt's Crawl-delay would carry) and the resulting makespan
+    delay x (n-1) — the number a frontier scheduler uses to decide how
+    many domains it must interleave to keep fetchers busy. Everything
+    derives from the per-domain allowed histogram: one broadcast rule
+    join + one groupBy, no window."""
+    from ..operators.web import fabricate_robots_rules, robots_match
+
+    c = _canon(spark, sf_dir)
+    rules = fabricate_robots_rules(c.select("domain").distinct())
+    allowed = robots_match(
+        c.select("doc_id", "domain", "path"), rules
+    ).filter(F.col("allowed"))
+    delay = (
+        F.ascii(F.substring(F.md5(F.col("domain")), 1, 1)) % 5 + 1
+    ).cast("long")
+    return allowed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_allowed"),
+        F.any_value(delay).alias("crawl_delay_s"),
+        (F.any_value(delay) * (F.count(F.lit(1)) - 1))
+        .cast("long")
+        .alias("makespan_s"),
     )

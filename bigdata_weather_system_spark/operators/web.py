@@ -162,8 +162,10 @@ def canonicalize_urls(df: DataFrame, url_col: str = "raw_url") -> DataFrame:
         p["scheme"], F.lit("://"), p["host"], p["port_out"], p["path"],
         p["q_out"],
     )
-    return df.withColumn("canonical_url", canonical).withColumn(
-        "domain", p["host"]
+    return (
+        df.withColumn("canonical_url", canonical)
+        .withColumn("domain", p["host"])
+        .withColumn("path", p["path"])
     )
 
 
@@ -282,4 +284,53 @@ def extract_html_text(df: DataFrame, html_col: str = "html") -> DataFrame:
         df.withColumn("title", title)
         .withColumn("n_links", n_links)
         .withColumn("text_clean", body)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robots rules + crawl politeness (frontier policy operators)
+# ---------------------------------------------------------------------------
+
+
+def fabricate_robots_rules(domains: DataFrame) -> DataFrame:
+    """Three closed-form robots rules per domain — a deny-leaning
+    section rule, a deeper override, and the root default — with the
+    section polarity keyed off md5(domain) so both engines derive the
+    same policy:
+
+    - ``/a/``  : allow iff ascii(md5(domain)[0]) is even
+    - ``/a/1`` : the OPPOSITE polarity (deeper prefix overrides)
+    - ``/``    : allow (root default)
+
+    Longest-prefix-match semantics (the Google robots.txt rule); the
+    three prefix lengths are distinct so matches never tie."""
+    d = F.col("domain")
+    sect_allow = F.ascii(F.substring(F.md5(d), 1, 1)) % 2 == 0
+    mk = lambda prefix, allow: domains.select(
+        "domain",
+        F.lit(prefix).alias("path_prefix"),
+        F.length(F.lit(prefix)).alias("prefix_len"),
+        allow.alias("allow"),
+    )
+    return (
+        mk("/a/", sect_allow)
+        .unionByName(mk("/a/1", ~sect_allow))
+        .unionByName(mk("/", F.lit(True)))
+    )
+
+
+def robots_match(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Longest-prefix robots decision per URL: join on domain +
+    prefix-match, keep the longest matching rule (``max_by`` on
+    prefix_len — lengths are distinct per domain by construction, so
+    the argmax is deterministic). The rule relation is tiny relative to
+    the URL corpus (a few rows per domain) — broadcast, so the decision
+    is a map-side join + one aggregation on doc_id at any crawl size.
+    ``urls`` needs columns doc_id, domain, path."""
+    j = urls.join(F.broadcast(rules), "domain").filter(
+        F.col("path").startswith(F.col("path_prefix"))
+    )
+    return j.groupBy("doc_id", "domain", "path").agg(
+        F.max_by("path_prefix", "prefix_len").alias("matched_prefix"),
+        F.max_by("allow", "prefix_len").alias("allowed"),
     )

@@ -169,3 +169,33 @@ def test_html_extract_pinned_and_malformed(spark):
     # the guarantee is non-NULL, not perfection
     assert got["<script>evil("] == "evil("
     assert got[""] == ""
+
+
+def test_robots_longest_prefix_semantics(spark):
+    from bigdata_weather_system_spark.operators.web import (
+        fabricate_robots_rules,
+        robots_match,
+    )
+    import hashlib
+
+    dom = "ex.com"
+    sect_allow = ord(hashlib.md5(dom.encode()).hexdigest()[0]) % 2 == 0
+    urls = spark.createDataFrame(
+        [
+            (1, dom, "/a/9/item"),   # section rule
+            (2, dom, "/a/12/item"),  # deeper override (prefix /a/1)
+            (3, dom, "/other"),      # root default
+            (4, dom, "/"),           # root exactly
+        ],
+        "doc_id long, domain string, path string",
+    )
+    rules = fabricate_robots_rules(urls.select("domain").distinct())
+    got = {r["doc_id"]: r for r in robots_match(urls, rules).collect()}
+    assert got[1]["matched_prefix"] == "/a/"
+    assert got[1]["allowed"] == sect_allow
+    # '/a/12...' matches BOTH '/a/' and '/a/1' -> longest wins, polarity flips
+    assert got[2]["matched_prefix"] == "/a/1"
+    assert got[2]["allowed"] == (not sect_allow)
+    assert got[3]["matched_prefix"] == "/"
+    assert got[3]["allowed"] is True
+    assert got[4]["matched_prefix"] == "/"
