@@ -370,6 +370,7 @@ BENCH_QUERIES = [
     "doc_html_extract",
     "robots_rule_filter",
     "crawl_politeness_schedule",
+    "doc_warc_extract_pipeline",
 ]
 
 

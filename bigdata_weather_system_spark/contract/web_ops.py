@@ -488,3 +488,115 @@ def crawl_politeness_schedule(
         .cast("long")
         .alias("makespan_s"),
     )
+
+
+_PAGES_CTES = r"""
+    h0 AS (
+      SELECT doc_id, source, text,
+        CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || doc_id || ' &amp; notes'
+             ELSE source || ' - doc ' || doc_id END AS title_raw,
+        replace(replace(replace(text, '&', '&amp;'),
+                        '<', '&lt;'), '>', '&gt;') AS esc_text
+      FROM documents
+    ),
+    pages AS (
+      SELECT doc_id,
+        '<!DOCTYPE html><html><head><title>' || title_raw
+        || '</title><script type="text/javascript">var id=' || doc_id
+        || ';track("' || source
+        || '");</script><style>.nav a{color:#00f}</style></head><body>'
+        || '<nav><a href="/">Home</a> <a href="/' || source || '">'
+        || source || '</a></nav>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<aside class="promo">Subscribe to ' || source
+                     || ' updates &amp; offers!</aside>' ELSE '' END
+        || '<div id="main"><h1>Doc ' || doc_id || '</h1>'
+        || CASE WHEN doc_id % 4 = 1
+                THEN '<script>inlineTrack();</script>' ELSE '' END
+        || '<p>' || esc_text || '</p></div><footer>&copy; 2026 ' || source
+        || ' &middot; All rights reserved</footer></body></html>' AS html
+      FROM h0
+    )
+"""
+
+
+@register(
+    "doc_warc_extract_pipeline",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_PAGES_CTES},
+    warc AS (
+      SELECT
+        'WARC/1.0' || e'\\r\\n' || 'WARC-Type: response' || e'\\r\\n'
+        || 'WARC-Record-ID: <urn:doc:' || p.doc_id || '>' || e'\\r\\n'
+        || 'WARC-Target-URI: ' || u.raw_url || e'\\r\\n'
+        || 'Content-Type: text/html' || e'\\r\\n'
+        || 'Content-Length: ' || strlen(p.html) || e'\\r\\n' || e'\\r\\n'
+        || p.html AS warc
+      FROM pages p JOIN urls u USING (doc_id)
+    ),
+    parsed AS (
+      SELECT
+        TRY_CAST(regexp_extract(warc,
+          'WARC-Record-ID: <urn:doc:(\\d+)>', 1) AS BIGINT)
+          AS doc_id_parsed,
+        regexp_extract(warc, 'WARC-Target-URI: ([^\\r\\n]*)', 1)
+          AS target_uri,
+        TRY_CAST(regexp_extract(warc, 'Content-Length: (\\d+)', 1)
+                 AS BIGINT) AS declared_length,
+        regexp_extract(warc, '(?s)\\r\\n\\r\\n(.*)$', 1) AS payload
+      FROM warc
+    ),
+    strip AS (
+      SELECT doc_id_parsed, target_uri, payload,
+        coalesce(strlen(payload) = declared_length, FALSE) AS length_ok,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(payload,
+          '(?s)<head(\\s[^>]*)?>.*?</head>', ' ', 'g'),
+          '(?s)<script(\\s[^>]*)?>.*?</script>', ' ', 'g'),
+          '(?s)<style(\\s[^>]*)?>.*?</style>', ' ', 'g'),
+          '(?s)<nav(\\s[^>]*)?>.*?</nav>', ' ', 'g'),
+          '(?s)<aside(\\s[^>]*)?>.*?</aside>', ' ', 'g'),
+          '(?s)<footer(\\s[^>]*)?>.*?</footer>', ' ', 'g') AS deblocked
+      FROM parsed
+    )
+    SELECT doc_id_parsed, target_uri, length_ok,
+      replace(replace(replace(
+        regexp_extract(payload, '<title>(.*?)</title>', 1),
+        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS title,
+      trim(regexp_replace(
+        replace(replace(replace(
+          regexp_replace(deblocked, '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        '\\s+', ' ', 'g')) AS text_clean
+    FROM strip
+    """,
+)
+def doc_warc_extract_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end raw-web ingestion: WARC record (the CommonCrawl
+    container format — named CRLF headers, octet Content-Length, blank-
+    line separator) -> header walk + payload slice + truncation check ->
+    HTML boilerplate strip -> clean text. Every stage is scan-fused
+    column algebra over the fabricated record text; `length_ok` pins
+    that the declared octet length matches the sliced payload (the
+    check a compliant reader runs before trusting a record — byte
+    semantics matter because the corpus includes multibyte zh text).
+    Composes `fabricate_warc_records`/`parse_warc_records` with
+    `extract_html_text` (`operators/web.py`); the oracle replays the
+    full generator + reader chain."""
+    from ..operators.web import (
+        fabricate_warc_records,
+        parse_warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pages = fabricate_doc_html(fabricate_doc_urls(docs))
+    warc = fabricate_warc_records(pages).select("warc")
+    parsed = parse_warc_records(warc)
+    return extract_html_text(parsed, html_col="payload").select(
+        "doc_id_parsed", "target_uri", "length_ok", "title", "text_clean"
+    )

@@ -334,3 +334,66 @@ def robots_match(urls: DataFrame, rules: DataFrame) -> DataFrame:
         F.max_by("path_prefix", "prefix_len").alias("matched_prefix"),
         F.max_by("allow", "prefix_len").alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC records (the CommonCrawl container format of a raw-web pipeline)
+# ---------------------------------------------------------------------------
+
+
+def fabricate_warc_records(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+    url_col: str = "raw_url",
+) -> DataFrame:
+    """One WARC/1.0 response record per document wrapping the fabricated
+    HTML payload — named headers, CRLF line ends, blank-line separator,
+    Content-Length in OCTETS (the field a compliant reader trusts to
+    slice the payload). Closed-form, so the oracle regenerates the exact
+    record text."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "),
+        F.lit("<urn:doc:"),
+        F.col(id_col).cast("string"),
+        F.lit(">\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length(F.col(html_col)).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(html_col),
+    )
+    return df.withColumn("warc", rec)
+
+
+def parse_warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """Header-walk a WARC response record with column algebra: record id
+    (doc id), target URI, declared Content-Length, the payload after the
+    first blank line, and ``length_ok`` (declared octets == actual —
+    the truncation check a crawl reader runs before trusting a record).
+    Pure regexp/substring expressions — scan-fused, no UDF; malformed
+    records yield empty fields and length_ok = false rather than
+    failing the batch."""
+    w = F.col(warc_col)
+    # try_cast: malformed records extract '' and ANSI cast would throw —
+    # a crawl reader degrades to NULL, it never fails the batch
+    doc_id = F.regexp_extract(
+        w, r"WARC-Record-ID: <urn:doc:(\d+)>", 1
+    ).try_cast("long")
+    uri = F.regexp_extract(w, r"WARC-Target-URI: ([^\r\n]*)", 1)
+    declared = F.regexp_extract(w, r"Content-Length: (\d+)", 1).try_cast(
+        "long"
+    )
+    payload = F.regexp_extract(w, r"(?s)\r\n\r\n(.*)$", 1)
+    return (
+        df.withColumn("doc_id_parsed", doc_id)
+        .withColumn("target_uri", uri)
+        .withColumn("declared_length", declared)
+        .withColumn("payload", payload)
+        .withColumn(
+            "length_ok",
+            F.coalesce(
+                F.octet_length(F.col("payload"))
+                == F.col("declared_length"),
+                F.lit(False),
+            ),
+        )
+    )

@@ -199,3 +199,45 @@ def test_robots_longest_prefix_semantics(spark):
     assert got[3]["matched_prefix"] == "/"
     assert got[3]["allowed"] is True
     assert got[4]["matched_prefix"] == "/"
+
+
+def test_warc_roundtrip_and_truncation(spark):
+    from bigdata_weather_system_spark.operators.web import (
+        fabricate_doc_html,
+        fabricate_doc_urls,
+        fabricate_warc_records,
+        parse_warc_records,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "seven words here", "srcA"), (8, "中文 text ユニ", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    warc = fabricate_warc_records(
+        fabricate_doc_html(fabricate_doc_urls(df))
+    )
+    out = {
+        r["doc_id_parsed"]: r
+        for r in parse_warc_records(warc.select("warc")).collect()
+    }
+    html = {r["doc_id"]: r["html"] for r in warc.collect()}
+    urls = {r["doc_id"]: r["raw_url"] for r in warc.collect()}
+    for d in (7, 8):
+        assert out[d]["payload"] == html[d]
+        assert out[d]["target_uri"] == urls[d]
+        # octet semantics: doc 8 is multibyte — length_ok must still
+        # hold because BOTH sides count bytes, not characters
+        assert out[d]["length_ok"] is True
+        assert out[d]["declared_length"] == len(html[d].encode("utf-8"))
+        assert out[d]["declared_length"] != len(html[d]) or d == 7
+
+    # a truncated record (network cut mid-payload) must parse with
+    # length_ok = False, never throw or go NULL on the header fields
+    t = warc.select("warc").collect()[0]["warc"][:-10]
+    bad = spark.createDataFrame([(t,), ("not a warc",)], "warc string")
+    rows = {r["warc"]: r for r in parse_warc_records(bad).collect()}
+    assert rows[t]["length_ok"] is False
+    assert rows[t]["target_uri"] != ""
+    nw = rows["not a warc"]
+    assert nw["length_ok"] is False
+    assert nw["doc_id_parsed"] is None
