@@ -371,6 +371,7 @@ BENCH_QUERIES = [
     "robots_rule_filter",
     "crawl_politeness_schedule",
     "doc_warc_extract_pipeline",
+    "domain_grouped_split",
 ]
 
 

@@ -600,3 +600,70 @@ def doc_warc_extract_pipeline(
     return extract_html_text(parsed, html_col="payload").select(
         "doc_id_parsed", "target_uri", "length_ok", "title", "text_clean"
     )
+
+
+@register(
+    "domain_grouped_split",
+    oracle=f"""
+    WITH {_URL_CTES},
+    assigned AS (
+      SELECT doc_id, domain,
+             CASE WHEN CAST(('0x' || substring(md5(domain), 1, 15))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(domain), 1, 15))
+                       AS BIGINT) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM canon
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+           CAST((SELECT count(*) FROM (
+              SELECT domain FROM assigned
+              GROUP BY domain HAVING count(DISTINCT split) > 1))
+             AS BIGINT) AS n_leaky_domains
+    FROM assigned GROUP BY split
+    """,
+)
+def domain_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/valid/test split: the bucket is keyed on the
+    DOMAIN hash, not the document, so every page of a site lands in one
+    split — the guard against near-duplicate boilerplate from one
+    domain straddling train and test (the content-hash split
+    `doc_train_test_split` can't prevent that; template pages differ by
+    a few tokens). Emits per-split doc/domain counts plus
+    n_leaky_domains, the self-audit that MUST be 0 by construction —
+    a grouped split that reports nonzero here is broken. One narrow
+    projection + two aggregations on the domain key."""
+    c = _canon(spark, sf_dir).select("doc_id", "domain")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = c.withColumn(
+        "split",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test"),
+    )
+    leaky = (
+        assigned.groupBy("domain")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("domain").alias("n_domains"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select(
+            "split",
+            "n_docs",
+            "n_domains",
+            F.col("n_leaky").cast("long").alias("n_leaky_domains"),
+        )
+    )
