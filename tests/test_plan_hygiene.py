@@ -533,3 +533,49 @@ def test_lsh_planner_scans_nothing(spark):
     plan = plan_of(spark, "lsh_parameter_planner")
     assert "FileScan" not in plan and "Scan parquet" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_url_canonicalize_is_scan_fused(spark):
+    """URL canonicalization must be a pure map stage — regexp/array
+    column algebra fused into the parquet scan: no Exchange, no Python
+    evaluation, and only the two needed columns read."""
+    plan = plan_of(spark, "doc_url_canonicalize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan and "n_chars" not in scan
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """rank <= K per domain must prune partitions to K rows BEFORE the
+    window sort (WindowGroupLimit), so a hot domain never materializes
+    its full posting list."""
+    plan = plan_of(spark, "domain_cap_survivors")
+    assert "WindowGroupLimit" in plan
+
+
+def test_domain_concentration_has_no_global_sort_window(spark):
+    """The Gini rank must ride the range-partition + offsets pattern:
+    global-ordering windows (empty partitionBy over data-sized input)
+    appear only above the checkpointed P-row relations, and top-k share
+    is TakeOrderedAndProject, never a full sort."""
+    plan = plan_of(spark, "domain_concentration_metrics")
+    assert "TakeOrderedAndProject" in plan
+    # the only windows run over checkpoint scans (ExistingRDD), whose
+    # cardinality is P (offsets) / n_domains-per-range-partition; the
+    # range exchange itself ran at checkpoint build time
+    assert "Scan ExistingRDD" in plan
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    plan = plan_of(spark, "robots_rule_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_warc_pipeline_is_scan_fused(spark):
+    """WARC wrap -> parse -> HTML strip is one map chain: no Exchange at
+    all (the whole pipeline is per-row string algebra)."""
+    plan = plan_of(spark, "doc_warc_extract_pipeline")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
