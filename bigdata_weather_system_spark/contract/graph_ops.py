@@ -123,7 +123,12 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one shuffle; degree and edge relations are cached across
     iterations."""
     edges = shared_copurchase_edges(spark, sf_dir)
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    # Checkpoint the converged ranks: both the broadcast node count and
+    # the result projection read them — without pinning, the 3-iteration
+    # join+agg chain is evaluated TWICE (once per consumer).
+    ranks = pagerank(edges, iterations=3, damping=0.85).localCheckpoint(
+        eager=True
+    )
     n = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return ranks.crossJoin(F.broadcast(n)).select(
         "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")

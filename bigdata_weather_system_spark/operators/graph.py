@@ -516,6 +516,11 @@ def fm_neighborhood_sizes(
                 .bitwiseOR(F.coalesce(F.col("nmask"), F.lit(0)))
                 .alias("mask"),
             )
+            # Per-round lineage cut (same discipline as BFS): each round
+            # reads the previous register table TWICE (neighbor join +
+            # self merge) — uncut, round k re-evaluates round k-1 twice,
+            # i.e. ~2^rounds evaluations of the whole chain.
+            .localCheckpoint(eager=True)
         )
     # Lowest zero bit of mask, isolated as a power of two: ~mask & (mask+1).
     lzb = F.bitwise_not(F.col("mask")).bitwiseAND(F.col("mask") + F.lit(1))

@@ -68,6 +68,9 @@ SHOWCASE = [
     ("lsh_parameter_planner", "banding S-curve planner: closed-form literal folds, zero scans"),
     ("token_heavy_hitters_mg", "Misra-Gries: k counters per partition in one Arrow pass, parallelism-bounded merge"),
     ("embedding_silhouette_by_label", "centroid silhouette: broadcast labels-x-dims centroids, point-x-centroid only"),
+    ("doc_warc_extract_pipeline", "raw-web ingestion WARC->HTML->text: one zero-Exchange scan-fused string-algebra map chain"),
+    ("domain_cap_survivors", "per-domain cap: WindowGroupLimit prunes each partition to K rows before the window sort"),
+    ("domain_concentration_metrics", "domain gini/HHI: checkpointed range-partition ranks + TakeOrderedAndProject shares, no global-sort window"),
 ]
 
 HEADER = """# PLANS — executed physical plans (flagship queries)
