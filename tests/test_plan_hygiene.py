@@ -539,6 +539,9 @@ def test_url_canonicalize_is_scan_fused(spark):
     """URL canonicalization must be a pure map stage — regexp/array
     column algebra fused into the parquet scan: no Exchange, no Python
     evaluation, and only the two needed columns read."""
+    # other modules may have cached the documents table (module-scoped
+    # fixtures) — drop it so the plan shows the real parquet scan
+    spark.catalog.clearCache()
     plan = plan_of(spark, "doc_url_canonicalize")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
