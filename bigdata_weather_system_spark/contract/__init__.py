@@ -31,5 +31,6 @@ from . import diagnostics_ops  # noqa: F401, E402
 from . import labeling_ops  # noqa: F401, E402
 from . import training_ops  # noqa: F401, E402
 from . import web_ops  # noqa: F401, E402
+from . import curation_ops  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES", "register", "queries", "oracle_sql"]
