@@ -437,14 +437,21 @@ def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
         if queries:
             return n, queries
 
-    rounds = _rounds_of(r"BENCH_r{N}\.json")
-    if not rounds:
-        return None, {}
-    n, path = rounds[-1]
-    try:
-        with open(path) as f:
-            data = json.load(f)
-        queries = {}
+    # Same guards as the BENCHFULL path (a run of THIS round is not a
+    # baseline; a snapshot at another scale factor is not comparable) —
+    # the fallback previously skipped both, so an iteration run could
+    # baseline against its own round's tail or an sf0.01 run against an
+    # sf0.1 tail.
+    for n, path in reversed(_rounds_of(r"BENCH_r{N}\.json")):
+        if n >= live:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        queries: dict[str, float] = {}
+        payload_sf = data.get("sf")
         if isinstance(data.get("queries"), dict):
             queries = {k: float(v) for k, v in data["queries"].items()}
         elif isinstance(data.get("tail"), str):
@@ -465,9 +472,13 @@ def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
                     queries.update(
                         {k: float(v) for k, v in obj["queries"].items()}
                     )
-        return n, queries
-    except (OSError, ValueError):
-        return None, {}
+                    if payload_sf is None:
+                        payload_sf = obj.get("sf")
+        if sf is not None and payload_sf is not None and payload_sf != sf:
+            continue
+        if queries:
+            return n, queries
+    return None, {}
 
 
 #: Flag a query only when it is BOTH >1.5x slower and >0.5s absolute worse —

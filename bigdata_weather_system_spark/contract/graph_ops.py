@@ -68,8 +68,12 @@ def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clear_shared_edges() -> None:
-    """Explicit end-of-family drop (bench/parity sweeps call this after
-    the last graph query; tests call it when swapping datasets)."""
+    """Explicit end-of-family drop — bench.py, run_parity.py, and
+    scale_bench.py call this after their sweeps. The memo key is
+    ``(appId, sf_dir)`` with NO data fingerprint: any caller that
+    rewrites lineitem data in place at a previously-used path within
+    one session must call this first or it will read stale checkpointed
+    edges."""
     _EDGE_MEMO.clear()
 
 _PR_STEP = """

@@ -64,9 +64,9 @@ _URL_CTES = r"""
         coalesce(regexp_extract(raw_url,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
           AS rawpath,
-        -- DuckDB regexp_extract yields NULL (not '') when the pattern
-        -- has no match — Spark yields '' — so URLs without a query
-        -- string must coalesce or the whole concat goes NULL
+        -- DuckDB regexp_extract returns '' on no match (same as Spark);
+        -- the coalesce is belt-and-braces only. The REAL NULL hazard in
+        -- this oracle is array_to_string([]) below.
         coalesce(regexp_extract(raw_url, '\?([^#]*)', 1), '') AS rawq
       FROM urls
     ),
@@ -92,9 +92,9 @@ _URL_CTES = r"""
           AS canonical_url
       FROM (
         SELECT *,
-          -- DuckDB array_to_string(empty list) is NULL, not '' — every
-          -- tracker-only or query-less URL needs the coalesce or the
-          -- whole canonical concat goes NULL
+          -- DuckDB array_to_string(empty list) IS NULL (verified), not
+          -- '' — every tracker-only or query-less URL needs this
+          -- coalesce or the whole canonical concat goes NULL
           coalesce(array_to_string(list_sort(list_filter(
             str_split(rawq, '&'),
             x -> x <> '' AND NOT regexp_matches(x,
@@ -324,10 +324,12 @@ def url_tracking_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_html_extract",
-    oracle=r"""
-    WITH h0 AS (
+#: DuckDB twin of `operators/web.fabricate_doc_html` — ONE copy, shared
+#: by both oracles that replay the page generator (`doc_html_extract`,
+#: `doc_warc_extract_pipeline`), so the generator can never drift
+#: between them.
+_PAGES_CTES = r"""
+    h0 AS (
       SELECT doc_id, source, text,
         CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || doc_id || ' &amp; notes'
              ELSE source || ' - doc ' || doc_id END AS title_raw,
@@ -352,29 +354,57 @@ def url_tracking_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         || '<p>' || esc_text || '</p></div><footer>&copy; 2026 ' || source
         || ' &middot; All rights reserved</footer></body></html>' AS html
       FROM h0
-    ),
+    )
+"""
+
+
+def _strip_blocks_sql(col: str) -> str:
+    """SQL for the boilerplate block drop (DuckDB twin of
+    `operators/web.extract_html_text`'s block pass): nest one
+    regexp_replace per dropped tag, innermost first — shared by both
+    HTML-consuming oracles so the strip chain cannot drift."""
+    out = col
+    for tag in ("head", "script", "style", "nav", "aside", "footer"):
+        out = (
+            f"regexp_replace({out}, "
+            f"'(?s)<{tag}(\\s[^>]*)?>.*?</{tag}>', ' ', 'g')"
+        )
+    return out
+
+
+def _decode_entities_sql(col: str) -> str:
+    return (
+        f"replace(replace(replace({col}, "
+        "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    )
+
+
+def _clean_text_sql(deblocked: str) -> str:
+    """Tag strip → entity decode → whitespace normalize → trim."""
+    tagless = f"regexp_replace({deblocked}, '<[^>]*>', ' ', 'g')"
+    return (
+        f"trim(regexp_replace({_decode_entities_sql(tagless)}, "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+_TITLE_SQL = _decode_entities_sql(
+    "regexp_extract({src}, '<title>(.*?)</title>', 1)"
+)
+
+
+@register(
+    "doc_html_extract",
+    oracle=f"""
+    WITH {_PAGES_CTES},
     strip AS (
-      SELECT doc_id, html,
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(html,
-          '(?s)<head(\s[^>]*)?>.*?</head>', ' ', 'g'),
-          '(?s)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
-          '(?s)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
-          '(?s)<nav(\s[^>]*)?>.*?</nav>', ' ', 'g'),
-          '(?s)<aside(\s[^>]*)?>.*?</aside>', ' ', 'g'),
-          '(?s)<footer(\s[^>]*)?>.*?</footer>', ' ', 'g') AS deblocked
+      SELECT doc_id, html, {_strip_blocks_sql('html')} AS deblocked
       FROM pages
     )
     SELECT doc_id,
-      replace(replace(replace(
-        regexp_extract(html, '<title>(.*?)</title>', 1),
-        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS title,
-      CAST(len(regexp_extract_all(html, '<a\s')) AS BIGINT) AS n_links,
-      trim(regexp_replace(
-        replace(replace(replace(
-          regexp_replace(deblocked, '<[^>]*>', ' ', 'g'),
-          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
-        '\s+', ' ', 'g')) AS text_clean
+      {_TITLE_SQL.format(src='html')} AS title,
+      CAST(len(regexp_extract_all(html, '<a\\s')) AS BIGINT) AS n_links,
+      {_clean_text_sql('deblocked')} AS text_clean
     FROM strip
     """,
 )
@@ -490,36 +520,6 @@ def crawl_politeness_schedule(
     )
 
 
-_PAGES_CTES = r"""
-    h0 AS (
-      SELECT doc_id, source, text,
-        CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || doc_id || ' &amp; notes'
-             ELSE source || ' - doc ' || doc_id END AS title_raw,
-        replace(replace(replace(text, '&', '&amp;'),
-                        '<', '&lt;'), '>', '&gt;') AS esc_text
-      FROM documents
-    ),
-    pages AS (
-      SELECT doc_id,
-        '<!DOCTYPE html><html><head><title>' || title_raw
-        || '</title><script type="text/javascript">var id=' || doc_id
-        || ';track("' || source
-        || '");</script><style>.nav a{color:#00f}</style></head><body>'
-        || '<nav><a href="/">Home</a> <a href="/' || source || '">'
-        || source || '</a></nav>'
-        || CASE WHEN doc_id % 3 = 0
-                THEN '<aside class="promo">Subscribe to ' || source
-                     || ' updates &amp; offers!</aside>' ELSE '' END
-        || '<div id="main"><h1>Doc ' || doc_id || '</h1>'
-        || CASE WHEN doc_id % 4 = 1
-                THEN '<script>inlineTrack();</script>' ELSE '' END
-        || '<p>' || esc_text || '</p></div><footer>&copy; 2026 ' || source
-        || ' &middot; All rights reserved</footer></body></html>' AS html
-      FROM h0
-    )
-"""
-
-
 @register(
     "doc_warc_extract_pipeline",
     oracle=f"""
@@ -550,25 +550,12 @@ _PAGES_CTES = r"""
     strip AS (
       SELECT doc_id_parsed, target_uri, payload,
         coalesce(strlen(payload) = declared_length, FALSE) AS length_ok,
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(payload,
-          '(?s)<head(\\s[^>]*)?>.*?</head>', ' ', 'g'),
-          '(?s)<script(\\s[^>]*)?>.*?</script>', ' ', 'g'),
-          '(?s)<style(\\s[^>]*)?>.*?</style>', ' ', 'g'),
-          '(?s)<nav(\\s[^>]*)?>.*?</nav>', ' ', 'g'),
-          '(?s)<aside(\\s[^>]*)?>.*?</aside>', ' ', 'g'),
-          '(?s)<footer(\\s[^>]*)?>.*?</footer>', ' ', 'g') AS deblocked
+        {_strip_blocks_sql('payload')} AS deblocked
       FROM parsed
     )
     SELECT doc_id_parsed, target_uri, length_ok,
-      replace(replace(replace(
-        regexp_extract(payload, '<title>(.*?)</title>', 1),
-        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS title,
-      trim(regexp_replace(
-        replace(replace(replace(
-          regexp_replace(deblocked, '<[^>]*>', ' ', 'g'),
-          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
-        '\\s+', ' ', 'g')) AS text_clean
+      {_TITLE_SQL.format(src='payload')} AS title,
+      {_clean_text_sql('deblocked')} AS text_clean
     FROM strip
     """,
 )

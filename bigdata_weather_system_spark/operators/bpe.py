@@ -162,7 +162,6 @@ def bpe_train(
     # evidence cost 531 jobs vs the sequential loop's 270; overlap
     # precheck + this throttle lands at ~345 while keeping full batches
     # on symbol-disjoint vocabularies.
-    reject_streak = 0
     probe_cooldown = 0
     while len(merges) < n_merges:
         n_sym = F.size("syms")
@@ -288,14 +287,10 @@ def bpe_train(
         accepted = _batch_accept(
             cand if run_evidence else cand[:1], peaks, colliding
         )
-        if run_evidence:
-            if len(accepted) == 1:
-                reject_streak += 1
-                if reject_streak >= 1:
-                    probe_cooldown = 8
-                    reject_streak = 0
-            else:
-                reject_streak = 0
+        if run_evidence and len(accepted) == 1:
+            # evidence round degenerated to the sequential top-1 —
+            # back off before paying for evidence again
+            probe_cooldown = 8
         for a, b, n in accepted:
             merges.append((len(merges) + 1, a, b, n))
             # rank-order application — identical to the sequential loop

@@ -84,3 +84,36 @@ def test_tail_fallback_only_when_no_archive(tmp_path):
     bench = _load_bench(root)
     n, prev = bench.previous_round_queries(0.1)
     assert (n, prev) == (4, {"a": 0.5})
+
+
+def test_tail_fallback_skips_live_round_artifact(tmp_path):
+    """A bench run after the driver writes BENCH_r5.json but before
+    CORRECTNESS_r05.json must not baseline round 5 against its own
+    tail — same guard as the BENCHFULL path."""
+    root = str(tmp_path)
+    _write(root, "CORRECTNESS_r04.json", {})  # live round = 5
+    _write(root, "BENCH_r5.json", {"tail": json.dumps({"q": "x", "sec": 9.0})})
+    _write(root, "BENCH_r4.json", {"tail": json.dumps({"q": "a", "sec": 0.5})})
+    bench = _load_bench(root)
+    n, prev = bench.previous_round_queries(0.1)
+    assert (n, prev) == (4, {"a": 0.5})
+
+
+def test_tail_fallback_skips_mismatched_sf(tmp_path):
+    """An sf0.01 iteration run must not embed a prev_total harvested
+    from an sf0.1 tail: the summary object inside the tail carries the
+    scale factor and a mismatch skips the artifact."""
+    root = str(tmp_path)
+    _write(root, "CORRECTNESS_r04.json", {})
+    tail = "\n".join(
+        [
+            json.dumps({"q": "a", "sec": 0.5}),
+            json.dumps({"metric": "m", "sf": 0.1, "queries": {"a": 0.5}}),
+        ]
+    )
+    _write(root, "BENCH_r4.json", {"tail": tail})
+    bench = _load_bench(root)
+    assert bench.previous_round_queries(0.01) == (None, {})
+    # at the matching scale the same artifact IS usable
+    n, prev = bench.previous_round_queries(0.1)
+    assert (n, prev) == (4, {"a": 0.5})
