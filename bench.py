@@ -373,7 +373,6 @@ BENCH_QUERIES = [
     "doc_warc_extract_pipeline",
     "domain_grouped_split",
     # corpus curation wave 2 (round 5)
-    "pii_redaction_report",
     "doc_line_dedup",
     "dsir_importance_weights",
     "lang_unimax_allocation",

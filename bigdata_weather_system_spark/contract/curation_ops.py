@@ -1,11 +1,10 @@
-"""Contract queries: corpus curation wave 2 (round 5) — PII redaction,
-CCNet line dedup, DSIR importance weights, UniMax budget allocation.
+"""Contract queries: corpus curation wave 2 (round 5) — CCNet line
+dedup, DSIR importance weights, UniMax budget allocation.
 
 Between raw web extraction (web_ops) and tokenization (the BPE family),
 a training corpus runs exactly these passes; each is registered with a
-full DuckDB oracle (the PII text is fabricated closed-form so the
-redactor is verified end to end, the fabricate→operate discipline of
-the media/URL families).
+full DuckDB oracle. (PII scrubbing is already covered by cleaning_ops'
+``doc_pii_redaction``.)
 """
 
 from __future__ import annotations
@@ -14,13 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .core import register, _t
 from ..operators.curation import (
-    EMAIL_RE,
-    IP_RE,
-    PHONE_RE,
     dsir_logweights,
-    fabricate_doc_pii,
     line_dedup,
-    redact_pii,
     unimax_allocation,
 )
 
@@ -28,78 +22,6 @@ from ..operators.curation import (
 _TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
-
-#: DuckDB twin of ``operators.curation.fabricate_doc_pii``.
-_PII_CTE = """
-    pii AS (
-      SELECT doc_id,
-        text
-        || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
-        || CASE WHEN doc_id % 2 = 0
-                THEN ' or admin' || CAST(doc_id % 50 AS VARCHAR)
-                     || '@corp.example.org' ELSE '' END
-        || CASE WHEN doc_id % 3 = 0
-                THEN ' call +1-555-'
-                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                ELSE '' END
-        || CASE WHEN doc_id % 5 = 0
-                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-                     || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
-          AS text
-      FROM documents
-    )
-"""
-
-
-@register(
-    "pii_redaction_report",
-    oracle=f"""
-    WITH {_PII_CTE},
-    r1 AS (
-      SELECT doc_id, text,
-             CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
-               AS n_emails,
-             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
-      FROM pii
-    ),
-    r2 AS (
-      SELECT doc_id, n_emails,
-             CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT)
-               AS n_phones,
-             regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
-      FROM r1
-    ),
-    r3 AS (
-      SELECT doc_id, n_emails, n_phones,
-             CAST(len(regexp_extract_all(t2, '{IP_RE}')) AS BIGINT) AS n_ips,
-             regexp_replace(t2, '{IP_RE}', '<IP>', 'g') AS t3
-      FROM r2
-    )
-    SELECT doc_id, n_emails, n_phones, n_ips,
-           CAST(length(t3) AS BIGINT) AS clean_len,
-           md5(t3) AS redacted_md5
-    FROM r3
-    """,
-)
-def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass: fabricate deterministic emails/phones/IPs into
-    every document (closed-form from ``doc_id``), then count and redact
-    them in email → phone → IP order. The md5 of the fully redacted
-    string is hash-checked against the oracle, so both the counts AND
-    the byte-exact replacement output are verified.
-
-    Plan shape: one projection — ``regexp_count``/``regexp_replace``
-    column algebra, whole-stage-codegen'd, per-row linear at 100 TB."""
-    d = fabricate_doc_pii(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    r = redact_pii(d)
-    return r.select(
-        "doc_id",
-        F.col("n_emails").cast("long").alias("n_emails"),
-        F.col("n_phones").cast("long").alias("n_phones"),
-        F.col("n_ips").cast("long").alias("n_ips"),
-        F.length("text").cast("long").alias("clean_len"),
-        F.md5("text").alias("redacted_md5"),
-    )
 
 
 @register(

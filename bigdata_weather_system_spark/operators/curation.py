@@ -5,13 +5,6 @@ token-budget allocation.
 These are the curation passes a 100 TB training corpus runs between raw
 extraction (the web/WARC family) and tokenization (the BPE family):
 
-- **PII redaction** — regex scrubbing of emails/phones/IPs before any
-  text ships to training (reference scope: the reference pipeline stores
-  raw API payloads with no scrubbing pass; this is the standard gap a
-  production corpus closes first). Pure ``regexp_replace`` column
-  algebra; the patterns are written to the common subset of Java regex
-  (Spark) and RE2 (DuckDB oracle): character classes only, no
-  lookaround, no backreferences.
 - **Line dedup** — CCNet's (Wenzek et al., LREC 2020) corpus-level
   duplicated-line removal: hash every line across the whole corpus,
   keep the first occurrence (smallest ``(doc_id, line_no)``), drop the
@@ -34,8 +27,11 @@ extraction (the web/WARC family) and tokenization (the BPE family):
   over a per-language relation that is orders of magnitude smaller than
   the corpus.
 
-Scale notes (100 TB): PII redaction and line segmentation are per-row
-linear, whole-stage-codegen'd. Line dedup shuffles once on line content
+(PII scrubbing already lives in ``operators/cleaning.py`` —
+``redact_pii`` / ``pii_counts``, contract query ``doc_pii_redaction``.)
+
+Scale notes (100 TB): line segmentation is per-row linear,
+whole-stage-codegen'd. Line dedup shuffles once on line content
 (the same key the groupBy would use); the reassembly groupBy shuffles on
 ``doc_id``. DSIR explodes tokens but aggregates them immediately to
 ``(doc_id, bucket)`` — map-side partial aggregation collapses the
@@ -48,57 +44,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
-
-#: Portable regexes (Java ∩ RE2): classes + bounded quantifiers only.
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+1-555-[0-9]{4}"
-IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-
-
-def fabricate_doc_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append deterministic PII spans to every document (closed-form from
-    ``doc_id``, the fabricate→operate discipline of the media/URL
-    families): every doc gets one email, half get a second, every third
-    a phone, every fifth an IP. The DuckDB oracle regenerates the
-    identical strings, so the redactor is verified end to end."""
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    pii = F.concat(
-        F.col(text_col),
-        F.lit(" contact user"),
-        s(did),
-        F.lit("@mail.example.com"),
-        F.when(
-            did % 2 == 0,
-            F.concat(F.lit(" or admin"), s(did % 50), F.lit("@corp.example.org")),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 3 == 0,
-            F.concat(F.lit(" call +1-555-"), F.lpad(s(did % 10000), 4, "0")),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 5 == 0,
-            F.concat(
-                F.lit(" from 10.0."), s(did % 256), F.lit("."), s((did * 7) % 256)
-            ),
-        ).otherwise(F.lit("")),
-    )
-    return df.withColumn(text_col, pii)
-
-
-def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Count and redact emails → phones → IPs (that order: the email
-    pattern can span host-like dotted substrings, so it must consume its
-    text before the IP pattern sees it). Adds ``n_emails``/``n_phones``/
-    ``n_ips`` and replaces ``text_col`` with the redacted string."""
-    t = F.col(text_col)
-    out = df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)))
-    r = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    out = out.withColumn("n_phones", F.regexp_count(r, F.lit(PHONE_RE)))
-    r = F.regexp_replace(r, PHONE_RE, "<PHONE>")
-    out = out.withColumn("n_ips", F.regexp_count(r, F.lit(IP_RE)))
-    r = F.regexp_replace(r, IP_RE, "<IP>")
-    return out.withColumn(text_col, r)
 
 
 def doc_lines(

@@ -1,5 +1,6 @@
-"""Corpus-curation wave 2: PII redaction, CCNet line dedup, DSIR,
-UniMax allocation — unit pins beyond the oracle parity harness."""
+"""Corpus-curation wave 2: CCNet line dedup, DSIR, UniMax allocation —
+unit pins beyond the oracle parity harness. (PII redaction is covered
+by the cleaning family's tests.)"""
 
 from __future__ import annotations
 
@@ -10,37 +11,8 @@ from pyspark.sql import functions as F
 from bigdata_weather_system_spark.operators.curation import (
     dsir_logweights,
     line_dedup,
-    redact_pii,
     unimax_allocation,
 )
-
-
-def test_redact_pii_counts_and_exact_output(spark):
-    df = spark.createDataFrame(
-        [
-            (1, "mail a@b.com and c.d+x@e.org call +1-555-0042 ip 10.0.3.4"),
-            (2, "no pii at all"),
-            (3, "10.0.0.1 10.0.0.2 +1-555-9999"),
-        ],
-        "doc_id long, text string",
-    )
-    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
-    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (
-        2,
-        1,
-        1,
-    )
-    assert rows[1]["text"] == (
-        "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP>"
-    )
-    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (
-        0,
-        0,
-        0,
-    )
-    assert rows[2]["text"] == "no pii at all"
-    assert (rows[3]["n_ips"], rows[3]["n_phones"]) == (2, 1)
-    assert rows[3]["text"] == "<IP> <IP> <PHONE>"
 
 
 def test_line_dedup_keeps_first_corpus_occurrence(spark):
