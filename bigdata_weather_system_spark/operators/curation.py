@@ -77,18 +77,30 @@ def line_dedup(
     dropped. Returns one row per document: total and kept line counts
     plus the md5 of the reassembled (newline-joined) kept text.
 
-    Plan: one shuffle keyed on line content (the window), one on
-    ``doc_id`` (the reassembly) — both on the natural keys; nothing
-    quadratic, no driver-side state."""
+    Plan: first occurrence per line via ``groupBy(line).agg(min(struct))``
+    — a COMBINABLE aggregate, so every copy of a hot boilerplate line
+    (the exact thing CCNet dedup targets) collapses map-side to one
+    partial per partition before the exchange, where the previous
+    ``row_number`` window had to ship every copy to a single reducer.
+    The join-back on ``line`` is skew-splittable by AQE (the first-
+    occurrence side carries ONE row per distinct line), which a window
+    partition never is. Reassembly groupBy shuffles on ``doc_id``.
+    Nothing quadratic, no driver-side state."""
     lines = doc_lines(df, text_col, tokens_per_line)
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    rk = lines.withColumn("rn", F.row_number().over(w))
+    first = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("_first")
+    )
+    rk = lines.join(first, "line").withColumn(
+        "_is_first",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("line_no") == F.col("_first.line_no")),
+    )
     kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("line_no"), F.col("line"))
+        F.col("_is_first"), F.struct(F.col("line_no"), F.col("line"))
     )
     return rk.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("_is_first"), 1).otherwise(0))
         .cast("long")
         .alias("kept_lines"),
         F.md5(
@@ -129,10 +141,13 @@ def dsir_logweights(
     ``n_buckets`` terms), final round to 6 — bit-identical fold inputs
     and order, so the engines agree exactly.
 
-    Scale: the token explosion collapses map-side into ``(doc_id,
-    bucket)`` partial counts before any exchange; the λ model is
-    ``n_buckets`` rows, broadcast. Nothing grows faster than the token
-    count."""
+    Scale: the token explosion is scanned ONCE — it collapses map-side
+    into ``(doc_id, is_target, bucket)`` partial counts before any
+    exchange, and both the per-bucket λ model inputs (``r_b``, ``t_b``)
+    and the per-doc term relation derive from that one aggregate, so
+    tokenize+md5+explode never runs twice over the corpus. The λ model
+    is ``n_buckets`` rows, broadcast. Nothing grows faster than the
+    token count."""
     bkt = df.select(
         "doc_id",
         target.alias("is_target"),
@@ -140,9 +155,17 @@ def dsir_logweights(
     ).select(
         "doc_id", "is_target", _md5_bucket(F.col("tok"), n_buckets).alias("bucket")
     )
-    cnt = bkt.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_b"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),
+    # ONE aggregation over the explosion; is_target is constant per doc,
+    # so (doc_id, is_target, bucket) has the same cardinality as
+    # (doc_id, bucket) and map-side combine still collapses the tokens.
+    dbk = bkt.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnt = dbk.groupBy("bucket").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "t_b"
+        ),
     )
     tot = cnt.agg(
         F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
@@ -156,7 +179,6 @@ def dsir_logweights(
             9,
         ).alias("lam"),
     )
-    dbk = bkt.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
     term = dbk.join(F.broadcast(lam), "bucket").select(
         "doc_id", "c", F.struct("bucket", (F.col("c") * F.col("lam")).alias("term")).alias("bt")
     )
