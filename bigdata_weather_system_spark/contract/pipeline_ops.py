@@ -459,8 +459,9 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully distributed: instead of `percentile(value, q, freq)` — whose
     final aggregation buffers the whole value histogram in ONE task, an
     O(NDV) single-reducer state for near-unique columns like
-    l_extendedprice — the plan range-partitions the histogram by value,
-    builds a global prefix-sum of frequencies (per-range-partition window
+    l_extendedprice — the plan buckets the histogram by a deterministic
+    monotone function of the value (floor((v-min)/span*P)),
+    builds a global prefix-sum of frequencies (per-bucket window
     + a P-row partition-offset relation, P = shuffle parallelism, never
     data-sized), and reads each quantile's bracketing values with plain
     partial-aggregating MAX(CASE) passes. Largest per-task state is one
@@ -468,128 +469,144 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100× scale-up; the only single-task window runs over the P-row
     offsets relation."""
     li = _t(spark, sf_dir, "lineitem")
-
-    def column_stats(c):
-        """All stats for one column from its VALUE HISTOGRAM: groupBy the
-        value (map-side combining, ndv-sized result), then NDV = histogram
-        rows, min/max over the histogram, and exact quantile_cont via a
-        distributed rank lookup: global frequency prefix-sums give each
-        distinct value its row-rank interval [cum_excl, cum_excl + n);
-        the value bracketing rank r = (n_tot - 1) * q is selected with a
-        MAX(CASE) aggregate and linearly interpolated — bit-identical to
-        percentile()/quantile_cont, with no NDV-sized task state."""
-        g = li.groupBy(F.col(c).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_n")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # ONE scan: unpivot the measured columns map-side (stack — no
+    # shuffle, rows × n_cols) so every downstream consumer keys on
+    # column_name instead of being a per-column subplan crossJoined at
+    # the end (the previous shape compiled to 21 parquet scans and 42
+    # exchanges; per-query wall time at sf0.1 was ~90% stage-scheduling
+    # overhead, identical at sf0.01).
+    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    stacked = li.select(
+        F.expr(f"stack({len(cols)}, {stack_args})").alias(
+            "column_name", "_v"
         )
-        nn = F.col("_v").isNotNull()
-        base = g.agg(
-            F.sum("_n").alias(f"{c}__n_rows"),
-            F.sum(F.when(~nn, F.col("_n")).otherwise(0)).alias(
-                f"{c}__n_nulls"
+    )
+    # Value histogram per column: groupBy combines map-side; result is
+    # NDV-sized per column, the relation every statistic derives from.
+    g = stacked.groupBy("column_name", "_v").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nn = F.col("_v").isNotNull()
+    base = g.groupBy("column_name").agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum(F.when(~nn, F.col("_n")).otherwise(0)).alias("n_nulls"),
+        F.sum(nn.cast("long")).alias("ndv"),
+        F.round(F.min("_v"), 4).alias("min_value"),
+        F.round(F.max("_v"), 4).alias("max_value"),
+    )
+    # Bucket the not-null histogram with a DETERMINISTIC monotone
+    # function of the value: _pid = floor((v - min) / span * P). The
+    # offset and rank consumers below must agree on every row's bucket;
+    # a pure column function guarantees that even if the subplan is
+    # recomputed, where a sampled repartitionByRange drew different
+    # bounds per evaluation and needed an eager localCheckpoint to pin
+    # them (round-4 ADVICE #3 / round-5 What's-wrong #3). Monotone ⇒
+    # bucket order == value order, so prefix-sum rank algebra holds.
+    # Value-skew makes buckets uneven (worst case one bucket = NDV
+    # rows); uniform-ish optimizer-stats columns sit near NDV/P.
+    npart = 32
+    mm = g.filter(nn).groupBy("column_name").agg(
+        F.min(F.col("_v").cast("double")).alias("_vmin"),
+        F.max(F.col("_v").cast("double")).alias("_vmax"),
+    )
+    span = F.col("_vmax") - F.col("_vmin")
+    pid = F.when(
+        span > 0,
+        F.least(
+            F.lit(npart - 1),
+            F.floor(
+                (F.col("_v").cast("double") - F.col("_vmin"))
+                / span
+                * npart
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    hist = (
+        g.filter(nn)
+        .join(F.broadcast(mm), "column_name")
+        .withColumn("_pid", pid)
+        .drop("_vmin", "_vmax")
+    )
+    ptot = hist.groupBy("column_name", "_pid").agg(
+        F.sum("_n").alias("_ptot")
+    )
+    # Exclusive prefix over the ≤P-row per-bucket totals, per column —
+    # the window partitions by column_name, so state is bounded by
+    # parallelism, not data.
+    offs = ptot.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_ptot").over(
+                Window.partitionBy("column_name")
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
-            F.sum(nn.cast("long")).alias(f"{c}__ndv"),
-            F.round(F.min("_v"), 4).alias(f"{c}__min_value"),
-            F.round(F.max("_v"), 4).alias(f"{c}__max_value"),
-        )
-        # Range-partition the not-null histogram so partition id order ==
-        # value order; distinct values mean no value straddles a boundary.
-        # Materialized ONCE (eager localCheckpoint): both `offs` and `cum`
-        # below re-read this relation, and correctness requires the two
-        # reads to see IDENTICAL partition ids. Without pinning, a plan
-        # change (e.g. AQE declining to reuse the range exchange, or the
-        # sampled range bounds differing on recomputation) could shift a
-        # boundary between the two evaluations and silently corrupt the
-        # prefix sums.
-        hist = (
-            g.filter(nn)
-            .repartitionByRange(32, "_v")
-            .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
-        )
-        ptot = hist.groupBy("_pid").agg(F.sum("_n").alias("_ptot"))
-        # Exclusive prefix over the ≤32-row per-partition totals — the
-        # single-task window here is bounded by parallelism, not data.
-        offs = ptot.withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_ptot").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+            F.lit(0),
+        ),
+    ).select("column_name", "_pid", "_off")
+    ntot = ptot.groupBy("column_name").agg(F.sum("_ptot").alias("_nt"))
+    # Per-value exclusive cumulative frequency: bucket-local window
+    # (~NDV/P rows per task) + broadcast bucket offsets.
+    cum = (
+        hist.join(F.broadcast(offs), ["column_name", "_pid"])
+        .withColumn(
+            "_cum_excl",
+            F.col("_off")
+            + F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy("column_name", "_pid")
+                    .orderBy("_v")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
-        ).select("_pid", "_off")
-        ntot = ptot.agg(F.sum("_ptot").alias("_nt"))
-        # Per-value exclusive cumulative frequency: partition-local window
-        # (one task per range partition, ~NDV/P rows) + broadcast offset.
-        cum = (
-            hist.join(F.broadcast(offs), "_pid")
-            .withColumn(
-                "_cum_excl",
-                F.col("_off")
-                + F.coalesce(
-                    F.sum("_n").over(
-                        Window.partitionBy("_pid")
-                        .orderBy("_v")
-                        .rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .crossJoin(F.broadcast(ntot))
         )
-        quartiles = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
-        aggs = []
-        for name, q in quartiles:
-            pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
-            in_rank = lambda r: (F.col("_cum_excl") <= r) & (
+        .join(F.broadcast(ntot), "column_name")
+    )
+    quartiles = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    aggs = []
+    for name, q in quartiles:
+        pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
+
+        def in_rank(r):
+            return (F.col("_cum_excl") <= r) & (
                 r < F.col("_cum_excl") + F.col("_n")
             )
-            aggs.append(
-                F.max(F.when(in_rank(F.floor(pos)), F.col("_v"))).alias(
-                    f"_{name}_lo"
-                )
-            )
-            aggs.append(
-                F.max(F.when(in_rank(F.ceil(pos)), F.col("_v"))).alias(
-                    f"_{name}_hi"
-                )
-            )
-        qrow = cum.agg(F.max("_nt").alias("_nt"), *aggs)
-        sel = []
-        for name, q in quartiles:
-            pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
-            frac = pos - F.floor(pos)
-            sel.append(
-                F.round(
-                    F.col(f"_{name}_lo")
-                    + frac
-                    * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo")),
-                    4,
-                ).alias(f"{c}__{name}")
-            )
-        return base.crossJoin(qrow.select(*sel))
 
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    one = column_stats(cols[0])
-    for c in cols[1:]:
-        one = one.crossJoin(column_stats(c))
-    rows = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col(f"{c}__n_rows").alias("n_rows"),
-            F.col(f"{c}__n_nulls").alias("n_nulls"),
-            F.col(f"{c}__ndv").alias("ndv"),
-            F.col(f"{c}__min_value").alias("min_value"),
-            F.col(f"{c}__max_value").alias("max_value"),
-            F.col(f"{c}__p25").alias("p25"),
-            F.col(f"{c}__p50").alias("p50"),
-            F.col(f"{c}__p75").alias("p75"),
+        aggs.append(
+            F.max(F.when(in_rank(F.floor(pos)), F.col("_v"))).alias(
+                f"_{name}_lo"
+            )
         )
-        for c in cols
-    ]
-    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+        aggs.append(
+            F.max(F.when(in_rank(F.ceil(pos)), F.col("_v"))).alias(
+                f"_{name}_hi"
+            )
+        )
+    qrow = cum.groupBy("column_name").agg(F.max("_nt").alias("_nt"), *aggs)
+    sel = [F.col("column_name")]
+    for name, q in quartiles:
+        pos = (F.col("_nt") - F.lit(1)).cast("double") * F.lit(q)
+        frac = pos - F.floor(pos)
+        sel.append(
+            F.round(
+                F.col(f"_{name}_lo")
+                + frac * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo")),
+                4,
+            ).alias(name)
+        )
+    return base.join(qrow.select(*sel), "column_name", "left").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "ndv",
+        "min_value",
+        "max_value",
+        "p25",
+        "p50",
+        "p75",
+    )
 
 
 @register(

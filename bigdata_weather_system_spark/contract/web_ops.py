@@ -202,9 +202,9 @@ def domain_concentration_metrics(
     wearing a trenchcoat. Everything derives from the domain histogram
     (one groupBy). The Gini needs a GLOBAL rank of that histogram; at
     web scale n_domains is ~1e8, so instead of a single-partition
-    window the rank rides the range-partition + partition-offset
+    window the rank rides the deterministic-bucket + partition-offset
     prefix-sum pattern (`contract/pipeline_ops.py lineitem_column_stats`):
-    per-range-partition row_number + a P-row offset relation, largest
+    per-bucket row_number + a P-row offset relation, largest
     task state ~n_domains/P. Top-k shares are TakeOrderedAndProject
     (never a global sort)."""
     dc = (
@@ -212,12 +212,34 @@ def domain_concentration_metrics(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # Materialized once: offsets and ranks below must read IDENTICAL
-    # partition ids (same discipline as the quantile plan's histogram).
+    # Deterministic monotone bucket id (same discipline as the quantile
+    # plan's histogram in contract/pipeline_ops.py): offsets and ranks
+    # below must read IDENTICAL bucket ids on every evaluation, and a
+    # pure column function of cnt guarantees that without the eager
+    # localCheckpoint the sampled repartitionByRange needed. log1p
+    # spacing because domain counts are Zipfian — linear spacing would
+    # put nearly every domain in bucket 0. Equal counts share a bucket
+    # (ties sort by domain INSIDE the bucket window), and buckets are
+    # monotone in cnt, so cross-bucket rank order == (cnt, domain) order.
+    npart = 32
+    mm = dc.agg(
+        F.min(F.log1p("cnt")).alias("_lmin"),
+        F.max(F.log1p("cnt")).alias("_lmax"),
+    )
+    lspan = F.col("_lmax") - F.col("_lmin")
+    pid = F.when(
+        lspan > 0,
+        F.least(
+            F.lit(npart - 1),
+            F.floor(
+                (F.log1p("cnt") - F.col("_lmin")) / lspan * npart
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
     hist = (
-        dc.repartitionByRange(32, "cnt", "domain")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        dc.crossJoin(F.broadcast(mm))
+        .withColumn("_pid", pid)
+        .drop("_lmin", "_lmax")
     )
     ptot = hist.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
     offs = ptot.withColumn(

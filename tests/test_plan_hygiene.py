@@ -318,23 +318,24 @@ def test_erasure_rewrite_broadcasts_deletion_list(spark):
 
 
 def test_column_stats_computed_from_value_histograms(spark):
-    """Column stats must come from per-column VALUE HISTOGRAMS (groupBy
-    value with map-side combine) with quantiles read via the
-    range-partitioned prefix-sum — no multi-distinct Expand dragging
-    buffers through a 4x shuffle, and NO percentile() aggregate at all:
-    its final buffer is O(NDV) in one task, the scale-killer this plan
-    exists to avoid (quartiles are exact via distributed rank lookup)."""
+    """Column stats must come from ONE unpivoted VALUE HISTOGRAM (stack →
+    groupBy(column_name, value) with map-side combine) with quantiles
+    read via the deterministic-bucket prefix-sum — no multi-distinct
+    Expand dragging buffers through a 4x shuffle, and NO percentile()
+    aggregate at all: its final buffer is O(NDV) in one task, the
+    scale-killer this plan exists to avoid (quartiles are exact via
+    distributed rank lookup). The bucket id is a pure monotone function
+    of the value, so no checkpoint materialization (and no RDD scan) is
+    needed to keep the two histogram reads consistent."""
     plan = plan_of(spark, "lineitem_column_stats")
     assert "Expand" not in plan  # no count_distinct planning at all
     assert "percentile" not in plan  # no NDV-sized single-task buffer
     assert "partial_count" in plan  # histogram build combines map-side
-    # the quantile rank lookup reads the range-partitioned histogram via
-    # its eager localCheckpoint (pinned so offsets and cumulative sums
-    # see identical partition ids) — the range exchange ran at checkpoint
-    # build time, so the lazy plan shows the checkpoint scan instead
-    assert "Scan ExistingRDD" in plan
-    # cross-joined 1-row aggregates → a BroadcastNestedLoopJoin appears
-    assert "BroadcastNestedLoopJoin" in plan
+    # deterministic bucketing replaced the eager localCheckpoint: the
+    # plan must be pure DataFrame lineage (no pinned-RDD scan) ...
+    assert "Scan ExistingRDD" not in plan
+    # ... reading ONLY the three measured columns from parquet
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice" in plan
 
 
 def test_bitmap_rollup_partial_bit_or(spark):
@@ -560,16 +561,18 @@ def test_domain_cap_uses_window_group_limit(spark):
 
 
 def test_domain_concentration_has_no_global_sort_window(spark):
-    """The Gini rank must ride the range-partition + offsets pattern:
-    global-ordering windows (empty partitionBy over data-sized input)
-    appear only above the checkpointed P-row relations, and top-k share
-    is TakeOrderedAndProject, never a full sort."""
+    """The Gini rank must ride the deterministic-bucket + offsets
+    pattern: the per-bucket window partitions by _pid (never an empty
+    partitionBy over data-sized input), the offsets window runs over the
+    ≤P-row bucket-totals relation, and top-k share is
+    TakeOrderedAndProject, never a full sort. The bucket id is a pure
+    monotone function of cnt, so no checkpoint (no RDD scan) pins it."""
     plan = plan_of(spark, "domain_concentration_metrics")
     assert "TakeOrderedAndProject" in plan
-    # the only windows run over checkpoint scans (ExistingRDD), whose
-    # cardinality is P (offsets) / n_domains-per-range-partition; the
-    # range exchange itself ran at checkpoint build time
-    assert "Scan ExistingRDD" in plan
+    assert "Scan ExistingRDD" not in plan
+    # every rank window is keyed by the bucket id — no global-ordering
+    # window over the domain histogram itself
+    assert "row_number" in plan and "_pid" in plan
 
 
 def test_robots_rules_join_is_broadcast(spark):
