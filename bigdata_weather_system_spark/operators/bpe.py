@@ -151,19 +151,38 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
-    # Adaptive evidence throttle: when an evidence job buys a
-    # single-merge batch anyway (chain-dominated stretches), run the
-    # next 8 evidence-eligible rounds in plain sequential mode (top-1,
-    # no evidence job) before probing again — worst-case throttle
-    # overhead is one wasted job per 9 eligible rounds. Deterministic —
-    # a pure function of the (deterministic) merge history — and sound:
-    # the top-1 candidate is always sequential-faithful by definition.
-    # Measured on the sf0.01 corpus (89 learnable merges): always-on
-    # evidence cost 531 jobs vs the sequential loop's 270; overlap
-    # precheck + this throttle lands at ~345 while keeping full batches
-    # on symbol-disjoint vocabularies.
+    # Evidence throttle, WALL-gated (round-5 verdict: the job-count
+    # currency mis-priced probes — 531→345 jobs but 3.6→6.7s wall on the
+    # chain-heavy corpus, because each trigram probe costs more wall
+    # than the sequential round it tried to save). Three gates, all
+    # output-neutral (the top-1 candidate is sequential-faithful by
+    # definition, so batching policy can never change the merge table):
+    #
+    # 1. Deterministic predicted-payback gate: evidence can only SHRINK
+    #    the overlap-derived prefix, so ``overlap_prefix − 1`` (capped by
+    #    the merges still wanted) upper-bounds the counting rounds a
+    #    probe can save, and it is known for free BEFORE probing. A
+    #    probe costs ~1–2 sequential rounds of wall (the trigram scan is
+    #    the same order as the bigram scan), so only predicted savings
+    #    ≥ 3 rounds justify one. Chain-dominated corpora (prefix ≈ 2 —
+    #    the 8-merge contract query's shape) run the plain sequential
+    #    loop with zero probes; symbol-disjoint vocabularies (prefix ≈
+    #    batch_m) still batch fully.
+    # 2. Wall payback: a probe that ran is charged its measured wall
+    #    and credited (extra merges bought) × (EMA of a sequential
+    #    round's wall). A probe that doesn't pay for itself starts a
+    #    cooldown that RATCHETS (8 → 16 → 32 → 64 eligible rounds) so
+    #    chain-dominated vocabularies converge to sequential cost; a
+    #    paying probe resets the ratchet.
+    # 3. The round-4 overlap precheck (free, driver-side): a batch the
+    #    overlap rules already cap at one candidate never probes.
     probe_cooldown = 0
+    cooldown_len = 8
+    seq_wall: float | None = None  # EMA wall of a probe-free round
+    import time as _time
+
     while len(merges) < n_merges:
+        t_round0 = _time.perf_counter()
         n_sym = F.size("syms")
         bigrams = words.filter(n_sym >= 2).select(
             "cnt",
@@ -213,10 +232,14 @@ def bpe_train(
 
         peaks: dict[tuple[str, str], int] = {}
         colliding: set[str] = set()
-        want_evidence = len(cand) > 1 and overlap_prefix > 1
+        predicted_gain = (
+            min(overlap_prefix, batch_m, n_merges - len(merges)) - 1
+        )
+        want_evidence = len(cand) > 1 and predicted_gain >= 3
         run_evidence = want_evidence and probe_cooldown == 0
         if want_evidence and not run_evidence:
             probe_cooldown -= 1
+        t_probe0 = _time.perf_counter()
         if run_evidence:
             # One bounded job for the faithfulness evidence: per
             # candidate, the max weighted trigram count with the pair on
@@ -282,15 +305,24 @@ def bpe_train(
                 else:
                     peaks[(r["ca"], r["cb"])] = int(r["peak"])
 
+        probe_wall = _time.perf_counter() - t_probe0
         # Without evidence only the top-1 is provably faithful — never
         # let _batch_accept extend a batch on overlap conditions alone.
         accepted = _batch_accept(
             cand if run_evidence else cand[:1], peaks, colliding
         )
-        if run_evidence and len(accepted) == 1:
-            # evidence round degenerated to the sequential top-1 —
-            # back off before paying for evidence again
-            probe_cooldown = 8
+        if run_evidence:
+            gain = len(accepted) - 1  # counting rounds the probe saved
+            paid = (
+                gain > 0
+                if seq_wall is None
+                else gain * seq_wall >= probe_wall
+            )
+            if paid:
+                cooldown_len = 8  # probing is paying here — reset ratchet
+            else:
+                probe_cooldown = cooldown_len
+                cooldown_len = min(64, cooldown_len * 2)
         for a, b, n in accepted:
             merges.append((len(merges) + 1, a, b, n))
             # rank-order application — identical to the sequential loop
@@ -301,6 +333,9 @@ def bpe_train(
         # truncate lineage ONCE per round so the fold chain doesn't
         # re-evaluate (and deepen) every merge
         words = words.localCheckpoint(eager=True)
+        if not run_evidence:
+            w = _time.perf_counter() - t_round0
+            seq_wall = w if seq_wall is None else 0.5 * seq_wall + 0.5 * w
     merge_df = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )

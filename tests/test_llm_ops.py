@@ -977,15 +977,18 @@ def test_bpe_256_merge_request_jobs_scale_with_rounds(spark):
     from bigdata_weather_system_spark.operators.bpe import bpe_train
     from bigdata_weather_system_spark.sources.tables import load_table
 
+    import time
+
     d = load_table(
         spark, "/root/testdata/sf0.01", "documents"
     ).select("text").cache()
     d.count()
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup() or [])
+    t0 = time.perf_counter()
     merges, _, _ = bpe_train(d, n_merges=256, batch_m=8)
+    batched_wall = time.perf_counter() - t0
     after = len(tracker.getJobIdsForGroup() or [])
-    d.unpersist()
 
     words = Counter()
     for r in d.collect():
@@ -997,3 +1000,17 @@ def test_bpe_256_merge_request_jobs_scale_with_rounds(spark):
     # sequential floor ~3/merge; adaptive measured ~3.9/merge; the pin
     # catches a regression to always-on evidence (~6/merge = 531 here)
     assert jobs <= 5 * len(merges) + 40, f"jobs: {jobs}"
+    # Round-6: WALL is the gated currency now, not jobs (round-5 cut
+    # jobs 531→345 while wall went 3.6→6.7s). On this chain-dominated
+    # corpus the batched trainer must not cost more than the sequential
+    # loop plus noise headroom (probes are wall-payback-gated, so the
+    # throttle converges to sequential cost here). Generous 1.4× margin:
+    # the host is noisy-neighbor and both walls are measured in-process.
+    t0 = time.perf_counter()
+    seq_merges, _, _ = bpe_train(d, n_merges=256, batch_m=1)
+    seq_wall = time.perf_counter() - t0
+    d.unpersist()
+    assert [(a, b, n) for _, a, b, n in seq_merges] == ref
+    assert batched_wall <= 1.4 * seq_wall + 5.0, (
+        f"batched {batched_wall:.1f}s vs sequential {seq_wall:.1f}s"
+    )
