@@ -856,6 +856,7 @@ def cosine_topk_pq(
     rerank_factor: int = 4,
     round_digits: int = 6,
     max_queries: int = 100_000,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC) and
     exact rerank — the standard two-stage shape of IVF-PQ engines:
@@ -873,7 +874,11 @@ def cosine_topk_pq(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
-    cb_list = pq_train_codebooks(
+    # ``codebooks`` lets callers separate TRAIN from QUERY — the
+    # production ANN shape (index once, serve many probe batches) and
+    # what the contract layer uses to share one deterministic train
+    # across the pq / ivf_pq / recall-contract queries.
+    cb_list = codebooks or pq_train_codebooks(
         corpus, vec_col, id_col, m_sub, n_codes, seed, iters
     )
     cb = np.asarray(cb_list, dtype=np.float64)  # (m, k, d)
@@ -983,6 +988,7 @@ def cosine_topk_ivf_pq(
     rerank_factor: int = 4,
     round_digits: int = 6,
     max_queries: int = 100_000,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN shape — coarse cells prune
     WHICH rows get scored, PQ codes make each scored row cost ``m_sub``
@@ -998,7 +1004,8 @@ def cosine_topk_ivf_pq(
     from pyspark.sql.types import DoubleType
 
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
-    cb_list = pq_train_codebooks(
+    # Injectable codebooks: same train/query split as ``cosine_topk_pq``.
+    cb_list = codebooks or pq_train_codebooks(
         corpus, vec_col, id_col, m_sub, n_codes, seed, iters
     )
     cb = np.asarray(cb_list, dtype=np.float64)
