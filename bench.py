@@ -401,12 +401,72 @@ def current_round() -> int:
     return (rounds[-1][0] + 1) if rounds else 1
 
 
+def _benchhist_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCHHIST.jsonl"
+    )
+
+
+def benchhist_entries() -> list[dict]:
+    try:
+        with open(_benchhist_path()) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return []
+
+
+def benchhist_append(entry: dict) -> None:
+    with open(_benchhist_path(), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def benchhist_baseline(
+    live: int, sf=None
+) -> tuple[int | None, dict[str, float]]:
+    """Round-close baseline from the append-only run history — the fix
+    for round-5 What's-wrong #4 (baseline round-keying off-by-one).
+
+    The driver's sequence at the close of round N is: write
+    CORRECTNESS_r{N}.json, THEN run bench — so the close-of-round-N run
+    sees ``current_round() == N+1`` and is the FIRST history entry at
+    live N+1. Its timings measure round N's final code: exactly the
+    baseline every run of round N+1 (builder mid-round iterations AND
+    the driver's own close-of-round-(N+1) run, which appends at live
+    N+2 and therefore still resolves group N+1) should compare against.
+
+    Rule: among entries at the requested sf with live ≤ the caller's
+    live, take the FIRST entry of the newest live group. Returns
+    (group_live − 1, queries) — the round whose close that entry
+    measured. Mid-round re-runs never shift the baseline (only the
+    first entry of a group is ever read), so the committed regression
+    field is inter-round by construction."""
+    cands = [
+        e
+        for e in benchhist_entries()
+        if isinstance(e.get("queries"), dict)
+        and e.get("queries")
+        and (sf is None or e.get("sf") == sf)
+        and isinstance(e.get("live"), int)
+        and e["live"] <= live
+    ]
+    if not cands:
+        return None, {}
+    g = max(e["live"] for e in cands)
+    first = next(e for e in cands if e["live"] == g)
+    return g - 1, {k: float(v) for k, v in first["queries"].items()}
+
+
 def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
     """Per-query timings of the newest FULL prior-round snapshot — the
     regression baseline (the reference publishes no numbers, so each round
     is graded against the previous one).
 
     Preference order:
+    0. ``BENCHHIST.jsonl`` — the append-only per-run history whose
+       first-entry-per-live-group IS the prior round's close (see
+       ``benchhist_baseline``); immune to the off-by-one where the
+       driver's post-CORRECTNESS bench baselined against the same
+       round's mid-round snapshot.
     1. ``BENCHFULL_r{N}.json`` with N < the live round — the complete
        per-query payload this script archives at every sf0.1 run and the
        round-close commit persists. Snapshots at a different scale factor
@@ -420,6 +480,9 @@ def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
     the recovered baseline covers <80% of the current query set.
     """
     live = current_round()
+    hist_round, hist_q = benchhist_baseline(live, sf)
+    if hist_q:
+        return hist_round, hist_q
     for n, path in reversed(_rounds_of(r"BENCHFULL_r{N}\.json")):
         if n >= live:
             continue  # an earlier run of THIS round is not a baseline
@@ -473,7 +536,13 @@ def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
                     )
                     if payload_sf is None:
                         payload_sf = obj.get("sf")
-        if sf is not None and payload_sf is not None and payload_sf != sf:
+        # Scale guard, strict form (round-5 ADVICE): when the caller
+        # requests a specific sf and the artifact's sf cannot be
+        # determined (tail truncated before its summary object), SKIP it
+        # — an unverifiable baseline is the exact failure mode this
+        # guard exists for, and main() already degrades gracefully
+        # (coverage suppression) when no baseline is recoverable.
+        if sf is not None and payload_sf != sf:
             continue
         if queries:
             return n, queries
@@ -510,6 +579,31 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_noop("id")).collect()
+
+    # Host-load sentinel (round-5 What's-wrong #5: the driver's bench ran
+    # on a loaded box, inflating ~25 queries >1.5× that the judge could
+    # not reproduce): re-time 3 fixed cheap queries at sweep start and
+    # end; if either pass drifts >1.3× above the historical floor, stamp
+    # the artifact load_suspect so the regression comparator and readers
+    # know the absolute numbers are contaminated.
+    SENTINELS = ["average_day", "distinct_event_days", "value_tier_case"]
+
+    def _time_sentinels() -> dict[str, float]:
+        meas: dict[str, float] = {}
+        for s in SENTINELS:
+            fn = contract.QUERIES.get(s)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).toPandas()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            meas[s] = round(best, 4)
+        return meas
+
+    sent_start = _time_sentinels()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -548,6 +642,28 @@ def main() -> None:
     )
 
     clear_shared_edges()
+    sent_end = _time_sentinels()
+    sentinel = {
+        s: round(min(sent_start[s], sent_end[s]), 4)
+        for s in sent_start
+        if s in sent_end
+    }
+    floors: dict[str, float] = {}
+    for e in benchhist_entries():
+        for s, v in (e.get("sentinel") or {}).items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            floors[s] = min(floors.get(s, v), v)
+    common_s = [s for s in sentinel if s in floors]
+    load_suspect = None
+    if common_s:
+        now_sum = sum(
+            max(sent_start[s], sent_end[s]) for s in common_s
+        )
+        floor_sum = sum(floors[s] for s in common_s)
+        load_suspect = floor_sum > 0 and now_sum > 1.3 * floor_sum
     total = round(sum(timings.values()), 4)
     sfv = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_round, prev = previous_round_queries(sfv)
@@ -581,6 +697,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sfv,
+        "sentinel": {
+            "start": sent_start,
+            "end": sent_end,
+            "floors": floors or None,
+            "load_suspect": load_suspect,
+        },
     }
     # compact LAST line — the one artifact that must survive tail capture.
     # Per-query detail goes to bench_full.json; the line itself carries
@@ -596,13 +718,26 @@ def main() -> None:
             sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         ),
     }
+    if load_suspect:
+        out["load_suspect"] = True
     if prev_round is not None:
         prev_total = round(sum(prev[k] for k in common), 4)
         for d in (out, full):
             d["prev_round"] = prev_round
             d["prev_total"] = prev_total
             d["prev_coverage"] = round(coverage, 3)
-        if coverage_ok:
+        if coverage_ok and load_suspect:
+            # the comparator honors the sentinel: per-query ratios from a
+            # contaminated run would flag phantom regressions (round 5
+            # shipped ~25 of them)
+            note = (
+                "host-load sentinel exceeded 1.3x its historical floor; "
+                "absolute timings unreliable, regression comparison "
+                "suppressed"
+            )
+            full["regressions_suppressed"] = note
+            out["regressions_suppressed"] = note
+        elif coverage_ok:
             full["regressions"] = regressions
             out["regressions"] = dict(
                 sorted(
@@ -628,6 +763,37 @@ def main() -> None:
         arch = os.path.join(here, f"BENCHFULL_r{current_round()}.json")
         with open(arch, "w") as f:
             json.dump(full, f, indent=1)
+        # Append-only run history: the baseline source for future runs
+        # (first-entry-per-live-group == prior round's close; see
+        # benchhist_baseline). Never rewritten, so mid-round iteration
+        # can't shift the round's baseline.
+        head = None
+        try:
+            import subprocess
+
+            head = (
+                subprocess.run(
+                    ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                ).stdout.strip()
+                or None
+            )
+        except Exception:
+            pass
+        benchhist_append(
+            {
+                "live": current_round(),
+                "ts": round(time.time(), 1),
+                "head": head,
+                "sf": sfv,
+                "total": total,
+                "sentinel": sentinel,
+                "load_suspect": load_suspect,
+                "queries": timings,
+            }
+        )
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -79,7 +79,14 @@ def test_skips_same_round_and_mismatched_sf_archives(tmp_path):
 def test_tail_fallback_only_when_no_archive(tmp_path):
     root = str(tmp_path)
     _write(root, "CORRECTNESS_r04.json", {})
-    tail = json.dumps({"q": "a", "sec": 0.5})
+    tail = "\n".join(
+        [
+            json.dumps({"q": "a", "sec": 0.5}),
+            # summary object carries the run's sf — without it the strict
+            # scale guard (round-5 ADVICE) rejects the artifact
+            json.dumps({"queries": {"a": 0.5}, "sf": 0.1}),
+        ]
+    )
     _write(root, "BENCH_r4.json", {"tail": tail})
     bench = _load_bench(root)
     n, prev = bench.previous_round_queries(0.1)
@@ -92,8 +99,20 @@ def test_tail_fallback_skips_live_round_artifact(tmp_path):
     tail — same guard as the BENCHFULL path."""
     root = str(tmp_path)
     _write(root, "CORRECTNESS_r04.json", {})  # live round = 5
-    _write(root, "BENCH_r5.json", {"tail": json.dumps({"q": "x", "sec": 9.0})})
-    _write(root, "BENCH_r4.json", {"tail": json.dumps({"q": "a", "sec": 0.5})})
+    tail5 = "\n".join(
+        [
+            json.dumps({"q": "x", "sec": 9.0}),
+            json.dumps({"queries": {"x": 9.0}, "sf": 0.1}),
+        ]
+    )
+    tail4 = "\n".join(
+        [
+            json.dumps({"q": "a", "sec": 0.5}),
+            json.dumps({"queries": {"a": 0.5}, "sf": 0.1}),
+        ]
+    )
+    _write(root, "BENCH_r5.json", {"tail": tail5})
+    _write(root, "BENCH_r4.json", {"tail": tail4})
     bench = _load_bench(root)
     n, prev = bench.previous_round_queries(0.1)
     assert (n, prev) == (4, {"a": 0.5})
@@ -117,3 +136,87 @@ def test_tail_fallback_skips_mismatched_sf(tmp_path):
     # at the matching scale the same artifact IS usable
     n, prev = bench.previous_round_queries(0.1)
     assert (n, prev) == (4, {"a": 0.5})
+
+
+def test_benchhist_driver_sequenced_layout_baselines_prior_round(tmp_path):
+    """Round-5 What's-wrong #4: the driver writes CORRECTNESS_r{N} and
+    THEN runs bench, so its close-of-round-N run sees live N+1 and used
+    to baseline against the builder's mid-round BENCHFULL_r{N} (same
+    round's code). With the history, every run of a live group baselines
+    against the group's FIRST entry — the prior round's close."""
+    root = str(tmp_path)
+    bench = _load_bench(root)
+    # round-1 close: driver wrote CORRECTNESS_r1, bench ran at live=2
+    _write(root, "CORRECTNESS_r01.json", {})
+    close_r1 = {f"q{i}": 1.0 for i in range(300)}
+    bench.benchhist_append(
+        {"live": 2, "sf": 0.1, "queries": close_r1, "sentinel": {}}
+    )
+    # builder iterates mid-round-2 (twice); entries append at live=2
+    for t in (0.5, 0.4):
+        n, prev = bench.previous_round_queries(0.1)
+        assert n == 1  # group live=2 → measures round 1's close
+        assert prev == close_r1
+        bench.benchhist_append(
+            {
+                "live": 2,
+                "sf": 0.1,
+                "queries": {k: t for k in close_r1},
+                "sentinel": {},
+            }
+        )
+    # driver closes round 2: CORRECTNESS_r2 lands BEFORE its bench run
+    _write(root, "CORRECTNESS_r02.json", {})
+    assert bench.current_round() == 3
+    n, prev = bench.previous_round_queries(0.1)
+    # still the FIRST live=2 entry (round-1 close), NOT the builder's
+    # mid-round-2 snapshots and NOT any same-round artifact
+    assert n == 1
+    assert prev == close_r1
+
+
+def test_benchhist_preferred_over_full_archive(tmp_path):
+    root = str(tmp_path)
+    bench = _load_bench(root)
+    _write(root, "CORRECTNESS_r01.json", {})
+    _write(
+        root,
+        "BENCHFULL_r1.json",
+        {"sf": 0.1, "queries": {f"q{i}": 9.0 for i in range(300)}},
+    )
+    hist_q = {f"q{i}": 1.5 for i in range(300)}
+    bench.benchhist_append(
+        {"live": 2, "sf": 0.1, "queries": hist_q, "sentinel": {}}
+    )
+    n, prev = bench.previous_round_queries(0.1)
+    assert prev == hist_q and n == 1
+
+
+def test_benchhist_skips_mismatched_sf(tmp_path):
+    root = str(tmp_path)
+    bench = _load_bench(root)
+    _write(root, "CORRECTNESS_r01.json", {})
+    bench.benchhist_append(
+        {"live": 2, "sf": 0.01, "queries": {"a": 1.0}, "sentinel": {}}
+    )
+    n, prev = bench.previous_round_queries(0.1)
+    assert prev == {} and n is None
+
+
+def test_tail_fallback_skips_artifact_with_unknown_sf(tmp_path):
+    """Round-5 ADVICE: a tail truncated before its summary object leaves
+    payload_sf unknown — when the caller requests a specific sf, such an
+    artifact must be skipped, not accepted as a maybe-mismatched-scale
+    baseline."""
+    root = str(tmp_path)
+    tail = "\n".join(
+        json.dumps({"q": f"q{i}", "sec": 0.1}) for i in range(20)
+    )
+    _write(root, "BENCH_r1.json", {"tail": tail})  # no sf anywhere
+    _write(root, "CORRECTNESS_r01.json", {})
+    bench = _load_bench(root)
+    n, prev = bench.previous_round_queries(0.1)
+    assert prev == {} and n is None
+    # with no sf requested the artifact is still harvestable
+    n, prev = bench.previous_round_queries(None)
+    assert len(prev) == 20 and n == 1
