@@ -376,6 +376,8 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "dsir_importance_weights",
     "lang_unimax_allocation",
+    # chained raw-web curation flagship (round 6)
+    "web_curation_pipeline",
 ]
 
 

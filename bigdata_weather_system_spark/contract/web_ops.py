@@ -676,3 +676,365 @@ def domain_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_leaky").cast("long").alias("n_leaky_domains"),
         )
     )
+
+
+#: DuckDB twin of the chained pipeline's curation tail — survivor-corpus
+#: line dedup + DSIR + UniMax, all computed from the `survivors` CTE the
+#: front half of the oracle produces. Tokenization twin of
+#: ``operators.text.tokens`` over the extracted clean text.
+_PIPE_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text_clean), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+@register(
+    "web_curation_pipeline",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_PAGES_CTES},
+    warc AS MATERIALIZED (
+      SELECT
+        'WARC/1.0' || e'\\r\\n' || 'WARC-Type: response' || e'\\r\\n'
+        || 'WARC-Record-ID: <urn:doc:' || p.doc_id || '>' || e'\\r\\n'
+        || 'WARC-Target-URI: ' || u.raw_url || e'\\r\\n'
+        || 'Content-Type: text/html' || e'\\r\\n'
+        || 'Content-Length: ' || strlen(p.html) || e'\\r\\n' || e'\\r\\n'
+        || p.html AS warc
+      FROM pages p JOIN urls u USING (doc_id)
+    ),
+    parsed AS (
+      SELECT
+        TRY_CAST(regexp_extract(warc,
+          'WARC-Record-ID: <urn:doc:(\\d+)>', 1) AS BIGINT) AS doc_id,
+        regexp_extract(warc, 'WARC-Target-URI: ([^\\r\\n]*)', 1)
+          AS target_uri,
+        TRY_CAST(regexp_extract(warc, 'Content-Length: (\\d+)', 1)
+                 AS BIGINT) AS declared_length,
+        regexp_extract(warc, '(?s)\\r\\n\\r\\n(.*)$', 1) AS payload
+      FROM warc
+    ),
+    extracted AS MATERIALIZED (
+      SELECT doc_id,
+        {_clean_text_sql(_strip_blocks_sql('payload'))} AS text_clean
+      FROM parsed
+      WHERE coalesce(strlen(payload) = declared_length, FALSE)
+    ),
+    -- canonical URL/domain of the URI that traveled inside the record:
+    -- the WARC round-trip is lossless, so the shared canon CTE (built
+    -- from the same fabricated raw_url) is its exact replay
+    {_ROBOTS_CTES.lstrip().rstrip().rstrip(',')},
+    decided AS MATERIALIZED (
+      SELECT m.doc_id, m.domain, m.allowed, d.lang, d.source
+      FROM matched m JOIN documents d USING (doc_id)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT *, row_number() OVER (
+               PARTITION BY domain, allowed
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM decided
+    ),
+    stage_counts AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_parsed,
+             CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+             CAST(sum(CASE WHEN allowed AND rk <= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_survivors
+      FROM ranked GROUP BY lang
+    ),
+    survivors AS MATERIALIZED (
+      SELECT r.doc_id, r.lang, r.source, e.text_clean
+      FROM ranked r JOIN extracted e USING (doc_id)
+      WHERE r.allowed AND r.rk <= 8
+    ),
+    t AS (SELECT doc_id, lang, source, {_PIPE_TOKS} AS toks
+          FROM survivors),
+    tok AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             generate_subscripts(toks, 1) AS ord, unnest(toks) AS tok
+      FROM t
+    ),
+    lines AS MATERIALIZED (
+      SELECT doc_id, lang, source, CAST((ord - 1) // 8 AS INT) AS line_no,
+             string_agg(tok, ' ' ORDER BY ord) AS line,
+             count(*) AS line_toks
+      FROM tok GROUP BY doc_id, lang, source, (ord - 1) // 8
+    ),
+    rk_lines AS MATERIALIZED (
+      SELECT *, row_number() OVER (
+               PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    ),
+    dedup_doc AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_lines
+      FROM rk_lines GROUP BY doc_id, lang, source
+    ),
+    kept_tok AS MATERIALIZED (
+      SELECT l.doc_id, l.lang, l.source,
+             unnest(str_split(l.line, ' ')) AS tok
+      FROM rk_lines l WHERE l.rn = 1
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 64
+               AS bucket
+      FROM kept_tok
+    ),
+    cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS r_b,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t_b
+      FROM b GROUP BY bucket
+    ),
+    btot AS (SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+                    CAST(sum(t_b) AS BIGINT) AS t_tot FROM cnt),
+    lam AS (
+      SELECT bucket, round(ln((t_b + 1.0) / (t_tot + 64.0))
+                           - ln((r_b + 1.0) / (r_tot + 64.0)), 9) AS lam
+      FROM cnt CROSS JOIN btot
+    ),
+    dbk AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY doc_id, bucket
+    ),
+    dsir AS MATERIALIZED (
+      SELECT doc_id,
+             round(list_reduce(list(c * lam ORDER BY bucket),
+                               (a, x) -> a + x), 6) AS dsir_logweight
+      FROM dbk JOIN lam USING (bucket) GROUP BY doc_id
+    ),
+    lang_doc AS (
+      SELECT d.lang,
+             CAST(sum(d.n_lines) AS BIGINT) AS n_lines,
+             CAST(sum(d.kept_lines) AS BIGINT) AS kept_lines,
+             round(list_reduce(
+               list(coalesce(s.dsir_logweight, 0.0) ORDER BY d.doc_id),
+               (a, x) -> a + x), 6) AS dsir_sum
+      FROM dedup_doc d LEFT JOIN dsir s USING (doc_id)
+      GROUP BY d.lang
+    ),
+    per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_tokens
+      FROM kept_tok GROUP BY lang
+    ),
+    ptot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total FROM per),
+    s AS (
+      SELECT lang, lang_tokens AS n_tokens,
+             lang_tokens * 2 AS cap_tokens,
+             total // 2 AS budget,
+             row_number() OVER (ORDER BY lang_tokens * 2, lang)
+               AS alloc_rank,
+             sum(lang_tokens * 2) OVER (
+               ORDER BY lang_tokens * 2, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+             count(*) OVER () AS k
+      FROM per CROSS JOIN ptot
+    ),
+    f AS (
+      SELECT *, CASE WHEN cap_tokens * (k - alloc_rank) + s_i <= budget
+                     THEN alloc_rank END AS capped_rk
+      FROM s
+    ),
+    mm AS (
+      SELECT coalesce(max(capped_rk), 0) AS m,
+             coalesce(max(CASE WHEN capped_rk IS NOT NULL THEN s_i END),
+                      0) AS s_m
+      FROM f
+    ),
+    uni AS (
+      SELECT lang, n_tokens, cap_tokens,
+             CAST(alloc_rank AS BIGINT) AS alloc_rank,
+             CAST(CASE WHEN alloc_rank <= m THEN 1 ELSE 0 END AS INT)
+               AS capped,
+             round(CASE WHEN alloc_rank <= m
+                        THEN CAST(cap_tokens AS DOUBLE)
+                        ELSE (budget - s_m) / CAST(k - m AS DOUBLE) END,
+                   6) AS alloc_tokens,
+             round((CASE WHEN alloc_rank <= m
+                         THEN CAST(cap_tokens AS DOUBLE)
+                         ELSE (budget - s_m) / CAST(k - m AS DOUBLE) END)
+                   / n_tokens, 6) AS epochs_used
+      FROM f CROSS JOIN mm
+    )
+    SELECT sc.lang, sc.n_parsed, sc.n_allowed, sc.n_survivors,
+           ld.n_lines, ld.kept_lines, ld.dsir_sum,
+           u.n_tokens, u.cap_tokens, u.alloc_rank, u.capped,
+           u.alloc_tokens, u.epochs_used
+    FROM stage_counts sc
+    LEFT JOIN lang_doc ld USING (lang)
+    LEFT JOIN uni u USING (lang)
+    """,
+)
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship raw-web curation run — the single declarative plan a
+    100 TB crawl-to-training-mix job actually submits, chaining every
+    stage this family ships: WARC parse (truncation-checked) → HTML
+    boilerplate strip → URL canonicalization of the record's target URI
+    → robots longest-prefix fetch policy → per-domain cap (K=8,
+    deterministic md5 survivors) → corpus-level CCNet line dedup over
+    the survivor text → DSIR importance scores on the DEDUPED text →
+    UniMax per-language token budgets. Output is one row per language:
+    per-stage funnel counts (parsed / robots-allowed / cap-survivors),
+    dedup totals, the summed DSIR log-weight (per-doc weights rounded
+    then folded in doc_id order — the repo float policy), and the
+    UniMax allocation columns.
+
+    Composability pin: the chained plan's shuffle count is the SUM of
+    its stages' — the front half (fabricate → WARC → extract → canon →
+    robots broadcast join) is entirely scan-fused narrow algebra, so
+    the only exchanges are the cap window (domain), line dedup's
+    groupBy(line)+join+groupBy(doc_id), DSIR's two bounded aggregations
+    + broadcast λ, and the per-language windows over a #languages-row
+    relation (tests/test_plan_hygiene.py pins no extra Exchange
+    explosion). Reference: the reference repo has no web-curation
+    stage at all; stages cite CommonCrawl WARC 1.0, CCNet (Wenzek et
+    al. LREC'20), DSIR (Xie et al. NeurIPS'23), UniMax (Chung et al.
+    ICLR'23)."""
+    from ..operators.curation import (
+        dsir_logweights,
+        line_dedup,
+        unimax_allocation,
+    )
+    from ..operators.web import (
+        fabricate_robots_rules,
+        fabricate_warc_records,
+        parse_warc_records,
+        robots_match,
+    )
+
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "source", "lang")
+
+    # 1. fabricate the raw-web input (urls + pages), container it as
+    #    WARC records, and read it back the way a crawl reader would.
+    #    The testdata parquet is a single file → a single partition, and
+    #    the whole extract chain is narrow — spread it first or the
+    #    regex-heavy front end runs on one core (measured 4.3s → ~0.4s
+    #    at sf0.1). A real crawl's WARC segments arrive pre-partitioned.
+    par = spark.sparkContext.defaultParallelism
+    spread = docs.select("doc_id", "text", "source")
+    if len(spread.inputFiles() or []) < par:
+        spread = spread.repartition(par)
+    pages = fabricate_doc_html(fabricate_doc_urls(spread))
+    warc = fabricate_warc_records(pages).select("warc")
+    parsed = parse_warc_records(warc).filter(F.col("length_ok"))
+    extracted = extract_html_text(parsed, html_col="payload").select(
+        F.col("doc_id_parsed").alias("doc_id"), "target_uri", "text_clean"
+    )
+
+    # 2. canonical URL/domain of the URI that traveled in the record.
+    #    First materialization barrier: the robots rule build, the
+    #    decision join, and the cap window all re-read this relation —
+    #    without the barrier the fabricate→WARC→extract front end
+    #    re-evaluates per consumer (a 100 TB run materializes its
+    #    extracted crawl exactly here; deterministic lineage, so purely
+    #    a cost barrier). Freed by bench's per-query clearCache.
+    canon = canonicalize_urls(extracted, url_col="target_uri").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # 3. robots longest-prefix decision (broadcast rule table)
+    rules = fabricate_robots_rules(canon.select("domain").distinct())
+    rm = robots_match(canon.select("doc_id", "domain", "path"), rules)
+
+    # 4. per-domain cap among the allowed docs: rank within
+    #    (domain, allowed) so the survivor rank counts allowed rows only
+    ranked = (
+        canon.select("doc_id", "domain", "text_clean")
+        .join(rm.select("doc_id", "allowed"), "doc_id")
+        .join(meta, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("domain", "allowed").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    # second fan-out: funnel counts + the survivor corpus both read it
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    survivor = F.col("allowed") & (F.col("rk") <= 8)
+    stage_counts = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.sum(survivor.cast("long")).alias("n_survivors"),
+    )
+    surv = ranked.filter(survivor).select(
+        "doc_id", "lang", "source", "text_clean"
+    )
+
+    # 5. corpus-level line dedup over the survivor text
+    ld = line_dedup(
+        surv.select("doc_id", F.col("text_clean").alias("text")),
+        with_text=True,
+    )
+    # second barrier: the line-deduped corpus feeds DSIR (two bounded
+    # aggregations), UniMax, and the per-language report
+    clean = ld.join(meta, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 6. DSIR importance weights on the DEDUPED text
+    dsir = dsir_logweights(
+        clean.select(
+            "doc_id", "source", F.col("clean_text").alias("text")
+        ),
+        target=F.col("source") == "src0",
+    )
+
+    # 7. UniMax token budgets per language over the deduped corpus
+    uni = unimax_allocation(
+        clean.select("lang", F.col("clean_text").alias("text"))
+    )
+
+    # 8. per-language report: funnel counts + dedup totals + summed
+    #    DSIR weight (per-doc rounded values folded in doc_id order —
+    #    the repo-wide sorted-fold float policy) + the allocation
+    pd_ = clean.join(
+        dsir.select("doc_id", "dsir_logweight"), "doc_id", "left"
+    )
+    lang_doc = pd_.groupBy("lang").agg(
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("kept_lines").cast("long").alias("kept_lines"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id"),
+                            F.coalesce(
+                                F.col("dsir_logweight"), F.lit(0.0)
+                            ).alias("w"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["w"],
+            ),
+            6,
+        ).alias("dsir_sum"),
+    )
+    return (
+        stage_counts.join(lang_doc, "lang", "left")
+        .join(uni, "lang", "left")
+        .select(
+            "lang",
+            "n_parsed",
+            "n_allowed",
+            "n_survivors",
+            "n_lines",
+            "kept_lines",
+            "dsir_sum",
+            "n_tokens",
+            "cap_tokens",
+            "alloc_rank",
+            "capped",
+            "alloc_tokens",
+            "epochs_used",
+        )
+    )

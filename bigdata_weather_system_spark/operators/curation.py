@@ -70,12 +70,19 @@ def doc_lines(
 
 
 def line_dedup(
-    df: DataFrame, text_col: str = "text", tokens_per_line: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    tokens_per_line: int = 8,
+    with_text: bool = False,
 ) -> DataFrame:
     """CCNet corpus-level line dedup: a line survives only at its FIRST
     corpus occurrence (smallest ``(doc_id, line_no)``); later copies are
     dropped. Returns one row per document: total and kept line counts
     plus the md5 of the reassembled (newline-joined) kept text.
+    ``with_text=True`` additionally returns the reassembled
+    ``clean_text`` itself — the form downstream curation stages (DSIR
+    scoring, UniMax budgeting, tokenization) consume in the chained
+    pipeline.
 
     Plan: first occurrence per line via ``groupBy(line).agg(min(struct))``
     — a COMBINABLE aggregate, so every copy of a hot boilerplate line
@@ -98,21 +105,23 @@ def line_dedup(
     kept_struct = F.when(
         F.col("_is_first"), F.struct(F.col("line_no"), F.col("line"))
     )
-    return rk.groupBy("doc_id").agg(
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda x: x["line"],
+        ),
+        "\n",
+    )
+    aggs = [
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(F.col("_is_first"), 1).otherwise(0))
         .cast("long")
         .alias("kept_lines"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x["line"],
-                ),
-                "\n",
-            )
-        ).alias("clean_md5"),
-    )
+        F.md5(joined).alias("clean_md5"),
+    ]
+    if with_text:
+        aggs.append(joined.alias("clean_text"))
+    return rk.groupBy("doc_id").agg(*aggs)
 
 
 def _md5_bucket(col: Column, n_buckets: int) -> Column:

@@ -587,3 +587,24 @@ def test_warc_pipeline_is_scan_fused(spark):
     plan = plan_of(spark, "doc_warc_extract_pipeline")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_web_curation_pipeline_plan_shape(spark):
+    """The chained flagship must compose WITHOUT exchange explosion: the
+    robots rule join stays broadcast, nothing goes cartesian, no Python
+    row path, and the regex front end is spread off the single-file
+    scan partition. The two persist barriers keep every consumer on an
+    InMemoryTableScan instead of re-deriving the fabricate→WARC→extract
+    lineage."""
+    import re
+
+    from bigdata_weather_system_spark import contract
+
+    df = contract.QUERIES["web_curation_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # barriers actually engaged
