@@ -1,0 +1,134 @@
+"""One-command round-close artifact emitter (VERDICT r5, Next #5).
+
+Round 5 ended without a committed ``PARITY_r5.json`` — the judge had to
+run the full-registry parity itself. This script makes the round-close
+artifact set self-enforcing: one command emits everything, and
+``tests/test_doc_drift.py::test_newest_parity_artifact_matches_registry_size``
+fails whenever the committed parity artifact is stale relative to the
+live registry (e.g. queries were added without re-running it).
+
+Artifacts, in dependency-free order:
+
+1. ``SUBSET_PROPOSAL_r{N}.json``  — tools/propose_subset.py (no Spark)
+2. ``PLAN_AUDIT.md``              — tools/plan_doctor.py (~5 min)
+3. ``PARITY_r{N}.json``           — tools/run_parity.py (~8 min)
+4. ``BENCHFULL_r*/BENCHHIST``     — bench.py at sf0.1 (~13 min),
+                                    skipped when bench_full.json is
+                                    younger than --bench-max-age-h
+
+Usage:
+    python tools/round_close.py [--round N] [--skip-bench] [--check]
+
+``--check`` only validates that the current round's artifacts exist and
+match the registry — exit 1 with a listing otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def live_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _registry_size() -> int:
+    from bigdata_weather_system_spark import contract
+
+    return len(contract.QUERIES)
+
+
+def check(round_no: int) -> list[str]:
+    """Return a list of problems (empty == round-close artifacts OK)."""
+    problems: list[str] = []
+    parity = os.path.join(REPO, f"PARITY_r{round_no}.json")
+    if not os.path.exists(parity):
+        problems.append(f"missing {os.path.basename(parity)}")
+    else:
+        try:
+            with open(parity) as f:
+                n = json.load(f)["summary"]["n_queries"]
+            live = _registry_size()
+            if n != live:
+                problems.append(
+                    f"PARITY_r{round_no} covers {n} queries, registry "
+                    f"has {live} — stale, re-run tools/run_parity.py"
+                )
+        except (OSError, ValueError, KeyError) as e:
+            problems.append(f"unreadable {parity}: {e}")
+    sub = os.path.join(REPO, f"SUBSET_PROPOSAL_r{round_no}.json")
+    if not os.path.exists(sub):
+        problems.append(f"missing {os.path.basename(sub)}")
+    if not os.path.exists(os.path.join(REPO, "BENCHHIST.jsonl")):
+        problems.append("missing BENCHHIST.jsonl (run bench.py at sf0.1)")
+    if not os.path.exists(os.path.join(REPO, "PLAN_AUDIT.md")):
+        problems.append("missing PLAN_AUDIT.md (run tools/plan_doctor.py)")
+    return problems
+
+
+def _run(cmd: list[str]) -> None:
+    print(f"== {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO)
+    print(f"== done in {time.time() - t0:.0f}s (rc={r.returncode})")
+    if r.returncode != 0:
+        sys.exit(r.returncode)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=live_round())
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--bench-max-age-h", type=float, default=6.0)
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    if args.check:
+        problems = check(args.round)
+        for p in problems:
+            print(f"STALE: {p}")
+        if not problems:
+            print(f"round-{args.round} close artifacts all present/fresh")
+        return 1 if problems else 0
+
+    py = sys.executable
+    _run([py, "tools/propose_subset.py", "--round", str(args.round)])
+    _run([py, "tools/plan_doctor.py"])
+    _run([py, "tools/run_parity.py", "--round", str(args.round)])
+    bf = os.path.join(REPO, "bench_full.json")
+    fresh = (
+        os.path.exists(bf)
+        and time.time() - os.path.getmtime(bf)
+        < args.bench_max_age_h * 3600
+    )
+    if args.skip_bench or fresh:
+        print("== bench skipped (fresh bench_full.json or --skip-bench)")
+    else:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+        print("== bench.py at sf0.1", flush=True)
+        r = subprocess.run([py, "bench.py"], cwd=REPO, env=env)
+        if r.returncode != 0:
+            return r.returncode
+    problems = check(args.round)
+    for p in problems:
+        print(f"STALE: {p}")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

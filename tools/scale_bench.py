@@ -146,6 +146,20 @@ MUST_MEASURE = [
     "part_khop_size_fm_estimate",
     "part_harmonic_centrality",
     "part_edge_triangle_support",
+    # round-6: the chained flagship + the three round-5 regression
+    # targets and the web/curation families (VERDICT r5, Next #4)
+    "web_curation_pipeline",
+    "cosine_topk_pq",
+    "cosine_topk_ivf_pq",
+    "doc_bpe_merge_table",
+    "lineitem_column_stats",
+    "domain_concentration_metrics",
+    "doc_line_dedup",
+    "dsir_importance_weights",
+    "lang_unimax_allocation",
+    "doc_warc_extract_pipeline",
+    "domain_cap_survivors",
+    "doc_url_canonicalize",
 ]
 
 
