@@ -89,39 +89,51 @@ def line_dedup(
     (the exact thing CCNet dedup targets) collapses map-side to one
     partial per partition before the exchange, where the previous
     ``row_number`` window had to ship every copy to a single reducer.
-    The join-back on ``line`` is skew-splittable by AQE (the first-
-    occurrence side carries ONE row per distinct line), which a window
-    partition never is. Reassembly groupBy shuffles on ``doc_id``.
-    Nothing quadratic, no driver-side state."""
+    There is NO join back on line content at all: the first-occurrence
+    relation (one row per DISTINCT line) already lists every kept line
+    with its home ``(doc_id, line_no)``, so kept counts and reassembly
+    aggregate that relation by doc_id directly — a hot line never
+    co-locates its copies anywhere. Per-doc totals come from a second
+    doc_id-keyed aggregation of the segmentation (a narrow projection
+    re-read, not a shuffle of line content), and the two doc-keyed
+    relations join co-partitioned. Nothing quadratic, no skew surface,
+    no driver-side state."""
     lines = doc_lines(df, text_col, tokens_per_line)
     first = lines.groupBy("line").agg(
-        F.min(F.struct("doc_id", "line_no")).alias("_first")
+        F.min(F.struct("doc_id", "line_no")).alias("_f")
     )
-    rk = lines.join(first, "line").withColumn(
-        "_is_first",
-        (F.col("doc_id") == F.col("_first.doc_id"))
-        & (F.col("line_no") == F.col("_first.line_no")),
-    )
-    kept_struct = F.when(
-        F.col("_is_first"), F.struct(F.col("line_no"), F.col("line"))
+    kept_rows = first.select(
+        F.col("_f.doc_id").alias("doc_id"),
+        F.col("_f.line_no").alias("line_no"),
+        "line",
     )
     joined = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(kept_struct)),
+            F.array_sort(F.collect_list(F.struct("line_no", "line"))),
             lambda x: x["line"],
         ),
         "\n",
     )
-    aggs = [
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("_is_first"), 1).otherwise(0))
-        .cast("long")
-        .alias("kept_lines"),
-        F.md5(joined).alias("clean_md5"),
+    kept_aggs = [
+        F.count(F.lit(1)).cast("long").alias("kept_lines"),
+        joined.alias("_clean_text"),
     ]
-    if with_text:
-        aggs.append(joined.alias("clean_text"))
-    return rk.groupBy("doc_id").agg(*aggs)
+    kept = kept_rows.groupBy("doc_id").agg(*kept_aggs)
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    out = totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("kept_lines"), F.lit(0).cast("long")).alias(
+            "kept_lines"
+        ),
+        F.md5(F.coalesce(F.col("_clean_text"), F.lit(""))).alias(
+            "clean_md5"
+        ),
+        F.coalesce(F.col("_clean_text"), F.lit("")).alias("clean_text"),
+    )
+    return out if with_text else out.drop("clean_text")
 
 
 def _md5_bucket(col: Column, n_buckets: int) -> Column:

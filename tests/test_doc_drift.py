@@ -50,3 +50,28 @@ def test_bench_queries_are_registered():
     spec.loader.exec_module(bench)
     missing = [q for q in bench.BENCH_QUERIES if q not in contract.QUERIES]
     assert not missing, f"bench names unregistered queries: {missing}"
+
+
+def test_newest_parity_artifact_matches_registry_size():
+    """Round-close self-enforcement (VERDICT r5, Next #5): the newest
+    committed PARITY_r{N}.json must cover the LIVE registry — adding
+    queries without re-running tools/run_parity.py (or the one-command
+    tools/round_close.py) fails here instead of leaving the round to
+    end without full-check evidence."""
+    import glob
+    import json
+
+    files = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(REPO, "PARITY_r*.json"))
+        if (m := re.search(r"PARITY_r(\d+)\.json$", p))
+    }
+    assert files, "no PARITY_r*.json — run tools/round_close.py"
+    with open(files[max(files)]) as f:
+        summary = json.load(f)["summary"]
+    assert summary["n_queries"] == len(contract.QUERIES), (
+        f"PARITY_r{max(files)} covers {summary['n_queries']} queries, "
+        f"registry has {len(contract.QUERIES)} — stale; run "
+        "tools/round_close.py"
+    )
+    assert summary["n_fail"] == 0
