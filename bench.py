@@ -376,8 +376,10 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "dsir_importance_weights",
     "lang_unimax_allocation",
-    # chained raw-web curation flagship (round 6)
+    # chained raw-web curation flagship + compressed formats (round 6)
     "web_curation_pipeline",
+    "doc_warc_gz_extract_pipeline",
+    "media_png_decode",
 ]
 
 

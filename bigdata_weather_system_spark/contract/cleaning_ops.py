@@ -3073,6 +3073,69 @@ def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 8 AS h,
+             8 + doc_id % 12 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, h, w, (media_id + i) % 256 AS b
+      FROM t, unnest(range(0, h * w)) AS g(i)
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(3 * any_value(h) * any_value(w) AS BIGINT) AS raw_bytes,
+           round(avg((b + 170) % 256), 4) AS mean_r,
+           round(avg((b + 85) % 256), 4) AS mean_g,
+           round(avg(b), 4) AS mean_b,
+           CAST((any_value(media_id) + 170) % 256 AS INT) AS r00,
+           CAST((any_value(media_id) + 85) % 256 AS INT) AS g00,
+           CAST(any_value(media_id) % 256 AS INT) AS b00
+    FROM px GROUP BY media_id
+    """,
+)
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format image decode — genuine PNGs (IHDR/IDAT/
+    IEND with enforced chunk CRCs, zlib-deflated scanlines whose filter
+    type rotates through ALL FIVE per row) fabricated from the same
+    closed-form ramp as the BMP family, then decoded back with the
+    stdlib-zlib codec: chunk walk → CRC check → inflate → per-scanline
+    un-filter (Sub/Up/Average/Paeth) → pixel stats. Round 6 closes the
+    "compressed formats env-gated" gap for lossless images: the wire
+    bytes are REALLY compressed (zlib), no external codec library
+    involved. byte_len is deliberately NOT in the output — deflate
+    output size is implementation-defined; the oracle pins the decoded
+    pixels (means + the top-left pixel, which only reconstructs if
+    un-filtering is right) and the raw RGB byte count."""
+    from ..operators.multimodal import (
+        decode_png_features,
+        fabricate_png_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_png_media(docs, "doc_id")
+    out = decode_png_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.lit(3) * F.col("height") * F.col("width"))
+        .cast("long")
+        .alias("raw_bytes"),
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "r00",
+        "g00",
+        "b00",
+    )
+
+
+@register(
     "media_wav_decode",
     oracle="""
     WITH t AS (

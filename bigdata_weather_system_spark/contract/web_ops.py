@@ -1038,3 +1038,75 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_used",
         )
     )
+
+
+@register(
+    "doc_warc_gz_extract_pipeline",
+    oracle=f"""
+    WITH {_URL_CTES},
+    {_PAGES_CTES},
+    warc AS (
+      SELECT p.doc_id,
+        'WARC/1.0' || e'\\r\\n' || 'WARC-Type: response' || e'\\r\\n'
+        || 'WARC-Record-ID: <urn:doc:' || p.doc_id || '>' || e'\\r\\n'
+        || 'WARC-Target-URI: ' || u.raw_url || e'\\r\\n'
+        || 'Content-Type: text/html' || e'\\r\\n'
+        || 'Content-Length: ' || strlen(p.html) || e'\\r\\n' || e'\\r\\n'
+        || p.html AS warc
+      FROM pages p JOIN urls u USING (doc_id)
+    ),
+    parsed AS (
+      SELECT
+        TRY_CAST(regexp_extract(warc,
+          'WARC-Record-ID: <urn:doc:(\\d+)>', 1) AS BIGINT)
+          AS doc_id_parsed,
+        CAST(octet_length(encode(warc)) AS BIGINT) AS raw_bytes,
+        regexp_extract(warc, 'Content-Length: (\\d+)', 1) AS declared,
+        regexp_extract(warc, '(?s)\\r\\n\\r\\n(.*)$', 1) AS payload
+      FROM warc
+    )
+    SELECT doc_id_parsed, raw_bytes,
+      coalesce(strlen(payload) = TRY_CAST(declared AS BIGINT), FALSE)
+        AS length_ok,
+      {_clean_text_sql(_strip_blocks_sql('payload'))} AS text_clean
+    FROM parsed
+    """,
+)
+def doc_warc_gz_extract_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The gzip leg of raw-web ingestion — CommonCrawl ships ``.warc.gz``
+    with every record an INDEPENDENT gzip member, and this query runs
+    that actual byte path: fabricate WARC text → compress each record
+    into a real gzip member (stdlib zlib/gzip, deterministic header) →
+    decompress → header-walk → boilerplate-strip to clean text. The
+    oracle replays everything EXCEPT the compression round-trip (DuckDB
+    cannot gunzip) — which is precisely what the query proves Spark-side:
+    ``raw_bytes`` (decompressed octet length) must equal the original
+    record's octet length for every row, so a lossy or truncated
+    round-trip hash-mismatches. Compressed size is implementation-
+    defined and stays out of the checked columns. Closes the
+    "compressed formats env-gated" gap for the crawl container format
+    with zero external codec libraries; one narrow Arrow pass per
+    stage."""
+    from ..operators.web import (
+        fabricate_warc_records,
+        gunzip_warc_records,
+        gzip_warc_records,
+        parse_warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pages = fabricate_doc_html(fabricate_doc_urls(docs))
+    warc = fabricate_warc_records(pages).select("warc")
+    gz = gzip_warc_records(warc)
+    back = gunzip_warc_records(gz)
+    parsed = parse_warc_records(back.select("warc", "raw_bytes"))
+    return extract_html_text(parsed, html_col="payload").select(
+        "doc_id_parsed",
+        "raw_bytes",
+        "length_ok",
+        "text_clean",
+    )

@@ -397,3 +397,77 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gzipped WARC members (what CommonCrawl actually ships: every record is
+# an independent gzip member, so a reader can split the file at member
+# boundaries). stdlib-zlib real compression — no external codec.
+# ---------------------------------------------------------------------------
+
+
+def gzip_warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """Compress each WARC record into an independent gzip member
+    (mtime pinned to 0 and OS byte to 0xFF so the bytes are
+    deterministic across runs and engines — gzip's header embeds a
+    timestamp by default). Arrow-batched; bytes never row-at-a-time
+    through Python object churn beyond the per-record compress call."""
+
+    def batches(it):
+        import gzip
+        import io
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for rec in pdf[warc_col]:
+                buf = io.BytesIO()
+                with gzip.GzipFile(
+                    fileobj=buf, mode="wb", compresslevel=6, mtime=0
+                ) as gz:
+                    gz.write(rec.encode("utf-8"))
+                out.append(buf.getvalue())
+            yield pd.DataFrame({"warc_gz": out})
+
+    return df.select(warc_col).mapInPandas(
+        batches, schema="warc_gz binary"
+    )
+
+
+def gunzip_warc_records(
+    df: DataFrame, gz_col: str = "warc_gz"
+) -> DataFrame:
+    """Decompress gzip WARC members back to record text, carrying the
+    compressed/uncompressed byte sizes. Malformed members (bad magic,
+    truncated stream, trailing-CRC mismatch) degrade to NULL text the
+    way ``parse_warc_records`` degrades malformed records — a crawl
+    reader never fails the batch."""
+
+    def batches(it):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in it:
+            texts, csizes, usizes = [], [], []
+            for blob in pdf[gz_col]:
+                csizes.append(len(blob) if blob is not None else None)
+                try:
+                    raw = gzip.decompress(bytes(blob))
+                    texts.append(raw.decode("utf-8"))
+                    usizes.append(len(raw))
+                except Exception:
+                    texts.append(None)
+                    usizes.append(None)
+            yield pd.DataFrame(
+                {
+                    "warc": texts,
+                    "gz_bytes": pd.array(csizes, dtype="Int64"),
+                    "raw_bytes": pd.array(usizes, dtype="Int64"),
+                }
+            )
+
+    return df.select(gz_col).mapInPandas(
+        batches, schema="warc string, gz_bytes long, raw_bytes long"
+    )
