@@ -43,7 +43,19 @@ def global_rank(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    with_pid = rp.withColumn("_pid", F.spark_partition_id())
+    # Pinned (eager localCheckpoint): both the per-partition counts and
+    # the local-rank window below re-read this relation, and correctness
+    # requires the two reads to see IDENTICAL partition ids — the range
+    # exchange draws SAMPLED bounds, so an unpinned re-evaluation (AQE
+    # declining exchange reuse) could shift a boundary between the two
+    # reads and silently corrupt every downstream rank (the same hazard
+    # round-4 ADVICE #3 flagged for the quantile histogram). Keys here
+    # are arbitrary (strings, multi-column), so the deterministic
+    # monotone-bucket rewrite used by lineitem_column_stats does not
+    # apply — materialization is the remedy.
+    with_pid = rp.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     # per-partition counts → cumulative offsets; the partition list is
     # driver-sized (one row per partition), the exclusive prefix sum is a
     # window over that tiny relation
