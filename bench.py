@@ -380,6 +380,7 @@ BENCH_QUERIES = [
     "web_curation_pipeline",
     "doc_warc_gz_extract_pipeline",
     "media_png_decode",
+    "media_jpeg_decode",
 ]
 
 

@@ -3136,6 +3136,48 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 12 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT) AS height,
+           CAST(3 * (8 + doc_id % 8) * (8 + doc_id % 12) AS BIGINT)
+             AS raw_bytes
+    FROM documents
+    """,
+)
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format image decode — genuine baseline JPEGs (SOI/DQT/
+    SOF0/DHT/SOS marker walk, Annex-K Huffman entropy decode with byte
+    unstuffing, dezigzag, dequant, IDCT) fabricated from the same
+    closed-form ramp as the BMP/PNG families and decoded back with the
+    stdlib codec. All-ones quantization bounds the loss to DCT float
+    rounding (|pixel err| ≤ 2, pinned in tests against the lossless BMP
+    twin), so the ORACLE checks exactly what lossy decode can promise
+    exactly: header dims and the raw pixel byte count. The decoded
+    statistics' accuracy lives in tests/test_multimodal.py. Completes
+    the codec ladder: RAW/PCM (own container) → BMP/WAV (real lossless
+    containers) → PNG (real entropy-coded lossless) → JPEG (real lossy);
+    only video remains env-gated."""
+    from ..operators.multimodal import (
+        decode_jpeg_features,
+        fabricate_jpeg_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_jpeg_media(docs, "doc_id")
+    out = decode_jpeg_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        (F.lit(3) * F.col("height") * F.col("width"))
+        .cast("long")
+        .alias("raw_bytes"),
+    )
+
+
+@register(
     "media_wav_decode",
     oracle="""
     WITH t AS (

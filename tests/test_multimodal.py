@@ -294,3 +294,78 @@ def test_gzip_warc_members_roundtrip_and_degrade(spark):
     row = gunzip_warc_records(bad).first()
     assert row.warc is None and row.raw_bytes is None
     assert row.gz_bytes == len(blob)
+
+
+def test_jpeg_codec_roundtrip_accuracy_and_rejection(spark):
+    """JPEG decode must (a) reconstruct dims exactly from SOF, (b) keep
+    every pixel within DCT-rounding distance of the lossless BMP twin
+    built from the same ramp (all-ones quant table → |err| ≤ 2), and
+    (c) reject malformed/unsupported input instead of throwing."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_bmp,
+        decode_jpeg,
+        encode_bmp,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (5, 9), (16, 24), (13, 8)]:
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(a))
+        assert dec is not None and dec.shape == (h, w, 3)
+        err = np.abs(a.astype(int) - dec.astype(int))
+        assert err.max() <= 2, err.max()
+        assert err.mean() <= 0.3
+        # lossless twin agreement on the same bytes-in
+        bmp = decode_bmp(encode_bmp(a))
+        assert (np.abs(bmp.astype(int) - dec.astype(int)) <= 2).all()
+    blob = encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    assert decode_jpeg(blob[:40]) is None  # truncated mid-headers
+    assert decode_jpeg(b"\x89PNG" + blob) is None  # wrong magic
+    # progressive frame marker (SOF2) must be rejected, not misparsed
+    prog = bytearray(blob)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_contract_query_matches_bmp_twin(spark, sf_dir):
+    """The JPEG contract query's decoded means must track the BMP
+    family's oracle-exact means within DCT rounding for every doc —
+    the accuracy contract that backs the dims-only JPEG oracle."""
+    from bigdata_weather_system_spark import contract
+
+    jp = {
+        r.media_id: r
+        for r in contract.QUERIES["media_jpeg_decode"](
+            spark, sf_dir
+        ).collect()
+    }
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_jpeg_features,
+        fabricate_jpeg_media,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    feats = decode_jpeg_features(
+        fabricate_jpeg_media(docs, "doc_id")
+    ).collect()
+    assert len(feats) == 60
+    for r in feats:
+        mid = r.media_id
+        h, w = 8 + mid % 8, 8 + mid % 12
+        assert (r.height, r.width) == (h, w)
+        import numpy as np
+
+        v = (mid + np.arange(h * w)) % 256
+        exact = {
+            "mean_r": float(((v + 170) % 256).mean()),
+            "mean_g": float(((v + 85) % 256).mean()),
+            "mean_b": float(v.mean()),
+        }
+        for k, want in exact.items():
+            assert abs(getattr(r, k) - want) <= 0.35, (mid, k)
+    assert set(jp) >= {r.media_id for r in feats}
