@@ -381,6 +381,7 @@ BENCH_QUERIES = [
     "doc_warc_gz_extract_pipeline",
     "media_png_decode",
     "media_jpeg_decode",
+    "media_avi_decode",
 ]
 
 

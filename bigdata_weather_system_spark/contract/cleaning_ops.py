@@ -3178,6 +3178,53 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_avi_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS n_frames,
+           CAST(10 AS INT) AS fps,
+           CAST(8 + doc_id % 12 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT) AS height,
+           CAST(4 * 3 * (8 + doc_id % 8) * (8 + doc_id % 12) AS BIGINT)
+             AS raw_bytes
+    FROM documents
+    """,
+)
+def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode — MJPEG-in-AVI (RIFF chunk walk →
+    avih/strh stream validation → per-'00dc'-frame baseline-JPEG
+    entropy decode), fabricated as a deterministic ramp VIDEO (frame f
+    = the image ramp shifted by 17·f). The oracle pins the lossless-
+    exact container facts (frame count, fps, dims, raw pixel bytes);
+    decoded luma/motion statistics carry JPEG rounding and are pinned
+    in tests/test_multimodal.py. With this row the media ladder has a
+    REAL member at every tier — RAW/PCM, BMP/WAV, PNG (lossless
+    compressed), JPEG (lossy), MJPEG-AVI (video) — and only
+    inter-frame-compressed codecs (H.264/MP4) remain env-gated."""
+    from ..operators.multimodal import (
+        decode_avi_features,
+        fabricate_avi_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fabricate_avi_media(docs, "doc_id")
+    out = decode_avi_features(media)
+    return out.select(
+        "media_id",
+        "n_frames",
+        "fps",
+        "width",
+        "height",
+        (
+            F.col("n_frames").cast("long")
+            * 3
+            * F.col("height")
+            * F.col("width")
+        ).alias("raw_bytes"),
+    )
+
+
+@register(
     "media_wav_decode",
     oracle="""
     WITH t AS (

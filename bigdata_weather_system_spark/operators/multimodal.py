@@ -1795,3 +1795,215 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (RIFF) — a REAL video container the stdlib can round-trip:
+# each frame is a baseline JPEG (encode_jpeg above), the container is the
+# classic RIFF('AVI ') with hdrl/avih/strl headers and a movi LIST of
+# '00dc' chunks. Completes the media ladder: video is no longer
+# env-gated — only inter-frame-compressed codecs (H.264 etc.) stay out.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Pack a list of (h, w, 3) uint8 RGB frames into a minimal valid
+    MJPEG AVI: RIFF/AVI , LIST hdrl (avih + one vids/MJPG strl), LIST
+    movi with one '00dc' JPEG chunk per frame (even-padded), idx1
+    index. Deterministic bytes."""
+    import struct
+
+    blobs = [encode_jpeg(f) for f in frames]
+    h, w, _ = frames[0].shape
+    n = len(frames)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # usec per frame
+        0, 0, 0x10,        # maxbytes, padding, flags (HASINDEX)
+        n, 0, 1, 0,        # frames, initial, streams, bufsize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", 3 * w * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", b) for b in blobs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame (offset relative to movi list start + 4)
+    idx = b""
+    off = 4
+    for b in blobs:
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(b))
+        off += 8 + len(b) + (len(b) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(blob: bytes):
+    """Parse an MJPEG AVI → (fps, [frame arrays]), or None on malformed
+    input (wrong RIFF/AVI magic, truncated chunk, non-MJPG stream, or
+    any frame whose JPEG fails to decode). Real chunk walk — unknown
+    chunks are skipped by their declared size, '00dc' payloads feed the
+    baseline-JPEG entropy decoder."""
+    import struct
+
+    if blob is None or len(blob) < 24:
+        return None
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    fps = None
+    handler_ok = False
+    frames = []
+
+    def walk(start: int, end: int) -> bool:
+        nonlocal fps, handler_ok, frames
+        pos = start
+        while pos + 8 <= end:
+            tag = blob[pos : pos + 4]
+            (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            payload_end = pos + 8 + size
+            if payload_end > end:
+                return False
+            if tag == b"LIST":
+                if not walk(pos + 12, payload_end):
+                    return False
+            elif tag == b"avih":
+                if size < 4:
+                    return False
+                (usec,) = struct.unpack("<I", blob[pos + 8 : pos + 12])
+                fps = round(1_000_000 / usec) if usec else None
+            elif tag == b"strh":
+                handler_ok = blob[pos + 8 : pos + 16] == b"vidsMJPG"
+            elif tag == b"00dc":
+                arr = decode_jpeg(blob[pos + 8 : payload_end])
+                if arr is None:
+                    return False
+                frames.append(arr)
+            pos = payload_end + (size % 2)
+        return True
+
+    # clamp to the REAL buffer: a truncated file still declares its full
+    # RIFF size, and an unclamped walk would slice past the end
+    declared_end = 8 + struct.unpack("<I", blob[4:8])[0]
+    if not walk(12, min(declared_end, len(blob))):
+        return None
+    if fps is None or not handler_ok or not frames:
+        return None
+    return fps, frames
+
+
+def fabricate_avi_media(
+    df: DataFrame, id_col: str, n_frames: int = 4
+) -> DataFrame:
+    """Real MJPEG AVIs from a deterministic ramp VIDEO: frame f of media
+    ``id`` uses the BMP/PNG/JPEG ramp shifted by ``f * 17`` — so
+    per-frame statistics and frame-to-frame motion are closed-form (up
+    to the pinned JPEG rounding)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h, w = 8 + mid % 8, 8 + mid % 12
+                frames = []
+                for f in range(n_frames):
+                    v = (
+                        mid + 17 * f + np.arange(h * w, dtype=np.int64)
+                    ).reshape(h, w)
+                    frames.append(
+                        np.stack(
+                            [(v + 170) % 256, (v + 85) % 256, v % 256],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_avi_mjpeg(frames, fps=10),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.lit("video/x-msvideo").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL video decode: container fps + frame count +
+    dims (lossless-exact) and decoded per-video mean/motion-energy
+    statistics (JPEG-rounding accuracy, pinned in tests)."""
+    schema = (
+        "media_id long, n_frames int, fps int, width int, height int, "
+        "mean_luma double, motion_energy double"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_avi_mjpeg(content)
+                if dec is None:
+                    continue
+                fps, frames = dec
+                h, w, _ = frames[0].shape
+                stack = np.stack(frames).astype(np.float64)
+                motion = (
+                    float(
+                        np.abs(np.diff(stack, axis=0)).mean()
+                    )
+                    if len(frames) > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": len(frames),
+                        "fps": int(fps),
+                        "width": w,
+                        "height": h,
+                        "mean_luma": float(stack.mean()),
+                        "motion_energy": motion,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "fps", "width", "height",
+                    "mean_luma", "motion_energy",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)

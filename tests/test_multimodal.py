@@ -369,3 +369,69 @@ def test_jpeg_contract_query_matches_bmp_twin(spark, sf_dir):
         for k, want in exact.items():
             assert abs(getattr(r, k) - want) <= 0.35, (mid, k)
     assert set(jp) >= {r.media_id for r in feats}
+
+
+def test_avi_mjpeg_container_roundtrip_and_rejection(spark):
+    """MJPEG-AVI must round-trip every frame within JPEG rounding,
+    reconstruct fps from avih, and reject truncation, a wrong RIFF
+    magic, and a non-MJPG stream handler."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, (13, 9, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    blob = encode_avi_mjpeg(frames, fps=10)
+    fps, out = decode_avi_mjpeg(blob)
+    assert fps == 10 and len(out) == 4
+    for a, b in zip(frames, out):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+    assert decode_avi_mjpeg(blob[:30]) is None  # truncated header
+    assert decode_avi_mjpeg(blob[:1000]) is None  # truncated mid-movi
+    assert decode_avi_mjpeg(b"RIFX" + blob[4:]) is None
+    bad = bytearray(blob)
+    i = bad.find(b"vidsMJPG")
+    bad[i + 4 : i + 8] = b"H264"
+    assert decode_avi_mjpeg(bytes(bad)) is None
+
+
+def test_avi_motion_energy_tracks_ramp(spark, sf_dir):
+    """The fabricated ramp video shifts by +17 per frame, so the exact
+    motion energy is mean(|(v+17)%256 − v%256|) — 17 except at the
+    wrap; decoded values must match within JPEG rounding."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_avi_features,
+        fabricate_avi_media,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    feats = decode_avi_features(
+        fabricate_avi_media(docs, "doc_id")
+    ).collect()
+    assert len(feats) == 40
+    for r in feats:
+        mid = r.media_id
+        h, w = 8 + mid % 8, 8 + mid % 12
+        assert (r.n_frames, r.fps, r.height, r.width) == (4, 10, h, w)
+        # exact per-channel ramp stack (same construction as fabricate)
+        stack = []
+        for f in range(4):
+            v = (mid + 17 * f + np.arange(h * w)).reshape(h, w)
+            stack.append(
+                np.stack(
+                    [(v + 170) % 256, (v + 85) % 256, v % 256], axis=-1
+                ).astype(np.float64)
+            )
+        stack = np.stack(stack)
+        want_motion = float(np.abs(np.diff(stack, axis=0)).mean())
+        want_luma = float(stack.mean())
+        assert abs(r.motion_energy - want_motion) <= 1.0, mid
+        assert abs(r.mean_luma - want_luma) <= 0.35, mid
