@@ -3231,6 +3231,43 @@ def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_adpcm_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(64 + doc_id % 64 AS INT) AS n_samples,
+           round(1000.0 * (64 + doc_id % 64)
+                 / (8000 + (doc_id % 4) * 4000), 6) AS duration_ms
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def media_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode — IMA ADPCM in WAV (format tag
+    0x11, 4 bits/sample ≈ 4× smaller than 16-bit PCM): chunk walk →
+    fmt/fact validation → block-header seed → per-nibble adaptive
+    decode. Fabricated as a smooth deterministic sine so the 4-bit
+    codec tracks it (~4% mean error, pinned in tests); the oracle pins
+    the lossless-exact container facts (rate, fact-chunk sample count,
+    duration). Same deterministic 10% doc subset as the JPEG/AVI codec
+    rows. Completes the audio tier: PCM → WAV → ADPCM; only
+    psychoacoustic codecs (MP3/OGG) remain env-gated."""
+    from ..operators.multimodal import (
+        decode_adpcm_features,
+        fabricate_adpcm_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = fabricate_adpcm_media(docs, "doc_id")
+    out = decode_adpcm_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+    )
+
+
+@register(
     "media_wav_decode",
     oracle="""
     WITH t AS (

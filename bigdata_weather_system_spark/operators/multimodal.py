@@ -2007,3 +2007,246 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM in WAV (wFormatTag 0x11) — a REAL compressed audio codec
+# (4 bits/sample vs 16-bit PCM), stdlib-only. Completes the audio tier:
+# PCM (raw) → WAV (container) → ADPCM (lossy compressed); only
+# psychoacoustic codecs (MP3/OGG) remain env-gated.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_encode_sample(sample, pred, idx):
+    """One IMA ADPCM step: 4-bit nibble + updated predictor/index."""
+    step = _IMA_STEPS[idx]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    # reconstruct exactly as the decoder will
+    delta = step >> 3
+    if nib & 4:
+        delta += step
+    if nib & 2:
+        delta += step >> 1
+    if nib & 1:
+        delta += step >> 2
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+    return nib, pred, idx
+
+
+def _ima_decode_sample(nib, pred, idx):
+    step = _IMA_STEPS[idx]
+    delta = step >> 3
+    if nib & 4:
+        delta += step
+    if nib & 2:
+        delta += step >> 1
+    if nib & 1:
+        delta += step >> 2
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+    return pred, idx
+
+
+def encode_adpcm_wav(samples, sample_rate: int) -> bytes:
+    """Pack int16 mono samples into a real IMA-ADPCM WAV (format tag
+    0x11): one block — 4-byte block header (seed predictor int16, step
+    index, reserved) + 4-bit nibbles two-per-byte. fmt carries the
+    required samplesPerBlock extension. ~4x smaller than 16-bit PCM."""
+    import struct
+
+    samples = [int(s) for s in samples]
+    n = len(samples)
+    pred = samples[0]
+    # seed the step index at the first delta's magnitude (the block
+    # header carries the seed, so the encoder may choose it) — starting
+    # at index 0 (step 7) costs a long adaptation transient on any
+    # non-quiet signal
+    first_diff = abs(samples[1] - samples[0]) if n > 1 else 0
+    idx = seed_idx = next(
+        (i for i, st in enumerate(_IMA_STEPS) if st >= first_diff), 88
+    )
+    nibbles = []
+    for s in samples[1:]:
+        nib, pred, idx2 = _ima_encode_sample(s, pred, idx)
+        idx = idx2
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    body = bytearray(struct.pack("<hBB", samples[0], seed_idx, 0))
+    for i in range(0, len(nibbles), 2):
+        body.append(nibbles[i] | (nibbles[i + 1] << 4))
+    block_align = len(body)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // max(n, 1),
+        block_align, 4, 2, n,  # bits/sample=4, cbSize=2, samplesPerBlock
+    )
+    data = bytes(body)
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_adpcm_wav(blob: bytes):
+    """Parse an IMA-ADPCM WAV → (sample_rate, int16 sample list), or
+    None on malformed input (wrong magic, non-ADPCM format tag, stereo,
+    truncated chunks). Real chunk walk + per-nibble decode."""
+    import struct
+
+    if blob is None or len(blob) < 20:
+        return None
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    n_samples = None
+    end = min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0])
+    while pos + 8 <= end:
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            return None
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"fact" and size >= 4:
+            (n_samples,) = struct.unpack("<I", payload[:4])
+        elif tag == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag16, nch, rate, _bps, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag16 != 0x11 or nch != 1 or bits != 4:
+        return None
+    if len(data) < 4:
+        return None
+    pred, idx, _rsv = struct.unpack("<hBB", data[:4])
+    if idx > 88:
+        return None
+    out = [pred]
+    for b in data[4:]:
+        for nib in (b & 0xF, b >> 4):
+            pred, idx = _ima_decode_sample(nib, pred, idx)
+            out.append(pred)
+    if n_samples is not None:
+        if n_samples > len(out):
+            return None
+        out = out[:n_samples]
+    return rate, out
+
+
+def fabricate_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real IMA-ADPCM WAVs from a smooth deterministic signal:
+    s_i = round(2000·sin(2π·(3 + id%5)·i/n)) over n = 64 + id%64
+    samples at rate 8000 + (id%4)·4000 — smooth so the 4-bit codec
+    tracks it tightly (the WAV/PCM family's modular ramp has ±4096
+    jumps that ADPCM, by design, cannot follow)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 64 + mid % 64
+                rate = 8000 + (mid % 4) * 4000
+                i = np.arange(n)
+                s = np.rint(
+                    2000.0 * np.sin(2 * np.pi * (3 + mid % 5) * i / n)
+                ).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_adpcm_wav(list(s), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.lit("audio/x-adpcm").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_adpcm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL ADPCM decode: container facts (rate, sample
+    count, duration — lossless-exact) plus decoded peak amplitude
+    (codec-accuracy-bounded, pinned in tests)."""
+    schema = (
+        "media_id long, sample_rate int, n_samples int, "
+        "duration_ms double, peak int"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_adpcm_wav(content)
+                if dec is None:
+                    continue
+                rate, samples = dec
+                s = np.asarray(samples, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(rate),
+                        "n_samples": len(s),
+                        "duration_ms": 1000.0 * len(s) / rate,
+                        "peak": int(np.abs(s).max()) if len(s) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_ms", "peak",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)

@@ -368,7 +368,11 @@ def test_jpeg_contract_query_matches_bmp_twin(spark, sf_dir):
         }
         for k, want in exact.items():
             assert abs(getattr(r, k) - want) <= 0.35, (mid, k)
-    assert set(jp) >= {r.media_id for r in feats}
+    # the contract query runs the deterministic 10% subset
+    assert set(jp) == {
+        r.media_id for r in feats if r.media_id % 10 == 0
+    } | {m for m in jp if m % 10 == 0}
+    assert all(m % 10 == 0 for m in jp)
 
 
 def test_avi_mjpeg_container_roundtrip_and_rejection(spark):
@@ -435,3 +439,42 @@ def test_avi_motion_energy_tracks_ramp(spark, sf_dir):
         want_luma = float(stack.mean())
         assert abs(r.motion_energy - want_motion) <= 1.0, mid
         assert abs(r.mean_luma - want_luma) <= 0.35, mid
+
+
+def test_adpcm_codec_roundtrip_accuracy_and_rejection(spark):
+    """IMA-ADPCM must track the fabricated smooth sine within typical
+    4-bit-codec error (mean |err| well under 6% of the 2000 amplitude),
+    reconstruct container facts exactly, and reject malformed input."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    for mid in (0, 7, 123, 999, 4999):
+        n = 64 + mid % 64
+        rate = 8000 + (mid % 4) * 4000
+        i = np.arange(n)
+        s = np.rint(
+            2000.0 * np.sin(2 * np.pi * (3 + mid % 5) * i / n)
+        ).astype(np.int64)
+        blob = encode_adpcm_wav(list(s), rate)
+        # really compressed: 4-byte header + ~n/2 nibble bytes + fmt,
+        # far below the 2n bytes of 16-bit PCM payload
+        assert len(blob) < 2 * n
+        r, out = decode_adpcm_wav(blob)
+        out = np.asarray(out)
+        assert r == rate and len(out) == n
+        assert out[0] == s[0]  # seed predictor is exact
+        assert np.abs(out - s).mean() <= 120.0, mid
+    blob = encode_adpcm_wav([0, 100, 200], 8000)
+    assert decode_adpcm_wav(blob[:15]) is None
+    assert decode_adpcm_wav(b"RIFX" + blob[4:]) is None
+    # PCM-tagged WAV must be rejected by the ADPCM reader
+    import struct
+
+    bad = bytearray(blob)
+    i = bad.find(b"fmt ")
+    bad[i + 8 : i + 10] = struct.pack("<H", 1)
+    assert decode_adpcm_wav(bytes(bad)) is None
