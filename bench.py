@@ -666,11 +666,19 @@ def main() -> None:
     common_s = [s for s in sentinel if s in floors]
     load_suspect = None
     if common_s:
-        now_sum = sum(
-            max(sent_start[s], sent_end[s]) for s in common_s
-        )
+        # Flag only when BOTH probe points exceed the floor: the flag
+        # suppresses the regression report, so it must mean "this run
+        # was loaded THROUGHOUT", not "one probe hit a warm-up wrinkle"
+        # — a max() rule left the flag permanently on (start probes run
+        # right after table warming and sit ~1.5x the quiet floor on a
+        # healthy box), silently disabling regression reporting.
+        start_sum = sum(sent_start[s] for s in common_s)
+        end_sum = sum(sent_end[s] for s in common_s)
         floor_sum = sum(floors[s] for s in common_s)
-        load_suspect = floor_sum > 0 and now_sum > 1.3 * floor_sum
+        load_suspect = (
+            floor_sum > 0
+            and min(start_sum, end_sum) > 1.3 * floor_sum
+        )
     total = round(sum(timings.values()), 4)
     sfv = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_round, prev = previous_round_queries(sfv)
