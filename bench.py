@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "doc_segment_dedup",
     "doc_pii_redaction",
     "doc_fuzzy_match_pairs",
+    "doc_fuzzy_match_pairs_capped",
     "funnel_signup_click_purchase",
     "scd2_user_state_history",
     "ohlc_6h_bars",
@@ -124,6 +125,7 @@ BENCH_QUERIES = [
     "referential_integrity_audit",
     "feature_store_pit_join",
     "hard_negative_pairs",
+    "hard_negative_pairs_ann",
     "doc_span_corruption",
     "doc_quality_classifier_scores",
     "doc_unigram_logprob",
@@ -145,6 +147,7 @@ BENCH_QUERIES = [
     "cuped_ab_analysis",
     "attribution_decay_credit",
     "knn_label_eval",
+    "knn_label_eval_ann",
     "markov_next_event_eval",
     "persistence_forecast_backtest",
     "spearman_value_time_per_type",

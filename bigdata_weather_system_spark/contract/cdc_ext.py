@@ -540,6 +540,256 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_eval_ann",
+    oracle="""
+    SELECT label, cast(count(*) AS BIGINT) AS n,
+           TRUE AS coverage_floor_met,
+           TRUE AS subset_recall_floor_met,
+           TRUE AS subset_vote_agreement_floor_met
+    FROM embeddings GROUP BY label
+    """,
+)
+def knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``knn_label_eval``: the all-pairs neighbor
+    stage is replaced by adaptive-plane LSH (bucket occupancy held
+    ~constant as the corpus grows, shuffle equi-join on the 8-byte
+    bucket key — never a broadcast of the query side, which here IS the
+    corpus), the vote/score algebra is unchanged. Pair work is
+    O(n · probes · target_bucket) — linear where the exact baseline is
+    quadratic.
+
+    Accuracy is pinned the ``ann_recall_contract`` way: per-label counts
+    are exact (oracle-valued), and three floors are computed IN the
+    query and reduced to booleans the oracle asserts TRUE —
+    (a) ≥95% of vectors receive a prediction, (b) recall@5 vs the exact
+    brute-force neighbors on a fixed 20-query probe subset beats HALF
+    the isotropic-chance level (probed corpus fraction ≈
+    (1+planes)/2^planes — on unclustered vectors no probing scheme can
+    systematically exceed its probed fraction, so the floor must scale
+    with it; capped at 0.25), and (c) the ANN majority-vote label AGREES
+    with the exact-kNN vote on ≥10% of that subset (chance for 10
+    labels). Scale-aware floors hold at EVERY sf, not just oracle scale.
+    This corpus is the worst-case regime (isotropic vectors,
+    label-independent — exact 5-NN itself scores ~chance here, which is
+    why the contract pins neighbor recall and vote agreement rather than
+    label accuracy)."""
+    from ..operators.similarity import (
+        adaptive_n_planes,
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = adaptive_n_planes(n)
+    probed_fraction = (1.0 + planes) / float(2**planes)
+    recall_floor = min(0.25, 0.5 * probed_fraction)
+    ann5 = cosine_topk_lsh(
+        e, e, k=5, n_planes=planes, multi_probe=1,
+        broadcast_queries=False,
+    ).cache()
+
+    labels = e.select("vec_id", "label")
+
+    def vote(top5: DataFrame) -> DataFrame:
+        nl = labels.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+        )
+        votes = (
+            top5.withColumnRenamed("query_id", "qid")
+            .join(F.broadcast(nl), "neighbor_id")
+            .groupBy("qid", "nlabel")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("v").desc(), F.col("nlabel").asc()
+        )
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("nlabel").alias("pred_label"))
+        )
+
+    cov = ann5.agg(
+        (F.countDistinct("query_id") / F.lit(float(n)) >= 0.95).alias(
+            "coverage_floor_met"
+        )
+    )
+
+    sub = e.filter(F.col("vec_id") < 20)
+    exact5 = cosine_topk_bruteforce(e, sub, k=5).cache()
+    ann_sub = ann5.filter(F.col("query_id") < 20)
+    hits = (
+        ann_sub.select("query_id", "neighbor_id")
+        .join(
+            exact5.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    rec = (
+        hits.crossJoin(exact5.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(
+            (F.col("_hits") / F.col("_ne") >= F.lit(recall_floor)).alias(
+                "subset_recall_floor_met"
+            )
+        )
+    )
+
+    agree = (
+        vote(ann_sub)
+        .join(
+            vote(exact5).withColumnRenamed("pred_label", "_exact_label"),
+            "qid",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("pred_label") == F.col("_exact_label")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("_n_agree")
+        )
+        .crossJoin(exact5.select("query_id").distinct()
+                   .agg(F.count(F.lit(1)).alias("_nq")))
+        .select(
+            (F.col("_n_agree") / F.col("_nq") >= 0.10).alias(
+                "subset_vote_agreement_floor_met"
+            )
+        )
+    )
+
+    per_label = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_label.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(agree))
+    )
+
+
+@register(
+    "hard_negative_pairs_ann",
+    oracle="""
+    SELECT cast(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS all_pairs_cross_label,
+           TRUE AS coverage_floor_met,
+           TRUE AS subset_recall_floor_met
+    FROM embeddings
+    """,
+)
+def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``hard_negative_pairs``: candidates come from
+    the anchor's LSH probe buckets (``hard_negative_mining_lsh`` —
+    sketch once, shuffle equi-join on the bucket key, adaptive planes
+    keep pair work linear) instead of the label-filtered cross join.
+    Emitted similarities are TRUE cosines of genuinely cross-label rows
+    — only completeness is approximate.
+
+    The oracle pins: the exact corpus size; that EVERY emitted pair is
+    cross-label (a hard invariant on the mined output, asserted over the
+    data, not assumed from the plan); ≥95% anchor coverage; and top-2
+    recall vs the exact miner on a fixed 20-anchor probe subset (exact
+    side is 20 × n — linear) beating half the probed-fraction chance
+    level (scale-aware, capped at 0.2 — see ``knn_label_eval_ann`` for
+    why floors must track the probed fraction on isotropic vectors)."""
+    from ..operators.similarity import (
+        adaptive_n_planes,
+        dot,
+        hard_negative_mining_lsh,
+        norm,
+    )
+    from ..operators.latest import top_n_per_key
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = adaptive_n_planes(n)
+    recall_floor = min(0.2, 0.5 * (1.0 + planes) / float(2**planes))
+    hn = hard_negative_mining_lsh(
+        e, k=2, n_planes=planes, multi_probe=1
+    ).cache()
+
+    labels = e.select("vec_id", "label")
+    cross = (
+        hn.join(
+            labels.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("_albl"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("_nlbl"),
+            ),
+            "negative_id",
+        )
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("_albl") != F.col("_nlbl")), F.lit(True)
+            ).alias("all_pairs_cross_label")
+        )
+    )
+    cov = hn.agg(
+        (F.countDistinct("anchor_id") / F.lit(float(n)) >= 0.95).alias(
+            "coverage_floor_met"
+        )
+    )
+
+    sub = e.filter(F.col("vec_id") < 20)
+    a = sub.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("_albl"),
+        F.col("embedding").alias("_avec"),
+        norm(F.col("embedding")).alias("_an"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("_clbl"),
+        F.col("embedding").alias("_cvec"),
+        norm(F.col("embedding")).alias("_cn"),
+    )
+    exact2 = top_n_per_key(
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("_albl") != F.col("_clbl"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(
+                dot(F.col("_avec"), F.col("_cvec"))
+                / (F.col("_an") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        ),
+        ["anchor_id"],
+        [F.col("cosine_sim").desc(), F.col("negative_id").asc()],
+        n=2,
+    ).cache()
+    rec = (
+        hn.filter(F.col("anchor_id") < 20)
+        .select("anchor_id", "negative_id")
+        .join(
+            exact2.select("anchor_id", "negative_id"),
+            ["anchor_id", "negative_id"],
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(exact2.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(
+            (F.col("_hits") / F.col("_ne") >= F.lit(recall_floor)).alias(
+                "subset_recall_floor_met"
+            )
+        )
+    )
+
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(cross))
+        .crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(rec))
+    )
+
+
+@register(
     "cuped_ab_analysis",
     oracle="""
     WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),

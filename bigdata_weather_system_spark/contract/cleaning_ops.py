@@ -192,6 +192,58 @@ def doc_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_CAPPED_ORACLE = """
+WITH k AS (
+  SELECT lang || cast(n_chars // 16 AS VARCHAR) AS block,
+         doc_id, substr(text, 1, 48) AS prefix
+  FROM documents
+),
+kept AS (
+  SELECT block FROM k GROUP BY block HAVING count(*) <= 64
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS distance
+FROM k a
+JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+JOIN kept kt ON kt.block = a.block
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+"""
+
+
+@register("doc_fuzzy_match_pairs_capped", oracle=_FUZZY_CAPPED_ORACLE)
+def doc_fuzzy_match_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``doc_fuzzy_match_pairs``: same blocking, same
+    exact in-block Levenshtein, but blocks larger than ``max_block_size``
+    (64 here) are DROPPED before pairing — the hot-block guard that turns
+    the worst case from Σ c² (a single boilerplate block goes quadratic)
+    into n_blocks · cap², bounded no matter how the corpus grows. Drops
+    are whole-block (deterministic, unbiased within kept blocks) and
+    observable via ``pair_up``'s Observation hook.
+
+    The cap is pure relational algebra, so the oracle replicates it
+    EXACTLY (HAVING count(*) <= cap) and every emitted pair is
+    value-checked — a full hash oracle on the production-shaped plan, not
+    a floor contract. At small scale no block exceeds the cap and the
+    output equals the exact twin's; as blocks outgrow it, recall is
+    traded for the bound — raise ``max_block_size`` (or tighten the
+    blocking key) when completeness matters more than the ceiling."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.floor(F.col("n_chars") / 16).cast("long").alias("len_bucket"),
+    )
+    return fuzzy_blocked_pairs(
+        docs,
+        block_cols=["lang", "len_bucket"],
+        id_col="doc_id",
+        text_col="text",
+        prefix_len=48,
+        max_distance=20,
+        max_block_size=64,
+    )
+
+
 # --------------------------------------------------------------------------
 # Winsorized robust stats
 # --------------------------------------------------------------------------

@@ -119,6 +119,32 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def adaptive_n_planes(
+    n_rows: int,
+    target_bucket_size: int = 32,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Plane count that holds the EXPECTED LSH bucket size ~constant as
+    the corpus grows: ``ceil(log2(n / target))``, clamped.
+
+    This is the knob that keeps sign-bit LSH linear at scale. With fixed
+    planes, bucket occupancy — and so per-query candidate work — grows
+    with n (10× data → 10× candidates → 100× pair work for all-queries
+    shapes). With log-scaled planes the per-query candidate count stays
+    ~``(1 + probes) · target``, so total pair work grows ~linearly while
+    the sketch cost grows only O(n · log n). The price is recall: on
+    weakly-clustered vectors the probed fraction of the corpus shrinks as
+    n grows — tune ``multi_probe``/``target_bucket_size`` up when recall
+    matters more than cost (the accuracy contracts pin floors at oracle
+    scale).
+    """
+    import math
+
+    raw = math.ceil(math.log2(max(2.0, n_rows / float(target_bucket_size))))
+    return max(min_planes, min(max_planes, int(raw)))
+
+
 def lsh_sketch(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit sketch: bit_i = 1 iff dot(vec, plane_i) > 0 → packed long.
 
@@ -154,6 +180,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     round_digits: int = 6,
     multi_probe: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket(s)
     are scored. With b sign bits the candidate set shrinks ~2^-b; recall is
@@ -165,6 +192,18 @@ def cosine_topk_lsh(
     At 100 TB: the corpus side is sketched once (narrow stage, cacheable as
     a bucketed table on ``bucket``), and each query joins only its probe
     buckets — an equi-join on an 8-byte key instead of a cross join.
+
+    ``broadcast_queries`` picks the join strategy for that equi-join:
+    True (default) broadcasts the exploded query·probe rows — right when
+    the query batch is small relative to the corpus (the serving shape).
+    Pass False for the self-kNN / all-queries shape, where the "query
+    batch" IS the corpus: each exploded row carries the full embedding,
+    so broadcasting it ships n·(1+probes)·dim floats to every executor —
+    a shuffle equi-join on the 8-byte bucket key moves each row once
+    instead. In that shape the query side is also ``_spread`` first:
+    the explode → join → score → partial-window chain all pipeline on
+    the query side's partitioning, so a single-file query scan would
+    otherwise run the whole candidate stage on one core.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     c = _spread(corpus).select(
@@ -183,16 +222,23 @@ def cosine_topk_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    q = queries.select(
+    q = (queries if broadcast_queries else _spread(queries)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         norm(F.col(vec_col)).alias("_qn"),
         F.explode(F.array(*probe_exprs)).alias("bucket"),
     )
-    pairs = c.join(F.broadcast(q), on="bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    pairs = c.join(
+        F.broadcast(q) if broadcast_queries else q, on="bucket"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # Score BEFORE deduplicating: the wide pair rows (two vectors each)
+    # then live only inside the join stage — pipelined, never shuffled —
+    # and the dedup exchange moves 24-byte (q, n, sim) triples instead of
+    # ~1 KB rows (the difference between MBs and GBs of shuffle at 10×).
+    # Probe buckets are distinct XOR masks, so a pair can only repeat via
+    # duplicate input ids — the dedup is a cheap safety net, not the
+    # workhorse; cosine is deterministic per pair, so dedup-after-score
+    # is value-identical to dedup-before-score.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -200,7 +246,7 @@ def cosine_topk_lsh(
             dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
             round_digits,
         ).alias("cosine_sim"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     return top_n_per_key(
         scored,
         ["query_id"],
@@ -1155,6 +1201,81 @@ def hard_negative_mining(
             round_digits,
         ).alias("cosine_sim"),
     )
+    return top_n_per_key(
+        scored,
+        ["anchor_id"],
+        [F.col("cosine_sim").desc(), F.col("negative_id").asc()],
+        n=k,
+    )
+
+
+def hard_negative_mining_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """LSH-bucketed hard-negative miner — the scale path for
+    ``hard_negative_mining`` (which is the exact all-pairs baseline).
+
+    Every vector is an anchor; candidates are the different-label vectors
+    in the anchor's probe buckets (own sketch + Hamming-``multi_probe``
+    neighbors), scored by exact cosine and top-k'd with the same
+    rounded-then-ranked deterministic tie-breaks as the exact miner — so
+    emitted pairs are always TRUE cosines of genuinely cross-label rows
+    (never sketch approximations); only completeness is approximate.
+
+    Scale shape: the corpus is sketched once (narrow Arrow GEMM stage);
+    anchors explode to ``1 + n_planes·multi_probe`` probe rows and meet
+    the corpus in a shuffle equi-join on the 8-byte bucket key — never a
+    broadcast (the anchor side IS the corpus) and never all-pairs. With
+    ``adaptive_n_planes`` bucket occupancy stays ~constant, so pair work
+    is O(n · probes · target_bucket) — linear in the corpus.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = _spread(vectors).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("_clbl"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+        lsh_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    base = lsh_sketch(F.col(vec_col), planes)
+    probe_exprs = [base]
+    if multi_probe >= 1:
+        probe_exprs += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if multi_probe >= 2:
+        probe_exprs += [
+            base.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    a = _spread(vectors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vec_col).alias("_avec"),
+        norm(F.col(vec_col)).alias("_an"),
+        F.explode(F.array(*probe_exprs)).alias("bucket"),
+    )
+    pairs = c.join(a, on="bucket").filter(F.col("_albl") != F.col("_clbl"))
+    # Score before dedup so the wide pair rows never cross a shuffle —
+    # see cosine_topk_lsh (the dedup exchange then carries 24-byte
+    # triples; probe buckets are distinct XOR masks, so the dedup is a
+    # duplicate-id safety net, not the workhorse).
+    scored = pairs.select(
+        "anchor_id",
+        "negative_id",
+        F.round(
+            dot(F.col("_avec"), F.col("_cvec")) / (F.col("_an") * F.col("_cn")),
+            round_digits,
+        ).alias("cosine_sim"),
+    ).dropDuplicates(["anchor_id", "negative_id"])
     return top_n_per_key(
         scored,
         ["anchor_id"],
