@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "quality_score_calibration",
     "bm25_ndcg_eval",
     "als_item_factors",
+    "distributed_linear_train",
+    "distributed_logistic_train",
     "weekly_seasonal_decomposition",
     "isotonic_calibration_segments",
     "funnel_windowed_conversion",

@@ -11,6 +11,8 @@ Python row path — with a full DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.text import tokens
@@ -300,4 +302,166 @@ def mixture_temperature_weights(
             powv / F.col("z") * F.col("total_tokens") / F.col("n_tokens"),
             6,
         ).alias("expected_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6: in-engine distributed training (sufficient-statistics map-reduce)
+# ---------------------------------------------------------------------------
+
+#: Known generating coefficients for the synthetic regression target —
+#: the label is built IN-PLAN from embedding elements, so the trainer's
+#: recovery of these is a closed-form contract, not a fit to noise.
+_LIN_TRUTH = (3.0, -2.0, 0.5, 0.25)  # f1, f2, f3, intercept
+
+
+def _training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature/label frame: features are embedding elements 1-3, the
+    label is a known linear function of them plus 0.5×element-4 as
+    irreducible noise (element 4 is OMITTED from the features, so the
+    fitted RMSE has a known floor and the recoverable coefficients a
+    known truth)."""
+    e = _t(spark, sf_dir, "embeddings")
+    f1 = F.col("embedding")[0].cast("double")
+    f2 = F.col("embedding")[1].cast("double")
+    f3 = F.col("embedding")[2].cast("double")
+    noise = F.col("embedding")[3].cast("double")
+    a, b, c, d = _LIN_TRUTH
+    return e.select(
+        F.col("vec_id"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        (a * f1 + b * f2 + c * f3 + d + 0.5 * noise).alias("y"),
+    )
+
+
+@register(
+    "distributed_linear_train",
+    oracle="""
+    SELECT cast(count(*) AS BIGINT) AS n_rows,
+           TRUE AS coef_within_tol,
+           TRUE AS intercept_within_tol,
+           TRUE AS rmse_beats_mean_baseline,
+           TRUE AS coefs_finite
+    FROM embeddings
+    """,
+)
+def distributed_linear_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 engine-side: distributed OLS via exact sufficient-statistics
+    map-reduce (``operators/training.py`` — per-Arrow-batch XᵀX/Xᵀy
+    partials, one tiny merge agg, driver p×p solve; the driver never
+    sees a data row). The reference trains out-of-engine
+    (``/root/reference/prediction/train.py:462-642``); this is the
+    shape that trains ON the cluster.
+
+    The label is synthesized in-plan with KNOWN coefficients
+    (``_LIN_TRUTH``) plus an omitted-feature noise term, so the oracle
+    asserts: exact row count; every recovered coefficient within 0.2 of
+    truth (≈10× the standard error at oracle scale); fitted RMSE beats
+    the mean-only baseline (computed engine-side on in-plan
+    predictions); all coefficients finite. The exact-merge identity vs
+    a single-node numpy solve is pinned to 1e-8 in
+    ``tests/test_distributed_training.py``."""
+    from ..operators.training import predict_linear, ridge_train_distributed
+
+    data = _training_frame(spark, sf_dir).cache()
+    feats = ["f1", "f2", "f3"]
+    beta = ridge_train_distributed(data, feats, "y", reg=0.0)
+    a, b, c, d = _LIN_TRUTH
+    coef_ok = bool(
+        abs(beta[0] - a) <= 0.2
+        and abs(beta[1] - b) <= 0.2
+        and abs(beta[2] - c) <= 0.2
+    )
+    int_ok = bool(abs(beta[3] - d) <= 0.2)
+    finite = bool(np.all(np.isfinite(beta)))
+
+    pred = predict_linear(data, feats, beta)
+    resid = F.col("y") - pred
+    mu = data.agg(F.avg("y").alias("_mu"))
+    return (
+        data.crossJoin(F.broadcast(mu))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sqrt(F.avg(resid * resid)).alias("_rmse"),
+            F.sqrt(
+                F.avg((F.col("y") - F.col("_mu")) * (F.col("y") - F.col("_mu")))
+            ).alias("_rmse_base"),
+        )
+        .select(
+            "n_rows",
+            F.lit(coef_ok).alias("coef_within_tol"),
+            F.lit(int_ok).alias("intercept_within_tol"),
+            (F.col("_rmse") < F.col("_rmse_base")).alias(
+                "rmse_beats_mean_baseline"
+            ),
+            F.lit(finite).alias("coefs_finite"),
+        )
+    )
+
+
+@register(
+    "distributed_logistic_train",
+    oracle="""
+    SELECT cast(count(*) AS BIGINT) AS n_rows,
+           TRUE AS accuracy_floor_met,
+           TRUE AS logloss_beats_chance,
+           TRUE AS signs_correct,
+           TRUE AS coefs_finite
+    FROM embeddings
+    """,
+)
+def distributed_logistic_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 engine-side, GLM case: distributed logistic regression by IRLS
+    — every Newton step is one narrow ``mapInPandas`` pass emitting
+    per-batch XᵀWX/XᵀWz partials plus a singleton merge agg (see
+    ``operators/training.py``; 4 iterations = 4 linear passes, no
+    parameter server, no row collect).
+
+    The binary label is synthesized in-plan (sign of 2·f1 − 3·f2 plus
+    omitted-feature noise), so the oracle asserts: exact row count;
+    engine-side accuracy ≥ 0.8 (Bayes accuracy ≈ 0.95 at this
+    noise-to-signal); mean log-loss < ln 2 (the always-0.5 chance
+    model); recovered coefficient SIGNS match the generator; finiteness.
+    Agreement with a single-node numpy IRLS at 1e-6 is pinned in
+    ``tests/test_distributed_training.py``."""
+    from ..operators.training import logistic_train_distributed, predict_linear
+
+    e = _t(spark, sf_dir, "embeddings")
+    f1 = F.col("embedding")[0].cast("double")
+    f2 = F.col("embedding")[1].cast("double")
+    noise = F.col("embedding")[3].cast("double")
+    data = e.select(
+        f1.alias("f1"),
+        f2.alias("f2"),
+        ((2.0 * f1 - 3.0 * f2 + 0.5 * noise) > 0).cast("double").alias("y"),
+    ).cache()
+    feats = ["f1", "f2"]
+    beta = logistic_train_distributed(data, feats, "y", iterations=4)
+    signs = bool(beta[0] > 0 and beta[1] < 0)
+    finite = bool(np.all(np.isfinite(beta)))
+
+    eta = predict_linear(data, feats, beta)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    pc = F.greatest(F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+    return data.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.avg(
+                ((eta > 0).cast("double") == F.col("y")).cast("double")
+            )
+            >= 0.8
+        ).alias("accuracy_floor_met"),
+        (
+            F.avg(
+                -(
+                    F.col("y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                )
+            )
+            < float(np.log(2.0))
+        ).alias("logloss_beats_chance"),
+        F.lit(signs).alias("signs_correct"),
+        F.lit(finite).alias("coefs_finite"),
     )
