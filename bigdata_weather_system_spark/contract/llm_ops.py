@@ -785,19 +785,47 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(d, "text").select("doc_id", "rolling_fp")
 
 
-@register("doc_winnow_fingerprints")  # rows-only: xxhash64-based selection
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_TEXT} AS nt FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(nt) - 5 + 2),
+               i -> CAST(('0x' || substring(md5(substring(nt, i, 5)), 1, 15))
+                         AS BIGINT)) AS h
+      FROM t WHERE len(nt) >= 5
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(range(1, len(h) - 4 + 2),
+                            j -> list_min(h[j:j+3])) AS mins
+      FROM g WHERE len(h) >= 4
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM w
+    """,
+)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (MOSS algorithm) per document — the
     substring-match-guaranteeing rolling-hash selection; one codegen'd
     array pipeline per row, exploded here for inverted-index shape.
-    Coverage/guarantee properties pinned in tests/test_llm_ops.py."""
+    Keyed by md5 k-gram hashes so the oracle replays the SAME k-gram →
+    window-min → distinct selection and every emitted fingerprint is
+    value-hashed (``hash='xxhash64'`` remains the cheaper production
+    default — the winnowing guarantee is hash-agnostic). Coverage /
+    guarantee properties additionally pinned in tests/test_llm_ops.py."""
     from ..operators.dedup import _spread
     from ..operators.text import normalize_text, winnow_fingerprints
 
     # higher-order array lambdas run interpreted — spread the one-file scan
     # across cores before the per-row O(len·window) fingerprint pipeline
     d = _spread(_t(spark, sf_dir, "documents"))
-    fps = winnow_fingerprints(normalize_text(F.col("text")), k=5, window=4)
+    fps = winnow_fingerprints(
+        normalize_text(F.col("text")), k=5, window=4, hash="md5"
+    )
     return d.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
@@ -1788,7 +1816,7 @@ def doc_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','is','a')))
                     * 1.0 / len({_TOKS}) ELSE 0 END)) * 10) AS BIGINT)))
                AS bin,
-             CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS label,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
              (0.4 * least(len({_TOKS}) / 50.0, 1.0)
               + 0.6 * (CASE WHEN len({_TOKS}) > 0 THEN
                   len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','is','a')))
@@ -1839,7 +1867,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.lit(9), F.greatest(F.lit(0), F.floor(conf * 10).cast("long"))
         ).alias("bin"),
-        F.when(F.col("n_chars") >= 600, 1).otherwise(0).alias("label"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
         conf.alias("conf"),
     )
     b = t.groupBy("bin").agg(
@@ -1966,14 +1994,75 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("isotonic_calibration_segments")  # rows-only: sequential PAV fit
+@register(
+    "isotonic_calibration_segments",
+    oracle="""
+    WITH pts AS (
+      SELECT s, y, row_number() OVER (ORDER BY s, y) AS r
+      FROM (
+        SELECT 0.4 * least(len(toks) / 50.0, 1.0)
+               + 0.6 * (CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks,
+                                    t -> t IN ('the','and','of','to','is','a')))
+                                  * 1.0 / len(toks)
+                             ELSE 0.0 END) AS s,
+               CAST(CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END
+                    AS DOUBLE) AS y
+        FROM (
+          SELECT n_chars,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        )
+      )
+    ),
+    ps AS (
+      SELECT r, s, y, sum(y) OVER (ORDER BY r) AS cy FROM pts
+    ),
+    t AS (  -- mean of y over positions [i..k], for every i <= k
+      SELECT a.r AS i, b.r AS k,
+             (b.cy - a.cy + a.y) / (b.r - a.r + 1) AS m
+      FROM ps a JOIN ps b ON a.r <= b.r
+    ),
+    mm AS ( -- M[i][j] = min over k >= j of mean(i..k)
+      SELECT i, k AS j,
+             min(m) OVER (PARTITION BY i ORDER BY k DESC) AS rmin
+      FROM t
+    ),
+    fit AS ( -- minimax: fitted[j] = max over i <= j of M[i][j]
+      SELECT j AS r, max(rmin) AS f FROM mm GROUP BY j
+    ),
+    brk AS ( -- block boundary = fitted value changed vs previous row
+      SELECT p.r, p.s, f.f,
+             CASE WHEN lag(f.f) OVER (ORDER BY p.r)
+                       IS DISTINCT FROM f.f THEN 1 ELSE 0 END AS b
+      FROM pts p JOIN fit f ON p.r = f.r
+    ),
+    isl AS ( -- PAV blocks = islands of equal fitted value
+      SELECT r, s, f, sum(b) OVER (ORDER BY r) AS g FROM brk
+    )
+    SELECT round(min(s), 6) AS score_lo,
+           round(max(s), 6) AS score_hi,
+           round(min(f), 6) AS calibrated_p,
+           count(*) AS n
+    FROM isl GROUP BY g
+    """,
+)
 def isotonic_calibration_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of the quality-composite score against
     the long-document label — the step-function calibrator fitted on a
     single task (calibration holdouts are bounded by design; the corpus
-    scoring stays distributed). Monotonicity/partition invariants are
-    oracle-checked by isotonic_calibration_contract; exact agreement
-    with a reference PAV is pinned in pytest."""
+    scoring stays distributed).
+
+    FULL value oracle via the isotonic-regression minimax identity:
+    fitted[j] = max_{i≤j} min_{k≥j} mean(y_i..y_k) over the
+    (score, label)-sorted sample — an O(n²) prefix-sum formulation DuckDB
+    evaluates exactly (labels are 0/1, so every block mean is an exact
+    integer ratio computed identically by both engines), with PAV blocks
+    recovered as islands of equal fitted value. The sequential engine-side
+    PAV and the closed-form oracle must agree segment-for-segment.
+    Monotonicity/partition invariants additionally oracle-checked by
+    isotonic_calibration_contract; numpy-reference agreement in pytest."""
     from ..operators.inference import isotonic_calibration
     from ..operators.text import tokens as _tokens
 
@@ -1988,7 +2077,7 @@ def isotonic_calibration_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     ).otherwise(F.lit(0.0))
     scored = d.select(
         conf.alias("score"),
-        F.when(F.col("n_chars") >= 600, 1.0).otherwise(0.0).alias("label"),
+        F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("label"),
     )
     seg = isotonic_calibration(scored, "score", "label")
     return seg.select(

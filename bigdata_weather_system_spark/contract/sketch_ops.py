@@ -170,16 +170,54 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.explode(tokens(F.col("text"))).alias("token"))
 
 
-@register("token_cms_estimates")  # rows-only: xxhash64 sketch, no SQL twin
+@register(
+    "token_cms_estimates",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS token
+      FROM documents
+    ),
+    top AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT 20
+      )
+    ),
+    cells AS (
+      SELECT i,
+             CAST(('0x' || substring(
+               md5(CAST(i AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)
+               % 1024 AS bucket,
+             count(*) AS cnt
+      FROM toks CROSS JOIN range(4) r(i)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT token, i,
+             CAST(('0x' || substring(
+               md5(CAST(i AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)
+               % 1024 AS bucket
+      FROM top CROSS JOIN range(4) r(i)
+    )
+    SELECT p.token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM probes p LEFT JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
 def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point-frequency estimates for the corpus' 20 most
     frequent tokens, answered from a 4×1024 mergeable sketch instead of
-    the token stream. Accuracy floors oracle-checked by
-    token_cms_contract; merge associativity pinned in pytest."""
+    the token stream. The sketch here is md5-keyed (top 60 bits of
+    md5('row:item')), so the oracle REBUILDS the identical sketch in SQL
+    and the estimates themselves are value-hashed — not just floored;
+    ``hash='xxhash64'`` stays the cheaper production default (guarantees
+    are hash-agnostic — accuracy floors for that path stay pinned by
+    token_cms_contract, merge associativity in pytest)."""
     from ..operators.estimate import cms_point_estimates, count_min_sketch
 
     toks = _doc_tokens(spark, sf_dir)
-    sketch = count_min_sketch(toks, "token")
+    sketch = count_min_sketch(toks, "token", hash="md5")
     top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -187,7 +225,7 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("token")
     )
-    return cms_point_estimates(sketch, top, "token")
+    return cms_point_estimates(sketch, top, "token", hash="md5")
 
 
 @register(

@@ -52,12 +52,30 @@ def estimate_join_cardinality(
     )
 
 
+def _cms_hash(item: "F.Column", i: int, width: int, seed: int, hash: str):
+    """Row-i CMS hash. ``xxhash64`` (default) is the production path;
+    ``md5`` keys by the top 60 bits of md5(i:item) — bit-identical in
+    DuckDB, so a sketch built with it is fully oracle-reconstructable."""
+    if hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), item.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(item, F.lit(seed + i))
+    return F.pmod(h, F.lit(width))
+
+
 def count_min_sketch(
     df: DataFrame,
     item_col: str,
     width: int = 1024,
     depth: int = 4,
     seed: int = 7,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Count-Min sketch of an item stream as a (row, bucket, cnt) relation
     — depth×width cells, each cell the count of items hashing there.
@@ -70,7 +88,7 @@ def count_min_sketch(
     probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
     """
     buckets = [
-        F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + i)), F.lit(width))
+        _cms_hash(F.col(item_col), i, width, seed, hash)
         .cast("int")
         .alias("bucket")
         for i in range(depth)
@@ -95,6 +113,7 @@ def cms_point_estimates(
     width: int = 1024,
     depth: int = 4,
     seed: int = 7,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Point-frequency estimates for ``queries[item_col]`` from a
     ``count_min_sketch`` relation: est(item) = min over rows of
@@ -107,10 +126,7 @@ def cms_point_estimates(
                 *[
                     F.struct(
                         F.lit(i).alias("row"),
-                        F.pmod(
-                            F.xxhash64(F.col(item_col), F.lit(seed + i)),
-                            F.lit(width),
-                        )
+                        _cms_hash(F.col(item_col), i, width, seed, hash)
                         .cast("int")
                         .alias("bucket"),
                     )

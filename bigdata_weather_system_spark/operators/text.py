@@ -166,15 +166,30 @@ def rolling_fingerprint(
     return df.withColumn(out_col, rolling_hash(normalize_text(F.col(text_col))))
 
 
-def kgram_hashes(text: Column, k: int = 5) -> Column:
-    """xxhash64 of every character k-gram, one array per row."""
+def kgram_hashes(text: Column, k: int = 5, hash: str = "xxhash64") -> Column:
+    """Hash of every character k-gram, one array per row.
+
+    ``hash='xxhash64'`` (default) is the production path — one JVM hash
+    per gram, no string materialization beyond the substring.
+    ``hash='md5'`` keys the gram by the top 60 bits of its md5 — ~3×
+    the cost, but bit-identical in DuckDB
+    (``('0x' || substring(md5(g), 1, 15))::BIGINT``), which makes every
+    downstream selection (winnowing, sketches) value-checkable by the
+    oracle. Same int64 range either way; the winnowing guarantee only
+    needs a deterministic hash."""
     empty = F.array().cast("array<bigint>")
     n_grams = F.length(text) - F.lit(k - 1)
+
+    def h(g: Column) -> Column:
+        if hash == "md5":
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(g)
+
     # sequence(1, n) DESCENDS when n < 1 — guard short texts explicitly
     return F.when(n_grams < 1, empty).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+            lambda i: h(text.substr(i, F.lit(k))),
         )
     )
 
@@ -199,7 +214,9 @@ def sliding_min(hashes: Column, window: int) -> Column:
     return cur
 
 
-def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+def winnow_fingerprints(
+    text: Column, k: int = 5, window: int = 4, hash: str = "xxhash64"
+) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     the MOSS algorithm): hash every character k-gram, slide a window of
     ``window`` consecutive hashes, keep each window's minimum, dedupe.
@@ -210,7 +227,9 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     stays one array per row until the caller explodes it for an inverted
     index.
     """
-    return F.array_distinct(sliding_min(kgram_hashes(text, k), window))
+    return F.array_distinct(
+        sliding_min(kgram_hashes(text, k, hash=hash), window)
+    )
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
