@@ -220,3 +220,65 @@ def test_tail_fallback_skips_artifact_with_unknown_sf(tmp_path):
     # with no sf requested the artifact is still harvestable
     n, prev = bench.previous_round_queries(None)
     assert len(prev) == 20 and n == 1
+
+
+# ---------------------------------------------------------------------------
+# Load-sentinel zone classification (round-6 blind spot: start-loaded /
+# end-quiet sweeps inflated early queries — bm25_ndcg_eval flagged 2.42x,
+# re-timed clean — while the both-probes rule reported the run clean).
+# ---------------------------------------------------------------------------
+
+
+def _zones(tmp_path, ss, se, fl, order):
+    bench = _load_bench(str(tmp_path))
+    return bench.load_suspect_zones(ss, se, fl, order)
+
+
+def test_both_probes_loaded_flags_whole_run(tmp_path):
+    order = [f"q{i}" for i in range(12)]
+    flag, zone = _zones(
+        tmp_path, {"a": 2.0}, {"a": 2.0}, {"a": 1.0}, order
+    )
+    assert flag is True
+    assert zone == set(order)
+
+
+def test_start_loaded_end_quiet_suppresses_first_quartile_only(tmp_path):
+    order = [f"q{i}" for i in range(12)]
+    flag, zone = _zones(
+        tmp_path, {"a": 2.3}, {"a": 1.0}, {"a": 1.0}, order
+    )
+    assert flag is False
+    assert zone == set(order[:3])
+
+
+def test_end_loaded_start_quiet_suppresses_last_quartile_only(tmp_path):
+    order = [f"q{i}" for i in range(12)]
+    flag, zone = _zones(
+        tmp_path, {"a": 1.0}, {"a": 2.3}, {"a": 1.0}, order
+    )
+    assert flag is False
+    assert zone == set(order[-3:])
+
+
+def test_quiet_run_suppresses_nothing(tmp_path):
+    order = [f"q{i}" for i in range(12)]
+    flag, zone = _zones(
+        tmp_path, {"a": 1.0}, {"a": 1.2}, {"a": 1.0}, order
+    )
+    assert flag is False
+    assert zone == set()
+
+
+def test_no_floor_history_means_no_judgement(tmp_path):
+    flag, zone = _zones(tmp_path, {"a": 1.0}, {"a": 1.0}, {}, ["q0"])
+    assert flag is None
+    assert zone == set()
+
+
+def test_short_order_still_suppresses_at_least_one(tmp_path):
+    flag, zone = _zones(
+        tmp_path, {"a": 9.0}, {"a": 1.0}, {"a": 1.0}, ["q0", "q1"]
+    )
+    assert flag is False
+    assert zone == {"q0"}
