@@ -75,3 +75,27 @@ def test_newest_parity_artifact_matches_registry_size():
         "tools/round_close.py"
     )
     assert summary["n_fail"] == 0
+
+
+def test_plan_audit_matches_registry_size_and_is_clean():
+    """Round-7 self-enforcement (VERDICT r6, What's-wrong #1): the
+    committed PLAN_AUDIT.md must have been generated over the LIVE
+    registry — round 6 shipped an audit covering 427/432 because five
+    late queries were never plan-audited. The artifact's header carries
+    both the query count and the flag count; adding a query without
+    re-running tools/plan_doctor.py fails here."""
+    with open(os.path.join(REPO, "PLAN_AUDIT.md")) as f:
+        text = f.read()
+    m = re.search(r"over (\d+) queries", text)
+    assert m, "PLAN_AUDIT.md lost its machine-checked header"
+    assert int(m.group(1)) == len(contract.QUERIES), (
+        f"PLAN_AUDIT.md audited {m.group(1)} queries, registry has "
+        f"{len(contract.QUERIES)} — stale; run tools/plan_doctor.py"
+    )
+    m2 = re.search(r"\*\*Result: (\d+) flagged / (\d+) queries\.\*\*", text)
+    assert m2, "PLAN_AUDIT.md lost its result line"
+    assert int(m2.group(2)) == len(contract.QUERIES)
+    assert int(m2.group(1)) == 0, (
+        f"PLAN_AUDIT.md records {m2.group(1)} flagged plans — fix or "
+        "allowlist with a reason in tools/plan_doctor.py"
+    )
