@@ -185,3 +185,53 @@ def test_coerce_value_table():
     assert coerce_value("42.5") == 42.5
     assert coerce_value("abc") == "abc"
     assert coerce_value(7) == 7
+
+
+def test_hourly_regime_day_boundary_sweep(service):
+    """VERDICT r6 Next #8: the hourly regime keys on the driver clock's
+    DATE (reference spark.py:588-589) — a date-equality filter, not a
+    rolling 24 h window. Sweeping `now` across midnight pins the
+    dispatch: one second before midnight the full day is still served;
+    at 00:00:00 the new date has no rows yet and the answer is empty;
+    and at 00:00:00 OF the data day the same 12 buckets come back even
+    though every event is 'in the future' relative to the clock — the
+    quirk a timestamp-comparison rewrite would silently break."""
+    data_day = dt.datetime(2025, 11, 14, 0, 0, 0)
+    for now in (
+        dt.datetime(2025, 11, 14, 23, 59, 59),
+        data_day,  # 00:00:00 of the data day — time-of-day must not matter
+    ):
+        recs = service.get_recent_history_with_step(
+            LOCS[0], hours=24, step=1, now=now
+        )
+        assert len(recs) == 12, now
+        assert [r["hour"] for r in recs] == list(range(12))
+    after_midnight = service.get_recent_history_with_step(
+        LOCS[0], hours=24, step=1, now=dt.datetime(2025, 11, 15, 0, 0, 0)
+    )
+    assert after_midnight == []
+
+
+def test_daily_regime_window_boundary_sweep(service):
+    """The daily regime serves today−6..today by driver-clock date
+    (reference spark.py:694-698). Sweep `now` across the 23:59→00:00
+    edge and the trailing edge where fixture days age out: crossing
+    midnight from the 14th to the 15th must NOT drop day 12 (still
+    inside the 7-day window); by the 19th only days 13-14 remain; past
+    the 20th the window is empty."""
+    def days(now):
+        recs = service.get_recent_history_with_step(
+            LOCS[0], hours=168, step=24, now=now
+        )
+        return [r["day"] for r in recs]
+
+    assert days(dt.datetime(2025, 11, 14, 23, 59, 59)) == [
+        "2025-11-12", "2025-11-13", "2025-11-14",
+    ]
+    assert days(dt.datetime(2025, 11, 15, 0, 0, 0)) == [
+        "2025-11-12", "2025-11-13", "2025-11-14",
+    ]
+    assert days(dt.datetime(2025, 11, 19, 0, 0, 0)) == [
+        "2025-11-13", "2025-11-14",
+    ]
+    assert days(dt.datetime(2025, 11, 21, 0, 0, 0)) == []
