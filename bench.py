@@ -463,9 +463,33 @@ def benchhist_baseline(
     ]
     if not cands:
         return None, {}
+    # Round-close entries are stamped {"close": true} and measure the
+    # FINAL code of their live round — the exact baseline for every run
+    # of the next round, independent of the driver's close-run
+    # sequencing. The first-of-group convention alone broke when a
+    # fresh-bench skip left a group whose first entry was a mid-round
+    # run of the NEW round's code (baselining the round against
+    # itself). Pick whichever representative measures the LATER round;
+    # on a tie prefer the close stamp (it pinned the round's final
+    # HEAD, where the group's first entry may predate late commits).
+    closes = [e for e in cands if e.get("close") and e["live"] < live]
+    close_rep = closes[-1] if closes else None
     g = max(e["live"] for e in cands)
     first = next(e for e in cands if e["live"] == g)
-    return g - 1, {k: float(v) for k, v in first["queries"].items()}
+    first_round = g - 1
+    if close_rep is not None and close_rep["live"] >= first_round:
+        return close_rep["live"], {
+            k: float(v) for k, v in close_rep["queries"].items()
+        }
+    if closes or any(e.get("close") for e in cands):
+        print(
+            "WARNING: benchhist_baseline falling back to the "
+            f"first-of-group entry for round {first_round} — no close-"
+            "stamped entry covers it (was a round closed with the bench "
+            "skipped and no entry synthesized?)",
+            file=sys.stderr,
+        )
+    return first_round, {k: float(v) for k, v in first["queries"].items()}
 
 
 def previous_round_queries(sf=None) -> tuple[int | None, dict[str, float]]:
@@ -881,18 +905,22 @@ def main() -> None:
             )
         except Exception:
             pass
-        benchhist_append(
-            {
-                "live": current_round(),
-                "ts": round(time.time(), 1),
-                "head": head,
-                "sf": sfv,
-                "total": total,
-                "sentinel": sentinel,
-                "load_suspect": load_suspect,
-                "queries": timings,
-            }
-        )
+        entry = {
+            "live": current_round(),
+            "ts": round(time.time(), 1),
+            "head": head,
+            "sf": sfv,
+            "total": total,
+            "sentinel": sentinel,
+            "load_suspect": load_suspect,
+            "queries": timings,
+        }
+        # Round-close runs (tools/round_close.py exports this) are
+        # stamped so benchhist_baseline can prefer them as the round's
+        # final-code measurement regardless of driver sequencing.
+        if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "close":
+            entry["close"] = True
+        benchhist_append(entry)
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -16,6 +16,8 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -394,12 +396,42 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODEBOOKS: dict[tuple, list] = {}
 
 
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the embeddings relation under
+    ``sf_dir`` — (path, mtime, size) per data file. Regenerating the
+    data in place (or pointing a long-lived process at a rewritten
+    sf_dir) changes the fingerprint, so stale codebooks can never be
+    silently reused across dataset versions (ADVICE r6 #3)."""
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(root):
+            files = sorted(
+                os.path.join(root, n)
+                for n in os.listdir(root)
+                if not n.startswith((".", "_"))
+            )
+        else:
+            files = [root]
+        return tuple(
+            (f, round(os.path.getmtime(f), 3), os.path.getsize(f))
+            for f in files
+        )
+    except OSError:
+        return ()
+
+
+def clear_pq_codebooks() -> None:
+    """Drop all memoized PQ codebooks (the explicit invalidation hook,
+    mirroring graph_ops.clear_shared_edges)."""
+    _PQ_CODEBOOKS.clear()
+
+
 def _shared_pq_codebooks(
     spark: SparkSession, sf_dir: str, m_sub=8, n_codes=16, seed=42, iters=1
 ) -> list:
     from ..operators.similarity import pq_train_codebooks
 
-    key = (sf_dir, m_sub, n_codes, seed, iters)
+    key = (sf_dir, _embeddings_fingerprint(sf_dir), m_sub, n_codes, seed, iters)
     if key not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[key] = pq_train_codebooks(
             _t(spark, sf_dir, "embeddings"),

@@ -201,28 +201,40 @@ def domain_concentration_metrics(
     says whether the crawl is a broad web sample or three hot domains
     wearing a trenchcoat. Everything derives from the domain histogram
     (one groupBy). The Gini needs a GLOBAL rank of that histogram; at
-    web scale n_domains is ~1e8, so instead of a single-partition
-    window the rank rides the deterministic-bucket + partition-offset
-    prefix-sum pattern (`contract/pipeline_ops.py lineitem_column_stats`):
-    per-bucket row_number + a P-row offset relation, largest
-    task state ~n_domains/P. Top-k shares are TakeOrderedAndProject
-    (never a global sort)."""
+    web scale n_domains is ~1e8 and under Zipf most of them are TIED at
+    cnt=1, so neither a single-partition window nor a per-domain bucketed
+    rank survives — instead the rank sum per tied-cnt GROUP is computed
+    closed-form (ranks off+1..off+g sum to g·off+g(g+1)/2) over the
+    distinct-cnt relation, bucketed by a deterministic log1p bucket with
+    P-row cross-bucket offsets. Largest task state = distinct cnt values
+    per bucket — tie-skew- and domain-shape-independent. Top-k shares
+    are TakeOrderedAndProject (never a global sort)."""
     dc = (
         _canon(spark, sf_dir)
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # Deterministic monotone bucket id (same discipline as the quantile
-    # plan's histogram in contract/pipeline_ops.py): offsets and ranks
-    # below must read IDENTICAL bucket ids on every evaluation, and a
-    # pure column function of cnt guarantees that without the eager
-    # localCheckpoint the sampled repartitionByRange needed. log1p
-    # spacing because domain counts are Zipfian — linear spacing would
-    # put nearly every domain in bucket 0. Equal counts share a bucket
-    # (ties sort by domain INSIDE the bucket window), and buckets are
-    # monotone in cnt, so cross-bucket rank order == (cnt, domain) order.
+    # The Gini numerator is Σ i·cnt over the (cnt, domain) rank order —
+    # but the per-domain rank inside a TIED-cnt group only enters through
+    # the group's rank SUM, which is closed-form: ranks off+1..off+g sum
+    # to g·off + g(g+1)/2, and the group's contribution is
+    # cnt·(g·off + g(g+1)/2) regardless of how ties order internally. So
+    # rank DISTINCT-cnt groups, never domains: under a Zipf histogram the
+    # cnt=1 tail (typically most domains) is one tied group, and a
+    # per-domain window would run ~O(n_domains) rows in a single task —
+    # the previous shape's blind spot. Group rows are bucketed by a
+    # deterministic monotone log1p bucket of cnt (same discipline as
+    # contract/pipeline_ops.py's quantile histogram: every evaluation
+    # must read identical bucket ids, and a pure column function of cnt
+    # guarantees that; log1p spacing because counts are Zipfian), with
+    # P-row offsets carrying domain counts ACROSS buckets and a
+    # cumulative-g window WITHIN each bucket. Largest task state =
+    # distinct cnt values per bucket — independent of tie skew and of
+    # domain-name shape (a domain-prefix sub-bucket would have been
+    # defeated by common prefixes).
     npart = 32
-    mm = dc.agg(
+    grp = dc.groupBy("cnt").agg(F.count(F.lit(1)).alias("g"))
+    mm = grp.agg(
         F.min(F.log1p("cnt")).alias("_lmin"),
         F.max(F.log1p("cnt")).alias("_lmax"),
     )
@@ -237,11 +249,11 @@ def domain_concentration_metrics(
         ),
     ).otherwise(F.lit(0))
     hist = (
-        dc.crossJoin(F.broadcast(mm))
+        grp.crossJoin(F.broadcast(mm))
         .withColumn("_pid", pid)
         .drop("_lmin", "_lmax")
     )
-    ptot = hist.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    ptot = hist.groupBy("_pid").agg(F.sum("g").alias("_pn"))
     offs = ptot.withColumn(
         "_off",
         F.coalesce(
@@ -253,20 +265,30 @@ def domain_concentration_metrics(
             F.lit(0),
         ),
     ).select("_pid", "_off")
-    ranked = hist.join(F.broadcast(offs), "_pid").withColumn(
-        "i",
-        F.col("_off")
-        + F.row_number().over(
-            Window.partitionBy("_pid").orderBy("cnt", "domain")
+    cum_g_before = F.coalesce(
+        F.sum("g").over(
+            Window.partitionBy("_pid")
+            .orderBy("cnt")
+            .rowsBetween(Window.unboundedPreceding, -1)
         ),
+        F.lit(0),
     )
-    tot = hist.agg(
+    ranked = hist.join(F.broadcast(offs), "_pid").withColumn(
+        "_goff", F.col("_off") + cum_g_before
+    )
+    tot = dc.agg(
         F.sum("cnt").cast("double").alias("tot"),
         F.count(F.lit(1)).alias("nd"),
     )
-    gini_num = ranked.agg(F.sum(F.col("i") * F.col("cnt")).alias("s"))
+    group_rank_sum = (
+        F.col("_goff") * F.col("g")
+        + F.col("g") * (F.col("g") + 1) / 2
+    ).cast("long")
+    gini_num = ranked.agg(
+        F.sum(F.col("cnt") * group_rank_sum).alias("s")
+    )
     top5 = (
-        hist.orderBy(F.col("cnt").desc(), F.col("domain"))
+        dc.orderBy(F.col("cnt").desc(), F.col("domain"))
         .limit(5)
         .agg(
             F.max(F.col("cnt")).alias("t1"),
@@ -274,7 +296,7 @@ def domain_concentration_metrics(
         )
     )
     hhi = (
-        hist.crossJoin(F.broadcast(tot))
+        dc.crossJoin(F.broadcast(tot))
         .agg(
             F.sum((F.col("cnt") / F.col("tot")) * (F.col("cnt") / F.col("tot")))
             .alias("h")

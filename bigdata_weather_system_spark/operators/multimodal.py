@@ -1240,13 +1240,26 @@ def decode_png(blob: bytes):
         return None
     if w <= 0 or h <= 0:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     bpp = 3
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    expect = h * (stride + 1)
+    # Bound the declared dimensions and decompress INCREMENTALLY with a
+    # hard output cap before trusting them: IHDR w/h are attacker-
+    # controlled 32-bit ints and a small deflate bomb could otherwise
+    # exhaust memory before the post-hoc size check ran. 64 MPix is far
+    # above anything the fabricators emit and far below an allocation
+    # hazard for one Arrow batch row.
+    if w * h > 64 * 1024 * 1024:
+        return None
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expect + 1)
+        # reject: longer output than the geometry allows (cap hit),
+        # shorter output, an unfinished stream, or trailing bytes after
+        # the stream end (one-shot zlib.decompress rejected all four)
+        if len(raw) != expect or not dec.eof or dec.unused_data:
+            return None
+    except zlib.error:
         return None
     rows = []
     prev = bytearray(stride)
@@ -1639,7 +1652,22 @@ def decode_jpeg(blob: bytes):
                 dc_dec = _huff_decode_table(bits, vals)
             elif cls == 1 and tid == 0:
                 ac_dec = _huff_decode_table(bits, vals)
+            elif tid != 0:
+                # a table in a slot this decoder never reads: if a
+                # component selects it we must reject, and we cannot know
+                # yet — refuse up front rather than decode with the wrong
+                # tables (documented contract: None, never wrong pixels)
+                return None
         elif marker == 0xFFDA:
+            # scan header: every component must select DC/AC table 0 —
+            # the only slots this decoder builds
+            ns = payload[0]
+            if len(payload) < 1 + 2 * ns:
+                return None
+            for i in range(ns):
+                sel = payload[2 + 2 * i]
+                if (sel >> 4) != 0 or (sel & 0xF) != 0:
+                    return None
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
@@ -1652,6 +1680,11 @@ def decode_jpeg(blob: bytes):
         or ac_dec is None
         or 0 not in qtabs
     ):
+        return None
+    if any(tq != 0 for tq in comp_q.values()):
+        # frame assigns a quantization table other than slot 0 to some
+        # component; decoding would apply qtabs[0] to it and produce
+        # plausible-but-wrong pixels — reject instead
         return None
     qt = np.array(qtabs[0], dtype=np.float64)
     entropy = blob[scan_start : blob.rfind(b"\xff\xd9")]

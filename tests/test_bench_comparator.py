@@ -282,3 +282,86 @@ def test_short_order_still_suppresses_at_least_one(tmp_path):
     )
     assert flag is False
     assert zone == {"q0"}
+
+
+# ---------------------------------------------------------------------------
+# Close-stamped BENCHHIST entries (ADVICE r6 #2: a fresh-bench skip at
+# round close left no close entry, so the next round's first mid-round
+# run became the group's first entry and the round baselined against
+# its own early code).
+# ---------------------------------------------------------------------------
+
+
+def _write_hist(root, entries):
+    with open(os.path.join(root, "BENCHHIST.jsonl"), "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_close_stamped_entry_preferred_over_first_of_group(tmp_path):
+    root = str(tmp_path)
+    _write_hist(
+        root,
+        [
+            # builder's round-6 close (final HEAD of round 6)
+            {"live": 6, "sf": 0.1, "close": True,
+             "queries": {"a": 1.0, "b": 2.0}},
+            # driver's close-of-6 run — earlier first-of-group-7 entry,
+            # may predate late round-6 commits
+            {"live": 7, "sf": 0.1, "queries": {"a": 9.0, "b": 9.0}},
+        ],
+    )
+    bench = _load_bench(root)
+    rnd, q = bench.benchhist_baseline(7, 0.1)
+    assert rnd == 6
+    assert q == {"a": 1.0, "b": 2.0}
+
+
+def test_first_of_group_wins_when_it_covers_a_later_round(tmp_path):
+    root = str(tmp_path)
+    _write_hist(
+        root,
+        [
+            {"live": 4, "sf": 0.1, "close": True, "queries": {"a": 1.0}},
+            # group 7's first entry measures round 6 — newer than the
+            # stale close of round 4
+            {"live": 7, "sf": 0.1, "queries": {"a": 5.0}},
+        ],
+    )
+    bench = _load_bench(root)
+    rnd, q = bench.benchhist_baseline(7, 0.1)
+    assert rnd == 6
+    assert q == {"a": 5.0}
+
+
+def test_same_round_close_never_baselines_itself(tmp_path):
+    root = str(tmp_path)
+    _write_hist(
+        root,
+        [
+            {"live": 6, "sf": 0.1, "close": True, "queries": {"a": 1.0}},
+            # a close stamped during the CURRENT round must not serve as
+            # the current round's own baseline
+            {"live": 7, "sf": 0.1, "close": True, "queries": {"a": 0.1}},
+        ],
+    )
+    bench = _load_bench(root)
+    rnd, q = bench.benchhist_baseline(7, 0.1)
+    assert rnd == 6
+    assert q == {"a": 1.0}
+
+
+def test_unstamped_history_behaves_as_before(tmp_path):
+    root = str(tmp_path)
+    _write_hist(
+        root,
+        [
+            {"live": 6, "sf": 0.1, "queries": {"a": 3.0}},
+            {"live": 6, "sf": 0.1, "queries": {"a": 2.0}},
+            {"live": 7, "sf": 0.1, "queries": {"a": 1.0}},
+        ],
+    )
+    bench = _load_bench(root)
+    rnd, q = bench.benchhist_baseline(7, 0.1)
+    assert rnd == 6
+    assert q == {"a": 1.0}

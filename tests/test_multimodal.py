@@ -478,3 +478,108 @@ def test_adpcm_codec_roundtrip_accuracy_and_rejection(spark):
     i = bad.find(b"fmt ")
     bad[i + 8 : i + 10] = struct.pack("<H", 1)
     assert decode_adpcm_wav(bytes(bad)) is None
+
+
+def test_png_decoder_rejects_decompression_bombs():
+    """ADVICE r6: IHDR w/h are attacker-controlled and the old decoder
+    zlib-decompressed the full IDAT before any size check. Pin: huge
+    declared dims reject BEFORE decompression; an under-cap geometry
+    whose stream inflates past h*(stride+1) rejects at the output cap;
+    trailing garbage after a valid stream still rejects."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, idat_raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # 4 GPix declared from a few-KB bomb: must reject (fast, no alloc)
+    bomb = png(65535, 65535, b"\x00" * 4096)
+    assert decode_png(bomb) is None
+
+    # small declared dims, oversized stream: output cap rejects
+    assert decode_png(png(2, 2, b"\x00" * 100000)) is None
+
+    # valid image with trailing garbage inside the zlib stream: reject
+    a = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    good = bytearray(encode_png(a))
+    assert decode_png(bytes(good)) is not None  # sanity
+
+
+def test_jpeg_decoder_rejects_nonzero_table_selectors():
+    """ADVICE r6: a baseline JPEG assigning q-table 1 / Huffman table 1
+    to a component previously decoded with table 0's values — wrong
+    pixels instead of the documented None. Pin all three selector
+    surfaces: SOF0 Tq, DHT Tid, SOS Td/Ta."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    a = (np.arange(8 * 8 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    blob = bytearray(encode_jpeg(a.reshape(8, 8, 3)))
+    assert decode_jpeg(bytes(blob)) is not None  # sanity
+
+    def segments(b):
+        pos = 2
+        while pos + 4 <= len(b):
+            marker = struct.unpack(">H", b[pos : pos + 2])[0]
+            if marker == 0xFFD9:
+                return
+            (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            yield marker, pos
+            if marker == 0xFFDA:
+                return
+            pos += 2 + seglen
+
+    def find(b, want):
+        for marker, pos in segments(b):
+            if marker == want:
+                return pos
+        raise AssertionError(f"marker {want:#x} not found")
+
+    # SOF0: set component 0's Tq to 1
+    sof = bytearray(blob)
+    p = find(sof, 0xFFC0)
+    sof[p + 4 + 8] = 1  # payload[8] = first component's tq
+    assert decode_jpeg(bytes(sof)) is None
+
+    # SOS: set component 0's Td/Ta selector to 0x11
+    sos = bytearray(blob)
+    p = find(sos, 0xFFDA)
+    sos[p + 4 + 2] = 0x11  # payload[2] = first component's selectors
+    assert decode_jpeg(bytes(sos)) is None
+
+    # DHT: inject an extra table in slot 1 before the scan — a slot this
+    # decoder never reads must reject up front
+    dht = bytearray(blob)
+    p = find(dht, 0xFFDA)
+    bits = bytes([1] + [0] * 15)  # one 1-bit code
+    payload = bytes([0x01]) + bits + bytes([0])  # cls=0, tid=1
+    seg = b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    dht[p:p] = seg
+    assert decode_jpeg(bytes(dht)) is None

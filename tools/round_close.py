@@ -81,6 +81,59 @@ def check(round_no: int) -> list[str]:
     return problems
 
 
+def synthesize_close_entry(bench_full_path: str) -> None:
+    """Append a close-stamped BENCHHIST entry derived from an existing
+    (fresh) bench_full.json instead of re-running the sweep. Carries
+    provenance: the reused file's mtime and the current HEAD, plus
+    ``"reused": true`` so a reader knows the timings predate any commits
+    between the sweep and the close."""
+    import bench
+
+    with open(bench_full_path) as f:
+        payload = json.load(f)
+    queries = payload.get("queries") or {}
+    if not queries:
+        print(
+            f"!! {bench_full_path} carries no per-query payload — "
+            "cannot synthesize a close entry; run bench.py",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    head = None
+    try:
+        head = (
+            subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        pass
+    sent = payload.get("sentinel") or {}
+    bench.benchhist_append(
+        {
+            "live": bench.current_round(),
+            "ts": round(time.time(), 1),
+            "head": head,
+            "sf": payload.get("sf"),
+            "total": payload.get("value"),
+            "sentinel": {
+                s: round(min(v1, v2), 4)
+                for s, v1 in (sent.get("start") or {}).items()
+                if (v2 := (sent.get("end") or {}).get(s)) is not None
+            },
+            "load_suspect": sent.get("load_suspect"),
+            "queries": queries,
+            "close": True,
+            "reused": True,
+            "source_mtime": round(os.path.getmtime(bench_full_path), 1),
+        }
+    )
+
+
 def _run(cmd: list[str]) -> None:
     print(f"== {' '.join(cmd)}", flush=True)
     t0 = time.time()
@@ -117,10 +170,24 @@ def main() -> int:
         < args.bench_max_age_h * 3600
     )
     if args.skip_bench or fresh:
-        print("== bench skipped (fresh bench_full.json or --skip-bench)")
+        # A skipped bench must STILL leave a close-stamped BENCHHIST
+        # entry, or the next round's first mid-round run becomes the
+        # group's first entry and benchhist_baseline silently baselines
+        # that round against its own early code (ADVICE r6 #2). Reuse
+        # the fresh payload: same queries/timings, stamped close with
+        # provenance.
+        print(
+            "== bench skipped (fresh bench_full.json or --skip-bench); "
+            "synthesizing close-stamped BENCHHIST entry from it"
+        )
+        synthesize_close_entry(bf)
     else:
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
-        print("== bench.py at sf0.1", flush=True)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+            SPARK_GRAFT_BENCH_ROLE="close",
+        )
+        print("== bench.py at sf0.1 (close-stamped)", flush=True)
         r = subprocess.run([py, "bench.py"], cwd=REPO, env=env)
         if r.returncode != 0:
             return r.returncode
