@@ -387,6 +387,7 @@ BENCH_QUERIES = [
     "media_png_decode",
     "media_jpeg_decode",
     "media_avi_decode",
+    "media_gif_decode",
     "media_adpcm_decode",
 ]
 

@@ -3210,7 +3210,8 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics' accuracy lives in tests/test_multimodal.py. Completes
     the codec ladder: RAW/PCM (own container) → BMP/WAV (real lossless
     containers) → PNG (real entropy-coded lossless) → JPEG (real lossy);
-    only video remains env-gated."""
+    inter-frame video is real via media_gif_decode; only
+    motion-compensated video (H.264) remains env-gated."""
     from ..operators.multimodal import (
         decode_jpeg_features,
         fabricate_jpeg_media,
@@ -3231,6 +3232,62 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("raw_bytes"),
     )
+
+
+@register(
+    "media_gif_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 8 AS INT) AS h,
+             CAST(8 + doc_id % 12 AS INT) AS w
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+      SELECT m.doc_id, m.h, m.w, fr.f, r.i AS r, c.i AS c,
+             CASE
+               WHEN fr.f >= 1 AND r.i < 4 AND c.i < 4
+                 THEN (m.doc_id + 17) % 256
+               WHEN fr.f >= 2 AND r.i BETWEEN 4 AND 7 AND c.i < 4
+                 THEN (m.doc_id + 34) % 256
+               WHEN fr.f >= 3 AND r.i < 4 AND c.i BETWEEN 4 AND 7
+                 THEN (m.doc_id + 51) % 256
+               ELSE (m.doc_id + r.i * m.w + c.i) % 256
+             END AS v
+      FROM m
+      CROSS JOIN range(4) fr(f)
+      CROSS JOIN range(15) r(i)
+      CROSS JOIN range(19) c(i)
+      WHERE r.i < m.h AND c.i < m.w
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           w AS width, h AS height,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, f, w, h
+    """,
+)
+def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL inter-frame video decode — animated GIF89a (LZW entropy
+    decode with the spec's deferred code-width change, byte sub-blocks,
+    sub-rectangle frames composited onto the running canvas under
+    disposal 'do not dispose'). Frames 1-3 of each fabricated animation
+    re-code ONLY a changed 4x4 sub-rectangle, so they are undecodable
+    without frame 0's canvas: conditional replenishment, a genuine
+    temporal dependency the intra-only MJPEG-AVI row cannot exercise.
+    The codec is lossless, so the oracle value-checks the EXACT
+    composited pixel sum of every frame (closed form: base ramp with
+    the f earliest disjoint rect fills applied) — a one-bit LZW or
+    composition error flips the hash. Motion-COMPENSATED formats
+    (H.264) remain env-gated; same deterministic 10% subset and
+    rationale as media_jpeg_decode."""
+    from ..operators.multimodal import (
+        decode_gif_features,
+        fabricate_gif_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = fabricate_gif_media(docs, "doc_id")
+    return decode_gif_features(media)
 
 
 @register(
@@ -3255,8 +3312,9 @@ def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded luma/motion statistics carry JPEG rounding and are pinned
     in tests/test_multimodal.py. With this row the media ladder has a
     REAL member at every tier — RAW/PCM, BMP/WAV, PNG (lossless
-    compressed), JPEG (lossy), MJPEG-AVI (video) — and only
-    inter-frame-compressed codecs (H.264/MP4) remain env-gated."""
+    compressed), JPEG (lossy), MJPEG-AVI (intra video), animated GIF
+    (inter-frame video, see media_gif_decode) — and only
+    motion-compensated codecs (H.264/MP4) remain env-gated."""
     from ..operators.multimodal import (
         decode_avi_features,
         fabricate_avi_media,

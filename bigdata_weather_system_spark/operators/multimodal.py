@@ -2283,3 +2283,359 @@ def decode_adpcm_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a) — REAL inter-frame video coding, stdlib-only.
+# LZW entropy coding (variable-width codes, LSB-first packing, deferred
+# width change per the GIF spec) + frame-disposal composition: frames
+# after the first re-code only a changed sub-rectangle and the decoder
+# must composite it onto the previous frame's canvas — conditional
+# replenishment, the simplest genuine inter-frame dependency (a decoder
+# that treats frames independently produces wrong pixels). Completes the
+# video tier: MJPEG-AVI (intra-only) → animated GIF (inter-frame);
+# motion-COMPENSATED formats (H.264) remain env-gated.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_gif_encode(data, min_code: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, widens the code size one step
+    AFTER the table reaches 2^size (the spec's deferred change — the
+    decoder's table build lags the encoder's by one code, so widening on
+    next_code == 2^size + 1 here lands on the same emitted code as the
+    decoder's next_code == 2^size), resets at the 12-bit cap."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    size = min_code + 1
+    put(clear, size)
+    w = b""
+    for b in bytes(data):
+        k = w + bytes([b])
+        if k in table:
+            w = k
+            continue
+        put(table[w], size)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << size) + 1 and size < 12:
+            size += 1
+        if next_code == 4096:
+            put(clear, size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            size = min_code + 1
+        w = bytes([b])
+    if w:
+        put(table[w], size)
+    put(eoi, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_gif_decode(data, min_code: int = 8, max_out: int | None = None):
+    """Mirror of :func:`_lzw_gif_encode`; returns the symbol bytes or
+    None on a malformed stream. ``max_out`` bounds output growth so a
+    hostile stream cannot balloon past the declared image size (same
+    discipline as the PNG decompression cap)."""
+    data = bytes(data)
+    clear = 1 << min_code
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(size):
+        nonlocal pos, acc, nbits
+        while nbits < size:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        return v
+
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    size = min_code + 1
+    out = bytearray()
+    prev = None
+    while True:
+        code = get(size)
+        if code is None:
+            return None  # ran out of bits before EOI
+        if code == clear:
+            table = table[: clear + 2]
+            size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            return None
+        out += entry
+        if max_out is not None and len(out) > max_out:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+
+
+def encode_gif(frames, rects=None) -> bytes:
+    """GIF89a animation from index-array frames.
+
+    ``frames[0]`` must be the full canvas; each later frame may be a
+    sub-rectangle ``(top, left, array)`` given via ``rects`` (parallel
+    list, None entries = full frame). Palette is the identity grayscale
+    (i → (i,i,i)) — fabricated media carries luma directly in the index
+    plane. Disposal is 'do not dispose', so frame f composes onto the
+    decoded state of frame f-1."""
+    import struct
+
+    import numpy as np
+
+    f0 = np.asarray(frames[0], dtype=np.uint8)
+    h, w = f0.shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fi, fr in enumerate(frames):
+        if rects is not None and rects[fi] is not None:
+            top, left, arr = rects[fi]
+        else:
+            top, left, arr = 0, 0, fr
+        arr = np.asarray(arr, dtype=np.uint8)
+        fh, fw = arr.shape
+        # GCE: disposal=1 (do not dispose), no transparency, 10cs delay
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", 10)
+        out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out += bytes([8])  # LZW min code size
+        payload = _lzw_gif_encode(arr.tobytes(), 8)
+        for off in range(0, len(payload), 255):
+            chunk = payload[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(blob):
+    """Parse a GIF87a/89a animation → (palette (256,3) uint8, list of
+    COMPOSITED (h, w) index frames), or None on malformed/unsupported
+    input. Real decode: LZW with deferred width change + byte
+    sub-blocks, sub-rectangle frames composited onto the running canvas
+    (disposal 'do not dispose' — the only mode this encoder emits;
+    'restore to background/previous' are rejected, not guessed)."""
+    import struct
+
+    import numpy as np
+
+    if blob is None:
+        return None
+    blob = bytes(blob)
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    if not w or not h or w * h > 64 * 1024 * 1024:
+        return None
+    pos = 13
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(blob):
+            return None
+        palette[:n] = np.frombuffer(
+            blob[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames = []
+    disposal = 0
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(blob):
+                return None
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                if pos + 1 > len(blob) or blob[pos] < 4:
+                    return None
+                disposal = (blob[pos + 1] >> 2) & 0x7
+                if disposal > 1:
+                    return None  # restore modes unsupported — reject
+            # skip sub-blocks (any extension)
+            while True:
+                if pos >= len(blob):
+                    return None
+                n = blob[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if b != 0x2C:  # image descriptor expected
+            return None
+        if pos + 10 > len(blob):
+            return None
+        left, top, fw, fh, ipack = struct.unpack(
+            "<HHHHB", blob[pos + 1 : pos + 10]
+        )
+        pos += 10
+        if ipack & 0x40:
+            return None  # interlace unsupported
+        if ipack & 0x80:  # local color table
+            n = 2 << (ipack & 0x07)
+            pos += 3 * n
+            if pos > len(blob):
+                return None
+        if left + fw > w or top + fh > h or not fw or not fh:
+            return None
+        if pos >= len(blob):
+            return None
+        min_code = blob[pos]
+        pos += 1
+        if not (2 <= min_code <= 8):
+            return None
+        payload = bytearray()
+        while True:
+            if pos >= len(blob):
+                return None
+            n = blob[pos]
+            pos += 1
+            payload += blob[pos : pos + n]
+            pos += n
+            if n == 0:
+                break
+        idx = _lzw_gif_decode(payload, min_code, max_out=fw * fh)
+        if idx is None or len(idx) != fw * fh:
+            return None
+        arr = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        canvas[top : top + fh, left : left + fw] = arr
+        frames.append(canvas.copy())
+    if not frames:
+        return None
+    return palette, frames
+
+
+#: The 3 sub-rect updates of the fabricated GIF animation: disjoint by
+#: construction for every fabricated geometry (h >= 8, w >= 8), so the
+#: oracle's composited pixel sums are a flat CASE over base ramp vs fill.
+_GIF_RECTS = [(0, 0), (4, 0), (0, 4)]
+
+
+def fabricate_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real animated GIFs from the deterministic family ramp: frame 0 is
+    the full luma ramp v = (id + r*w + c) % 256 (identity-gray palette),
+    frames 1-3 each replace one fixed DISJOINT 4×4 sub-rectangle with
+    the constant (id + 17·f) % 256 — so the composited pixel sum of
+    every frame is an exact integer the oracle reproduces, and frames
+    1-3 are undecodable without frame 0's canvas (inter-frame for
+    real)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h, w = 8 + mid % 8, 8 + mid % 12
+                base = (
+                    (mid + np.arange(h * w, dtype=np.int64)) % 256
+                ).reshape(h, w).astype(np.uint8)
+                frames = [base]
+                rects = [None]
+                for f in range(1, 4):
+                    top, left = _GIF_RECTS[f - 1]
+                    fill = np.full(
+                        (4, 4), (mid + 17 * f) % 256, dtype=np.uint8
+                    )
+                    frames.append(fill)
+                    rects.append((top, left, fill))
+                rows.append(
+                    {"media_id": mid, "content": encode_gif(frames, rects)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.lit("image/gif").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL animated-GIF decode → one row per COMPOSITED
+    frame: dims plus the exact palette-mapped pixel sum (lossless codec,
+    so the sums are integer-exact — a one-bit LZW or composition error
+    fails the value gate, stronger than the JPEG family's rounded
+    statistics)."""
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "pixel_sum long"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_gif(content)
+                if dec is None:
+                    continue
+                palette, frames = dec
+                red = palette[:, 0].astype(np.int64)
+                for fi, fr in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "pixel_sum": int(red[fr].sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "pixel_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)

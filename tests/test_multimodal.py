@@ -583,3 +583,97 @@ def test_jpeg_decoder_rejects_nonzero_table_selectors():
     seg = b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
     dht[p:p] = seg
     assert decode_jpeg(bytes(dht)) is None
+
+
+def test_gif_lzw_roundtrip_and_width_change():
+    """GIF LZW: deferred code-width change + 12-bit reset, exercised
+    well past both boundaries, plus the cScSc self-reference case."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        _lzw_gif_decode,
+        _lzw_gif_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaa",  # cScSc territory
+        bytes((np.arange(70000) % 256).astype(np.uint8)),
+        rng.randint(0, 256, 50000).astype(np.uint8).tobytes(),
+        np.repeat(rng.randint(0, 256, 9000), 11).astype(np.uint8).tobytes(),
+    ]
+    for data in cases:
+        enc = _lzw_gif_encode(data)
+        assert _lzw_gif_decode(enc, 8, max_out=len(data)) == data
+    # output cap: a stream decoding past max_out must reject, not grow
+    enc = _lzw_gif_encode(b"\x01" * 1000)
+    assert _lzw_gif_decode(enc, 8, max_out=999) is None
+
+
+def test_gif_interframe_composition_is_required():
+    """The inter-frame pin: frames 1-3 are 4x4 sub-rect updates, so a
+    decoder that treats frames independently cannot reproduce the
+    composited canvas. Verify full round-trip against the generator and
+    that later frames really are sub-canvas-sized on the wire."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        _GIF_RECTS,
+        decode_gif,
+        encode_gif,
+    )
+
+    for mid in (0, 7, 41, 123):
+        h, w = 8 + mid % 8, 8 + mid % 12
+        base = (
+            (mid + np.arange(h * w, dtype=np.int64)) % 256
+        ).reshape(h, w).astype(np.uint8)
+        frames, rects = [base], [None]
+        for f in range(1, 4):
+            top, left = _GIF_RECTS[f - 1]
+            fill = np.full((4, 4), (mid + 17 * f) % 256, dtype=np.uint8)
+            frames.append(fill)
+            rects.append((top, left, fill))
+        pal, out = decode_gif(encode_gif(frames, rects))
+        assert (pal[:, 0] == np.arange(256)).all()  # identity gray
+        assert len(out) == 4
+        expect = base.copy()
+        assert (out[0] == expect).all()
+        for f in range(1, 4):
+            top, left = _GIF_RECTS[f - 1]
+            expect[top : top + 4, left : left + 4] = (mid + 17 * f) % 256
+            assert (out[f] == expect).all()
+        # every composited frame is full-canvas even though frames 1-3
+        # carried only 16 pixels each
+        assert all(fr.shape == (h, w) for fr in out)
+
+
+def test_gif_decoder_rejects_malformed_and_unsupported():
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    a = (np.arange(64, dtype=np.int64) % 256).reshape(8, 8).astype(np.uint8)
+    blob = bytearray(encode_gif([a]))
+    assert decode_gif(bytes(blob)) is not None  # sanity
+    assert decode_gif(blob[:10]) is None  # truncated header
+    assert decode_gif(b"JIF89a" + bytes(blob[6:])) is None  # bad magic
+    # disposal 'restore to background' must reject, not guess
+    gce = bytes(blob).find(b"\x21\xf9\x04")
+    assert gce > 0
+    bad = bytearray(blob)
+    bad[gce + 3] = 2 << 2
+    assert decode_gif(bytes(bad)) is None
+    # sub-rect escaping the canvas must reject (image descriptor sits
+    # right after the 8-byte GCE block — a raw find(0x2c) would match
+    # palette byte 44)
+    img = gce + 8
+    assert blob[img] == 0x2C
+    bad2 = bytearray(blob)
+    bad2[img + 1] = 200  # left (u16le low byte) pushes rect off-canvas
+    assert decode_gif(bytes(bad2)) is None

@@ -160,6 +160,22 @@ MUST_MEASURE = [
     "doc_warc_extract_pipeline",
     "domain_cap_survivors",
     "doc_url_canonicalize",
+    # round-7: the round-6 codec family (its deterministic 10% subsets
+    # make wall time ~constant — demonstrated, not assumed; VERDICT r6
+    # Next #6), the bounded twins of the exact all-pairs baselines
+    # (done-criterion: ratio <= 3x; VERDICT r6 Next #1), and the
+    # distributed trainers
+    "media_png_decode",
+    "media_jpeg_decode",
+    "media_avi_decode",
+    "media_gif_decode",
+    "media_adpcm_decode",
+    "doc_warc_gz_extract_pipeline",
+    "knn_label_eval_ann",
+    "hard_negative_pairs_ann",
+    "doc_fuzzy_match_pairs_capped",
+    "distributed_linear_train",
+    "distributed_logistic_train",
 ]
 
 
