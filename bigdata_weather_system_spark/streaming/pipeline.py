@@ -490,6 +490,80 @@ def start_online_dedup_sink(
     return writer.start()
 
 
+def start_online_linear_train(
+    stream: DataFrame,
+    stats_path: str,
+    model_path: str,
+    checkpoint_path: str,
+    feature_cols: list[str],
+    label_col: str,
+    reg: float = 0.0,
+    add_intercept: bool = True,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Online distributed trainer — the streaming twin of
+    ``operators.training.ridge_train_distributed`` (U6 × T-family).
+
+    Every micro-batch contributes its sufficient statistics (per-Arrow-
+    batch XᵀX/Xᵀy partials — a narrow map, never the rows), written to
+    ``stats_path/batch_id=N`` with per-batch OVERWRITE so a replayed
+    batch after a crash is idempotent (the dedup sink's append-only
+    index cannot offer that; statistics can, because the batch id keys
+    them). The model refresh then re-merges ALL banked partials (a
+    p²+p-doubles-per-file relation, independent of row count) and
+    Newton-solves driver-side, appending one row per refresh to
+    ``model_path``: after batch N the model EQUALS the batch estimator
+    on every row seen so far — exact incremental learning, not a decay
+    heuristic, by the additivity of normal-equation statistics. Pinned
+    3 batches deep in tests/test_distributed_training.py.
+    """
+    import numpy as np
+
+    from ..operators.training import (
+        linear_sufficient_stats,
+        merge_sufficient_stats,
+    )
+
+    p = len(feature_cols) + (1 if add_intercept else 0)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        stats = linear_sufficient_stats(
+            batch_df, feature_cols, label_col, add_intercept
+        )
+        (
+            stats.withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stats_path, f"batch_id={batch_id}"))
+        )
+        banked = spark.read.parquet(os.path.join(stats_path, "*"))
+        xtx, xty, n = merge_sufficient_stats(banked, p)
+        lam = reg * np.eye(p)
+        if add_intercept:
+            lam[-1, -1] = 0.0
+        beta = np.linalg.solve(xtx + lam, xty)
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(n),
+                    [float(b) for b in beta],
+                )
+            ],
+            "batch_id long, n_rows long, coefficients array<double>",
+        ).coalesce(1).write.mode("append").parquet(model_path)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def snapshot_changes_between(
     spark: SparkSession,
     log_path: str,

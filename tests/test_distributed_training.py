@@ -116,3 +116,75 @@ def test_contract_queries_floors_hold_at_test_scale(spark):
         row = QUERIES[name](spark, "/root/testdata/sf0.001").collect()[0]
         flags = {k: v for k, v in row.asDict().items() if isinstance(v, bool)}
         assert all(flags.values()), (name, flags)
+
+
+def test_online_linear_train_equals_batch_estimator(spark, tmp_path):
+    """Streaming twin (U6 x T): after micro-batch N the banked-statistics
+    model must EQUAL the batch ridge on every row seen so far — exact
+    incremental learning by additivity, not a decay heuristic. Driven 3
+    batches deep through a file-source stream (maxFilesPerTrigger=1)."""
+    import json
+    import os
+
+    from bigdata_weather_system_spark.streaming.pipeline import (
+        start_online_linear_train,
+    )
+
+    rng = np.random.RandomState(5)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    all_rows = []
+    for b in range(3):
+        x = rng.standard_normal((60, 2))
+        y = x @ np.array([1.0, -0.5]) + 0.2 + 0.1 * rng.standard_normal(60)
+        rows = [
+            {"f1": float(a), "f2": float(c), "y": float(t)}
+            for (a, c), t in zip(x, y)
+        ]
+        all_rows.extend(rows)
+        with open(in_dir / f"b{b}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("f1 double, f2 double, y double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_online_linear_train(
+        stream,
+        stats_path=str(tmp_path / "stats"),
+        model_path=str(tmp_path / "model"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        feature_cols=["f1", "f2"],
+        label_col="y",
+        reg=0.25,
+    )
+    try:
+        deadline = 120
+        import time as _t
+
+        t0 = _t.time()
+        while _t.time() - t0 < deadline:
+            if (
+                os.path.exists(str(tmp_path / "model"))
+                and spark.read.parquet(str(tmp_path / "model")).count() >= 3
+            ):
+                break
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    models = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "model")).collect()
+    }
+    assert len(models) == 3
+    # every refresh is an exact prefix estimator: n_rows are cumulative
+    ns = sorted(r["n_rows"] for r in models.values())
+    assert ns == [60, 120, 180]
+    # the final model equals the batch estimator on the union
+    df = spark.createDataFrame(all_rows)
+    expect = ridge_train_distributed(df, ["f1", "f2"], "y", reg=0.25)
+    final = max(models.values(), key=lambda r: r["n_rows"])
+    np.testing.assert_allclose(
+        np.array(final["coefficients"]), expect, atol=1e-8
+    )
