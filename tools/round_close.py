@@ -81,6 +81,29 @@ def check(round_no: int) -> list[str]:
     return problems
 
 
+def _covers_live_bench(bench_full_path: str) -> bool:
+    """A bench_full.json may only stand in for the close run if it
+    covers the LIVE bench list — a payload from before this round's
+    queries were added measures the wrong code and would synthesize a
+    close entry with stale coverage under the current HEAD."""
+    try:
+        import bench
+
+        with open(bench_full_path) as f:
+            have = set((json.load(f).get("queries") or {}))
+        want = {q for q in bench.BENCH_QUERIES}
+        missing = want - have
+        if missing:
+            print(
+                f"== bench_full.json misses {len(missing)} live bench "
+                f"queries (e.g. {sorted(missing)[:3]}) — running the "
+                "close bench instead of reusing it"
+            )
+        return not missing
+    except (OSError, ValueError):
+        return False
+
+
 def synthesize_close_entry(bench_full_path: str) -> None:
     """Append a close-stamped BENCHHIST entry derived from an existing
     (fresh) bench_full.json instead of re-running the sweep. Carries
@@ -168,6 +191,7 @@ def main() -> int:
         os.path.exists(bf)
         and time.time() - os.path.getmtime(bf)
         < args.bench_max_age_h * 3600
+        and _covers_live_bench(bf)
     )
     if args.skip_bench or fresh:
         # A skipped bench must STILL leave a close-stamped BENCHHIST
