@@ -561,18 +561,20 @@ def test_domain_cap_uses_window_group_limit(spark):
 
 
 def test_domain_concentration_has_no_global_sort_window(spark):
-    """The Gini rank must ride the deterministic-bucket + offsets
-    pattern: the per-bucket window partitions by _pid (never an empty
-    partitionBy over data-sized input), the offsets window runs over the
-    ≤P-row bucket-totals relation, and top-k share is
+    """The Gini rank must never materialize PER-DOMAIN ranks at all
+    (ADVICE r6: tied counts — the Zipf cnt=1 tail — would concentrate a
+    per-domain row_number in one task): tied-group rank sums are
+    closed-form, so the plan carries NO row_number anywhere, its only
+    rank windows are cumulative sums keyed by the deterministic _pid
+    bucket over the DISTINCT-CNT relation, the offsets window runs over
+    the ≤P-row bucket-totals relation, and top-k share is
     TakeOrderedAndProject, never a full sort. The bucket id is a pure
     monotone function of cnt, so no checkpoint (no RDD scan) pins it."""
     plan = plan_of(spark, "domain_concentration_metrics")
     assert "TakeOrderedAndProject" in plan
     assert "Scan ExistingRDD" not in plan
-    # every rank window is keyed by the bucket id — no global-ordering
-    # window over the domain histogram itself
-    assert "row_number" in plan and "_pid" in plan
+    assert "row_number" not in plan
+    assert "_pid" in plan
 
 
 def test_robots_rules_join_is_broadcast(spark):
