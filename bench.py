@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "incremental_dedup_contract",
     "doc_ngram_decontamination",
+    "semantic_decontamination",
     "doc_hashing_tf",
     "event_transition_matrix",
     "frequent_event_paths",

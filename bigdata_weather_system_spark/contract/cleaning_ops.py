@@ -1066,6 +1066,80 @@ def doc_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# --------------------------------------------------------------------------
+
+_SEM_DECON_ORACLE = """
+WITH p AS (
+  SELECT t.vec_id AS tid,
+         round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                       v.embedding::DOUBLE[]), 6) AS c
+  FROM embeddings t JOIN embeddings v
+    ON (v.vec_id % 10 = 0) AND (t.vec_id % 10 <> 0)
+)
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0)
+         AS n_train,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
+         AS n_eval,
+       cast(count(DISTINCT tid) FILTER (WHERE c >= 0.45) AS BIGINT)
+         AS n_contaminated,
+       round(max(c), 6) AS max_cross_sim
+FROM p
+"""
+
+
+@register("semantic_decontamination", oracle=_SEM_DECON_ORACLE)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag train vectors whose cosine
+    to ANY eval vector (eval = every 10th id) clears a threshold — the
+    pass that catches PARAPHRASED benchmark leakage, which exact 13-gram
+    overlap (``doc_ngram_decontamination``) cannot see by construction.
+
+    Scale shape: eval sets are SMALL by construction (benchmarks, not
+    corpora), so the exact broadcast-eval form IS the production plan —
+    each train row meets only the broadcast eval matrix, one narrow pass
+    over the corpus, no self-join and no index build. Cosines are
+    rounded-then-compared on both engines, so the flag is
+    engine-portable. Threshold 0.45 is calibrated to this corpus'
+    isotropic regime (max cross-sim ≈ 0.49 at sf0.01 — real embedding
+    spaces cluster and would run at the usual 0.85-0.95)."""
+    from ..operators.similarity import dot, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_evec"),
+        norm(F.col("embedding")).alias("_en"),
+    )
+    tr = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("_tvec"),
+        norm(F.col("embedding")).alias("_tn"),
+    )
+    pairs = tr.crossJoin(F.broadcast(ev)).select(
+        "tid",
+        F.round(
+            dot(F.col("_tvec"), F.col("_evec"))
+            / (F.col("_tn") * F.col("_en")),
+            6,
+        ).alias("c"),
+    )
+    counts = e.agg(
+        F.sum((F.col("vec_id") % 10 != 0).cast("long")).alias("n_train"),
+        F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("n_eval"),
+    )
+    agg = pairs.agg(
+        F.countDistinct(
+            F.when(F.col("c") >= 0.45, F.col("tid"))
+        ).alias("n_contaminated"),
+        F.round(F.max("c"), 6).alias("max_cross_sim"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_train", "n_eval", "n_contaminated", "max_cross_sim"
+    )
+
+
+# --------------------------------------------------------------------------
 # Direct n-gram decontamination (GPT-3/PaLM-style 13-gram overlap)
 # --------------------------------------------------------------------------
 

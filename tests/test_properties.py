@@ -327,3 +327,51 @@ def test_motion_energy_wrap_count_closed_form(mid, f, h, w):
             (n_wrap * (256 - d) + (sz - n_wrap) * d) / sz
         )
         assert abs(np.abs(diff).mean() - expected_mean) < 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4000))
+def test_gif_lzw_roundtrips_arbitrary_bytes(data):
+    """The GIF LZW pair is a bijection on arbitrary byte strings —
+    hypothesis hammers the deferred width change, sub-byte packing, and
+    the cScSc path far beyond the fixture corpus."""
+    from bigdata_weather_system_spark.operators.multimodal import (
+        _lzw_gif_decode,
+        _lzw_gif_encode,
+    )
+
+    enc = _lzw_gif_encode(data)
+    assert _lzw_gif_decode(enc, 8, max_out=len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=5, max_value=60),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sufficient_stats_solve_matches_numpy_purely(n, p, seed):
+    """Driver-side property (no Spark job): summing per-chunk XᵀX/Xᵀy
+    partials over ANY chunking and solving equals the one-shot numpy
+    solve — the additivity that makes the distributed trainer exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((n, p))
+    xh = np.hstack([x, np.ones((n, 1))])
+    y = xh @ rng.standard_normal(p + 1) + 0.1 * rng.standard_normal(n)
+    # random chunking
+    cuts = sorted(set(rng.randint(1, n, size=min(3, n - 1)).tolist()))
+    chunks = np.split(np.arange(n), cuts)
+    xtx = np.zeros((p + 1, p + 1))
+    xty = np.zeros(p + 1)
+    for idx in chunks:
+        c = xh[idx]
+        xtx += c.T @ c
+        xty += c.T @ y[idx]
+    reg = 0.3
+    lam = reg * np.eye(p + 1)
+    lam[-1, -1] = 0.0
+    merged = np.linalg.solve(xtx + lam, xty)
+    oneshot = np.linalg.solve(xh.T @ xh + lam, xh.T @ y)
+    np.testing.assert_allclose(merged, oneshot, atol=1e-7)
