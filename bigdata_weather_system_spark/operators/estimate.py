@@ -54,16 +54,21 @@ def estimate_join_cardinality(
 
 def _cms_hash(item: "F.Column", i: int, width: int, seed: int, hash: str):
     """Row-i CMS hash. ``xxhash64`` (default) is the production path;
-    ``md5`` keys by the top 60 bits of md5(i:item) — bit-identical in
-    DuckDB, so a sketch built with it is fully oracle-reconstructable."""
+    ``md5`` slices row i's value from hex chars [1+8i, 8+8i] of ONE
+    md5(item) — bit-identical in DuckDB, so a sketch built with it is
+    fully oracle-reconstructable, and all depth rows share a single
+    digest per item (Catalyst dedups the common md5 subexpression; the
+    naive per-row ``md5(i:item)`` keying measured ~3× the xxhash64
+    sketch, this form ~1 digest + cheap slices). 32 hex chars bound the
+    sliced form at depth 4; deeper sketches re-key per row."""
     if hash == "md5":
-        h = F.conv(
-            F.substring(
+        if 8 * (i + 1) <= 32:
+            hexpart = F.substring(F.md5(item.cast("string")), 1 + 8 * i, 8)
+        else:  # depth > 4: fall back to per-row keying
+            hexpart = F.substring(
                 F.md5(F.concat(F.lit(f"{i}:"), item.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+            )
+        h = F.conv(hexpart, 16, 10).cast("long")
     else:
         h = F.xxhash64(item, F.lit(seed + i))
     return F.pmod(h, F.lit(width))
