@@ -70,7 +70,12 @@ SHOWCASE = [
     ("embedding_silhouette_by_label", "centroid silhouette: broadcast labels-x-dims centroids, point-x-centroid only"),
     ("doc_warc_extract_pipeline", "raw-web ingestion WARC->HTML->text: one zero-Exchange scan-fused string-algebra map chain"),
     ("domain_cap_survivors", "per-domain cap: WindowGroupLimit prunes each partition to K rows before the window sort"),
-    ("domain_concentration_metrics", "domain gini/HHI: checkpointed range-partition ranks + TakeOrderedAndProject shares, no global-sort window"),
+    ("domain_concentration_metrics", "domain gini/HHI: closed-form tied-group rank sums over the distinct-cnt relation (no per-domain window at all) + TakeOrderedAndProject shares"),
+    ("knn_label_eval_ann", "self-kNN at scale: adaptive-plane LSH shuffle equi-join on the bucket key, narrow score-before-dedup, window-group-limit top-5"),
+    ("doc_fuzzy_match_pairs_capped", "record linkage with the hot-block cap IN the plan: grouped-postings pair_up, cap filter before pair explosion"),
+    ("distributed_linear_train", "in-engine training: one narrow Arrow stats pass + singleton merge agg + in-plan literal-coefficient scoring"),
+    ("media_gif_decode", "inter-frame video decode: zero-Exchange Arrow map stage (fabricate+decode fused), exact per-frame facts"),
+    ("semantic_decontamination", "eval-leakage scan: broadcast eval matrix, one narrow pass over the corpus, two scalar aggs"),
 ]
 
 HEADER = """# PLANS — executed physical plans (flagship queries)
