@@ -1014,3 +1014,76 @@ def test_bpe_256_merge_request_jobs_scale_with_rounds(spark):
     assert batched_wall <= 1.4 * seq_wall + 5.0, (
         f"batched {batched_wall:.1f}s vs sequential {seq_wall:.1f}s"
     )
+
+
+def test_hard_negative_mining_lsh_invariants(spark):
+    """The ANN miner's hard guarantees, pinned at the operator level
+    (the registry twins pin them via oracle booleans): every emitted
+    pair is cross-label with a TRUE cosine (numpy-verified), output is
+    identical across partitionings (seeded planes + rounded-then-ranked
+    ties), and emitted similarities are a subset of the exact pair
+    universe's values."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        adaptive_n_planes,
+        hard_negative_mining_lsh,
+    )
+
+    rng = np.random.RandomState(2)
+    n, dim = 120, 16
+    vecs = rng.standard_normal((n, dim))
+    rows = [
+        (i, [float(x) for x in vecs[i]], f"l{i % 4}") for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    planes = adaptive_n_planes(n, target_bucket_size=16)
+    out1 = sorted(
+        map(
+            tuple,
+            hard_negative_mining_lsh(
+                df.repartition(8), k=2, dim=dim, n_planes=planes
+            ).collect(),
+        )
+    )
+    out8 = sorted(
+        map(
+            tuple,
+            hard_negative_mining_lsh(
+                df.coalesce(1), k=2, dim=dim, n_planes=planes
+            ).collect(),
+        )
+    )
+    assert out1 == out8  # sharding-invariant
+    assert len(out1) > 0
+    labels = {i: f"l{i % 4}" for i in range(n)}
+    # float32 storage: verify against the float32-rounded vectors
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    for a, b, c in out1:
+        assert labels[a] != labels[b]  # cross-label, always
+        expect = float(
+            v32[a] @ v32[b] / (np.linalg.norm(v32[a]) * np.linalg.norm(v32[b]))
+        )
+        assert abs(c - round(expect, 6)) <= 2e-6  # TRUE cosine, not sketch
+
+
+def test_adaptive_n_planes_holds_bucket_occupancy():
+    from bigdata_weather_system_spark.operators.similarity import (
+        adaptive_n_planes,
+    )
+
+    # expected occupancy n / 2^planes stays within [target/2, 2*target]
+    for n in (100, 1000, 10_000, 1_000_000, 10_000_000):
+        p = adaptive_n_planes(n, target_bucket_size=32)
+        occ = n / (1 << p)
+        assert occ <= 32 * 2 and (occ >= 16 or p == 4)
+    # clamps
+    assert adaptive_n_planes(10) == 4
+    assert adaptive_n_planes(10**12) == 24
+    # monotone in n
+    ps = [adaptive_n_planes(n) for n in (10, 100, 10**4, 10**6, 10**9)]
+    assert ps == sorted(ps)
