@@ -186,7 +186,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT i,
-             CAST(('0x' || substring(md5(token), 1 + 8 * i, 8)) AS BIGINT)
+             CAST(('0x' || substring(md5('7:' || token), 1 + 8 * i, 8)) AS BIGINT)
                % 1024 AS bucket,
              count(*) AS cnt
       FROM toks CROSS JOIN range(4) r(i)
@@ -194,7 +194,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probes AS (
       SELECT token, i,
-             CAST(('0x' || substring(md5(token), 1 + 8 * i, 8)) AS BIGINT)
+             CAST(('0x' || substring(md5('7:' || token), 1 + 8 * i, 8)) AS BIGINT)
                % 1024 AS bucket
       FROM top CROSS JOIN range(4) r(i)
     )
@@ -207,7 +207,7 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point-frequency estimates for the corpus' 20 most
     frequent tokens, answered from a 4×1024 mergeable sketch instead of
     the token stream. The sketch here is md5-keyed (row i = hex
-    slice [1+8i, 8+8i] of one md5(item) digest), so the oracle REBUILDS
+    slice [1+8i, 8+8i] of one md5(seed ':' item) digest), so the oracle REBUILDS
     the identical sketch in SQL
     and the estimates themselves are value-hashed — not just floored;
     ``hash='xxhash64'`` stays the cheaper production default (guarantees

@@ -55,18 +55,24 @@ def estimate_join_cardinality(
 def _cms_hash(item: "F.Column", i: int, width: int, seed: int, hash: str):
     """Row-i CMS hash. ``xxhash64`` (default) is the production path;
     ``md5`` slices row i's value from hex chars [1+8i, 8+8i] of ONE
-    md5(item) — bit-identical in DuckDB, so a sketch built with it is
+    md5(seed ':' item) — bit-identical in DuckDB
+    (``md5(seed || ':' || item)``), so a sketch built with it is
     fully oracle-reconstructable, and all depth rows share a single
     digest per item (Catalyst dedups the common md5 subexpression; the
     naive per-row ``md5(i:item)`` keying measured ~3× the xxhash64
-    sketch, this form ~1 digest + cheap slices). 32 hex chars bound the
+    sketch, this form ~1 digest + cheap slices). The seed is mixed into
+    the digest key so rotating seeds yields independent sketches on
+    BOTH hash paths. 32 hex chars bound the
     sliced form at depth 4; deeper sketches re-key per row."""
     if hash == "md5":
+        keyed = F.concat(F.lit(f"{seed}:"), item.cast("string"))
         if 8 * (i + 1) <= 32:
-            hexpart = F.substring(F.md5(item.cast("string")), 1 + 8 * i, 8)
+            hexpart = F.substring(F.md5(keyed), 1 + 8 * i, 8)
         else:  # depth > 4: fall back to per-row keying
             hexpart = F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), item.cast("string"))), 1, 15
+                F.md5(F.concat(F.lit(f"{seed}:{i}:"), item.cast("string"))),
+                1,
+                15,
             )
         h = F.conv(hexpart, 16, 10).cast("long")
     else:

@@ -1630,12 +1630,21 @@ def decode_jpeg(blob: bytes):
         if len(payload) != seglen - 2:
             return None
         if marker == 0xFFDB:
+            # every payload[...] read below is guarded: a short segment
+            # (even seglen == 2, i.e. empty payload) must yield None,
+            # never an IndexError that kills the whole Spark task
+            if len(payload) < 65:
+                return None
             if payload[0] >> 4 != 0:
                 return None  # 16-bit q-table unsupported
             qtabs[payload[0] & 0xF] = list(payload[1:65])
         elif marker == 0xFFC0:
+            if len(payload) < 6:
+                return None
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp != 3:
+                return None
+            if len(payload) < 6 + 3 * ncomp:
                 return None
             for i in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
@@ -1645,8 +1654,12 @@ def decode_jpeg(blob: bytes):
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             return None  # non-baseline frame
         elif marker == 0xFFC4:
+            if len(payload) < 17:
+                return None
             cls, tid = payload[0] >> 4, payload[0] & 0xF
             bits = list(payload[1:17])
+            if len(payload) < 17 + sum(bits):
+                return None
             vals = list(payload[17 : 17 + sum(bits)])
             if cls == 0 and tid == 0:
                 dc_dec = _huff_decode_table(bits, vals)
@@ -1661,9 +1674,9 @@ def decode_jpeg(blob: bytes):
         elif marker == 0xFFDA:
             # scan header: every component must select DC/AC table 0 —
             # the only slots this decoder builds
-            ns = payload[0]
-            if len(payload) < 1 + 2 * ns:
+            if not payload or len(payload) < 1 + 2 * payload[0]:
                 return None
+            ns = payload[0]
             for i in range(ns):
                 sel = payload[2 + 2 * i]
                 if (sel >> 4) != 0 or (sel & 0xF) != 0:
@@ -2487,7 +2500,10 @@ def decode_gif(blob):
             label = blob[pos + 1]
             pos += 2
             if label == 0xF9:
-                if pos + 1 > len(blob) or blob[pos] < 4:
+                # need BOTH the block-size byte and the packed field —
+                # a blob truncated right after the size byte must be
+                # rejected, not IndexError inside the Spark task
+                if pos + 2 > len(blob) or blob[pos] < 4:
                     return None
                 disposal = (blob[pos + 1] >> 2) & 0x7
                 if disposal > 1:
@@ -2511,11 +2527,11 @@ def decode_gif(blob):
         pos += 10
         if ipack & 0x40:
             return None  # interlace unsupported
-        if ipack & 0x80:  # local color table
-            n = 2 << (ipack & 0x07)
-            pos += 3 * n
-            if pos > len(blob):
-                return None
+        if ipack & 0x80:
+            # local color table: this decoder only carries the GLOBAL
+            # palette, so summing an LCT frame's pixels through it would
+            # be silently wrong — reject (None, never wrong pixels)
+            return None
         if left + fw > w or top + fh > h or not fw or not fh:
             return None
         if pos >= len(blob):

@@ -677,3 +677,111 @@ def test_gif_decoder_rejects_malformed_and_unsupported():
     bad2 = bytearray(blob)
     bad2[img + 1] = 200  # left (u16le low byte) pushes rect off-canvas
     assert decode_gif(bytes(bad2)) is None
+
+
+def test_gif_decoder_survives_every_truncation_prefix():
+    """Fuzz: decode_gif(blob[:k]) for EVERY k must return None or a
+    valid result — never raise. Pins the GCE guard (a blob ending right
+    after the block-size byte used to IndexError on blob[pos + 1])."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    frames = [
+        (np.arange(64, dtype=np.int64) % 256).reshape(8, 8).astype(np.uint8),
+        np.full((8, 8), 17, dtype=np.uint8),
+    ]
+    blob = encode_gif(frames)
+    for k in range(len(blob)):
+        out = decode_gif(blob[:k])  # must not raise
+        assert out is None or len(out) == 2
+
+
+def test_gif_decoder_rejects_local_color_table():
+    """A frame flagged with a local color table must yield None — this
+    decoder only carries the global palette, and summing LCT pixels
+    through it would be silently wrong."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    a = (np.arange(64, dtype=np.int64) % 256).reshape(8, 8).astype(np.uint8)
+    blob = bytearray(encode_gif([a]))
+    gce = bytes(blob).find(b"\x21\xf9\x04")
+    img = gce + 8
+    assert blob[img] == 0x2C
+    blob[img + 9] |= 0x80  # image-descriptor packed byte: LCT flag
+    assert decode_gif(bytes(blob)) is None
+
+
+def test_jpeg_decoder_survives_short_segments():
+    """Fuzz: hostile/short marker segments (including the empty-payload
+    SOS that used to IndexError on payload[0]) must yield None, and
+    every truncation prefix of a valid blob must not raise."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # the advisor's crash reproducer: SOS with seglen == 2 (empty payload)
+    assert decode_jpeg(b"\xff\xd8\xff\xda\x00\x02\xff\xd9") is None
+    # empty DQT / DHT / SOF0 payloads
+    assert decode_jpeg(b"\xff\xd8\xff\xdb\x00\x02\xff\xd9") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xc4\x00\x02\xff\xd9") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xc0\x00\x02\xff\xd9") is None
+    rng = np.random.default_rng(3)
+    blob = encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    assert decode_jpeg(blob) is not None  # sanity
+    for k in range(len(blob)):
+        out = decode_jpeg(blob[:k])  # must not raise
+        assert out is None or out.shape == (8, 8, 3)
+
+
+def test_cms_md5_path_respects_seed(spark):
+    """count_min_sketch(hash='md5') must produce DIFFERENT sketches for
+    different seeds (the seed is mixed into the digest key), and stay
+    deterministic for a fixed seed."""
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.estimate import (
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"tok{i % 7}",) for i in range(50)], ["token"]
+    )
+
+    def cells(seed):
+        return {
+            (r["row"], r["bucket"], r["cnt"])
+            for r in count_min_sketch(
+                df, "token", width=64, depth=3, seed=seed, hash="md5"
+            ).collect()
+        }
+
+    assert cells(7) == cells(7)  # deterministic
+    assert cells(7) != cells(8)  # seed actually rotates the sketch
+    # estimates still never undercount under any seed
+    truth = {r["token"]: r["n"] for r in
+             df.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from bigdata_weather_system_spark.operators.estimate import (
+        cms_point_estimates,
+    )
+
+    for seed in (7, 8):
+        sk = count_min_sketch(df, "token", width=64, depth=3, seed=seed,
+                              hash="md5")
+        est = cms_point_estimates(
+            sk, df.select("token").distinct(), "token",
+            width=64, depth=3, seed=seed, hash="md5",
+        )
+        for r in est.collect():
+            assert r["cms_estimate"] >= truth[r["token"]]
