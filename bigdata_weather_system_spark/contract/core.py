@@ -493,14 +493,50 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("weather_sim_source_profile")  # custom Python data source → rows-only
+def _weather_sim_expected_sql() -> str:
+    """Literal-VALUES DuckDB oracle for ``weather_sim_source_profile``,
+    re-derived here from the source's DOCUMENTED recipe (crc32-seeded,
+    ``sources/weather_sim.py:48-72``) without importing it: every value
+    is crc32(f"{loc}:{cycle}")-keyed, event time is start + cycle·300 s
+    at minute resolution, so the 5 profile rows are computable
+    constants. Python float repr round-trips exactly, and the sums fold
+    in cycle order — the same order the source's single partition per
+    location feeds Spark's partial aggregate — so avg values are
+    bit-identical; rounding is left to DuckDB's round(DOUBLE, 6) to
+    match Spark's HALF_UP."""
+    import zlib
+
+    vals = []
+    for loc in ("hanoi", "danang", "hue", "cantho", "haiphong"):
+        temps, winds = [], []
+        for cycle in range(48):
+            s = zlib.crc32(f"{loc}:{cycle}".encode())
+            temps.append(float(str(round(15.0 + (s % 2000) / 100.0, 2))))
+            winds.append(float(str(round((s // 7 % 400) / 10.0, 1))))
+        vals.append(
+            f"('{loc}', {sum(temps) / 48!r}, {sum(winds) / 48!r})"
+        )
+    return f"""
+    SELECT location,
+           CAST(48 AS BIGINT) AS n_events,
+           round(CAST(avg_t AS DOUBLE), 6) AS avg_temperature,
+           round(CAST(avg_w AS DOUBLE), 6) AS avg_windspeed,
+           TIMESTAMP '2024-01-01 00:00:00' AS first_seen,
+           TIMESTAMP '2024-01-01 03:55:00' AS last_seen
+    FROM (VALUES {", ".join(vals)}) t(location, avg_t, avg_w)
+    """
+
+
+@register("weather_sim_source_profile", oracle=_weather_sim_expected_sql())
 def weather_sim_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native replacement for the reference's REST crawler (S10,
     producer_v2.py:47-228): a custom Python Data Source emitting the
     kafka-shaped feed (one partition per location, key-equality partition
     pruning, replayable stream offsets), profiled through the SAME parse
-    chain + per-location aggregation as every other source. Rows-only:
-    the source is Spark-side by definition."""
+    chain + per-location aggregation as every other source. The source
+    is bit-deterministic (crc32-seeded), so the oracle is the
+    literal-VALUES profile re-derived from the documented recipe — a
+    FULL value check of source + parse chain + aggregation."""
     from ..sources.raw_events import parse_raw_events
     from ..sources.weather_sim import register_weather_sim
 
