@@ -230,15 +230,59 @@ def dedup_survivors_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_MAX_BUCKET = 10_000
 
 
-@register("minhash_lsh_near_dups")  # xxhash64 signatures → Spark-only, rows-only check
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, i,
+             min(CAST(('0x' || substring(md5(i || ':' || shingle), 1, 15))
+                      AS BIGINT)) AS m
+      FROM e CROSS JOIN range(32) r(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             CAST(('0x' || substring(md5(
+               sig[4*b+1] || ',' || sig[4*b+2] || ',' ||
+               sig[4*b+3] || ',' || sig[4*b+4]), 1, 15)) AS BIGINT) AS bucket
+      FROM sig CROSS JOIN range(8) r(b)
+    ),
+    kept AS (
+      SELECT b, bucket FROM bands GROUP BY b, bucket
+      HAVING count(*) > 1 AND count(*) <= {_NEAR_DUP_MAX_BUCKET}
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x
+      JOIN kept k ON k.b = x.b AND k.bucket = x.bucket
+      JOIN bands y ON y.b = x.b AND y.bucket = x.bucket
+                   AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(count(*)::DOUBLE /
+                 (any_value(sa.sz) + any_value(sb.sz) - count(*)), 6) AS jaccard
+    FROM cands c
+    JOIN e sa ON sa.doc_id = c.id_a
+    JOIN e sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY c.id_a, c.id_b
+    HAVING round(count(*)::DOUBLE /
+                 (any_value(sa.sz) + any_value(sb.sz) - count(*)), 6) >= 0.5
+    """,
+)
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidates verified at Jaccard ≥ 0.5.
 
-    Rows-only contract entry (DuckDB lacks xxhash64); its recall/precision
-    against the exact pair set is pinned by tests/test_llm_ops.py. The
-    band pair generator runs with the default-on hot-bucket cap; dropped
-    bucket/row counts are readable from the attached Observation after
-    the query executes.
+    The registered variant keys every hash off md5 (row i =
+    md5("i:shingle"), band bucket = md5 of the comma-joined band
+    slice) so the ENTIRE pipeline — signatures, banding, hot-bucket cap,
+    Jaccard verification — is replayed exactly by the DuckDB oracle;
+    ``hash_fn='xxhash64'`` stays the cheaper production default (LSH
+    guarantees are hash-agnostic; that path's recall/precision floors
+    stay pinned by tests/test_llm_ops.py and dedup_accuracy_contract).
+    Dropped bucket/row counts are readable from the attached Observation
+    after the query executes.
     """
     from pyspark.sql import Observation
 
@@ -251,13 +295,65 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         max_bucket_size=_NEAR_DUP_MAX_BUCKET,
         observation=Observation("minhash_lsh_drops"),
+        hash_fn="md5",
     )
 
 
-@register("simhash_near_dups")  # rows-only: xxhash64-based
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s2 AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS shingles
+           FROM t),
+    e2 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s2),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+                 CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS lo
+          FROM e2),
+    bits AS (SELECT doc_id, j,
+                    sum((CASE WHEN j < 32 THEN (lo >> j) & 1
+                              ELSE (hi >> (j - 32)) & 1 END) * 2 - 1) AS c
+             FROM h CROSS JOIN range(64) r(j)
+             GROUP BY doc_id, j),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN c > 0 AND j < 32
+                            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS ulo,
+                   sum(CASE WHEN c > 0 AND j >= 32
+                            THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS uhi
+            FROM bits GROUP BY doc_id),
+    blocks AS (SELECT doc_id, uhi, ulo, i,
+                      CASE i WHEN 0 THEN ulo & 65535
+                             WHEN 1 THEN (ulo >> 16) & 65535
+                             WHEN 2 THEN uhi & 65535
+                             ELSE (uhi >> 16) & 65535 END AS block
+               FROM sig CROSS JOIN range(4) r(i)),
+    kept AS (SELECT i, block FROM blocks GROUP BY i, block
+             HAVING count(*) > 1 AND count(*) <= {_NEAR_DUP_MAX_BUCKET}),
+    cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     x.uhi AS ha, x.ulo AS la, y.uhi AS hb, y.ulo AS lb
+              FROM blocks x
+              JOIN kept k ON k.i = x.i AND k.block = x.block
+              JOIN blocks y ON y.i = x.i AND y.block = x.block
+                            AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+             AS hamming
+    FROM cands
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near pairs at Hamming ≤ 3 via 16-bit block banding,
-    with the default-on hot-block cap + drop-count Observation."""
+    with the default-on hot-block cap + drop-count Observation.
+
+    The registered variant derives the shingle hash from md5 (high/low
+    32-bit hex slices assembled two's-complement, ``dedup._md5_long64``)
+    so the oracle replays the full signature → block banding → cap →
+    Hamming verify chain bit-exactly on the unsigned halves; xxhash64
+    stays the production default."""
     from pyspark.sql import Observation
 
     d = _t(spark, sf_dir, "documents")
@@ -268,6 +364,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         max_bucket_size=_NEAR_DUP_MAX_BUCKET,
         observation=Observation("simhash_drops"),
+        hash_fn="md5",
     )
 
 
@@ -314,10 +411,49 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup_lsh")  # rows-only: hyperplane sketches Spark-side
+def _embedding_lsh_oracle() -> str:
+    """DuckDB oracle for ``embedding_near_dup_lsh``: the 4 seed-derived
+    hyperplanes are embedded as float literals (they are inputs, not
+    data), so the sign-bit bucket, the hot-bucket cap, and the exact
+    cosine verify are all replayed in SQL. Sign agreement between the
+    Arrow-batch GEMM and DuckDB's sequential dot fold is exact unless a
+    plane dot lands within float-reassociation distance of 0 (~1e-14 of
+    an O(1)-magnitude value) — negligible at any tested SF."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes.tolist())
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT * FROM (VALUES {rows}) t(i, plane)),
+    sk AS (SELECT vec_id,
+                  sum(CASE WHEN list_dot_product(v.v, p.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+           FROM v CROSS JOIN p GROUP BY vec_id),
+    kept AS (SELECT bucket FROM sk GROUP BY bucket
+             HAVING count(*) > 1 AND count(*) <= {_NEAR_DUP_MAX_BUCKET}),
+    cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sk a
+              JOIN kept k ON k.bucket = a.bucket
+              JOIN sk b ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(va.v, vb.v), 6) AS cosine_sim
+    FROM cands c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.44
+    """
+
+
+@register("embedding_near_dup_lsh", oracle=_embedding_lsh_oracle())
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup (sign-bit sketch join) — scale
-    path, with the default-on hot-bucket cap + drop-count Observation."""
+    path, with the default-on hot-bucket cap + drop-count Observation.
+    Fully value-checked: the oracle replays the hyperplane sketch from
+    literal planes (see ``_embedding_lsh_oracle``)."""
     from pyspark.sql import Observation
 
     e = _t(spark, sf_dir, "embeddings")

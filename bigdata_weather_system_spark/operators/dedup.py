@@ -586,16 +586,27 @@ def duplicate_span_stats(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _md5_long(keyed: Column) -> Column:
+    """60-bit long from the first 15 hex chars of md5 — the DuckDB-
+    replayable hash recipe (twin: ``('0x' || substring(md5(x),1,15))
+    ::BIGINT``) shared by the winnowing/CMS/LSH oracle paths."""
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, array of num_hashes minhash values).
 
-    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    minhash_i(doc) = min over shingles of hash(shingle, seed=i) —
+    ``xxhash64`` (default, cheapest) or ``md5`` (row i keyed as
+    md5(f"{i}:{shingle}"), bit-replayable in DuckDB so LSH contract
+    queries built on it are fully value-checkable).
     Shaped as explode → num_hashes codegen'd hash projections → groupBy(id)
     with partial min aggregation: the hashes run vectorized in whole-stage
     codegen (a per-row higher-order-function fold is interpreted and ~10×
@@ -608,10 +619,17 @@ def minhash_signatures(
     exploded = _spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
-    hashed = exploded.select(
-        id_col,
-        *[F.xxhash64("shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
-    )
+    if hash_fn == "md5":
+        hashes = [
+            _md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashes = [
+            F.xxhash64("shingle", F.lit(i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    hashed = exploded.select(id_col, *hashes)
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
     )
@@ -628,6 +646,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     observation=None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -640,7 +659,7 @@ def lsh_candidate_pairs(
     ``pair_up``.
     """
     bands = lsh_band_keys(
-        signatures, id_col, num_bands * rows_per_band, num_bands
+        signatures, id_col, num_bands * rows_per_band, num_bands, hash_fn=hash_fn
     )
     return (
         pair_up(
@@ -667,6 +686,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     observation=None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -678,7 +698,7 @@ def minhash_dedup_pairs(
     generator's hot-bucket guard (see ``pair_up``).
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     # candidate pairs are consumed by two joins and are tiny relative to the
     # corpus — cache them instead of re-running the LSH join
     cands = lsh_candidate_pairs(
@@ -688,6 +708,7 @@ def minhash_dedup_pairs(
         rows_per_band,
         max_bucket_size=max_bucket_size,
         observation=observation,
+        hash_fn=hash_fn,
     ).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -862,8 +883,26 @@ def keep_canonical(
 _BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
+def _md5_long64(keyed: Column) -> Column:
+    """Full 64-bit signed long from md5 hex chars [1,8] (high 32 bits)
+    and [9,16] (low 32 bits), assembled two's-complement so every bit of
+    the result is a digest bit. DuckDB twin works on the two unsigned
+    32-bit halves directly (no signed shifts needed):
+    ``hi = ('0x'||substring(md5(x),1,8))::BIGINT``, same for ``lo`` at
+    offset 9; bit j of this value = lo>>j (j<32) / hi>>(j-32) (j≥32)."""
+    digest = F.md5(keyed)
+    hi = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return signed_hi * F.lit(1 << 32) + lo
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document from shingle hashes.
 
@@ -871,11 +910,18 @@ def simhash(
     Formulated as explode → groupBy(id) with 64 map-side-combinable sums:
     exactly one shuffle keyed by document id, partial aggregation upstream —
     the shape that survives a 100 TB corpus (vs. a per-row 64-pass array
-    fold, which blows up expression size).
+    fold, which blows up expression size). ``hash_fn='md5'`` derives the
+    shingle hash from an md5 digest (``_md5_long64``) so the whole
+    signature is DuckDB-replayable.
     """
+    shingle_hash = (
+        _md5_long64(F.col("shingle"))
+        if hash_fn == "md5"
+        else F.xxhash64("shingle")
+    )
     exploded = _spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).select(id_col, F.xxhash64("shingle").alias("h"))
+    ).select(id_col, shingle_hash.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
@@ -899,6 +945,7 @@ def simhash_near_pairs(
     n: int = 2,
     max_bucket_size: int | None = None,
     observation=None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ max_hamming between SimHashes.
 
@@ -909,7 +956,7 @@ def simhash_near_pairs(
     every near-empty doc shares) before pairing, with drop counts
     readable from ``observation`` — see ``pair_up``.
     """
-    sigs = simhash(df, id_col, text_col, n)
+    sigs = simhash(df, id_col, text_col, n, hash_fn=hash_fn)
     blocks = sigs.select(
         id_col,
         "simhash",
@@ -962,13 +1009,16 @@ def lsh_band_keys(
     num_hashes: int = 32,
     num_bands: int = 8,
     id_alias: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket) band postings for MinHash signatures — the
     shared banding step of the batch LSH join, the materialized index,
     and incoming-batch probing (one definition so the band hash can
-    never drift between writer and prober)."""
+    never drift between writer and prober). ``hash_fn='md5'`` keys the
+    bucket as md5 of the comma-joined band slice (DuckDB-replayable)."""
     rows_per_band = num_hashes // num_bands
     out_id = id_alias or id_col
+    bucket_hash = _md5_long if hash_fn == "md5" else F.xxhash64
     return sigs.select(
         F.col(id_col).alias(out_id),
         F.explode(
@@ -976,7 +1026,7 @@ def lsh_band_keys(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_hash(
                             F.concat_ws(
                                 ",",
                                 *[
