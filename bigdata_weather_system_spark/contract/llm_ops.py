@@ -29,9 +29,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import (
-    decode_image_features,
     media_metadata_summary,
-    sample_frames,
     to_media_table,
 )
 from ..operators.similarity import (
@@ -1257,22 +1255,55 @@ def autoregressive_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("media_decode_features")  # mapInPandas fan-out → rows-only check
+@register(
+    "media_decode_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 8 AS h,
+             8 + doc_id % 12 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, h, w, ((media_id + i) % 256) // 16 AS bin
+      FROM t, unnest(range(0, h * w)) AS g(i)
+    ),
+    hist AS (
+      SELECT media_id, any_value(h) AS h, any_value(w) AS w, bin,
+             count(*) AS cnt
+      FROM px GROUP BY media_id, bin
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(16 AS INT) AS feature_dim,
+           round(sqrt(sum((cnt::DOUBLE / (h * w)) * (cnt::DOUBLE / (h * w)))), 4)
+             AS feature_l2,
+           round(sum(cnt::DOUBLE / (h * w)), 4) AS feature_sum
+    FROM hist GROUP BY media_id
+    """,
+)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake image decode (real plumbing, stubbed kernel).
+    """REAL decode → featurize: genuine PNGs (zlib scanlines, rotating
+    filters) from the deterministic family ramp, inflated + un-filtered
+    by the stdlib codec, then a normalized 16-bin blue-channel histogram
+    as the feature vector (the canonical multimodal decode-then-extract
+    shape, Arrow-batched end to end). Replaced the round-1 stubbed
+    kernel: blue carries the raw ramp value, so every bin count is an
+    exact integer and the oracle replays dim / L2 / sum in closed form.
+    The driver's pandas canonicalizer cannot sort list cells, so the
+    contract entry projects scalar summaries; the raw vector output is
+    pinned by tests/test_multimodal.py."""
+    from ..operators.multimodal import (
+        decode_image_histogram_features,
+        fabricate_png_media,
+    )
 
-    The raw op returns an ``array<float>`` feature column; the driver's
-    pandas canonicalizer cannot sort list cells (round 1's only red row was
-    exactly this shape), so the contract entry projects scalar summaries —
-    dim, L2 norm, element sum — and leaves the raw vector output to
-    tests/test_multimodal.py.
-    """
     d = _t(spark, sf_dir, "documents")
-    media = to_media_table(d, "doc_id", "text", "image")
-    feats = decode_image_features(media)
+    media = fabricate_png_media(d, "doc_id")
+    feats = decode_image_histogram_features(media, bins=16)
     return feats.select(
         "media_id",
-        "byte_len",
         "width",
         "height",
         F.size("feature").alias("feature_dim"),
@@ -1285,14 +1316,53 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_frame_samples")  # mapInPandas fan-out → rows-only check
-def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stub: 1 row → N frame rows through mapInPandas."""
-    d = _t(spark, sf_dir, "documents")
-    media = to_media_table(d, "doc_id", "text", "video")
-    return sample_frames(media).drop("frame_bytes").withColumn(
-        "frame_len", F.lit(64)
+@register(
+    "media_frame_samples",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 8 AS INT) AS h,
+             CAST(8 + doc_id % 12 AS INT) AS w
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    px AS (
+      SELECT m.doc_id, m.h, m.w, fr.f, r.i AS r, c.i AS c,
+             CASE
+               WHEN fr.f >= 1 AND r.i < 4 AND c.i < 4
+                 THEN (m.doc_id + 17) % 256
+               WHEN fr.f >= 2 AND r.i BETWEEN 4 AND 7 AND c.i < 4
+                 THEN (m.doc_id + 34) % 256
+               WHEN fr.f >= 3 AND r.i < 4 AND c.i BETWEEN 4 AND 7
+                 THEN (m.doc_id + 51) % 256
+               ELSE (m.doc_id + r.i * m.w + c.i) % 256
+             END AS v
+      FROM m
+      CROSS JOIN (VALUES (0), (2)) fr(f)
+      CROSS JOIN range(15) r(i)
+      CROSS JOIN range(19) c(i)
+      WHERE r.i < m.h AND c.i < m.w
     )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           w AS width, h AS height,
+           CAST(h AS BIGINT) * w AS frame_len,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, f, w, h
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: animated GIF89a decode (LZW + frame
+    compositing — every frame is a delta over the running canvas, so
+    decode cannot skip) with every 2nd composited frame kept, one input
+    row fanning out to frame rows through mapInPandas. Replaced the
+    round-1 byte-stride stub; the lossless codec makes each sampled
+    frame's pixel sum integer-exact, replayed by the oracle in closed
+    form (base ramp + the f earliest disjoint rect fills). Distinct 10%
+    subset (doc_id % 10 = 5) from media_gif_decode's."""
+    from ..operators.multimodal import fabricate_gif_media, sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
+    media = fabricate_gif_media(d, "doc_id")
+    return sample_video_frames(media, stride=2)
 
 
 # ---------------------------------------------------------------------------

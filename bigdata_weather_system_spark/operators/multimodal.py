@@ -157,6 +157,97 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def decode_image_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """REAL image decode → feature extraction: inflate + un-filter the
+    PNG blob (``decode_png``), then bin the blue channel into a
+    ``bins``-bucket normalized histogram — the canonical "decode then
+    featurize" shape of a multimodal training pipeline, Arrow-batched
+    end to end. The feature is array<double> so its scalar summaries
+    (L2, sum) are closed-form replayable: blue carries the raw ramp
+    value of the fabricated family, making every bin count an exact
+    integer the oracle recomputes. Undecodable blobs are skipped (None,
+    never wrong pixels)."""
+    schema = "media_id long, width int, height int, feature array<double>"
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_png(content)
+                if arr is None:
+                    continue
+                h, w, _ = arr.shape
+                blue = arr[:, :, 2].ravel()
+                hist = np.bincount(blue // (256 // bins), minlength=bins)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "feature": (hist / float(h * w)).astype(np.float64),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "feature"]
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def sample_video_frames(
+    media: DataFrame, stride: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """REAL video frame sampling: LZW-decode + composite the animated
+    GIF (``decode_gif``), keep every ``stride``-th COMPOSITED frame —
+    decoding cannot skip frames (each is a delta over the running
+    canvas; that temporal dependency is the point), sampling happens on
+    the composited sequence, exactly like keyframe-less video. One input
+    row fans out to ≤ ``max_frames`` frame rows; ``frame_len`` is the
+    byte size of the decoded 8-bit frame and ``pixel_sum`` its exact
+    palette-mapped sum (lossless codec → integer-exact oracle)."""
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "frame_len long, pixel_sum long"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_gif(content)
+                if dec is None:
+                    continue
+                palette, frames = dec
+                red = palette[:, 0].astype(np.int64)
+                for fi in list(range(0, len(frames), stride))[:max_frames]:
+                    fr = frames[fi]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "frame_len": int(fr.shape[0] * fr.shape[1]),
+                            "pixel_sum": int(red[fr].sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "frame_len", "pixel_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def media_metadata_summary(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata profile of a media table (oracle-checkable)."""
     return media.groupBy("modality").agg(

@@ -785,3 +785,61 @@ def test_cms_md5_path_respects_seed(spark):
         )
         for r in est.collect():
             assert r["cms_estimate"] >= truth[r["token"]]
+
+
+def test_decode_image_histogram_features_matches_numpy(spark):
+    """The real PNG decode → 16-bin histogram feature must equal the
+    numpy-recomputed histogram of the closed-form ramp exactly, and the
+    vector must be a normalized distribution."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_image_histogram_features,
+        fabricate_png_media,
+    )
+
+    d = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    media = fabricate_png_media(d, "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_histogram_features(media, bins=16).collect()
+    }
+    assert len(rows) == 12
+    for mid in range(12):
+        h, w = 8 + mid % 8, 8 + mid % 12
+        blue = (mid + np.arange(h * w)) % 256
+        hist = np.bincount(blue // 16, minlength=16) / float(h * w)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert np.allclose(r["feature"], hist, atol=0)
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+
+
+def test_sample_video_frames_strides_composited_frames(spark):
+    """sample_video_frames must keep frames 0 and 2 of the 4-frame GIF,
+    and frame 2's pixel sum must include BOTH earlier rect fills (the
+    composition proof — a stride that skipped decoding frame 1 would
+    miss its rect)."""
+    from bigdata_weather_system_spark.operators.multimodal import (
+        _GIF_RECTS,
+        fabricate_gif_media,
+        sample_video_frames,
+    )
+    import numpy as np
+
+    d = spark.createDataFrame([(5,), (7,)], ["doc_id"])
+    media = fabricate_gif_media(d, "doc_id")
+    out = sample_video_frames(media, stride=2).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert sorted(by_key) == [(5, 0), (5, 2), (7, 0), (7, 2)]
+    for mid in (5, 7):
+        h, w = 8 + mid % 8, 8 + mid % 12
+        base = (mid + np.arange(h * w).reshape(h, w)) % 256
+        expect = base.copy()
+        for f in (1, 2):  # composited: frame 2 carries rects 1 AND 2
+            top, left = _GIF_RECTS[f - 1]
+            expect[top : top + 4, left : left + 4] = (mid + 17 * f) % 256
+        r = by_key[(mid, 2)]
+        assert r["pixel_sum"] == int(expect.sum())
+        assert r["frame_len"] == h * w
+        assert by_key[(mid, 0)]["pixel_sum"] == int(base.sum())
