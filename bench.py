@@ -603,45 +603,196 @@ def load_suspect_zones(
     sent_end: dict,
     floors: dict,
     exec_order: list,
+    mid_probes: list | None = None,
 ) -> tuple:
     """Classify host-load contamination by WHEN it occurred.
 
     Returns ``(load_suspect, suspect_names)``:
 
-    - both probe passes over ``SENTINEL_LOAD_RATIO``× the historical
+    - every probe pass over ``SENTINEL_LOAD_RATIO``× the historical
       floor → the whole run is suspect (``load_suspect=True``, every
       query suppressed — the run was loaded THROUGHOUT);
-    - start-loaded / end-quiet → only the FIRST QUARTILE of the
-      execution order is suspect. This is the round-6 blind spot: the
-      sweep started on a loaded box (start sentinels ~2.3× floor), the
-      end probes recovered, the both-probes rule said "clean", and an
-      early-running query (bm25_ndcg_eval) was flagged at 2.42× that
-      re-timed clean in isolation. Contamination that clears mid-sweep
-      inflates the queries nearest the loaded probe, not the whole run;
-    - end-loaded / start-quiet → the LAST quartile, symmetrically;
-    - neither → nothing suspect.
+    - with ``mid_probes`` (round-7 blind spot: three unchanged-code
+      flags at 36–43% of execution order escaped the fixed first-
+      quartile zone under ~2.1× start sentinels): the probe passes —
+      start, one per interior quartile boundary, end — segment the
+      execution order, and a query is suspect iff EITHER probe bounding
+      its segment was loaded. The suppressed zone therefore tracks the
+      MEASURED load decay instead of assuming contamination clears
+      within the first quartile;
+    - legacy two-probe form (no ``mid_probes``): start-loaded /
+      end-quiet → first quartile suspect; end-loaded symmetric — the
+      round-6 rule, kept for artifacts that predate mid-run probing.
 
     ``load_suspect=None`` means no sentinel history to judge against
     (first run); nothing is suppressed.
     """
-    common = [s for s in sent_start if s in sent_end and s in floors]
+    probes = [sent_start] + list(mid_probes or []) + [sent_end]
+    common = [s for s in floors if all(s in p for p in probes)]
     if not common:
         return None, set()
-    start_sum = sum(sent_start[s] for s in common)
-    end_sum = sum(sent_end[s] for s in common)
     floor_sum = sum(floors[s] for s in common)
     if floor_sum <= 0:
         return None, set()
-    start_loaded = start_sum > SENTINEL_LOAD_RATIO * floor_sum
-    end_loaded = end_sum > SENTINEL_LOAD_RATIO * floor_sum
-    if start_loaded and end_loaded:
+    loaded = [
+        sum(p[s] for s in common) > SENTINEL_LOAD_RATIO * floor_sum
+        for p in probes
+    ]
+    if all(loaded):
         return True, set(exec_order)
+    if mid_probes:
+        n_seg = len(probes) - 1
+        bounds = [round(i * len(exec_order) / n_seg) for i in range(n_seg + 1)]
+        suspect: set = set()
+        for i in range(n_seg):
+            if loaded[i] or loaded[i + 1]:
+                seg = exec_order[bounds[i] : bounds[i + 1]]
+                if not seg and (loaded[i] or loaded[i + 1]):
+                    # degenerate tiny orders: taint at least one query
+                    # adjacent to the loaded probe
+                    seg = exec_order[max(0, bounds[i] - 1) : bounds[i] + 1]
+                suspect.update(seg)
+        return False, suspect
+    start_loaded, end_loaded = loaded[0], loaded[-1]
     quart = max(1, len(exec_order) // 4)
     if start_loaded:
         return False, set(exec_order[:quart])
     if end_loaded:
         return False, set(exec_order[-quart:])
     return False, set()
+
+
+_PKG = "bigdata_weather_system_spark"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_DEP_CACHE: dict[str, set] = {}
+
+import re as _re  # noqa: E402
+
+_IMPORT_RE = _re.compile(
+    r"^\s*from\s+(\.+[\w.]*|" + _PKG + r"[\w.]*)\s+import\s+([\w, \(\)]*)",
+    _re.MULTILINE,
+)
+
+
+def _module_rel_file(modname: str) -> str | None:
+    """Repo-relative file for a package module name, or None if the
+    name resolves outside the package / to nothing on disk."""
+    if not modname.startswith(_PKG):
+        return None
+    rel = modname.replace(".", "/")
+    for cand in (rel + ".py", rel + "/__init__.py"):
+        if os.path.exists(os.path.join(_REPO, cand)):
+            return cand
+    return None
+
+
+def _resolve_relative(modname: str, dots: str, tail: str) -> str:
+    """Resolve a `from ..x.y import` target against ``modname``."""
+    parts = modname.split(".")
+    base = parts[: len(parts) - len(dots)]  # strip one level per dot
+    return ".".join(base + ([tail] if tail else [])).rstrip(".")
+
+
+def _module_dep_files(modname: str, seen: set | None = None) -> set:
+    """Repo-relative files reachable from ``modname`` through the
+    package's own imports (top-level AND function-local — the regex
+    scans the whole source). One pass per module, memoized."""
+    if modname in _DEP_CACHE:
+        return _DEP_CACHE[modname]
+    seen = seen if seen is not None else set()
+    if modname in seen:
+        return set()
+    seen.add(modname)
+    rel = _module_rel_file(modname)
+    if rel is None:
+        return set()
+    files = {rel}
+    try:
+        with open(os.path.join(_REPO, rel)) as f:
+            src = f.read()
+    except OSError:
+        return files
+    for dots_or_abs, names in _IMPORT_RE.findall(src):
+        if dots_or_abs.startswith("."):
+            dots = dots_or_abs[: len(dots_or_abs) - len(dots_or_abs.lstrip("."))]
+            tail = dots_or_abs.lstrip(".")
+            target = _resolve_relative(modname, dots, tail)
+        else:
+            target = dots_or_abs
+        sub = _module_dep_files(target, seen)
+        files |= sub
+        # `from .pkg import mod` style: each imported name may itself
+        # be a module of the target package
+        for nm in names.replace("(", "").replace(")", "").split(","):
+            nm = nm.strip().split(" as ")[0]
+            if nm:
+                files |= _module_dep_files(f"{target}.{nm}", seen)
+    _DEP_CACHE[modname] = files
+    return files
+
+
+def query_dep_files(name: str) -> set:
+    """Repo-relative source files a registered query's result can
+    depend on: its defining contract module plus everything that module
+    (transitively) imports inside the package."""
+    fn = contract.QUERIES.get(name)
+    if fn is None:
+        return set()
+    return _module_dep_files(fn.__module__)
+
+
+def changed_package_files_since_round(prev_round: int) -> set | None:
+    """Package files changed (committed or worktree) since the baseline
+    round's archived bench payload was committed. None = provenance
+    unavailable (no git / artifact never committed) — callers must then
+    skip the unchanged-code judgement rather than guess."""
+    import subprocess
+
+    try:
+        base = subprocess.run(
+            ["git", "-C", _REPO, "log", "-1", "--format=%H", "--",
+             f"BENCHFULL_r{prev_round}.json"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not base:
+            return None
+        diff = subprocess.run(
+            ["git", "-C", _REPO, "diff", "--name-only", base, "--", _PKG],
+            capture_output=True, text=True, timeout=10,
+        )
+        if diff.returncode != 0:
+            return None
+        return {l.strip() for l in diff.stdout.splitlines() if l.strip()}
+    except Exception:
+        return None
+
+
+def split_unchanged_code_flags(
+    flagged: dict, dep_files_of, changed: set | None
+) -> tuple:
+    """Partition regression flags into (clean, retime_required).
+
+    A flag whose query's entire dependency-file set is untouched since
+    the baseline round CANNOT be a code regression — it is host noise
+    until an isolated re-time proves otherwise, so it is reported under
+    ``regressions_retime_required`` instead of as a clean regression
+    (round-7 What's-wrong #1: four unchanged-code flags shipped
+    untriaged). ``changed=None`` (no provenance) keeps every flag in
+    the clean set — never silently suppress without evidence."""
+    if changed is None:
+        return dict(flagged), {}
+    clean, retime = {}, {}
+    for name, entry in flagged.items():
+        deps = dep_files_of(name)
+        if deps and not (deps & changed):
+            retime[name] = dict(
+                entry,
+                note="code untouched since baseline round — host-noise "
+                "suspect; isolated re-time required before acting",
+            )
+        else:
+            clean[name] = entry
+    return clean, retime
 
 
 def main() -> None:
@@ -693,8 +844,22 @@ def main() -> None:
 
     sent_start = _time_sentinels()
 
+    # Mid-run probes at the interior quartile boundaries (round-7 blind
+    # spot: contamination persisting past the first quartile escaped the
+    # fixed start-zone rule) — the suspect zone then follows the
+    # MEASURED load decay, costing 3 extra cheap probe passes per sweep.
+    n_bench = len(BENCH_QUERIES)
+    probe_points = {
+        max(1, round(n_bench * k / 4)) for k in (1, 2, 3)
+    } - {0, n_bench}
+    mid_probes: list[dict[str, float]] = []
+    _probes_taken: set[int] = set()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if len(timings) in probe_points and len(timings) not in _probes_taken:
+            _probes_taken.add(len(timings))
+            mid_probes.append(_time_sentinels())
         fn = contract.QUERIES.get(name)
         if fn is None:
             continue
@@ -751,7 +916,7 @@ def main() -> None:
     # reverse) suppresses only the quartile of queries executed nearest
     # the loaded probe — see load_suspect_zones.
     load_suspect, suspect_zone = load_suspect_zones(
-        sent_start, sent_end, floors, list(timings)
+        sent_start, sent_end, floors, list(timings), mid_probes=mid_probes
     )
     total = round(sum(timings.values()), 4)
     sfv = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -788,6 +953,17 @@ def main() -> None:
         if coverage_ok
         else {}
     )
+    # Flags on code untouched since the baseline round cannot be code
+    # regressions — report them as retime-required, never clean (round-7
+    # What's-wrong #1). prev_round=None → no baseline → regressions is
+    # already empty.
+    retime_required: dict = {}
+    if regressions and prev_round is not None:
+        regressions, retime_required = split_unchanged_code_flags(
+            regressions,
+            query_dep_files,
+            changed_package_files_since_round(prev_round),
+        )
     # Would-be regressions inside a one-sided load window are reported
     # separately, never as clean regressions — they need a standalone
     # re-time before anyone acts on them.
@@ -800,14 +976,35 @@ def main() -> None:
         if coverage_ok and suspect_zone and not load_suspect
         else {}
     )
+    def _git_head() -> str | None:
+        import subprocess
+
+        try:
+            return (
+                subprocess.run(
+                    ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                ).stdout.strip()
+                or None
+            )
+        except Exception:
+            return None
+
     full = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
+        # generating commit: artifact-freshness provenance (round-7
+        # What's-wrong #2 — a parity artifact predated one source commit
+        # and nothing recorded that)
+        "commit": _git_head(),
         "queries": timings,
         "sf": sfv,
         "sentinel": {
             "start": sent_start,
+            "mid": mid_probes or None,
             "end": sent_end,
             "floors": floors or None,
             "load_suspect": load_suspect,
@@ -853,6 +1050,14 @@ def main() -> None:
                     regressions.items(), key=lambda kv: -kv[1]["ratio"]
                 )[:10]
             )
+            if retime_required:
+                full["regressions_retime_required"] = retime_required
+                out["regressions_retime_required"] = dict(
+                    sorted(
+                        retime_required.items(),
+                        key=lambda kv: -kv[1]["ratio"],
+                    )[:5]
+                )
             if zone_suppressed:
                 note_zone = (
                     "one-sided load window (sentinel probes loaded on one "
@@ -892,21 +1097,7 @@ def main() -> None:
         # (first-entry-per-live-group == prior round's close; see
         # benchhist_baseline). Never rewritten, so mid-round iteration
         # can't shift the round's baseline.
-        head = None
-        try:
-            import subprocess
-
-            head = (
-                subprocess.run(
-                    ["git", "-C", here, "rev-parse", "--short", "HEAD"],
-                    capture_output=True,
-                    text=True,
-                    timeout=10,
-                ).stdout.strip()
-                or None
-            )
-        except Exception:
-            pass
+        head = _git_head()
         entry = {
             "live": current_round(),
             "ts": round(time.time(), 1),

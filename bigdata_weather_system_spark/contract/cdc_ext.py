@@ -668,6 +668,123 @@ def knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_eval_ann_serving",
+    oracle="""
+    SELECT label, cast(count(*) AS BIGINT) AS n,
+           TRUE AS coverage_floor_met,
+           TRUE AS subset_recall_floor_met,
+           TRUE AS subset_vote_agreement_floor_met
+    FROM embeddings GROUP BY label
+    """,
+)
+def knn_label_eval_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_label_eval_ann`` at the SERVING shape: a small fixed query
+    batch (vec_id < 20) against the full corpus through
+    ``cosine_topk_lsh(broadcast_queries=True)`` — the exploded
+    query·probe rows broadcast to every executor and the corpus side
+    never shuffles, the strategy a 100 TB index answers online queries
+    with (the self-kNN twin exercises the opposite, shuffle-equi-join
+    strategy; with this entry BOTH join paths of the LSH top-k are
+    CORRECTNESS-gated, not just plan-pinned — the plan itself is pinned
+    in tests/test_plan_hygiene.py). Same scale-aware floor algebra as
+    the self-kNN twin: per-label counts exact, coverage ≥95% of the
+    query batch, recall@5 vs brute force ≥ half the probed fraction
+    (capped 0.25), vote agreement ≥10% (chance for 10 labels)."""
+    from ..operators.similarity import (
+        adaptive_n_planes,
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = adaptive_n_planes(n)
+    probed_fraction = (1.0 + planes) / float(2**planes)
+    recall_floor = min(0.25, 0.5 * probed_fraction)
+    sub = e.filter(F.col("vec_id") < 20)
+    ann5 = cosine_topk_lsh(
+        e, sub, k=5, n_planes=planes, multi_probe=1,
+        broadcast_queries=True,
+    ).cache()
+
+    labels = e.select("vec_id", "label")
+
+    def vote(top5: DataFrame) -> DataFrame:
+        nl = labels.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+        )
+        votes = (
+            top5.withColumnRenamed("query_id", "qid")
+            .join(F.broadcast(nl), "neighbor_id")
+            .groupBy("qid", "nlabel")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("v").desc(), F.col("nlabel").asc()
+        )
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("nlabel").alias("pred_label"))
+        )
+
+    n_sub = sub.count()
+    cov = ann5.agg(
+        (F.countDistinct("query_id") / F.lit(float(n_sub)) >= 0.95).alias(
+            "coverage_floor_met"
+        )
+    )
+
+    exact5 = cosine_topk_bruteforce(e, sub, k=5).cache()
+    hits = (
+        ann5.select("query_id", "neighbor_id")
+        .join(
+            exact5.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    rec = (
+        hits.crossJoin(exact5.agg(F.count(F.lit(1)).alias("_ne")))
+        .select(
+            (F.col("_hits") / F.col("_ne") >= F.lit(recall_floor)).alias(
+                "subset_recall_floor_met"
+            )
+        )
+    )
+
+    agree = (
+        vote(ann5)
+        .join(
+            vote(exact5).withColumnRenamed("pred_label", "_exact_label"),
+            "qid",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("pred_label") == F.col("_exact_label")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("_n_agree")
+        )
+        .crossJoin(exact5.select("query_id").distinct()
+                   .agg(F.count(F.lit(1)).alias("_nq")))
+        .select(
+            (F.col("_n_agree") / F.col("_nq") >= 0.10).alias(
+                "subset_vote_agreement_floor_met"
+            )
+        )
+    )
+
+    per_label = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_label.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(agree))
+    )
+
+
+@register(
     "hard_negative_pairs_ann",
     oracle="""
     SELECT cast(count(*) AS BIGINT) AS n_vectors,

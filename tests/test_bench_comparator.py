@@ -365,3 +365,139 @@ def test_unstamped_history_behaves_as_before(tmp_path):
     rnd, q = bench.benchhist_baseline(7, 0.1)
     assert rnd == 6
     assert q == {"a": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Mid-run sentinel probes (round-7 blind spot: three unchanged-code flags
+# at 36-43% of execution order escaped the fixed first-quartile zone under
+# ~2.1x start sentinels).
+# ---------------------------------------------------------------------------
+
+
+def test_mid_probes_track_load_decay_into_second_quartile(tmp_path):
+    """Driver-style start-loaded replay where the load persists through
+    the 25% probe and clears by 50%: the SECOND quartile must be
+    suppressed too (the round-7 escape), not just the first."""
+    bench = _load_bench(str(tmp_path))
+    order = [f"q{i}" for i in range(16)]
+    flag, zone = bench.load_suspect_zones(
+        {"a": 2.3},
+        {"a": 1.0},
+        {"a": 1.0},
+        order,
+        mid_probes=[{"a": 2.2}, {"a": 1.0}, {"a": 1.0}],
+    )
+    assert flag is False
+    assert zone == set(order[:8])  # quartiles 1 AND 2, tracking decay
+
+
+def test_mid_probes_quiet_interior_limits_zone_to_first_quartile(tmp_path):
+    """Load that clears before the 25% probe suppresses only the first
+    quartile — same outcome as the legacy rule, now measured."""
+    bench = _load_bench(str(tmp_path))
+    order = [f"q{i}" for i in range(16)]
+    flag, zone = bench.load_suspect_zones(
+        {"a": 2.3},
+        {"a": 1.0},
+        {"a": 1.0},
+        order,
+        mid_probes=[{"a": 1.0}, {"a": 1.0}, {"a": 1.0}],
+    )
+    assert flag is False
+    assert zone == set(order[:4])
+
+
+def test_mid_probes_all_loaded_flags_whole_run(tmp_path):
+    bench = _load_bench(str(tmp_path))
+    order = [f"q{i}" for i in range(8)]
+    flag, zone = bench.load_suspect_zones(
+        {"a": 2.0},
+        {"a": 2.0},
+        {"a": 1.0},
+        order,
+        mid_probes=[{"a": 2.0}, {"a": 2.0}, {"a": 2.0}],
+    )
+    assert flag is True and zone == set(order)
+
+
+def test_mid_probes_interior_spike_taints_adjacent_segments(tmp_path):
+    """A mid-sweep load spike (quiet start/end) must taint the two
+    segments the loaded probe bounds — a shape the legacy two-probe rule
+    could not see at all."""
+    bench = _load_bench(str(tmp_path))
+    order = [f"q{i}" for i in range(16)]
+    flag, zone = bench.load_suspect_zones(
+        {"a": 1.0},
+        {"a": 1.0},
+        {"a": 1.0},
+        order,
+        mid_probes=[{"a": 1.0}, {"a": 2.5}, {"a": 1.0}],
+    )
+    assert flag is False
+    assert zone == set(order[4:12])  # segments around the 50% probe
+
+
+# ---------------------------------------------------------------------------
+# Unchanged-code flag splitting (round-7 What's-wrong #1: four flags on
+# code untouched since the baseline shipped as clean regressions).
+# ---------------------------------------------------------------------------
+
+
+def test_unchanged_code_flags_move_to_retime_required(tmp_path):
+    bench = _load_bench(str(tmp_path))
+    flagged = {
+        "untouched_q": {"prev": 1.0, "now": 2.0, "ratio": 2.0},
+        "touched_q": {"prev": 1.0, "now": 2.0, "ratio": 2.0},
+    }
+    deps = {
+        "untouched_q": {"pkg/a.py"},
+        "touched_q": {"pkg/b.py"},
+    }
+    clean, retime = bench.split_unchanged_code_flags(
+        flagged, deps.get, changed={"pkg/b.py"}
+    )
+    assert set(clean) == {"touched_q"}
+    assert set(retime) == {"untouched_q"}
+    assert "re-time required" in retime["untouched_q"]["note"]
+
+
+def test_no_provenance_keeps_every_flag_clean(tmp_path):
+    """changed=None (git/artifact provenance unavailable) must never
+    silently suppress — all flags stay in the clean set."""
+    bench = _load_bench(str(tmp_path))
+    flagged = {"q": {"prev": 1.0, "now": 2.0, "ratio": 2.0}}
+    clean, retime = bench.split_unchanged_code_flags(
+        flagged, lambda n: {"pkg/a.py"}, changed=None
+    )
+    assert clean == flagged and retime == {}
+
+
+def test_empty_depset_never_tags_untouched(tmp_path):
+    """A query whose dependency set could not be resolved must stay a
+    clean flag (unknown deps are not evidence of unchanged code)."""
+    bench = _load_bench(str(tmp_path))
+    flagged = {"q": {"prev": 1.0, "now": 2.0, "ratio": 2.0}}
+    clean, retime = bench.split_unchanged_code_flags(
+        flagged, lambda n: set(), changed={"pkg/a.py"}
+    )
+    assert clean == flagged and retime == {}
+
+
+def test_query_dep_files_resolves_contract_and_operator_modules():
+    """Against the real repo: an LSH contract query's dependency set
+    must include both its contract module and the operator module the
+    result flows through."""
+    # load by explicit path: earlier _load_bench calls prepend tmp roots
+    # to sys.path, so a bare `import bench` could find a tmp copy whose
+    # _REPO points at an empty directory
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    spec = importlib.util.spec_from_file_location("bench_real_repo", src)
+    real_bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(real_bench)
+
+    deps = real_bench.query_dep_files("minhash_lsh_near_dups")
+    assert any(p.endswith("contract/llm_ops.py") for p in deps)
+    assert any(p.endswith("operators/dedup.py") for p in deps)

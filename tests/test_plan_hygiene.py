@@ -610,3 +610,40 @@ def test_web_curation_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # barriers actually engaged
+
+
+def test_lsh_topk_serving_shape_broadcasts_queries(spark):
+    """Both join strategies of cosine_topk_lsh are pinned: the serving
+    shape (small query batch, broadcast_queries=True) must broadcast
+    the exploded query-probe rows — the corpus side never shuffles —
+    while the self-kNN shape (broadcast_queries=False) must use a
+    shuffle equi-join on the 8-byte bucket key, never broadcast the
+    corpus-sized query side."""
+    from pyspark.sql import functions as F
+
+    from bigdata_weather_system_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+
+    # disable size-based auto-broadcast so the pin tests the OPERATOR's
+    # strategy choice, not the optimizer's small-table shortcut (at test
+    # SF everything fits under the threshold and would broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        serving = cosine_topk_lsh(e, q, k=5, n_planes=4, broadcast_queries=True)
+        plan = serving._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "bucket" in plan
+
+        selfknn = cosine_topk_lsh(e, e, k=5, n_planes=4, broadcast_queries=False)
+        plan2 = selfknn._jdf.queryExecution().executedPlan().toString()
+        # the bucket equi-join must plan as a shuffle join, never a
+        # broadcast of the corpus-sized query side
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

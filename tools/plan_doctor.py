@@ -121,11 +121,24 @@ def main() -> int:
             n_flagged += 1
         print(name, a["flags"] if a["flags"] else "ok", flush=True)
 
+    try:
+        import subprocess
+
+        _head = (
+            subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        _head = "unknown"
     lines = [
         "# PLAN AUDIT — anti-pattern sweep over every registered query",
         "",
         f"Generated by `tools/plan_doctor.py` at {SF_DIR} over "
-        f"{len(rows)} queries. Hard gates: zero row-at-a-time Python "
+        f"{len(rows)} queries at commit {_head}. "
+        "Hard gates: zero row-at-a-time Python "
         "stages (`BatchEvalPython`), zero undocumented cartesian joins, "
         "zero undocumented full global sorts. Allowlisted shapes and "
         "their reasons live in the tool.",

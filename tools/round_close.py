@@ -78,7 +78,45 @@ def check(round_no: int) -> list[str]:
         problems.append("missing BENCHHIST.jsonl (run bench.py at sf0.1)")
     if not os.path.exists(os.path.join(REPO, "PLAN_AUDIT.md")):
         problems.append("missing PLAN_AUDIT.md (run tools/plan_doctor.py)")
+    problems += untriaged_close_regressions(round_no)
     return problems
+
+
+def untriaged_close_regressions(round_no: int) -> list[str]:
+    """Regression flags in the round's close artifact that SCALING.md
+    never adjudicates (round-7 What's-wrong #1: the close was refreshed
+    after the triage was written, and four of its six flags shipped
+    untriaged). Every name in the committed ``BENCHFULL_r{N}.json``'s
+    ``regressions`` must appear in SCALING.md — the exact drift-gate
+    recipe PLAN_AUDIT got in round 7. ``regressions_retime_required``
+    entries are exempt: they carry their own host-noise-suspect
+    annotation in the artifact itself."""
+    bfp = os.path.join(REPO, f"BENCHFULL_r{round_no}.json")
+    if not os.path.exists(bfp):
+        return []
+    try:
+        with open(bfp) as f:
+            payload = json.load(f)
+    except (OSError, ValueError) as e:
+        return [f"unreadable {os.path.basename(bfp)}: {e}"]
+    flags = list(payload.get("regressions") or {})
+    if not flags:
+        return []
+    try:
+        with open(os.path.join(REPO, "SCALING.md")) as f:
+            scaling = f.read()
+    except OSError:
+        return [
+            f"BENCHFULL_r{round_no} has {len(flags)} regression flags "
+            "but SCALING.md is missing"
+        ]
+    return [
+        f"BENCHFULL_r{round_no} regression '{name}' has no SCALING.md "
+        "adjudication — triage it (real+intentional / host-noise with "
+        "isolated re-time / upgrade path) before closing the round"
+        for name in flags
+        if name not in scaling
+    ]
 
 
 def _covers_live_bench(bench_full_path: str) -> bool:

@@ -153,8 +153,24 @@ def main() -> int:
     clear_shared_edges()  # end-of-sweep drop of the family-shared relation
     n_oracle = sum(1 for r in results.values() if r["err"] != "no_oracle")
     n_pass = sum(1 for r in results.values() if r["hash_match"])
+    try:
+        import subprocess
+
+        _head = (
+            subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        _head = None
     summary = {
         "round": args.round,
+        # generating commit: freshness provenance, enforced by
+        # tests/test_doc_drift.py (round-7 What's-wrong #2: PARITY_r7
+        # silently predated one source commit)
+        "commit": _head,
         "sf_dir": args.sf_dir,
         "n_queries": len(results),
         "n_oracle_checked": n_oracle,
