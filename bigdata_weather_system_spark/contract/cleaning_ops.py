@@ -3285,7 +3285,8 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codec ladder: RAW/PCM (own container) → BMP/WAV (real lossless
     containers) → PNG (real entropy-coded lossless) → JPEG (real lossy);
     inter-frame video is real via media_gif_decode; only
-    motion-compensated video (H.264) remains env-gated."""
+    motion compensation is closed by media_mpv_decode (round 8); only
+    real-world bitstream formats (H.264) remain env-gated."""
     from ..operators.multimodal import (
         decode_jpeg_features,
         fabricate_jpeg_media,
@@ -3352,8 +3353,9 @@ def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     composited pixel sum of every frame (closed form: base ramp with
     the f earliest disjoint rect fills applied) — a one-bit LZW or
     composition error flips the hash. Motion-COMPENSATED formats
-    (H.264) remain env-gated; same deterministic 10% subset and
-    rationale as media_jpeg_decode."""
+    (H.264) are library-bound — the MECHANISM is closed by
+    media_mpv_decode's from-scratch motion-compensated toy (round 8);
+    same deterministic 10% subset and rationale as media_jpeg_decode."""
     from ..operators.multimodal import (
         decode_gif_features,
         fabricate_gif_media,
@@ -3362,6 +3364,65 @@ def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     media = fabricate_gif_media(docs, "doc_id")
     return decode_gif_features(media)
+
+
+@register(
+    "media_mpv_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS h,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS w
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    acc AS (
+      SELECT m.doc_id, m.h, m.w, fr.f,
+             COALESCE(SUM((m.doc_id + 7 * k.k) % 256), 0) AS bc,
+             COALESCE(SUM(1 + (m.doc_id + k.k) % 3), 0) AS dxc,
+             COALESCE(SUM(1 + (m.doc_id + 2 * k.k) % 2), 0) AS dyc
+      FROM m CROSS JOIN range(4) fr(f)
+      LEFT JOIN range(1, 4) k(k) ON k.k <= fr.f
+      GROUP BY m.doc_id, m.h, m.w, fr.f
+    ),
+    px AS (
+      SELECT a.doc_id, a.h, a.w, a.f, a.bc, a.dxc, a.dyc,
+             (a.doc_id + a.bc + i.i) % 256 AS v
+      FROM acc a CROSS JOIN range(384) i(i)
+      WHERE i.i < a.h * a.w
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           w AS width, h AS height,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST((any_value(doc_id) + (any_value(dyc) % h) * w
+                 + (any_value(dxc) % w) + any_value(bc)) % 256 AS INT)
+             AS p00
+    FROM px GROUP BY doc_id, f, w, h
+    """,
+)
+def media_mpv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MOTION-COMPENSATED video decode — the MPV1 toy codec
+    (operators/multimodal.py): every P-frame block carries a motion
+    vector into the reference frame plus a residual, so reconstruction
+    genuinely performs prediction-from-moved-reference (the MPEG-1/H.264
+    mechanism), with toroidal addressing + mod-256 residuals keeping the
+    math exact. The fabricated clips pan globally per frame with a
+    constant brightness delta, so each block's residual is ONE byte on
+    the wire (the entropy win motion search exists to buy) and the
+    oracle replays both the shift-invariant pixel sum AND the
+    position-dependent top-left pixel in closed form — a decoder that
+    drops or misapplies a motion vector flips p00 even when the sum
+    survives. Closes the 'motion-compensated' gap left by the GIF
+    family's conditional replenishment; real-world bitstreams
+    (H.264/MP3) stay env-gated as library-bound, not math-bound.
+    Distinct 10% subset (doc_id % 10 = 7)."""
+    from ..operators.multimodal import (
+        decode_mpv_features,
+        fabricate_mpv_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7)
+    media = fabricate_mpv_media(docs, "doc_id")
+    return decode_mpv_features(media)
 
 
 @register(
@@ -3388,7 +3449,8 @@ def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL member at every tier — RAW/PCM, BMP/WAV, PNG (lossless
     compressed), JPEG (lossy), MJPEG-AVI (intra video), animated GIF
     (inter-frame video, see media_gif_decode) — and only
-    motion-compensated codecs (H.264/MP4) remain env-gated."""
+    motion compensation itself is closed by media_mpv_decode; the
+    real-world bitstreams (H.264/MP4) remain env-gated."""
     from ..operators.multimodal import (
         decode_avi_features,
         fabricate_avi_media,

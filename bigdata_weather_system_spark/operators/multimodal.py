@@ -262,7 +262,9 @@ def media_metadata_summary(media: DataFrame) -> DataFrame:
 # RAW bitmap codec — a REAL decode path (pure numpy, no external codecs)
 # ---------------------------------------------------------------------------
 #
-# Compressed formats (JPEG/MP3/H.264) stay gated behind ``require_codec``;
+# Real-world compressed bitstreams (MP3/H.264) stay gated behind
+# ``require_codec`` (library-bound); JPEG/PNG/GIF/ADPCM/MPV1 decode from
+# scratch below;
 # uncompressed RAW frames need only numpy, so this path decodes actual
 # bytes end-to-end: header parse → pixel buffer → feature math / resize /
 # frame striding. Container format (big-endian, 12-byte header):
@@ -2742,6 +2744,232 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "frame_idx", "width", "height", "pixel_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# MPV1 — a from-scratch MOTION-COMPENSATED video toy codec (stdlib+numpy).
+#
+# The GIF family closed "inter-frame" (conditional replenishment: frames
+# are deltas over a running canvas). MPV1 closes "motion-COMPENSATED":
+# every P-frame block carries a MOTION VECTOR into the reference frame
+# plus a residual, so decoding genuinely performs prediction-from-moved-
+# reference — the mechanism at the heart of MPEG-1/H.264 — with two toy
+# simplifications that keep the oracle closed-form and the code stdlib:
+# toroidal (wrap-around) prediction addressing instead of edge clamping,
+# and mod-256 residual addition instead of clamped 9-bit residuals.
+# Real-world bitstream formats (H.264/MP3) stay env-gated: parsing them
+# needs external codec libraries, not more math.
+#
+# Layout (little-endian):
+#   "MPV1" | u16 w | u16 h | u8 n_frames | u8 block
+#   I-frame: raw h*w bytes
+#   per P-frame: 'P' | per block (row-major): i8 dx | i8 dy | u8 mode |
+#     mode 0: u8 constant residual; mode 1: block*block raw residual bytes
+# Prediction: pred[r,c] = ref[(r+dy) mod h, (c+dx) mod w];
+# reconstruction: (pred + residual) mod 256.
+# ---------------------------------------------------------------------------
+
+_MPV_MAGIC = b"MPV1"
+
+
+def encode_mpv(frames, mvs, block: int = 8) -> bytes:
+    """Encode grayscale frames as MPV1. ``mvs[f-1]`` = the (dx, dy)
+    global motion the encoder 'found' for P-frame f; per block the
+    residual against the motion-compensated prediction is stored as a
+    single byte when constant (the entropy win motion search buys),
+    else raw."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape
+    if h % block or w % block:
+        raise ValueError("MPV1 toy requires block-aligned dims")
+    out = bytearray(_MPV_MAGIC)
+    out += struct.pack("<HHBB", w, h, len(frames), block)
+    out += frames[0].astype(np.uint8).tobytes()
+    prev = frames[0].astype(np.int64)
+    for fi, fr in enumerate(frames[1:]):
+        dx, dy = mvs[fi]
+        out += b"P"
+        pred = np.roll(prev, (-dy, -dx), axis=(0, 1))
+        resid = (fr.astype(np.int64) - pred) % 256
+        for by in range(0, h, block):
+            for bx in range(0, w, block):
+                rb = resid[by : by + block, bx : bx + block]
+                out += struct.pack("<bb", dx, dy)
+                if (rb == rb[0, 0]).all():
+                    out += bytes([0, int(rb[0, 0])])
+                else:
+                    out += bytes([1]) + rb.astype(np.uint8).tobytes()
+        prev = fr.astype(np.int64)
+    return bytes(out)
+
+
+def decode_mpv(blob):
+    """Decode an MPV1 blob → list of (h, w) uint8 frames, or None on ANY
+    malformed input (same None-never-wrong-pixels contract as the other
+    codecs; every read below is length-guarded, pinned by the
+    truncation-prefix fuzz test)."""
+    import struct
+
+    import numpy as np
+
+    if not isinstance(blob, (bytes, bytearray, memoryview)):
+        return None
+    blob = bytes(blob)
+    if len(blob) < 10 or blob[:4] != _MPV_MAGIC:
+        return None
+    w, h, n_frames, block = struct.unpack("<HHBB", blob[4:10])
+    if not (w and h and n_frames and block) or h % block or w % block:
+        return None
+    if h * w > (1 << 26):  # 64 MiB frame cap — bomb guard
+        return None
+    pos = 10
+    if pos + h * w > len(blob):
+        return None
+    frame = np.frombuffer(blob[pos : pos + h * w], dtype=np.uint8).reshape(
+        h, w
+    ).astype(np.int64)
+    pos += h * w
+    frames = [frame.copy()]
+    for _ in range(n_frames - 1):
+        if pos >= len(blob) or blob[pos : pos + 1] != b"P":
+            return None
+        pos += 1
+        recon = np.zeros((h, w), dtype=np.int64)
+        for by in range(0, h, block):
+            for bx in range(0, w, block):
+                if pos + 3 > len(blob):
+                    return None
+                dx, dy = struct.unpack("<bb", blob[pos : pos + 2])
+                mode = blob[pos + 2]
+                pos += 3
+                # motion compensation: toroidal gather from the REFERENCE
+                rows = (np.arange(by, by + block) + dy) % h
+                cols = (np.arange(bx, bx + block) + dx) % w
+                pred = frames[-1][np.ix_(rows, cols)]
+                if mode == 0:
+                    if pos + 1 > len(blob):
+                        return None
+                    rb = int(blob[pos])
+                    pos += 1
+                elif mode == 1:
+                    if pos + block * block > len(blob):
+                        return None
+                    rb = np.frombuffer(
+                        blob[pos : pos + block * block], dtype=np.uint8
+                    ).reshape(block, block).astype(np.int64)
+                    pos += block * block
+                else:
+                    return None
+                recon[by : by + block, bx : bx + block] = (pred + rb) % 256
+        frames.append(recon)
+    if pos != len(blob):
+        return None  # trailing garbage — reject, never guess
+    return [f.astype(np.uint8) for f in frames]
+
+
+def _mpv_motion(mid: int, f: int) -> tuple:
+    """Deterministic per-frame global motion + brightness delta of the
+    fabricated family (also re-derived by the contract oracle)."""
+    return (
+        1 + (mid + f) % 3,  # dx
+        1 + (mid + 2 * f) % 2,  # dy
+        (mid + 7 * f) % 256,  # brightness delta
+    )
+
+
+def fabricate_mpv_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real MPV1 clips from the deterministic family: frame 0 is the
+    luma ramp v = (id + r*w + c) % 256 at block-aligned dims
+    h = 8·(1 + id%2), w = 8·(1 + id%3); each P-frame is the previous
+    frame GLOBALLY PANNED by (dx, dy) (toroidal) plus a constant
+    brightness delta mod 256 — so every block's motion-compensated
+    residual is the constant delta (1 byte on the wire), frame sums and
+    the top-left pixel are exact closed forms, and a decoder that
+    ignores the motion vectors reconstructs provably wrong pixels."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                h, w = 8 * (1 + mid % 2), 8 * (1 + mid % 3)
+                base = (
+                    (mid + np.arange(h * w, dtype=np.int64)) % 256
+                ).reshape(h, w)
+                frames, mvs = [base], []
+                for f in range(1, 4):
+                    dx, dy, b = _mpv_motion(mid, f)
+                    nxt = (np.roll(frames[-1], (-dy, -dx), axis=(0, 1)) + b) % 256
+                    frames.append(nxt)
+                    mvs.append((dx, dy))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_mpv(
+                            [fr.astype(np.uint8) for fr in frames], mvs
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.lit("video/x-mpv1").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_mpv_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL motion-compensated decode → one row per
+    reconstructed frame: dims, exact pixel sum, and the top-left pixel.
+    The codec is lossless mod-256 arithmetic, so both are integer-exact;
+    ``p00`` is position-dependent where the sum is shift-invariant —
+    a decoder that skipped or misapplied a motion vector flips it."""
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "pixel_sum long, p00 int"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_mpv(content)
+                if frames is None:
+                    continue
+                for fi, fr in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "pixel_sum": int(fr.astype("int64").sum()),
+                            "p00": int(fr[0, 0]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "pixel_sum", "p00",
                 ],
             )
 

@@ -843,3 +843,50 @@ def test_sample_video_frames_strides_composited_frames(spark):
         assert r["pixel_sum"] == int(expect.sum())
         assert r["frame_len"] == h * w
         assert by_key[(mid, 0)]["pixel_sum"] == int(base.sum())
+
+
+def test_mpv_motion_compensated_roundtrip_and_rejection():
+    """MPV1 must reconstruct panned+brightness-shifted frames exactly
+    through per-block motion compensation; malformed input (truncation
+    at EVERY prefix, bad magic, unknown block mode, trailing garbage)
+    must yield None; and a tampered motion vector must change decoded
+    pixels — proof the vectors are live, not decorative."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        _mpv_motion,
+        decode_mpv,
+        encode_mpv,
+    )
+
+    for mid in (0, 3, 7, 11):
+        h, w = 8 * (1 + mid % 2), 8 * (1 + mid % 3)
+        base = ((mid + np.arange(h * w, dtype=np.int64)) % 256).reshape(h, w)
+        frames, mvs = [base], []
+        for f in range(1, 4):
+            dx, dy, b = _mpv_motion(mid, f)
+            frames.append(
+                (np.roll(frames[-1], (-dy, -dx), axis=(0, 1)) + b) % 256
+            )
+            mvs.append((dx, dy))
+        blob = encode_mpv([fr.astype(np.uint8) for fr in frames], mvs)
+        dec = decode_mpv(blob)
+        assert dec is not None and len(dec) == 4
+        for a, b2 in zip(frames, dec):
+            assert (a == b2).all()
+        # constant residuals made every P-frame block 4 bytes on the wire
+        n_blocks = (h // 8) * (w // 8)
+        assert len(blob) == 10 + h * w + 3 * (1 + 4 * n_blocks)
+        for k in range(len(blob)):
+            out = decode_mpv(blob[:k])  # must never raise
+            assert out is None or len(out) == 4
+        assert decode_mpv(b"XPV1" + blob[4:]) is None
+        assert decode_mpv(blob + b"\x00") is None  # trailing garbage
+        pos = 10 + h * w
+        bad = bytearray(blob)
+        bad[pos + 3] = 2  # unknown residual mode
+        assert decode_mpv(bytes(bad)) is None
+        bad2 = bytearray(blob)
+        bad2[pos + 2] = (bad2[pos + 2] + 1) % 128  # tamper first mv dy
+        d2 = decode_mpv(bytes(bad2))
+        assert d2 is not None and (d2[1] != dec[1]).any()
