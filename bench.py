@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "attribution_decay_credit",
     "knn_label_eval",
     "knn_label_eval_ann",
+    "knn_label_eval_ann_serving",
     "markov_next_event_eval",
     "persistence_forecast_backtest",
     "spearman_value_time_per_type",
@@ -390,6 +391,11 @@ BENCH_QUERIES = [
     "media_avi_decode",
     "media_gif_decode",
     "media_adpcm_decode",
+    # round 8: motion-compensated video + rebased real-codec features
+    "media_mpv_decode",
+    "media_decode_features",
+    "media_frame_samples",
+    "weather_sim_source_profile",
 ]
 
 

@@ -158,6 +158,15 @@ MUST_MEASURE = [
     "dsir_importance_weights",
     "lang_unimax_allocation",
     "doc_warc_extract_pipeline",
+    # round-8: md5-keyed LSH family, real-codec media features, the
+    # ANN serving twin, motion-compensated video
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_near_dup_lsh",
+    "media_decode_features",
+    "media_frame_samples",
+    "media_mpv_decode",
+    "knn_label_eval_ann_serving",
     "domain_cap_survivors",
     "doc_url_canonicalize",
     # round-7: the round-6 codec family (its deterministic 10% subsets
