@@ -409,6 +409,19 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_values_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """The seed-derived hyperplane matrix as a SQL VALUES row list —
+    planes are INPUTS of the sketch (like a literal threshold), so
+    embedding them lets DuckDB replay the sign-bit bucketing exactly."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes.tolist())
+    )
+
+
 def _embedding_lsh_oracle() -> str:
     """DuckDB oracle for ``embedding_near_dup_lsh``: the 4 seed-derived
     hyperplanes are embedded as float literals (they are inputs, not
@@ -417,16 +430,9 @@ def _embedding_lsh_oracle() -> str:
     Arrow-batch GEMM and DuckDB's sequential dot fold is exact unless a
     plane dot lands within float-reassociation distance of 0 (~1e-14 of
     an O(1)-magnitude value) — negligible at any tested SF."""
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(64, 4, 42)
-    rows = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
-        for i, p in enumerate(planes.tolist())
-    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT * FROM (VALUES {rows}) t(i, plane)),
+    p AS (SELECT * FROM (VALUES {_plane_values_sql()}) t(i, plane)),
     sk AS (SELECT vec_id,
                   sum(CASE WHEN list_dot_product(v.v, p.plane) > 0
                            THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
@@ -495,10 +501,54 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cosine_topk_lsh")  # rows-only: hyperplane sketches Spark-side
+def _cosine_topk_lsh_oracle() -> str:
+    """Full-value DuckDB replay of ``cosine_topk_lsh_q``: literal
+    hyperplanes → sign-bit sketch per vector, each query probes its own
+    bucket plus the 4 single-bit-flip buckets (multi_probe=1), distinct
+    candidates get exact rounded cosines, row_number picks top-10 with
+    the same (sim desc, neighbor asc) tie-break."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT * FROM (VALUES {_plane_values_sql()}) t(i, plane)),
+    sk AS (SELECT vec_id,
+                  sum(CASE WHEN list_dot_product(v.v, p.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+           FROM v CROSS JOIN p GROUP BY vec_id),
+    qp AS (
+      SELECT q.vec_id AS query_id,
+             CASE m.m WHEN -1 THEN q.bucket
+                  ELSE xor(q.bucket, (CAST(1 AS BIGINT) << m.m)) END AS bucket
+      FROM sk q CROSS JOIN (VALUES (-1), (0), (1), (2), (3)) m(m)
+      WHERE q.vec_id < 20
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+      FROM qp JOIN sk c ON c.bucket = qp.bucket
+      WHERE c.vec_id <> qp.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register("cosine_topk_lsh", oracle=_cosine_topk_lsh_oracle())
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (recall vs brute force pinned in
-    tests/test_llm_ops.py)."""
+    """LSH-bucketed approximate top-10. Fully value-checked since round
+    8: the oracle replays the literal-hyperplane sketch, multi-probe
+    bucket set, and exact top-k rerank (recall vs brute force stays
+    pinned in tests/test_llm_ops.py + ann_recall_contract)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return cosine_topk_lsh(e, q, k=10, n_planes=4).select(
