@@ -128,7 +128,16 @@ def _covers_live_bench(bench_full_path: str) -> bool:
         import bench
 
         with open(bench_full_path) as f:
-            have = set((json.load(f).get("queries") or {}))
+            payload = json.load(f)
+        if payload.get("sf") != 0.1:
+            # an ad-hoc sf0.01 iteration run must never stand in for the
+            # canonical sf0.1 close measurement
+            print(
+                f"== bench_full.json is sf={payload.get('sf')}, not the "
+                "canonical 0.1 — running the close bench instead"
+            )
+            return False
+        have = set(payload.get("queries") or {})
         want = {q for q in bench.BENCH_QUERIES}
         missing = want - have
         if missing:
