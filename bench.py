@@ -1066,9 +1066,10 @@ def main() -> None:
                 )
             if zone_suppressed:
                 note_zone = (
-                    "one-sided load window (sentinel probes loaded on one "
-                    "end only); would-be regressions in the affected "
-                    "quartile need a standalone re-time"
+                    "load window (one or more sentinel probes exceeded "
+                    "the floor); would-be regressions in the execution "
+                    "segments bounded by a loaded probe need a "
+                    "standalone re-time"
                 )
                 full["regressions_suppressed_zone"] = {
                     "note": note_zone,
