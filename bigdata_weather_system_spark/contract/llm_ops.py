@@ -556,17 +556,78 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cosine_topk_ivf")  # rows-only: data-dependent centroids Spark-side
+@register(
+    "cosine_topk_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cell, v AS cv
+      FROM (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(
+                 md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 AS h
+        FROM v ORDER BY h, vec_id LIMIT 16
+      )
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.v, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.v, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cents c WHERE vv.vec_id < 20
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.cell = q.cell
+      WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: nearest-cell index + multi-cell probing
-    (recall vs brute force pinned in tests/test_llm_ops.py)."""
+    """IVF approximate top-10: nearest-cell index + multi-cell probing.
+    Fully value-checked since round 8: the registered variant seeds its
+    coarse quantizer with the md5-ranked corpus vectors
+    (``ivf_centroids(hash_fn='md5')``) so the oracle rebuilds the SAME
+    index — seeding order, top-1 cell assignment with the
+    higher-cell-id tie-break, 4-cell probing, exact cosine rerank —
+    entirely in SQL (xxhash64 stays the operator default; recall vs
+    brute force stays pinned in tests/test_llm_ops.py +
+    ann_recall_contract). The k-means-refined / PQ variants stay
+    rows-only: their centroids/codebooks come from iterative float
+    optimization no SQL replay can reproduce."""
     from ..operators.similarity import cosine_topk_ivf
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
-    return cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4).select(
-        "query_id", "neighbor_id", "cosine_sim"
-    )
+    return cosine_topk_ivf(
+        e, q, k=10, n_cells=16, n_probe=4, hash_fn="md5"
+    ).select("query_id", "neighbor_id", "cosine_sim")
 
 
 #: Shared PQ codebook train — the train/query split of a production ANN

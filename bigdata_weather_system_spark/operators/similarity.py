@@ -345,16 +345,31 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer centroids: the ``n_cells`` corpus
     vectors ranked first by a seeded hash of their id (a k-means|| style
     seeding without the iterative refinement — adequate as a cell
     partitioner; swap in pyspark.ml KMeans offline for tighter cells).
-    Driver-side collect of n_cells rows only.
-    """
+    Driver-side collect of n_cells rows only. ``hash_fn='md5'`` ranks by
+    the DuckDB-replayable 60-bit digest slice
+    (``md5(f"{seed}:{id}")``) so the whole IVF index — seeding, cell
+    assignment, probing — can be rebuilt by a SQL oracle."""
+    if hash_fn == "md5":
+        rank = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        rank = F.xxhash64(F.col("_id").cast("string"), F.lit(seed))
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .orderBy(rank, F.col("_id"))
         .limit(n_cells)
         .collect()
     )
@@ -372,6 +387,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     round_digits: int = 6,
     refine_iters: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
     to their nearest coarse-quantizer cell; each query scores only the
@@ -385,7 +401,7 @@ def cosine_topk_ivf(
     one-pass projection; materialize it partitioned/bucketed by ``cell``
     so each query probe is a pruned equi-join, not a scan.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed, hash_fn)
     if refine_iters > 0:
         cents = kmeans_refine(corpus, cents, vec_col, refine_iters)
     c = _spread(corpus).select(
