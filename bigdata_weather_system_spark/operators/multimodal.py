@@ -535,6 +535,8 @@ def decode_pcm_blob(blob):
     )
     if magic != PCM_MAGIC or ch == 0:
         return None
+    if (len(blob) - PCM_HEADER_LEN) % 2:
+        return None  # truncated mid-sample — reject, not raise
     body = np.frombuffer(bytes(blob), dtype=">i2", offset=PCM_HEADER_LEN)
     if body.size == 0 or body.size % ch:
         return None
@@ -1087,6 +1089,8 @@ def decode_wav(blob: bytes):
             if fmt_tag != 1 or ch != 1 or bits != 16:
                 return None
         elif cid == b"data":
+            if len(body) % 2:  # truncated mid-sample — reject, not raise
+                return None
             pcm = np.frombuffer(body, dtype="<i2")
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
@@ -1310,7 +1314,9 @@ def decode_png(blob: bytes):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
         payload = blob[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        # the while condition only guarantees 12 header bytes — a blob
+        # truncated inside payload+CRC must return None, never raise
+        if len(payload) != length or pos + 12 + length > len(blob):
             return None
         (crc,) = struct.unpack(
             ">I", blob[pos + 8 + length : pos + 12 + length]

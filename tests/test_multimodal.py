@@ -890,3 +890,51 @@ def test_mpv_motion_compensated_roundtrip_and_rejection():
         bad2[pos + 2] = (bad2[pos + 2] + 1) % 128  # tamper first mv dy
         d2 = decode_mpv(bytes(bad2))
         assert d2 is not None and (d2[1] != dec[1]).any()
+
+
+def test_every_codec_survives_truncation_and_corruption():
+    """Whole-family fuzz (extends the round-8 ADVICE fixes to every
+    decoder): for each codec, decode(blob[:k]) for EVERY prefix k and
+    decode with every single-byte corruption must return None or a
+    valid result — never raise. Inside mapInPandas an uncaught
+    exception fails the whole Spark task, so one hostile/truncated
+    media row must never kill a job."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    pcm = (np.sin(np.arange(256) / 7.0) * 12000).astype(np.int16)
+    cases = [
+        ("bmp", M.encode_bmp(img), M.decode_bmp),
+        ("png", M.encode_png(img), M.decode_png),
+        ("raw", M.encode_raw_blob(img), M.decode_raw_blob),
+        ("jpeg", M.encode_jpeg(img), M.decode_jpeg),
+        ("wav", M.encode_wav(pcm, 16000), M.decode_wav),
+        ("pcm", M.encode_pcm_blob(pcm, 16000), M.decode_pcm_blob),
+        ("adpcm", M.encode_adpcm_wav(pcm, 16000), M.decode_adpcm_wav),
+        (
+            "avi",
+            M.encode_avi_mjpeg(
+                [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                 for _ in range(2)]
+            ),
+            M.decode_avi_mjpeg,
+        ),
+        (
+            "gif",
+            M.encode_gif(
+                [(np.arange(64) % 256).reshape(8, 8).astype(np.uint8)]
+            ),
+            M.decode_gif,
+        ),
+    ]
+    for name, blob, dec in cases:
+        assert dec(blob) is not None, f"{name}: sanity decode failed"
+        for k in range(len(blob)):
+            dec(blob[:k])  # must not raise
+        for pos in range(len(blob)):
+            b2 = bytearray(blob)
+            b2[pos] ^= 0xFF
+            dec(bytes(b2))  # must not raise
