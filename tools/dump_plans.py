@@ -76,6 +76,9 @@ SHOWCASE = [
     ("distributed_linear_train", "in-engine training: one narrow Arrow stats pass + singleton merge agg + in-plan literal-coefficient scoring"),
     ("media_gif_decode", "inter-frame video decode: zero-Exchange Arrow map stage (fabricate+decode fused), exact per-frame facts"),
     ("semantic_decontamination", "eval-leakage scan: broadcast eval matrix, one narrow pass over the corpus, two scalar aggs"),
+    ("knn_label_eval_ann_serving", "LSH top-k at the SERVING shape: exploded query-probe rows broadcast, corpus side never shuffles (the other join strategy of the self-kNN twin above)"),
+    ("media_mpv_decode", "motion-compensated video decode: zero-Exchange Arrow map stage, per-block mv gather + residual add fused with fabrication"),
+    ("minhash_lsh_near_dups", "md5-keyed MinHash-LSH: explode -> 32 codegen'd digest-slice mins -> band pair_up with hot-bucket cap -> array-intersect Jaccard verify"),
 ]
 
 HEADER = """# PLANS — executed physical plans (flagship queries)
