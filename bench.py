@@ -393,6 +393,7 @@ BENCH_QUERIES = [
     "media_adpcm_decode",
     # round 8: motion-compensated video + rebased real-codec features
     "media_mpv_decode",
+    "media_mpa_decode",
     "media_decode_features",
     "media_frame_samples",
     "weather_sim_source_profile",

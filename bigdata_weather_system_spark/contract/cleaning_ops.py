@@ -3426,6 +3426,118 @@ def media_mpv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_mpa_decode",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+    x AS (
+      SELECT doc_id, CAST(i.i // 32 AS INT) AS f, CAST(i.i % 32 AS INT) AS j,
+             (doc_id + (doc_id % 9 + 1) * i.i * i.i) % 256 AS v
+      FROM ids CROSS JOIN range(64) i(i)
+    ),
+    l1 AS (
+      SELECT doc_id, f, CAST(j // 2 AS INT) AS p,
+             CAST(floor((max(CASE WHEN j % 2 = 0 THEN v END)
+                         + max(CASE WHEN j % 2 = 1 THEN v END)) / 2.0)
+                  AS BIGINT) AS s1,
+             max(CASE WHEN j % 2 = 0 THEN v END)
+               - max(CASE WHEN j % 2 = 1 THEN v END) AS d1
+      FROM x GROUP BY doc_id, f, j // 2
+    ),
+    l2 AS (
+      SELECT doc_id, f, CAST(p // 2 AS INT) AS q,
+             CAST(floor((max(CASE WHEN p % 2 = 0 THEN s1 END)
+                         + max(CASE WHEN p % 2 = 1 THEN s1 END)) / 2.0)
+                  AS BIGINT) AS s2,
+             max(CASE WHEN p % 2 = 0 THEN s1 END)
+               - max(CASE WHEN p % 2 = 1 THEN s1 END) AS d2
+      FROM l1 GROUP BY doc_id, f, p // 2
+    ),
+    meta AS (
+      SELECT a.doc_id, a.f, a.amax1, b.amax2,
+             CASE WHEN b.amax2 >= a.amax1 THEN 5 ELSE 3 END AS b2,
+             CASE WHEN b.amax2 >= a.amax1 THEN 3 ELSE 5 END AS b1
+      FROM (SELECT doc_id, f, max(abs(d1)) AS amax1 FROM l1 GROUP BY 1, 2) a
+      JOIN (SELECT doc_id, f, max(abs(d2)) AS amax2 FROM l2 GROUP BY 1, 2) b
+        USING (doc_id, f)
+    ),
+    meta2 AS (
+      SELECT *,
+        greatest(0, (CASE WHEN amax2 = 0 THEN 0
+                          ELSE CAST(floor(log2(amax2)) AS INT) + 1 END) - b2)
+          AS sh2,
+        greatest(0, (CASE WHEN amax1 = 0 THEN 0
+                          ELSE CAST(floor(log2(amax1)) AS INT) + 1 END) - b1)
+          AS sh1
+      FROM meta
+    ),
+    r2 AS (
+      SELECT l2.doc_id, l2.f, 2 * l2.q + e.e AS p,
+             CASE WHEN e.e = 0
+                  THEN l2.s2 + CAST(floor((d2p + 1) / 2.0) AS BIGINT)
+                  ELSE l2.s2 + CAST(floor((d2p + 1) / 2.0) AS BIGINT) - d2p
+             END AS s1p
+      FROM l2
+      JOIN meta2 m USING (doc_id, f)
+      CROSS JOIN (VALUES (0), (1)) e(e)
+      CROSS JOIN LATERAL (
+        SELECT CAST(floor(l2.d2 / pow(2, m.sh2)) * pow(2, m.sh2)
+                    + CASE WHEN m.sh2 > 0 THEN pow(2, m.sh2 - 1) ELSE 0 END
+               AS BIGINT) AS d2p
+      ) t
+    ),
+    rx AS (
+      SELECT r2.doc_id, r2.f, 2 * r2.p + e.e AS j,
+             CASE WHEN e.e = 0
+                  THEN r2.s1p + CAST(floor((d1p + 1) / 2.0) AS BIGINT)
+                  ELSE r2.s1p + CAST(floor((d1p + 1) / 2.0) AS BIGINT) - d1p
+             END AS xp
+      FROM r2
+      JOIN l1 USING (doc_id, f, p)
+      JOIN meta2 m USING (doc_id, f)
+      CROSS JOIN (VALUES (0), (1)) e(e)
+      CROSS JOIN LATERAL (
+        SELECT CAST(floor(l1.d1 / pow(2, m.sh1)) * pow(2, m.sh1)
+                    + CASE WHEN m.sh1 > 0 THEN pow(2, m.sh1 - 1) ELSE 0 END
+               AS BIGINT) AS d1p
+      ) t
+    )
+    SELECT rx.doc_id AS media_id, rx.f AS frame_idx,
+           CAST(any_value(m.b2) AS INT) AS bits_d2,
+           CAST(any_value(m.b1) AS INT) AS bits_d1,
+           CAST(any_value(m.sh2) AS INT) AS shift_d2,
+           CAST(any_value(m.sh1) AS INT) AS shift_d1,
+           CAST(sum(rx.xp) AS BIGINT) AS decoded_sum,
+           CAST(10 + (8 * (any_value(m.b2) + 1)
+                      + 16 * (any_value(m.b1) + 1) + 7) // 8 AS INT)
+             AS frame_bytes
+    FROM rx JOIN meta2 m USING (doc_id, f)
+    GROUP BY rx.doc_id, rx.f
+    """,
+)
+def media_mpa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subband-audio decode with DYNAMIC BIT ALLOCATION — the MPA1
+    toy codec (operators/multimodal.py): 2-level integer Haar
+    (S-transform) filterbank, per-frame allocation driven by detail-band
+    loudness (the louder band gets 5 bits, the quieter 3 — the MP2-class
+    mechanism minus the FFT masking model, which stays env-gated as
+    library-bound), offset-binary bit-PACKED mantissas on the wire.
+    Integer lifting + floor quantization keep every step exact, so the
+    oracle replays the ENTIRE codec in closed form — filterbank,
+    loudness ranking, shift selection, quantize+offset, inverse lifting
+    — and value-checks the per-frame decoded sums, the chosen
+    allocation, and the wire size. A one-bit packing or allocation error
+    flips the hash. Distinct 10% subset (doc_id % 10 = 3)."""
+    from ..operators.multimodal import (
+        decode_mpa_features,
+        fabricate_mpa_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    media = fabricate_mpa_media(docs, "doc_id")
+    return decode_mpa_features(media)
+
+
+@register(
     "media_avi_decode",
     oracle="""
     SELECT doc_id AS media_id,

@@ -248,6 +248,245 @@ def sample_video_frames(
     return media.mapInPandas(batches, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# MPA1 — a from-scratch SUBBAND audio codec with DYNAMIC BIT ALLOCATION
+# (stdlib+numpy). The ADPCM row covered adaptive scalar quantization;
+# MPA1 closes the structural mechanism of the MP2/MP3 class: an analysis
+# filterbank (2-level integer Haar / S-transform → approx + two detail
+# subbands), per-frame bit allocation driven by band loudness (the
+# louder detail band gets 5 bits, the quieter 3 — MP2's SMR-driven
+# allocation minus the FFT masking model, which stays env-gated as
+# library-bound), and offset-binary bit-PACKED mantissas on the wire.
+# Integer lifting + floor quantization keep every decode step exact, so
+# the contract oracle replays the whole codec in closed form.
+#
+# Layout (little-endian): "MPA1" | u16 n_samples | per 32-sample frame:
+#   8× u8 approx coeffs (exact) | u8 louder-band flag | u8 (sh2<<4|sh1)
+#   | MSB-first packed: 8 × (b2+1)-bit offset-binary d2, then
+#     16 × (b1+1)-bit d1; frame padded to a byte boundary.
+# ---------------------------------------------------------------------------
+
+_MPA_MAGIC = b"MPA1"
+
+
+class _PackedBitWriter:
+    """MSB-first bit packer (no byte stuffing — cf. the JPEG
+    ``_BitReader``, which handles 0xFF00 marker escaping instead)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+class _PackedBitReader:
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.pos = 0
+
+    def read(self, bits: int):
+        out = 0
+        for _ in range(bits):
+            byte = self.pos >> 3
+            if byte >= len(self.b):
+                return None
+            out = (out << 1) | ((self.b[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def encode_mpa(samples) -> bytes:
+    """Encode 8-bit samples (length a multiple of 32) as MPA1."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int64)
+    if len(a) == 0 or len(a) % 32 or ((a < 0) | (a > 255)).any():
+        raise ValueError("MPA1 takes non-empty 8-bit frames of 32 samples")
+    out = bytearray(_MPA_MAGIC)
+    out += struct.pack("<H", len(a))
+    for f in range(len(a) // 32):
+        x = a[f * 32 : (f + 1) * 32]
+        s1 = (x[0::2] + x[1::2]) >> 1
+        d1 = x[0::2] - x[1::2]
+        s2 = (s1[0::2] + s1[1::2]) >> 1
+        d2 = s1[0::2] - s1[1::2]
+        amax1 = int(np.abs(d1).max())
+        amax2 = int(np.abs(d2).max())
+        louder2 = amax2 >= amax1  # tie → the coarser band
+        b2, b1 = (5, 3) if louder2 else (3, 5)
+        sh2 = max(0, amax2.bit_length() - b2)
+        sh1 = max(0, amax1.bit_length() - b1)
+        out += bytes(int(v) for v in s2)
+        out += bytes([1 if louder2 else 0, (sh2 << 4) | sh1])
+        bw = _PackedBitWriter()
+        for v in np.floor(d2 / (1 << sh2)).astype(np.int64):
+            bw.write(int(v) + (1 << b2), b2 + 1)
+        for v in np.floor(d1 / (1 << sh1)).astype(np.int64):
+            bw.write(int(v) + (1 << b1), b1 + 1)
+        out += bw.flush()
+    return bytes(out)
+
+
+def decode_mpa(blob):
+    """Decode an MPA1 blob → (n_frames, int64 sample array, per-frame
+    meta list of (b2, b1, sh2, sh1, frame_bytes)), or None on ANY
+    malformed input (length-guarded everywhere; pinned by the
+    whole-family truncation/corruption fuzz)."""
+    import struct
+
+    import numpy as np
+
+    if not isinstance(blob, (bytes, bytearray, memoryview)):
+        return None
+    blob = bytes(blob)
+    if len(blob) < 6 or blob[:4] != _MPA_MAGIC:
+        return None
+    (n,) = struct.unpack("<H", blob[4:6])
+    if n == 0 or n % 32:
+        return None
+    pos = 6
+    frames, metas = [], []
+    for _f in range(n // 32):
+        if pos + 10 > len(blob):
+            return None
+        s2 = np.frombuffer(blob[pos : pos + 8], dtype=np.uint8).astype(
+            np.int64
+        )
+        flags, shifts = blob[pos + 8], blob[pos + 9]
+        if flags > 1:
+            return None
+        b2, b1 = (5, 3) if flags else (3, 5)
+        sh2, sh1 = shifts >> 4, shifts & 0xF
+        pos += 10
+        nbits = 8 * (b2 + 1) + 16 * (b1 + 1)
+        nbytes = (nbits + 7) // 8
+        if pos + nbytes > len(blob):
+            return None
+        br = _PackedBitReader(blob[pos : pos + nbytes])
+        pos += nbytes
+        q2 = [br.read(b2 + 1) for _ in range(8)]
+        q1 = [br.read(b1 + 1) for _ in range(16)]
+        if any(v is None for v in q2 + q1):
+            return None
+        off2 = (1 << sh2) >> 1 if sh2 else 0
+        off1 = (1 << sh1) >> 1 if sh1 else 0
+        d2 = np.array(
+            [(v - (1 << b2)) * (1 << sh2) + off2 for v in q2], dtype=np.int64
+        )
+        d1 = np.array(
+            [(v - (1 << b1)) * (1 << sh1) + off1 for v in q1], dtype=np.int64
+        )
+        # inverse S-transform: a = s + ((d+1)>>1), b = a - d
+        s1 = np.empty(16, dtype=np.int64)
+        s1[0::2] = s2 + ((d2 + 1) >> 1)
+        s1[1::2] = s1[0::2] - d2
+        x = np.empty(32, dtype=np.int64)
+        x[0::2] = s1 + ((d1 + 1) >> 1)
+        x[1::2] = x[0::2] - d1
+        frames.append(x)
+        metas.append((b2, b1, sh2, sh1, 10 + nbytes))
+    if pos != len(blob):
+        return None  # trailing garbage — reject, never guess
+    return len(frames), np.concatenate(frames), metas
+
+
+def fabricate_mpa_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real MPA1 clips from the deterministic family: 64 samples per doc
+    (2 frames) of the quadratic ramp x[i] = (id + (id%9+1)·i²) % 256 —
+    detail-band loudness varies with the doc, so the DYNAMIC allocation
+    genuinely flips between (5,3) and (3,5) across the corpus and the
+    shifts span 0–5 (verified in tests)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                xs = (
+                    mid
+                    + (mid % 9 + 1) * np.arange(64, dtype=np.int64) ** 2
+                ) % 256
+                rows.append({"media_id": mid, "content": encode_mpa(xs)})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    fabricated = df.select(F.col(id_col)).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+    return fabricated.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.lit("audio/x-mpa1").alias("mime_type"),
+        "content",
+        F.octet_length("content").cast("long").alias("byte_len"),
+    )
+
+
+def decode_mpa_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL subband decode → one row per frame: the bit
+    allocation the encoder chose (bits/shift per detail band — the
+    dynamic-allocation evidence), the exact decoded sample sum (integer
+    lifting → integer-exact), and the frame's wire size."""
+    schema = (
+        "media_id long, frame_idx int, bits_d2 int, bits_d1 int, "
+        "shift_d2 int, shift_d1 int, decoded_sum long, frame_bytes int"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_mpa(content)
+                if dec is None:
+                    continue
+                n_frames, samples, metas = dec
+                for fi in range(n_frames):
+                    b2, b1, sh2, sh1, fbytes = metas[fi]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "bits_d2": b2,
+                            "bits_d1": b1,
+                            "shift_d2": sh2,
+                            "shift_d1": sh1,
+                            "decoded_sum": int(
+                                samples[fi * 32 : (fi + 1) * 32].sum()
+                            ),
+                            "frame_bytes": fbytes,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "bits_d2", "bits_d1",
+                    "shift_d2", "shift_d1", "decoded_sum", "frame_bytes",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def media_metadata_summary(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata profile of a media table (oracle-checkable)."""
     return media.groupBy("modality").agg(

@@ -929,6 +929,16 @@ def test_every_codec_survives_truncation_and_corruption():
             ),
             M.decode_gif,
         ),
+        ("mpa", M.encode_mpa((3 + 4 * np.arange(64) ** 2) % 256), M.decode_mpa),
+        (
+            "mpv",
+            M.encode_mpv(
+                [((np.arange(64) + k) % 256).reshape(8, 8).astype(np.uint8)
+                 for k in range(2)],
+                [(1, 1)],
+            ),
+            M.decode_mpv,
+        ),
     ]
     for name, blob, dec in cases:
         assert dec(blob) is not None, f"{name}: sanity decode failed"
@@ -938,3 +948,46 @@ def test_every_codec_survives_truncation_and_corruption():
             b2 = bytearray(blob)
             b2[pos] ^= 0xFF
             dec(bytes(b2))  # must not raise
+
+
+def test_mpa_subband_codec_roundtrip_allocation_and_error_bound():
+    """MPA1 must (a) reconstruct exactly what the direct lifting math
+    says (bit packing proven by equality), (b) choose DIFFERENT bit
+    allocations across the fabricated family (the dynamic-allocation
+    evidence), (c) keep reconstruction error within the quantizer-step
+    bound, and (d) reject a tampered allocation flag rather than decode
+    with the wrong band widths."""
+    import numpy as np
+
+    from bigdata_weather_system_spark.operators.multimodal import (
+        decode_mpa,
+        encode_mpa,
+    )
+
+    allocations = set()
+    for mid in range(0, 200, 7):
+        xs = (mid + (mid % 9 + 1) * np.arange(64, dtype=np.int64) ** 2) % 256
+        blob = encode_mpa(xs)
+        dec = decode_mpa(blob)
+        assert dec is not None
+        n_frames, samples, metas = dec
+        assert n_frames == 2 and len(samples) == 64
+        for fi, (b2, b1, sh2, sh1, fbytes) in enumerate(metas):
+            allocations.add((b2, b1))
+            assert {b2, b1} == {3, 5}
+            x = xs[fi * 32 : (fi + 1) * 32]
+            xr = samples[fi * 32 : (fi + 1) * 32]
+            # error from quantizing d1/d2 with steps 2^sh: the inverse
+            # lifting propagates at most step/2 from each level (+1 for
+            # the lifting round) — a loose but sufficient pin
+            bound = (1 << sh1) // 2 + (1 << sh2) // 2 + 2
+            assert int(np.abs(x - xr).max()) <= bound, (mid, fi)
+            assert fbytes == 10 + (8 * (b2 + 1) + 16 * (b1 + 1) + 7) // 8
+        # exact roundtrip whenever no frame needed shifting
+        if all(m[2] == 0 and m[3] == 0 for m in metas):
+            assert (samples == xs).all()
+    assert allocations == {(5, 3), (3, 5)}, allocations  # both rank orders
+    # tampered allocation flag must reject (band widths would be wrong)
+    blob = bytearray(encode_mpa((np.arange(32) * 5) % 256))
+    blob[6 + 8] = 2  # flags byte: only 0/1 are valid
+    assert decode_mpa(bytes(blob)) is None

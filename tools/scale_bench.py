@@ -166,6 +166,7 @@ MUST_MEASURE = [
     "media_decode_features",
     "media_frame_samples",
     "media_mpv_decode",
+    "media_mpa_decode",
     "knn_label_eval_ann_serving",
     "domain_cap_survivors",
     "doc_url_canonicalize",
