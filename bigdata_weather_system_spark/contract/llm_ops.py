@@ -630,6 +630,152 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
+def _kmeans_cents_cte(iters: int, n_cells: int = 16, seed: int = 42) -> str:
+    """CTE chain replaying ``ivf_centroids(hash_fn='md5')`` +
+    ``kmeans_refine(iters)`` in DuckDB, ending at ``c{iters}(cell, cv)``.
+
+    Faithful to the operator step-for-step: md5-ranked seed vectors →
+    unit-normalize (seeds AND corpus; zero-norm rows excluded from
+    refinement) → per round, dot-product argmax assignment with the
+    higher-cell-id tie-break, per-(cell, dim) mean of member UNIT
+    vectors rounded to 9 decimals (the operator's jitter guard — the
+    rounding is what makes the distributed avg and DuckDB's sequential
+    avg agree bit-for-bit), empty cells keep their previous centroid,
+    re-normalize. Validated against the operator: rounded means and
+    assignments match exactly at sf0.001/sf0.01; final centroids agree
+    to 1 ulp (np.linalg.norm vs sqrt-of-fold in the last unit step),
+    which only matters at argmax ties that random corpora never hit."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings)",
+        """u AS (SELECT vec_id,
+             list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS uv
+      FROM v WHERE list_dot_product(raw, raw) > 0)""",
+        f"""seedsk AS (
+      SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cell, raw
+      FROM (SELECT vec_id, raw,
+                   CAST(('0x' || substring(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM v ORDER BY h, vec_id LIMIT {n_cells}))""",
+        """c0 AS (SELECT cell,
+             list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS cv
+      FROM seedsk)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT u.vec_id, c.cell,
+               row_number() OVER (PARTITION BY u.vec_id
+                 ORDER BY list_dot_product(u.uv, c.cv) DESC, c.cell DESC) AS rn
+        FROM u CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{i} AS (
+      SELECT a.cell, t.pos, round(avg(t.x), 9) AS mv
+      FROM a{i} a JOIN (SELECT vec_id, unnest(uv) AS x,
+                               generate_subscripts(uv, 1) AS pos FROM u) t
+        USING (vec_id)
+      GROUP BY a.cell, t.pos)""")
+        parts.append(f"""c{i} AS (
+      SELECT cell, list_transform(cr, x -> x / sqrt(list_dot_product(cr, cr))) AS cv
+      FROM (SELECT c.cell, coalesce(m.ml, c.cv) AS cr
+            FROM c{i - 1} c LEFT JOIN (SELECT cell, list(mv ORDER BY pos) AS ml
+                                       FROM m{i} GROUP BY cell) m USING (cell)))""")
+    return ",\n    ".join(parts)
+
+
+def _pq_codebook_cte(
+    m_sub: int = 8, n_codes: int = 16, d: int = 8, seed: int = 42
+) -> str:
+    """CTE chain replaying ``pq_train_codebooks(hash_fn='md5', iters=1)``
+    in DuckDB, ending at ``cb1(m, code, cv)`` plus the corpus subvector
+    relation ``sub(vec_id, m, sv)``.
+
+    Step-for-step: seed codebook = subvector slices of the md5-ranked
+    ``n_codes`` corpus vectors; one Lloyd round of squared-L2 argmin
+    (ties → LOWEST code, matching numpy argmin's first-occurrence) and
+    per-(subspace, code, dim) means rounded to 9 decimals; codes with no
+    members keep their seed subvector. Validated bit-exact (128/128
+    codebook vectors) against the operator at sf0.001/sf0.01."""
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    seedsq AS (
+      SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS code, raw
+      FROM (SELECT vec_id, raw,
+                   CAST(('0x' || substring(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM v ORDER BY h, vec_id LIMIT {n_codes})),
+    msq AS (SELECT unnest(range(0, {m_sub})) AS m),
+    cb0 AS (
+      SELECT msq.m, s.code, s.raw[msq.m * {d} + 1 : msq.m * {d} + {d}] AS cv
+      FROM seedsq s CROSS JOIN msq),
+    sub AS (
+      SELECT vec_id, msq.m, raw[msq.m * {d} + 1 : msq.m * {d} + {d}] AS sv
+      FROM v CROSS JOIN msq),
+    asg0 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(
+                            list_transform(range(1, {d} + 1), i -> s.sv[i] - c.cv[i]),
+                            list_transform(range(1, {d} + 1), i -> s.sv[i] - c.cv[i])) ASC,
+                          c.code ASC) AS rn
+        FROM sub s JOIN cb0 c USING (m)) WHERE rn = 1),
+    updq AS (
+      SELECT a.m, a.code, t.pos, round(avg(t.x), 9) AS mv
+      FROM asg0 a JOIN (SELECT vec_id, m, unnest(sv) AS x,
+                               generate_subscripts(sv, 1) AS pos FROM sub) t
+        USING (vec_id, m)
+      GROUP BY a.m, a.code, t.pos),
+    cb1 AS (
+      SELECT c.m, c.code, coalesce(u.ml, c.cv) AS cv
+      FROM cb0 c LEFT JOIN (SELECT m, code, list(mv ORDER BY pos) AS ml
+                            FROM updq GROUP BY m, code) u USING (m, code))"""
+
+
+def _pq_search_sql(candidates: str, k: int = 10, rerank_factor: int = 4) -> str:
+    """Shared tail of the PQ oracles: encode the corpus against ``cb1``
+    (same argmin as training), ADC-score the ``candidates`` relation
+    (columns query_id, neighbor_id), take the top ``k·rerank_factor``
+    per query by approximate score (ties → neighbor asc), exact-cosine
+    rerank rounded to 6, final top-``k``."""
+    return f"""
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(
+                            list_transform(range(1, 9), i -> s.sv[i] - c.cv[i]),
+                            list_transform(range(1, 9), i -> s.sv[i] - c.cv[i])) ASC,
+                          c.code ASC) AS rn
+        FROM sub s JOIN cb1 c USING (m)) WHERE rn = 1),
+    nrm AS (SELECT vec_id, sqrt(list_dot_product(raw, raw)) AS n FROM v),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             sum(list_dot_product(qs.sv, cb.cv))
+               / (qn.n * cn.n) AS approx
+      FROM ({candidates}) cand
+      JOIN enc e ON e.vec_id = cand.neighbor_id
+      JOIN cb1 cb ON cb.m = e.m AND cb.code = e.code
+      JOIN sub qs ON qs.vec_id = cand.query_id AND qs.m = e.m
+      JOIN nrm qn ON qn.vec_id = cand.query_id
+      JOIN nrm cn ON cn.vec_id = cand.neighbor_id
+      GROUP BY cand.query_id, cand.neighbor_id, qn.n, cn.n),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, neighbor_id ASC) AS rn
+        FROM adc) WHERE rn <= {k * rerank_factor}),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(a.raw, b.raw), 6) AS cosine_sim
+      FROM shortlist s
+      JOIN v a ON a.vec_id = s.query_id
+      JOIN v b ON b.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            neighbor_id ASC) AS rn
+      FROM rerank
+    ) WHERE rn <= {k}
+    """
+
+
 #: Shared PQ codebook train — the train/query split of a production ANN
 #: index (train once, serve many probe batches), and the same
 #: explicitly-scoped sharing discipline as the graph family's edge
@@ -672,11 +818,25 @@ def clear_pq_codebooks() -> None:
 
 
 def _shared_pq_codebooks(
-    spark: SparkSession, sf_dir: str, m_sub=8, n_codes=16, seed=42, iters=1
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub=8,
+    n_codes=16,
+    seed=42,
+    iters=1,
+    hash_fn: str = "md5",
 ) -> list:
     from ..operators.similarity import pq_train_codebooks
 
-    key = (sf_dir, _embeddings_fingerprint(sf_dir), m_sub, n_codes, seed, iters)
+    key = (
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        m_sub,
+        n_codes,
+        seed,
+        iters,
+        hash_fn,
+    )
     if key not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[key] = pq_train_codebooks(
             _t(spark, sf_dir, "embeddings"),
@@ -686,16 +846,37 @@ def _shared_pq_codebooks(
             n_codes,
             seed,
             iters,
+            hash_fn,
         )
     return _PQ_CODEBOOKS[key]
 
 
-@register("cosine_topk_pq")  # rows-only: codebooks are data-dependent
+def _cosine_topk_pq_oracle() -> str:
+    """Full-value DuckDB replay of ``cosine_topk_pq_q``: md5-seeded
+    codebook train (``_pq_codebook_cte``, validated bit-exact vs the
+    operator), every (query, corpus) pair ADC-scored, top-40 shortlist,
+    exact rerank (``_pq_search_sql``)."""
+    candidates = """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id"""
+    return f"""
+    WITH {_pq_codebook_cte()},
+    {_pq_search_sql(candidates)}
+    """
+
+
+@register("cosine_topk_pq", oracle=_cosine_topk_pq_oracle())
 def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-10 (Jégou et al. 2011): ADC
     scan over 8-byte PQ codes (32× compression) + exact rerank of the
-    top-40 candidates, so reported similarities are true cosines. Recall
-    vs brute force driver-checked in ann_recall_contract ('pq' row)."""
+    top-40 candidates, so reported similarities are true cosines. Fully
+    value-checked since round 8: the registered variant trains its
+    codebooks from the md5-ranked seeds (``hash_fn='md5'``), and the
+    oracle re-trains the SAME codebooks in SQL — seeding, one Lloyd
+    round of squared-L2 argmin with lowest-code ties, 9-decimal mean
+    rounding — then replays encode, ADC scoring, the top-40 shortlist
+    and the exact rerank (xxhash64 stays the operator default; recall
+    vs brute force stays pinned in ann_recall_contract ('pq' row))."""
     from ..operators.similarity import cosine_topk_pq
 
     e = _t(spark, sf_dir, "embeddings")
@@ -706,12 +887,46 @@ def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
-@register("cosine_topk_ivf_pq")  # rows-only: codebooks+cells data-dependent
+def _cosine_topk_ivf_pq_oracle() -> str:
+    """Full-value DuckDB replay of ``cosine_topk_ivf_pq_q``: the IVF
+    coarse quantizer is the same md5-ranked seed set (n_cells == n_codes
+    == 16 here, so it coincides with the PQ seeding relation), corpus
+    rows take their top-1 cell (ties → higher cell), queries probe their
+    top 4; only probed candidates are ADC-scored and reranked."""
+    candidates = """SELECT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN assignc a ON a.cell = q.cell
+        WHERE a.vec_id <> q.query_id"""
+    return f"""
+    WITH {_pq_codebook_cte()},
+    cellsq AS (SELECT code AS cell, raw AS cv FROM seedsq),
+    assignc AS (
+      SELECT vec_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cellsq c
+      ) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cellsq c WHERE vv.vec_id < 20
+      ) WHERE rn <= 4),
+    {_pq_search_sql(candidates)}
+    """
+
+
+@register("cosine_topk_ivf_pq", oracle=_cosine_topk_ivf_pq_oracle())
 def cosine_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: coarse cells prune which rows get scored, PQ codes make
     each scored row cost m lookups, exact rerank fixes the ordering —
-    the canonical billion-scale ANN shape. Recall floor driver-checked in
-    ann_recall_contract ('ivf_pq' row)."""
+    the canonical billion-scale ANN shape. Fully value-checked since
+    round 8: md5-seeded cells AND codebooks let the oracle rebuild the
+    whole index in SQL (see ``_cosine_topk_ivf_pq_oracle``); recall
+    floor stays pinned in ann_recall_contract ('ivf_pq' row)."""
     from ..operators.similarity import cosine_topk_ivf_pq
 
     e = _t(spark, sf_dir, "embeddings")
@@ -719,6 +934,7 @@ def cosine_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf_pq(
         e, q, k=10, n_cells=16, n_probe=4, m_sub=8, n_codes=16, iters=1,
         codebooks=_shared_pq_codebooks(spark, sf_dir),
+        hash_fn="md5",
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
@@ -889,18 +1105,66 @@ def dedup_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("cosine_topk_ivf_kmeans")  # rows-only: iterative refinement Spark-side
+def _cosine_topk_ivf_kmeans_oracle() -> str:
+    """Full-value DuckDB replay of ``cosine_topk_ivf_kmeans_q``: the
+    2-round spherical-k-means refinement is re-run in SQL
+    (``_kmeans_cents_cte`` — the 9-decimal mean rounding inside
+    ``kmeans_refine`` is what makes the distributed and sequential avgs
+    agree), then the same assignment / 4-cell probe / exact-rerank tail
+    as the plain IVF oracle, against the refined centroids."""
+    return f"""
+    WITH {_kmeans_cents_cte(2)},
+    assignk AS (
+      SELECT vec_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN c2 c
+      ) WHERE rn = 1),
+    qprobek AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN c2 c WHERE vv.vec_id < 20
+      ) WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobek q JOIN assignk a ON a.cell = q.cell
+      WHERE a.vec_id <> q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(a.raw, b.raw), 6) AS cosine_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register("cosine_topk_ivf_kmeans", oracle=_cosine_topk_ivf_kmeans_oracle())
 def cosine_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with distributed spherical-k-means-refined centroids
     (operators/similarity.py kmeans_refine): 2 Lloyd's rounds — GEMM
     assignment pass + mergeable (cell, dim) partial-mean shuffle per
-    round. Recall vs brute force pinned in tests/test_llm_ops.py."""
+    round. Fully value-checked since round 8: md5-ranked seeding plus
+    the operator's own 9-decimal mean rounding make both Lloyd rounds
+    SQL-replayable (see ``_cosine_topk_ivf_kmeans_oracle``); recall vs
+    brute force stays pinned in tests/test_llm_ops.py."""
     from ..operators.similarity import cosine_topk_ivf
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return cosine_topk_ivf(
-        e, q, k=10, n_cells=16, n_probe=4, refine_iters=2
+        e, q, k=10, n_cells=16, n_probe=4, refine_iters=2, hash_fn="md5"
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 

@@ -447,6 +447,7 @@ def semantic_near_dup_pairs(
     max_cell_size: int | None = None,
     observation=None,
     round_digits: int = 6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SemDeDup-style bucketed semantic near-dup pairs (Abbas et al. 2023):
     k-means-cell the embedding space, then score pairwise cosine ONLY
@@ -478,7 +479,7 @@ def semantic_near_dup_pairs(
     ~6× slower: higher-order-function folds don't enter codegen, and the
     combination explode copies both vectors into every candidate row.)
     """
-    cents = ivf_centroids(vectors, id_col, vec_col, n_cells, seed)
+    cents = ivf_centroids(vectors, id_col, vec_col, n_cells, seed, hash_fn)
     if refine_iters > 0:
         cents = kmeans_refine(vectors, cents, vec_col, refine_iters)
     id_type = vectors.schema[id_col].dataType.simpleString()
@@ -786,6 +787,7 @@ def pq_train_codebooks(
     n_codes: int = 16,
     seed: int = 42,
     iters: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split the
@@ -801,7 +803,7 @@ def pq_train_codebooks(
     Seeding: subvectors of ``n_codes`` hash-ranked corpus rows (same
     deterministic seeding as ``ivf_centroids``).
     """
-    seeds = ivf_centroids(corpus, id_col, vec_col, n_codes, seed)
+    seeds = ivf_centroids(corpus, id_col, vec_col, n_codes, seed, hash_fn)
     dim = len(seeds[0])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -919,6 +921,7 @@ def cosine_topk_pq(
     round_digits: int = 6,
     max_queries: int = 100_000,
     codebooks: list[list[list[float]]] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC) and
     exact rerank — the standard two-stage shape of IVF-PQ engines:
@@ -941,7 +944,7 @@ def cosine_topk_pq(
     # what the contract layer uses to share one deterministic train
     # across the pq / ivf_pq / recall-contract queries.
     cb_list = codebooks or pq_train_codebooks(
-        corpus, vec_col, id_col, m_sub, n_codes, seed, iters
+        corpus, vec_col, id_col, m_sub, n_codes, seed, iters, hash_fn
     )
     cb = np.asarray(cb_list, dtype=np.float64)  # (m, k, d)
     d = cb.shape[2]
@@ -1051,6 +1054,7 @@ def cosine_topk_ivf_pq(
     round_digits: int = 6,
     max_queries: int = 100_000,
     codebooks: list[list[list[float]]] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN shape — coarse cells prune
     WHICH rows get scored, PQ codes make each scored row cost ``m_sub``
@@ -1065,10 +1069,10 @@ def cosine_topk_ivf_pq(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed, hash_fn)
     # Injectable codebooks: same train/query split as ``cosine_topk_pq``.
     cb_list = codebooks or pq_train_codebooks(
-        corpus, vec_col, id_col, m_sub, n_codes, seed, iters
+        corpus, vec_col, id_col, m_sub, n_codes, seed, iters, hash_fn
     )
     cb = np.asarray(cb_list, dtype=np.float64)
     d = cb.shape[2]
