@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cosine_topk_ivf_kmeans",
     "cosine_topk_pq",
     "cosine_topk_ivf_pq",
+    "cosine_topk_ivf_incremental",
     "weighted_event_sample",
     "doc_quality_scores",
     "doc_language_id",

@@ -1168,6 +1168,89 @@ def cosine_topk_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
+@register(
+    "cosine_topk_ivf_incremental",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cell, raw AS cv
+      FROM (
+        SELECT vec_id, raw,
+               CAST(('0x' || substring(
+                 md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 AS h
+        FROM v WHERE vec_id % 10 < 8 ORDER BY h, vec_id LIMIT 16
+      )
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vv.vec_id
+                 ORDER BY list_dot_product(vv.raw, c.cv) DESC,
+                          c.cell DESC) AS rn
+        FROM v vv CROSS JOIN cents c WHERE vv.vec_id < 20
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.cell = q.cell
+      WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(a.raw, b.raw), 6) AS cosine_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def cosine_topk_ivf_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index's APPEND invariant, oracle-checked: an index built
+    from the base corpus (vec_id % 10 < 8) and then grown by appending
+    the remaining 20% of vectors against the FROZEN quantizer serves
+    exactly the results of a full rebuild under the same centroids —
+    the correctness contract behind ``ivf_index_append`` and the
+    streaming maintainer ``start_online_ivf_index`` (whose
+    filesystem/idempotency behavior is pinned in
+    tests/test_streaming_ann.py; this query pins the math in-plan, so
+    the driver's hash gate covers it at every sf). Centroids are
+    md5-ranked over the BASE only — appended vectors never retrain the
+    quantizer, which is precisely what makes the append path a narrow
+    per-batch assignment pass at 100 TB instead of a rebuild."""
+    from ..operators.similarity import (
+        cosine_topk_ivf_from_index,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    cents = ivf_centroids(base, "vec_id", "embedding", 16, 42, "md5")
+    index = ivf_assign(base, cents).unionByName(ivf_assign(delta, cents))
+    q = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf_from_index(index, q, cents, k=10, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

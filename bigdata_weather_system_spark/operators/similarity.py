@@ -696,6 +696,26 @@ def kmeans_refine(
             persisted.unpersist()
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index projection of ``vectors`` under a FIXED quantizer:
+    (id, vec, precomputed norm, top-1 cell). Shared by the one-shot
+    build, the incremental append, and the streaming maintainer — the
+    invariant that makes append-only maintenance correct is exactly
+    that all three run this same assignment against the same frozen
+    centroids."""
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vec_norm"),
+        F.element_at(_cell_assignment(F.col(vec_col), centroids, 1), 1).alias("cell"),
+    )
+
+
 def materialize_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -715,14 +735,41 @@ def materialize_ivf_index(
     candidate.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells, seed)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("vec_norm"),
-        F.element_at(_cell_assignment(F.col(vec_col), cents, 1), 1).alias("cell"),
-    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
     return cents
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Append newly-arrived vectors to a materialized IVF index WITHOUT
+    touching the existing files: assign against the FROZEN centroids
+    (so results over the grown index are identical to a full rebuild
+    under the same quantizer — pinned by ``cosine_topk_ivf_incremental``
+    and tests), write under ``batch=<id>/cell=<k>/``.
+
+    Layout: ``path/batch=N/cell=K/part-*.parquet``. Readers see two
+    partition columns and still prune on ``cell`` (probe joins touch
+    n_probe/n_cells of the files regardless of how many batches have
+    landed); writers get IDEMPOTENT retry for free because a re-run of
+    batch N overwrites exactly its own ``batch=N`` directory — the same
+    batch-id banking discipline as ``start_online_linear_train``. Cost
+    per append tracks the BATCH, never the corpus: one narrow
+    assignment pass over the new rows, no shuffle, no rewrite of
+    existing cells. Compact small per-batch files with
+    ``operators.layout.compact_small_files`` on a maintenance cadence,
+    and re-train centroids offline only when drift degrades recall (the
+    contract floor in ``ann_recall_contract`` is the canary)."""
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    target = path if batch_id is None else f"{path}/batch={batch_id}"
+    mode = "append" if batch_id is None else "overwrite"
+    assigned.write.partitionBy("cell").mode(mode).parquet(target)
 
 
 def cosine_topk_ivf_indexed(
@@ -741,7 +788,29 @@ def cosine_topk_ivf_indexed(
     partition pruning turns the probe list into a partition filter on the
     index scan (pinned in tests), so only n_probe cells' files are read.
     """
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(path)
+    return cosine_topk_ivf_from_index(
+        idx, queries, centroids, id_col, vec_col, k, n_probe, round_digits
+    )
+
+
+def cosine_topk_ivf_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve top-k from an already-assigned IVF index RELATION
+    (columns ``id_col, vec_col, vec_norm, cell`` — the ``ivf_assign``
+    projection, whether it came from a partitioned parquet read, a
+    streaming maintainer's root, or an in-plan union of base + appended
+    batches). Extra columns (e.g. the ``batch`` partition directory of
+    the online maintainer) are dropped by the select."""
+    idx = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("vec_norm").alias("_cn"),

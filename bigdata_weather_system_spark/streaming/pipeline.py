@@ -564,6 +564,74 @@ def start_online_linear_train(
     return writer.start()
 
 
+def start_online_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    centroids_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Online ANN index maintenance — the streaming twin of
+    ``operators.similarity.materialize_ivf_index`` +
+    ``ivf_index_append`` (the pattern ``start_online_dedup_sink`` set
+    for the LSH index).
+
+    The FIRST micro-batch trains the coarse quantizer (deterministic
+    md5-ranked seeding over that batch) and persists the centroids as
+    JSON next to the index — they ARE the index metadata, and every
+    later batch (and every restart, which reloads the file) assigns
+    against the SAME frozen quantizer. Each batch then runs one narrow
+    assignment pass and lands under ``index_path/batch=N/cell=K/`` with
+    per-batch OVERWRITE, so a replayed batch after a crash is
+    idempotent — the batch-id banking discipline of
+    ``start_online_linear_train`` applied to index rows, which an
+    append-only write could not offer. Serving reads the whole root via
+    ``cosine_topk_ivf_indexed`` unchanged: probe joins prune on
+    ``cell`` across all batch directories, touching n_probe/n_cells of
+    the files no matter how many batches have landed.
+
+    Because the quantizer is frozen, results over the grown index are
+    IDENTICAL to a full rebuild under the same centroids — the append
+    invariant the oracle-checked ``cosine_topk_ivf_incremental``
+    contract query pins in SQL. Centroid drift is a monitored, offline
+    concern: re-train when ``ann_recall_contract``'s floor degrades,
+    then rewrite once — never in the hot append path.
+    """
+    import json
+    import os
+
+    from ..operators.similarity import ivf_centroids, ivf_index_append
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.limit(1).count():
+            return
+        if os.path.exists(centroids_path):
+            with open(centroids_path) as fh:
+                cents = json.load(fh)
+        else:
+            cents = ivf_centroids(
+                batch_df, id_col, vec_col, n_cells, seed, hash_fn="md5"
+            )
+            tmp = f"{centroids_path}.tmp.{batch_id}"
+            with open(tmp, "w") as fh:
+                json.dump(cents, fh)
+            os.replace(tmp, centroids_path)  # atomic publish
+        ivf_index_append(
+            batch_df, index_path, cents, id_col, vec_col, batch_id=int(batch_id)
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def snapshot_changes_between(
     spark: SparkSession,
     log_path: str,

@@ -170,6 +170,8 @@ MUST_MEASURE = [
     "knn_label_eval_ann_serving",
     "domain_cap_survivors",
     "doc_url_canonicalize",
+    # round-8 (cont.): incremental IVF append invariant
+    "cosine_topk_ivf_incremental",
     # round-7: the round-6 codec family (its deterministic 10% subsets
     # make wall time ~constant — demonstrated, not assumed; VERDICT r6
     # Next #6), the bounded twins of the exact all-pairs baselines
