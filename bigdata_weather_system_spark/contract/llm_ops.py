@@ -2447,7 +2447,65 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_bpe_merge_table")  # rows-only: iterative trainer, no SQL twin
+def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
+    """Full-value DuckDB replay of BPE TRAINING (round 8; previously
+    rows-only as an 'iterative trainer with no SQL twin' — but unlike
+    the float trainers, BPE state is integer counts and strings, so the
+    sequential Sennrich loop unrolls into exact SQL; the operator's
+    batched candidate acceptance is proven output-identical to the
+    sequential loop, which is what this replays). Per merge round i:
+    pair counts over the vocabulary (``p{{i}}``), the winner under the
+    (count desc, left asc, right asc) tie-break (``b{{i}}``), and the
+    greedy left-to-right non-overlapping fold-apply as a per-word
+    recursive scan (``s{{i}}``: emit the merged token and skip 2, or
+    emit one symbol and advance — the recursive-CTE form of
+    ``_apply_merge``'s carry fold). Round CTEs are MATERIALIZED so the
+    8-round chain doesn't replan exponentially. Validated merge-for-
+    merge (rank, pair, count) against the operator at sf0.001/sf0.01."""
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    parts = [f"""w0 AS MATERIALIZED (
+      SELECT word, count(*) AS cnt,
+             list_filter(regexp_split_to_array(word, ''), c -> c <> '') AS syms
+      FROM (SELECT unnest({toks}) AS word FROM documents)
+      GROUP BY word)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT l, r, sum(cnt) AS n FROM (
+        SELECT w.cnt, w.syms[t.k] AS l, w.syms[t.k + 1] AS r
+        FROM w{i - 1} w, LATERAL (SELECT unnest(range(1, len(w.syms))) AS k) t
+      ) GROUP BY l, r)""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+      SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
+        parts.append(f"""s{i}(word, k, out) AS (
+      SELECT word, 1, []::VARCHAR[] FROM w{i - 1}
+      UNION ALL
+      SELECT s.word,
+             CASE WHEN w.syms[s.k] = b.l AND s.k < len(w.syms)
+                       AND w.syms[s.k + 1] = b.r
+                  THEN s.k + 2 ELSE s.k + 1 END,
+             CASE WHEN w.syms[s.k] = b.l AND s.k < len(w.syms)
+                       AND w.syms[s.k + 1] = b.r
+                  THEN list_append(s.out, b.l || b.r)
+                  ELSE list_append(s.out, w.syms[s.k]) END
+      FROM s{i} s JOIN w{i - 1} w USING (word) CROSS JOIN b{i} b
+      WHERE s.k <= len(w.syms))""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+      SELECT s.word, w.cnt, s.out AS syms
+      FROM s{i} s JOIN w{i - 1} w USING (word)
+      WHERE s.k > len(w.syms))""")
+    union = "\n      UNION ALL ".join(
+        f'SELECT {i} AS rank, l AS "left", r AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+@register("doc_bpe_merge_table", oracle=_doc_bpe_merge_table_oracle())
 def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
     corpus: 8 merge rules learned by iterated pair-count → argmax →
@@ -2455,7 +2513,10 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-training stage of an LLM pipeline, with per-round cost
     O(|vocabulary|) independent of corpus size. Deterministic tie-breaks;
     exact agreement with a pure-Python reference trainer (and the classic
-    low/lower/newest/widest example) is pinned in tests/test_llm_ops.py."""
+    low/lower/newest/widest example) is pinned in tests/test_llm_ops.py,
+    and — since round 8 — the WHOLE train is value-checked against a
+    DuckDB replay of the sequential loop
+    (``_doc_bpe_merge_table_oracle``)."""
     from ..operators.bpe import bpe_train
 
     d = _t(spark, sf_dir, "documents")
