@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "part_copurchase_kcore",
     "token_cms_estimates",
     "doc_bpe_merge_table",
+    "doc_bpe_encode_stats",
     "user_erasure_audit",
     "lineitem_column_stats",
     "join_skew_report",

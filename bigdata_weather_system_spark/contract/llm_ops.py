@@ -2447,8 +2447,8 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
-    """Full-value DuckDB replay of BPE TRAINING (round 8; previously
+def _bpe_train_cte(n_merges: int = 8) -> str:
+    """CTE chain replaying BPE TRAINING in DuckDB (round 8; previously
     rows-only as an 'iterative trainer with no SQL twin' — but unlike
     the float trainers, BPE state is integer counts and strings, so the
     sequential Sennrich loop unrolls into exact SQL; the operator's
@@ -2460,8 +2460,11 @@ def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
     recursive scan (``s{{i}}``: emit the merged token and skip 2, or
     emit one symbol and advance — the recursive-CTE form of
     ``_apply_merge``'s carry fold). Round CTEs are MATERIALIZED so the
-    8-round chain doesn't replan exponentially. Validated merge-for-
-    merge (rank, pair, count) against the operator at sf0.001/sf0.01."""
+    8-round chain doesn't replan exponentially. Ends with the merge
+    winners ``b1..b{{n}}`` and the fully-merged vocabulary
+    ``w{{n}}(word, cnt, syms)`` — the encode of every corpus word.
+    Validated merge-for-merge against the operator at sf0.001/sf0.01.
+    Requires ``WITH RECURSIVE``."""
     toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
     parts = [f"""w0 AS MATERIALIZED (
       SELECT word, count(*) AS cnt,
@@ -2493,6 +2496,12 @@ def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
       SELECT s.word, w.cnt, s.out AS syms
       FROM s{i} s JOIN w{i - 1} w USING (word)
       WHERE s.k > len(w.syms))""")
+    return ",\n    ".join(parts)
+
+
+def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
+    """Full-value DuckDB replay of the BPE merge table: the training
+    chain (``_bpe_train_cte``), merge winners unioned in rank order."""
     union = "\n      UNION ALL ".join(
         f'SELECT {i} AS rank, l AS "left", r AS "right", '
         f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
@@ -2500,7 +2509,7 @@ def _doc_bpe_merge_table_oracle(n_merges: int = 8) -> str:
     )
     return (
         "WITH RECURSIVE "
-        + ",\n    ".join(parts)
+        + _bpe_train_cte(n_merges)
         + f"\n    SELECT * FROM ({union}) ORDER BY rank"
     )
 
@@ -2522,6 +2531,62 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     _, merge_df, _ = bpe_train(d, "text", n_merges=8)
     return merge_df
+
+
+def _doc_bpe_encode_stats_oracle(n_merges: int = 8) -> str:
+    """Full-value DuckDB replay of train-then-ENCODE: the training chain
+    ends with ``w{n}`` — every corpus word already carries its final
+    symbol sequence, and ``bpe_encode``'s rank-order fold over a corpus
+    word is by construction the same sequence — so per-doc trained-token
+    counts are one tokenize → vocab join → sum. Docs with no tokens keep
+    a zero row via the LEFT JOIN (matching ``size(bpe_tokens)`` = 0)."""
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    return (
+        "WITH RECURSIVE "
+        + _bpe_train_cte(n_merges)
+        + f""",
+    dt AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+    perdoc AS (
+      SELECT d.doc_id, d.lang, COALESCE(s.tok, 0) AS tok
+      FROM documents d
+      LEFT JOIN (
+        SELECT dt.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS tok
+        FROM dt JOIN w{n_merges} w USING (word)
+        GROUP BY dt.doc_id
+      ) s USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           round(avg(tok), 6) AS avg_tokens,
+           CAST(max(tok) AS BIGINT) AS max_tokens
+    FROM perdoc GROUP BY lang
+    """
+    )
+
+
+@register("doc_bpe_encode_stats", oracle=_doc_bpe_encode_stats_oracle())
+def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 8-merge BPE tokenizer on the corpus, then ENCODE the
+    corpus with it — the full tokenizer train/apply round-trip of an
+    LLM data pipeline — and report trained-token counts per language.
+    The encode is ``bpe_encode``'s rank-order merge fold (a single
+    narrow projection per rule, no Python row path); at 100 TB the
+    train runs once on the (word, count) vocabulary and the encode is
+    a map-only pass over the token stream. Fully value-checked: the
+    oracle replays training AND encode in SQL (``_bpe_train_cte`` —
+    the encode of a corpus word IS its final vocabulary entry)."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _, _ = bpe_train(d, "text", n_merges=8)
+    enc = bpe_encode(d, merges)
+    n_tok = F.size("bpe_tokens").cast("long")
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+    )
 
 
 @register(

@@ -152,6 +152,7 @@ MUST_MEASURE = [
     "cosine_topk_pq",
     "cosine_topk_ivf_pq",
     "doc_bpe_merge_table",
+    "doc_bpe_encode_stats",
     "lineitem_column_stats",
     "domain_concentration_metrics",
     "doc_line_dedup",
