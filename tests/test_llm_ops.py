@@ -859,6 +859,39 @@ def test_bpe_train_matches_reference_on_testdata(spark, sf_dir):
     assert [(a, b, n) for _, a, b, n in merges] == ref
 
 
+def test_bpe_corpus_vocab_join_equals_encode_fold(spark, sf_dir, docs):
+    """The scalable corpus-encode shape (token explode + broadcast
+    vocabulary join — what doc_bpe_encode_stats runs) must agree
+    per-document with bpe_encode's rank-order merge fold: for corpus
+    text every token IS a vocabulary word, and bpe_train already holds
+    its final symbol sequence."""
+    from bigdata_weather_system_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+    from bigdata_weather_system_spark.operators.text import tokens
+
+    merges, _, words = bpe_train(docs, "text", n_merges=8)
+    fold = {
+        r.doc_id: r.n
+        for r in bpe_encode(docs, merges)
+        .select("doc_id", F.size("bpe_tokens").alias("n"))
+        .collect()
+    }
+    vocab = words.select("word", F.size("syms").alias("_n"))
+    joined = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.explode_outer(tokens(F.col("text"))).alias("word")
+        )
+        .join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("int").alias("n"))
+        .collect()
+    }
+    assert fold == joined
+
+
 def test_bpe_batched_rounds_cut_job_count(spark):
     """On a broad vocabulary whose top pairs are symbol-disjoint, the
     batched trainer learns many merges per counting round, so Spark jobs
