@@ -679,8 +679,14 @@ def bootstrap_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("u") < 0.999405815182, 5)
         .otherwise(6)
     )
+    # the 32× fan-out + md5 weight + partial agg all run BEFORE the
+    # first exchange — on a single-file scan that is one core doing 32N
+    # hashes; spread the narrow (id, value) projection first (guide
+    # §2.5 input skew: one unsplittable input partition)
+    from .core import _spread
+
     return (
-        ev.select("event_id", "value")
+        _spread(ev.select("event_id", "value"))
         .crossJoin(spark.range(0, 32).select(F.col("id").alias("b")))
         .withColumn("u", u)
         .groupBy(b.alias("replica"))

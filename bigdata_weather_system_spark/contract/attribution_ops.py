@@ -212,111 +212,66 @@ def markov_removal_attribution(
     )
     m0 = m_data.unionByName(loops)
 
-    # --- collapse the bounded matrix to one sorted-entry-array row ----
-    states_arr = F.array(*[F.lit(s) for s in _STATES])
-    start_arr = F.array(
-        *[F.lit(1.0 if s == "START" else 0.0) for s in _STATES]
-    )
-    conv_idx = _STATES.index("CONV") + 1  # element_at is 1-based
-
-    row = m0.agg(
-        F.array_sort(F.collect_list(F.struct("src", "dst", "p"))).alias(
-            "e_full"
-        )
-    )
-
-    def redirected(c: str):
-        return F.array_sort(
-            F.transform(
-                F.filter(F.col("e_full"), lambda e: e["src"] != c),
-                lambda e: F.struct(
-                    e["src"].alias("src"),
-                    F.when(e["dst"] == c, F.lit("DROP"))
-                    .otherwise(e["dst"])
-                    .alias("dst"),
-                    e["p"].alias("p"),
-                ),
-            )
-        )
-
-    variants = ["full"] + _CHANNELS
-    row = row.select(
-        "e_full",
-        *[redirected(c).alias(f"e_{c}") for c in _CHANNELS],
-        *[start_arr.alias(f"pi_{v}") for v in variants],
+    # --- bounded-matrix power rounds: driver-side since round 8 -------
+    # The O(data) work ends at m0 (one window pass + one transition
+    # groupBy). m0 is BOUNDED — at most (channels+3)² ≈ 49 entries — so
+    # the 5 × 12 power rounds are constant work on constant data. The
+    # previous formulation ran them as 12 chained repartition(1)
+    # barriers over a 1-row relation (each an Exchange + AQE stage on
+    # one row: pure stage-latency, ~3s of the query's 4.4s at sf0.1 and
+    # the same dead weight on a cluster). Collecting the ≤49-entry
+    # matrix and folding in plain Python is the repo's bounded
+    # driver-side-shaping pattern (BPE merge collect, codebook means) —
+    # and the float sequence is replicated EXACTLY: entries fold in
+    # (src, dst, p)-sorted order per target state, products then adds,
+    # IEEE doubles in both engines (oracle parity pins it).
+    entries = sorted(
+        (r["src"], r["dst"], float(r["p"])) for r in m0.collect()
     )
 
-    def one_round(pi_col: str, e_col: str):
-        return F.transform(
-            states_arr,
-            lambda t: F.aggregate(
-                F.filter(F.col(e_col), lambda e: e["dst"] == t),
-                F.lit(0.0),
-                lambda acc, e: acc
-                + F.element_at(
-                    F.col(pi_col),
-                    F.array_position(states_arr, e["src"]).cast("int"),
-                )
-                * e["p"],
-            ),
+    def redirected(c: str) -> list:
+        return sorted(
+            (src, "DROP" if dst == c else dst, p)
+            for src, dst, p in entries
+            if src != c
         )
 
-    entry_cols = ["e_full"] + [f"e_{c}" for c in _CHANNELS]
-    for _ in range(_ROUNDS):
-        # the repartition(1) of a 1-row relation is a deliberate barrier:
-        # without it CollapseProject inlines every round's π into the
-        # next round's fold lambda, where per-entry re-evaluation makes
-        # the collapsed expression exponential in rounds. With the
-        # barrier each round's π is computed exactly once per row.
-        row = row.repartition(1).select(
-            *entry_cols,
-            *[
-                one_round(f"pi_{v}", f"e_{v if v != 'full' else 'full'}")
-                .alias(f"pi_{v}")
-                for v in variants
-            ],
-        )
-    final = row.select(
-        F.element_at("pi_full", conv_idx).alias("p_full"),
-        *[
-            F.element_at(f"pi_{c}", conv_idx).alias(f"p_{c}")
+    idx = {s: i for i, s in enumerate(_STATES)}
+
+    def power(ents: list) -> float:
+        pi = [1.0 if s == "START" else 0.0 for s in _STATES]
+        for _ in range(_ROUNDS):
+            nxt = []
+            for t in _STATES:
+                acc = 0.0
+                for src, dst, p in ents:
+                    if dst == t:
+                        acc = acc + pi[idx[src]] * p
+                nxt.append(acc)
+            pi = nxt
+        return pi[idx["CONV"]]
+
+    p_full = power(entries)
+    p_without = {c: power(redirected(c)) for c in _CHANNELS}
+    eff = {c: 1.0 - p_without[c] / p_full for c in _CHANNELS}
+    # effects fold in channel-sorted order (matches ORDER BY channel)
+    tot = 0.0
+    for c in sorted(_CHANNELS):
+        tot = tot + eff[c]
+    raw = spark.createDataFrame(
+        [
+            (c, p_full, p_without[c], eff[c], eff[c] / tot)
             for c in _CHANNELS
         ],
+        "channel string, p_full double, p_without double, "
+        "effect double, share double",
     )
-    # effects fold in channel-sorted order (matches ORDER BY channel)
-    eff_exprs = [
-        (1.0 - F.col(f"p_{c}") / F.col("p_full")).alias(f"eff_{c}")
-        for c in sorted(_CHANNELS)
-    ]
-    final = final.select("p_full", *[F.col(f"p_{c}") for c in _CHANNELS],
-                         *eff_exprs)
-    tot = F.aggregate(
-        F.array(*[F.col(f"eff_{c}") for c in sorted(_CHANNELS)]),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    long = final.select(
-        "p_full",
-        tot.alias("s"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("channel"),
-                        F.col(f"p_{c}").alias("p_without"),
-                        F.col(f"eff_{c}").alias("effect"),
-                    )
-                    for c in _CHANNELS
-                ]
-            )
-        ).alias("x"),
-    )
-    return long.select(
-        F.col("x.channel").alias("channel"),
+    # rounding stays in-engine so HALF_UP double rounding is identical
+    # to every other contract query's
+    return raw.select(
+        "channel",
         F.round("p_full", 6).alias("p_conv_full"),
-        F.round("x.p_without", 6).alias("p_conv_without"),
-        F.round("x.effect", 6).alias("removal_effect"),
-        F.round(F.col("x.effect") / F.col("s"), 6).alias(
-            "attribution_share"
-        ),
+        F.round("p_without", 6).alias("p_conv_without"),
+        F.round("effect", 6).alias("removal_effect"),
+        F.round("share", 6).alias("attribution_share"),
     )

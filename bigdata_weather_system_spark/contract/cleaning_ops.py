@@ -1179,12 +1179,17 @@ def doc_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_cross_split_contamination`` (overlap ≠ similarity: one shared
     quote flags a doc even at low whole-doc Jaccard)."""
     from ..operators.text import tokens
+    from .core import _spread
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     k = 13
     n_gram = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    grams = docs.select(
+    # gram generation (tokenize + per-position array_join + md5) is the
+    # query's whole cost and runs before any exchange — a single-file
+    # scan would serialize it on one core (guide §2.5)
+    grams_src = _spread(docs.select("doc_id", "text"))
+    grams = grams_src.select(
         "doc_id",
         (F.col("doc_id") % 10 == 0).alias("is_eval"),
         F.explode(
@@ -2866,15 +2871,17 @@ def markov_stationary_distribution(
 ) -> DataFrame:
     """Stationary distribution of the first-order event-type Markov
     chain — where `event_transition_matrix` says what happens NEXT, this
-    says where the process SPENDS ITS TIME: π = πP via 8 in-plan power-
-    iteration rounds from the uniform start (the steady-state mix a
-    capacity planner provisions for). The matrix relation is
-    types×types (tiny) and rides a lazy localCheckpoint so the one
-    event-scan window pass runs once, not once per round; each round is
-    a ≤k-row join whose per-target accumulation FOLDS over the
-    cur-sorted term list (exactly the BM25/ANOVA order-determinism
-    discipline), so both engines iterate on bit-identical vectors. The
-    oracle unrolls identical MATERIALIZED rounds — the k-core pattern."""
+    says where the process SPENDS ITS TIME: π = πP via 8 power-iteration
+    rounds from the uniform start (the steady-state mix a capacity
+    planner provisions for). The O(data) work is one event-scan window
+    pass + one transition groupBy; the matrix is types×types (tiny,
+    bounded), so the 8 rounds run driver-side on the collected ≤k²-entry
+    list — constant work at any corpus size, replacing 8 chained
+    join+groupBy stages on a ≤5-row relation. Per-target accumulation
+    FOLDS over the cur-sorted term list (exactly the BM25/ANOVA
+    order-determinism discipline), so both engines iterate on
+    bit-identical vectors. The oracle unrolls identical MATERIALIZED
+    rounds — the k-core pattern."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -2890,27 +2897,34 @@ def markov_stationary_distribution(
         "cur",
         "nxt",
         (F.col("n") * 1.0 / F.sum("n").over(wrow)).alias("p"),
-    ).localCheckpoint(eager=False)
-    kk = m.select("cur").distinct().agg(
-        F.count(F.lit(1)).alias("k")
     )
-    pi = (
-        m.select("cur").distinct()
-        .crossJoin(F.broadcast(kk))
-        .select(F.col("cur").alias("t"), (1.0 / F.col("k")).alias("pi"))
-    )
+    # Bounded-matrix power rounds, driver-side since round 8 (the
+    # markov_removal_attribution treatment): the matrix is types×types
+    # (≤25 entries), so the 8 rounds are constant work on constant
+    # data — the previous 8 chained join+groupBy stages on a ≤5-row
+    # relation were pure stage latency. The float sequence is
+    # replicated exactly: per target, terms fold in (cur, term)-sorted
+    # order (the array_sort(collect_list(struct(cur, term))) order the
+    # in-plan fold used and the oracle's ORDER BY replays).
+    rows = [(r["cur"], r["nxt"], float(r["p"])) for r in m.collect()]
+    states = sorted({cur for cur, _, _ in rows})
+    pi = {t: 1.0 / len(states) for t in states}
     for _ in range(8):
-        joined = m.join(pi, m.cur == pi.t).select(
-            "nxt", F.struct("cur", (F.col("pi") * F.col("p")).alias("term")).alias("_s")
-        )
-        pi = joined.groupBy("nxt").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("_s")),
-                F.lit(0.0),
-                lambda acc, x: acc + x["term"],
-            ).alias("pi")
-        ).select(F.col("nxt").alias("t"), "pi")
-    return pi.select(
+        terms: dict[str, list] = {}
+        for cur, nxt, p in rows:
+            if cur in pi:
+                terms.setdefault(nxt, []).append((cur, pi[cur] * p))
+        nxt_pi = {}
+        for t, ts_ in terms.items():
+            acc = 0.0
+            for _cur, term in sorted(ts_):
+                acc = acc + term
+            nxt_pi[t] = acc
+        pi = nxt_pi
+    out = spark.createDataFrame(
+        sorted(pi.items()), "t string, pi double"
+    )
+    return out.select(
         F.col("t").alias("event_type"),
         F.round("pi", 6).alias("stationary_prob"),
     )
@@ -3115,22 +3129,38 @@ def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the pixel ramp in SQL and reproduces the REAL decode's
     hash bit-for-bit (integer gray sums, exact cell-mean divisions,
     (row, col)-ordered global-mean fold)."""
+    from pyspark import StorageLevel
+
     from ..operators.multimodal import ahash_raw_images, fabricate_raw_media
 
     docs = _t(spark, sf_dir, "documents")
     media = fabricate_raw_media(docs, "doc_id", video=False)
-    h = ahash_raw_images(media)
+    # The fabricate→decode→ahash chain feeds FIVE consumers below (the
+    # distinct-hash relation, both id-expansion sides, and both sides of
+    # the identical-hash self-join) — pin it once per invocation or the
+    # Arrow decode re-runs per consumer (guide §5: cache only reused,
+    # expensive-to-recompute intermediates; freed by the sweep's
+    # clearCache).
+    h = ahash_raw_images(media).persist(StorageLevel.MEMORY_AND_DISK)
     # distinct 64-bit hashes (w1, w2 words + their 8 band bytes)
     dh = h.drop("media_id").distinct()
-    bands = None
-    for b in range(8):
-        piece = dh.select(
-            F.col("w1").alias("hw1"),
-            F.col("w2").alias("hw2"),
-            F.lit(b).alias("b"),
-            F.col(f"band{b}").alias("v"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # all 8 band projections in ONE pass: explode a literal (band_id,
+    # band_value) array instead of an 8-way union that re-evaluates the
+    # distinct per branch
+    bands = dh.select(
+        F.col("w1").alias("hw1"),
+        F.col("w2").alias("hw2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), F.col(f"band{b}").alias("v")
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("_bv"),
+    ).select("hw1", "hw2", F.col("_bv.b").alias("b"), F.col("_bv.v").alias("v"))
     a = bands.alias("a")
     bb = bands.alias("b")
     hash_lt = (F.col("a.hw1") < F.col("b.hw1")) | (

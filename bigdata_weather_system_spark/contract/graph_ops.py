@@ -34,47 +34,31 @@ _EDGES_CTE = """
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
 """
 
-#: Family-scoped shared materialization of the co-purchase edge relation —
-#: the CACHE TABLE pattern a warehouse uses when ~10 queries derive from
-#: the same expensive intermediate. Every graph query below starts from
-#: the identical weighted canonical edge list (lineitem → distinct
-#: incidence → pair fan-out → weight agg, ~the entire cost of the cheap
-#: family members); building it once per (session, dataset) and reading
-#: the checkpoint afterwards is how the family would actually be run, and
-#: the build cost is still paid inside the family (its first query).
-#: ``localCheckpoint`` rather than ``cache`` so the sweep-level
-#: ``clearCache()`` hygiene between bench/parity queries (which MUST keep
-#: dropping per-query operator caches) does not silently evict it — the
-#: lifetime is explicit: until ``clear_shared_edges()`` or session stop.
-#: The relation is small (distinct part pairs, ~1e5 rows at sf0.1) and
-#: bounded by the catalog's pair structure, not by lineitem.
-_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+def shared_copurchase_edges(
+    spark: SparkSession, sf_dir: str, *, pinned: bool = True
+) -> DataFrame:
+    """The weighted canonical co-purchase edge relation, built fresh for
+    ONE query invocation (lineitem → grouped postings → pair fan-out →
+    weight agg).
 
-
-def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
-    df = _EDGE_MEMO.get(key)
-    if df is None:
-        # entries from stopped sessions hold dead checkpoint refs — drop
-        # them so the memo never grows past one session's datasets
-        for k in [k for k in _EDGE_MEMO if k[0] != key[0]]:
-            _EDGE_MEMO.pop(k, None)
-        li = _t(spark, sf_dir, "lineitem")
-        df = cooccurrence_edges(
-            li, "l_orderkey", "l_partkey"
-        ).localCheckpoint(eager=True)
-        _EDGE_MEMO[key] = df
-    return df
+    Round-8 optimization note: this used to memoize the eager
+    localCheckpoint per (appId, sf_dir) so the whole graph family after
+    its first member read a prebuilt relation. That made every measured
+    invocation but the first skip the build — result caching across
+    queries, not engine speed — so the memo was removed: each call
+    recomputes from the parquet input. ``pinned=True`` keeps one eager
+    localCheckpoint WITHIN the invocation (iterative consumers re-read
+    the relation many times); single-pass consumers pass
+    ``pinned=False`` and fuse the build into their own plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return df.localCheckpoint(eager=True) if pinned else df
 
 
 def clear_shared_edges() -> None:
-    """Explicit end-of-family drop — bench.py, run_parity.py, and
-    scale_bench.py call this after their sweeps. The memo key is
-    ``(appId, sf_dir)`` with NO data fingerprint: any caller that
-    rewrites lineitem data in place at a previously-used path within
-    one session must call this first or it will read stale checkpointed
-    edges."""
-    _EDGE_MEMO.clear()
+    """No-op since the round-8 optimization pass (the cross-query edge
+    memo is gone); kept so the bench/parity/scale sweep hygiene call
+    sites stay valid."""
 
 _PR_STEP = """
     r{k} AS (

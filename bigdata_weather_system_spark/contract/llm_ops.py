@@ -630,29 +630,26 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
 
-#: Shared BPE train — same explicitly-scoped sharing discipline as the
-#: PQ codebooks: the first consumer in a session pays the (deterministic)
-#: 8-round train, later consumers with identical parameters reuse the
-#: merge table and the localCheckpoint'ed vocabulary relation. Pure
-#: memoization of a deterministic function, fingerprint-guarded against
-#: in-place data rewrites.
-_BPE_TRAINS: dict[tuple, tuple] = {}
-
-
 def clear_bpe_trains() -> None:
-    """Drop all memoized BPE trains (explicit invalidation hook)."""
-    _BPE_TRAINS.clear()
+    """No-op since the round-8 optimization pass: BPE trains are no
+    longer memoized across query invocations (kept so existing sweep
+    hygiene call sites stay valid)."""
 
 
 def _shared_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8):
+    """Run the BPE train for one query invocation.
+
+    Round-8 optimization note: this used to memoize the (merges,
+    merge_df, words) result per (sf_dir, data fingerprint) so a second
+    query in the same session could skip the train. That made every
+    measured invocation after the first skip the compute entirely —
+    result caching, not optimization — so the memo was removed: every
+    call now trains from the parquet input. The train-once/serve-many
+    production split still exists, but as the documented deployment
+    pattern, not as hidden cross-query state in the engine."""
     from ..operators.bpe import bpe_train
 
-    key = (sf_dir, _table_fingerprint(sf_dir, "documents"), n_merges)
-    if key not in _BPE_TRAINS:
-        _BPE_TRAINS[key] = bpe_train(
-            _t(spark, sf_dir, "documents"), "text", n_merges=n_merges
-        )
-    return _BPE_TRAINS[key]
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=n_merges)
 
 
 def _kmeans_cents_cte(iters: int, n_cells: int = 16, seed: int = 42) -> str:
@@ -801,17 +798,6 @@ def _pq_search_sql(candidates: str, k: int = 10, rerank_factor: int = 4) -> str:
     """
 
 
-#: Shared PQ codebook train — the train/query split of a production ANN
-#: index (train once, serve many probe batches), and the same
-#: explicitly-scoped sharing discipline as the graph family's edge
-#: relation: the FIRST consumer in a session pays the (deterministic,
-#: seeded) train, later consumers (pq / ivf_pq / recall contract with
-#: identical parameters) reuse the tiny driver-side tensor. Pure
-#: memoization of a deterministic function — no correctness surface;
-#: the cache is a few KB of floats keyed by (sf_dir, params).
-_PQ_CODEBOOKS: dict[tuple, list] = {}
-
-
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
     return _table_fingerprint(sf_dir, "embeddings")
 
@@ -842,9 +828,9 @@ def _table_fingerprint(sf_dir: str, table: str) -> tuple:
 
 
 def clear_pq_codebooks() -> None:
-    """Drop all memoized PQ codebooks (the explicit invalidation hook,
-    mirroring graph_ops.clear_shared_edges)."""
-    _PQ_CODEBOOKS.clear()
+    """No-op since the round-8 optimization pass: PQ codebooks are no
+    longer memoized across query invocations (kept so existing call
+    sites stay valid)."""
 
 
 def _shared_pq_codebooks(
@@ -856,29 +842,25 @@ def _shared_pq_codebooks(
     iters=1,
     hash_fn: str = "md5",
 ) -> list:
+    """Train the PQ codebooks for one query invocation.
+
+    Round-8 optimization note: the per-(sf_dir, fingerprint) memo that
+    let later consumers skip the train was removed — every measured
+    invocation must pay its own compute from the parquet input (the
+    memo made best-of-N bench samples after the first free, which is
+    result caching, not engine speed)."""
     from ..operators.similarity import pq_train_codebooks
 
-    key = (
-        sf_dir,
-        _embeddings_fingerprint(sf_dir),
+    return pq_train_codebooks(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
         m_sub,
         n_codes,
         seed,
         iters,
         hash_fn,
     )
-    if key not in _PQ_CODEBOOKS:
-        _PQ_CODEBOOKS[key] = pq_train_codebooks(
-            _t(spark, sf_dir, "embeddings"),
-            "embedding",
-            "vec_id",
-            m_sub,
-            n_codes,
-            seed,
-            iters,
-            hash_fn,
-        )
-    return _PQ_CODEBOOKS[key]
 
 
 def _cosine_topk_pq_oracle() -> str:

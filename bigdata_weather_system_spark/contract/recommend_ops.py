@@ -41,7 +41,11 @@ def als_item_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells."""
     from ..operators.recommend import als_train
 
-    ratings = _purchase_ratings(spark, sf_dir)
+    # four half-steps (2 iterations × 2 sides) each re-derive the
+    # ratings join+agg from lineitem×orders without this pin — cache the
+    # small (user, item, rating) relation once per invocation (guide §5;
+    # the training contract below already does)
+    ratings = _purchase_ratings(spark, sf_dir).cache()
     _, item_f = als_train(
         ratings, "user_id", "item_id", "rating", k=4, iterations=2, reg=0.1
     )

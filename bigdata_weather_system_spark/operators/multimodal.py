@@ -28,6 +28,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .similarity import _spread
+
 #: Typed metadata carried alongside every media blob.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -428,7 +430,7 @@ def fabricate_mpa_media(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append({"media_id": mid, "content": encode_mpa(xs)})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -583,7 +585,7 @@ def fabricate_raw_media(df: DataFrame, id_col: str, video: bool = False) -> Data
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -809,7 +811,7 @@ def fabricate_pcm_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1226,7 +1228,7 @@ def fabricate_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1362,7 +1364,7 @@ def fabricate_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1637,7 +1639,7 @@ def fabricate_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2119,7 +2121,7 @@ def fabricate_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2330,7 +2332,7 @@ def fabricate_avi_media(
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2583,7 +2585,7 @@ def fabricate_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2940,7 +2942,7 @@ def fabricate_gif_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -3167,7 +3169,7 @@ def fabricate_mpv_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = df.select(F.col(id_col)).mapInPandas(
+    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(

@@ -29,6 +29,13 @@ def covariance_relation(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
     emits its upper-triangle outer product via nested array transforms
     (JVM-side, no UDF), then one hash aggregation over d(d+1)/2 keys.
     """
+    from .similarity import _spread
+
+    # the d(d+1)/2 outer-product explode multiplies each vector ~2080×
+    # BEFORE the first exchange — on a single-file scan that whole pass
+    # runs on one core; spread the raw vectors first (scale-adaptive:
+    # a many-file table passes through untouched)
+    emb = _spread(emb)
     x = F.col(vec_col)
     tri = F.flatten(
         F.transform(

@@ -91,20 +91,34 @@ def _solve_side(
             )
         ).alias("_rows")
     )
+    # Ship the sorted per-entity rows to Python as two FLAT double
+    # arrays (ratings + row-major factor matrix) instead of a
+    # list<struct<p,r,array>> column: Arrow converts list<double> cells
+    # straight to numpy float64 views, where the struct form surfaced
+    # one dict per rating row in Python (the dominant cost of the
+    # half-step — guide §4.1: control how efficiently columns cross).
+    # The sort key (partner id) orders the flat arrays identically, so
+    # A is the SAME matrix as before and the solve is bit-identical.
+    flat = grouped.select(
+        solve_col,
+        F.transform("_rows", lambda s: s["r"]).alias("_rs"),
+        F.flatten(F.transform("_rows", lambda s: s["f"])).alias("_fs"),
+    )
 
     def solve_batches(it):
         eye = reg * np.eye(k)
         for pdf in it:
-            out_ids, out_f = [], []
-            for ent, rows in zip(pdf[solve_col], pdf["_rows"]):
-                A = np.vstack([row["f"] for row in rows]).astype(np.float64)
-                r = np.array([row["r"] for row in rows], dtype=np.float64)
-                out_ids.append(ent)
+            out_f = []
+            for rs, fs in zip(pdf["_rs"], pdf["_fs"]):
+                r = np.asarray(rs, dtype=np.float64)
+                A = np.asarray(fs, dtype=np.float64).reshape(-1, k)
                 out_f.append(np.linalg.solve(A.T @ A + eye, A.T @ r))
-            yield pd.DataFrame({solve_col: out_ids, "factors": out_f})
+            yield pd.DataFrame(
+                {solve_col: pdf[solve_col], "factors": out_f}
+            )
 
     id_type = ratings.schema[solve_col].dataType.simpleString()
-    return grouped.mapInPandas(
+    return flat.mapInPandas(
         solve_batches, schema=f"{solve_col} {id_type}, factors array<double>"
     )
 

@@ -98,26 +98,44 @@ def next_greater_unbounded(
     )
     order_list = list(order_cols)
 
-    def scan(pdf):
+    def scan_partition(it):
+        """One stack scan per PARTITION (not per key): rows arrive
+        hash-partitioned by key and sorted by (key, *order), so each
+        key's rows are contiguous; the stack resets at key boundaries.
+        This replaces the per-key ``applyInPandas`` form whose dominant
+        cost at high key cardinality was one pandas-frame construction
+        per key (guide §4.5: amortize per-task, not per-group — 1.5k
+        frames → #partitions frames on the bench data, same output)."""
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(order_list, kind="mergesort").reset_index(drop=True)
+        frames = [pdf for pdf in it if len(pdf)]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        )
         vals = pdf[value_col].to_numpy(dtype=float)
         ids = pdf[id_col].to_numpy()
+        keys = pdf[key_col].to_numpy()
         n = len(pdf)
         nxt = np.full(n, -1, dtype=np.int64)
         stack: list = []  # indices with no next-greater found yet
+        seg_key = None
         for j in range(n):
+            kj = keys[j]
+            if kj != seg_key:
+                stack.clear()  # new key segment: lookahead never crosses keys
+                seg_key = kj
             vj = vals[j]
             while stack and vals[stack[-1]] < vj:
                 nxt[stack.pop()] = j
             stack.append(j)
         has = nxt >= 0
-        return pd.DataFrame(
+        yield pd.DataFrame(
             {
                 id_col: ids,
-                key_col: pdf[key_col].to_numpy(),
+                key_col: keys,
                 value_col: vals,
                 "next_id": np.where(has, ids[np.maximum(nxt, 0)], -1),
                 "steps_ahead": np.where(has, nxt - np.arange(n), -1),
@@ -128,7 +146,12 @@ def next_greater_unbounded(
     for c in [id_col, key_col, value_col, *order_list]:
         if c not in cols:
             cols.append(c)
-    res = df.select(*cols).groupBy(key_col).applyInPandas(scan, schema=out_schema)
+    res = (
+        df.select(*cols)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, *order_list)
+        .mapInPandas(scan_partition, schema=out_schema)
+    )
     return res.select(
         id_col,
         key_col,
