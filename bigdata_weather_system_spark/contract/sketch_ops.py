@@ -746,16 +746,33 @@ def token_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-replayable and every value is hash-checked. At 100 TB the
     counter relation is still 2048 rows; only the token explode scans
     the corpus, and it partial-aggregates map-side."""
+    from pyspark import StorageLevel
+
     from ..operators.text import tokens
+    from .core import _spread
 
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
+    # One corpus tokenization instead of three: the previous shape
+    # re-evaluated the explode for the probe ranking, the CMS fan-out
+    # AND the exact counts (3 full scans of the heaviest stage, on one
+    # core off the single-file scan). Aggregate once to the
+    # (half, token, cnt) histogram — vocabulary-sized, not corpus-sized,
+    # so the within-invocation persist is bounded at any corpus scale
+    # (guide §5.2) — and derive all three consumers from it with
+    # weighted sums (identical counts: sum of per-(half,token) counts
+    # == count of underlying rows).
+    tok = _spread(d.select("doc_id", "text")).select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(tokens(F.col("text"))).alias("token"),
     )
+    hist = (
+        tok.groupBy("half", "token")
+        .agg(F.count(F.lit(1)).alias("hcnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     probes = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        hist.groupBy("token")
+        .agg(F.sum("hcnt").alias("c"))
         .orderBy(F.col("c").desc(), "token")
         .limit(10)
         .select("token")
@@ -767,11 +784,14 @@ def token_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 256
     )
-    fan = tok.crossJoin(F.broadcast(reps)).select(
-        "half", "r", col_for(F.col("r"), F.col("token")).alias("col")
+    fan = hist.crossJoin(F.broadcast(reps)).select(
+        "half",
+        "r",
+        col_for(F.col("r"), F.col("token")).alias("col"),
+        "hcnt",
     )
     counters = fan.groupBy("half", "r", "col").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("hcnt").alias("cnt")
     )
     halves = spark.range(2).select(F.col("id").alias("half"))
     probe_cells = (
@@ -790,9 +810,9 @@ def token_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     exact = (
-        tok.join(F.broadcast(probes), "token")
+        hist.join(F.broadcast(probes), "token")
         .groupBy("token", "half")
-        .agg(F.count(F.lit(1)).alias("exact"))
+        .agg(F.sum("hcnt").alias("exact"))
     )
     wide = (
         exact.join(est, ["token", "half"])

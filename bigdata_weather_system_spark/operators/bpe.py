@@ -26,11 +26,15 @@ from pyspark.sql import DataFrame, functions as F
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over lowercased whitespace tokens — the one
-    corpus-sized aggregation of BPE training."""
+    corpus-sized aggregation of BPE training. The tokenize+explode
+    front end is spread first (file-count-guarded): on a single-file
+    corpus it would otherwise run on one core (guide §2.5)."""
+    from .dedup import _spread
     from .text import tokens
 
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        _spread(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

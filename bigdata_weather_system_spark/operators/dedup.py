@@ -600,6 +600,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     hash_fn: str = "xxhash64",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, array of num_hashes minhash values).
 
@@ -615,10 +616,23 @@ def minhash_signatures(
 
     Documents with no shingles (shorter than n words) have no signature —
     they cannot near-dup by construction.
+
+    ``shingles_col``: derive the signature from an ALREADY-SHINGLED
+    relation (e.g. the ``shingle_sets`` output, or the materialized sets
+    parquet read back) instead of re-tokenizing ``text_col`` — the
+    shingle basis is identical (``word_shingles`` output), so the
+    signatures are bit-identical; only the redundant tokenize+shingle
+    pass is skipped (guide §5.2: compute shared subtrees once).
     """
-    exploded = _spread(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    )
+    if shingles_col is not None:
+        exploded = df.select(
+            F.col(id_col), F.explode(F.col(shingles_col)).alias("shingle")
+        )
+    else:
+        exploded = _spread(df).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
     if hash_fn == "md5":
         hashes = [
             _md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_h{i}")
@@ -1062,13 +1076,29 @@ def materialize_lsh_index(
     corpus×corpus batch job into an incremental ``incoming × candidates``
     lookup — the production shape for deduping a continuous crawl
     against a 100 TB corpus without ever rescanning it.
+
+    Round-8 shape: the corpus is tokenized+shingled ONCE — the sets
+    relation is written first and the signatures derive from the
+    written parquet read back (the job's own output within the same
+    invocation, the standard materialize-then-derive chain), instead of
+    two independent full shingle passes (guide §5.2). The band index is
+    repartitioned by ``band`` before the partitioned write so each band
+    directory gets coherent files instead of one sliver per upstream
+    task (guide §6.2 output sizing; shuffle parallelism keeps the write
+    parallel at scale). Signatures are bit-identical: the stored
+    ``shingles`` column IS the ``word_shingles`` output the previous
+    formulation exploded.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = lsh_band_keys(sigs, id_col, num_hashes, num_bands)
-    bands.write.mode("overwrite").partitionBy("band").parquet(index_path)
-    shingle_sets(df, id_col, text_col, n).write.mode("overwrite").parquet(
-        sets_path
+    sets = shingle_sets(df, id_col, text_col, n)
+    sets.write.mode("overwrite").parquet(sets_path)
+    stored = df.sparkSession.read.parquet(sets_path)
+    sigs = minhash_signatures(
+        stored, id_col, text_col, n, num_hashes, shingles_col="shingles"
     )
+    bands = lsh_band_keys(sigs, id_col, num_hashes, num_bands)
+    bands.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(index_path)
 
 
 def dedup_incoming(
@@ -1095,7 +1125,17 @@ def dedup_incoming(
     corpus: the corpus-side relations are scanned with the broadcast
     band/candidate filters applied, not rebuilt.
     """
-    sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes)
+    # The incoming batch is tokenized+shingled ONCE (round 8): sets
+    # first (persisted — the batch is small by the operator's contract),
+    # signatures derived from the shingle arrays (bit-identical basis).
+    from pyspark import StorageLevel
+
+    raw_sets = shingle_sets(new_docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(
+        raw_sets, id_col, text_col, n, num_hashes, shingles_col="shingles"
+    )
     new_bands = lsh_band_keys(
         sigs, id_col, num_hashes, num_bands, id_alias="new_id"
     )
@@ -1106,22 +1146,19 @@ def dedup_incoming(
         .distinct()
     )
     corpus_sets = spark.read.parquet(sets_path)
-    new_sets = shingle_sets(new_docs, id_col, text_col, n).select(
+    new_sets = raw_sets.select(
         F.col(id_col).alias("new_id"),
         F.col("shingles").alias("_sh_n"),
         F.col("set_size").alias("_sz_n"),
     )
-    paired = (
-        cands.join(F.broadcast(new_sets), "new_id")
-        .join(
-            corpus_sets.select(
-                F.col(id_col).alias("corpus_id"),
-                F.col("shingles").alias("_sh_c"),
-                F.col("set_size").alias("_sz_c"),
-            ),
-            "corpus_id",
-        )
-    )
+    # corpus_sets is the probe (big, streamed) side; the incoming
+    # candidates+sets relation is the explicit broadcast build side —
+    # the corpus never shuffles (guide §3.1).
+    paired = corpus_sets.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("shingles").alias("_sh_c"),
+        F.col("set_size").alias("_sz_c"),
+    ).join(F.broadcast(cands.join(F.broadcast(new_sets), "new_id")), "corpus_id")
     n_common = F.size(F.array_intersect("_sh_n", "_sh_c"))
     jac = F.round(
         n_common / (F.col("_sz_n") + F.col("_sz_c") - n_common), _ROUND_DIGITS

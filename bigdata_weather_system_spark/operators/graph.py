@@ -43,10 +43,24 @@ def cooccurrence_edges(
     chain whose separate ``distinct`` paid a full extra exchange of the
     incidence relation before grouping. Pairs are generated in-place
     from the sorted postings array (scalar elements, no struct boxing),
-    then one aggregation on the canonical pair computes weights."""
+    then one aggregation on the canonical pair computes weights.
+
+    Single-file inputs: a fact table that scans as fewer partitions
+    than the session has cores would run the scan + partial
+    ``collect_set`` phase on one core. For that case the narrow
+    (group, item) projection is hash-repartitioned BY THE GROUP KEY
+    first — the exchange the aggregation needs anyway, so the plan
+    still has exactly one shuffle to postings, but the set-building
+    aggregation runs after it in parallel instead of before it on a
+    single task. A many-file table passes through untouched (the same
+    file-count guard as ``dedup._spread``)."""
+    src = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < par:
+        src = src.repartition(par, "_g")
     postings = (
-        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
-        .groupBy("_g")
+        src.groupBy("_g")
         .agg(F.array_sort(F.collect_set("_i")).alias("_ps"))
         .filter(F.size("_ps") > 1)
     )

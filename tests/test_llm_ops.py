@@ -688,6 +688,36 @@ def test_incremental_dedup_against_materialized_index(spark, sf_dir, tmp_path):
     assert not any(k >= 2_000_000 for k in hit_by_new), "novel doc matched"
 
 
+def test_minhash_signatures_from_shingles_col_bit_identical(spark, sf_dir):
+    """The round-8 single-shingle-pass materialize path derives MinHash
+    signatures from the ``shingle_sets`` output (``shingles_col=``)
+    instead of re-tokenizing text — the signatures must be BIT-IDENTICAL
+    to the direct text path (same shingle basis, same hashes)."""
+    from bigdata_weather_system_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_sets,
+    )
+    from bigdata_weather_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(docs, "doc_id", "text", 3, 16).collect()
+    }
+    via_sets = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(
+            shingle_sets(docs, "doc_id", "text", 3),
+            "doc_id",
+            "text",
+            3,
+            16,
+            shingles_col="shingles",
+        ).collect()
+    }
+    assert direct == via_sets
+
+
 def test_containment_prefix_pairs_equal_inverted_index(docs, spark):
     """The containment prefix filter is EXACT — full (id_a, id_b,
     n_common, containment) output must be row-identical to the
