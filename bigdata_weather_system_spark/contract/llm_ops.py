@@ -3761,11 +3761,18 @@ def source_shingle_similarity(
     shingle) projection scans data, and pairwise estimation is
     source-count quadratic over 128-row inputs — the sketch-algebra
     shape that prices a 1000-source matrix at pennies."""
+    from ..operators.dedup import _spread
     from ..operators.text import word_shingles
 
     d = _t(spark, sf_dir, "documents")
+    # spread the tokenize+shingle explode so a single-file corpus does
+    # not serialize it on one core (guide §2.5). No persist on top: the
+    # distinct's Exchange is identical across all four consumers, so
+    # ReusedExchange already materializes the relation once — measured
+    # A/B showed a persist only adds serialization cost here
     src = (
-        d.select(
+        _spread(d.select("source", "text"))
+        .select(
             "source",
             F.explode(word_shingles(F.col("text"))).alias("shingle"),
         )
