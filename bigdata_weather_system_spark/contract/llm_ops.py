@@ -3373,20 +3373,27 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rank is a single window over DOC-level rows (bounded, one per
     document) — the token-level heavy lifting never sorts globally.
     """
+    from ..operators.dedup import _spread
     from ..operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    # spread the tokenize+md5 front end (single-file corpus, guide §2.5)
+    tok = _spread(docs.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     ).withColumn(
         "bucket",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % 256,
     )
-    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    # one (lang, bucket) histogram — ≤ #langs × 256 rows — feeds both
+    # LM count vectors, replacing two independent corpus tokenizations
+    # (the raw and en-filtered subtrees differ, so ReusedExchange cannot
+    # dedup them; the histogram counts are integer-identical, guide §5.2)
+    lb = tok.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    raw = lb.groupBy("bucket").agg(F.sum("c").alias("rc"))
     tgt = (
-        tok.where(F.col("lang") == "en")
+        lb.where(F.col("lang") == "en")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(F.sum("c").alias("tc"))
     )
     nt = tgt.agg(F.sum("tc").alias("nt"))
     nr = raw.agg(F.sum("rc").alias("nr"))
