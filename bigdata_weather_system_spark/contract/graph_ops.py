@@ -646,25 +646,57 @@ def part_edge_triangle_support(
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("o_lo"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("o_hi"),
     )
-    w1 = oriented.select(F.col("o_lo").alias("a"), F.col("o_hi").alias("b"))
-    w2 = oriented.select(F.col("o_lo").alias("a"), F.col("o_hi").alias("c"))
-    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    # wedge enumeration from a grouped adjacency list (same rewrite as
+    # triangle_stats): ONE exchange on the apex instead of the
+    # self-join's two shuffled+sorted sides; the sorted neighbor array
+    # yields each b < c pair directly.
+    adj = oriented.groupBy("o_lo").agg(
+        F.sort_array(F.collect_list("o_hi")).alias("_ns")
+    )
+    wedges = (
+        adj.select(
+            F.col("o_lo").alias("a"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ns"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ns"), i + F.lit(2), F.size("_ns")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("b"), y.alias("c")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_bc"),
+        )
+        .select("a", F.col("_bc.b").alias("b"), F.col("_bc.c").alias("c"))
+        .filter(F.col("b") < F.col("c"))
+    )
     closing = ce.select(
         F.col("lo").alias("b"), F.col("hi").alias("c")
     )
     tri = wedges.join(closing, ["b", "c"])
-    credits = (
-        tri.select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .unionAll(
-            tri.select(
-                F.least("a", "c").alias("u"),
-                F.greatest("a", "c").alias("v"),
+    # one explode per triangle row instead of a 3-way unionAll of
+    # projections — the union form re-evaluated the wedge+closing join
+    # once PER BRANCH (three times; only its exchanges were reused)
+    credits = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                ),
+                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
             )
-        )
-        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-    )
+        ).alias("_e")
+    ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
     support = credits.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )

@@ -175,12 +175,38 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-    ).cache()
-    w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    # wedges at the oriented apex (b != c once), closed by an edge b–c in
-    # EITHER canonical direction
-    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    )
+    # wedges at the oriented apex, enumerated from a grouped adjacency
+    # list instead of a self-join: ONE exchange (groupBy apex) replaces
+    # the join's two shuffled+sorted sides, and the sorted neighbor
+    # array yields each b < c pair directly (the strict `<` drops
+    # equal-value pairs exactly as the old join filter did). The
+    # per-apex array is out-degree-sized — bounded O(sqrt(m)) by the
+    # orientation, so collect_list never sees a hub-sized group.
+    adj = oriented.groupBy("lo").agg(
+        F.sort_array(F.collect_list("hi")).alias("_ns")
+    )
+    wedges = (
+        adj.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ns"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ns"), i + F.lit(2), F.size("_ns")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("b"), y.alias("c")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_bc")
+        )
+        .select(F.col("_bc.b").alias("b"), F.col("_bc.c").alias("c"))
+        .filter(F.col("b") < F.col("c"))
+    )
     closing = edges.select(
         F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
     )

@@ -43,6 +43,46 @@ def test_triangle_stats_counts_exactly(spark):
     assert row["global_clustering"] == pytest.approx(0.75)
 
 
+def test_triangle_stats_k4_grouped_adjacency_pairs(spark):
+    # K4: every apex's sorted neighbor array yields MULTIPLE b<c pairs
+    # (the round-8 grouped-adjacency rewrite enumerates wedges from the
+    # per-apex array instead of a self-join) — 4 triangles, and the
+    # degree-tied orientation must still count each exactly once
+    e = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    row = triangle_stats(e).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 4
+    # every degree is 3 → 4·3 = 12 wedges; clustering = 12/12
+    assert row["global_clustering"] == pytest.approx(1.0)
+
+
+def test_triangle_stats_wedge_enumeration_has_no_self_join(spark):
+    # the wedge stage is a groupBy(apex) + sorted-array explode, not a
+    # shuffled self-join of the oriented edges: the plan carries a
+    # Generate (explode) fed by a collect_list aggregate, and the only
+    # equi-joins left are the two degree joins + the closing-edge probe
+    # (3 — the wedge self-join would make it 4)
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    plan = triangle_stats(e)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Generate" in plan
+    assert "collect_list" in plan
+    import re
+
+    equi_joins = re.findall(
+        r"\b(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b"
+        r"[^\n]*\(\d+\)",
+        plan,
+    )
+    assert len(equi_joins) <= 3, equi_joins
+
+
 def test_triangle_stats_hub_graph_no_false_triangles(spark):
     # star graph: hub 1 with 4 leaves — many wedges, zero triangles
     e = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
