@@ -853,6 +853,18 @@ def main() -> None:
 
     sent_start = _time_sentinels()
 
+    # Driver-window mode (round-8 What's-wrong #2: the full best-of-2/3
+    # sweep stopped fitting a suspension-prone host's execution window —
+    # both r8 driver benches DNF'd on time). SPARK_GRAFT_BENCH_REPS=1
+    # times each query ONCE (and skips the disagreement third), roughly
+    # halving wall-clock so a complete rc=0 one-line artifact exists even
+    # on a slow host; the artifact records the deviation via "bench_reps".
+    # Default (2) keeps the committed best-of-2/3 methodology unchanged.
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    except ValueError:
+        reps = 2
+
     # Mid-run probes at the interior quartile boundaries (round-7 blind
     # spot: contamination persisting past the first quartile escaped the
     # fixed start-zone rule) — the suspect zone then follows the
@@ -880,12 +892,12 @@ def main() -> None:
         # the box was loaded during one of them — take a third. Report
         # the min (steady-state engine throughput for the plan).
         samples = []
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)
             assert rows is not None
-        if max(samples) > 1.3 * min(samples):
+        if reps > 1 and max(samples) > 1.3 * min(samples):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)
@@ -1035,6 +1047,12 @@ def main() -> None:
     }
     if load_suspect:
         out["load_suspect"] = True
+    if reps != 2:
+        # non-default repetition count: timings are single-shot (or
+        # deeper) rather than the standard best-of-2/3 — comparable in
+        # coverage, noisier (or tighter) per query
+        out["bench_reps"] = reps
+        full["bench_reps"] = reps
     if prev_round is not None:
         prev_total = round(sum(prev[k] for k in common), 4)
         for d in (out, full):
@@ -1099,7 +1117,10 @@ def main() -> None:
     # files are what previous_round_queries prefers). Only the canonical
     # sf0.1 run is archived — ad-hoc sf0.01 iteration must not overwrite
     # the round's snapshot.
-    if sfv == 0.1:
+    # Non-default reps runs are never archived as round baselines:
+    # single-shot timings would contaminate future regression comparisons
+    # that assume best-of-2/3 noise characteristics.
+    if sfv == 0.1 and reps == 2:
         arch = os.path.join(here, f"BENCHFULL_r{current_round()}.json")
         with open(arch, "w") as f:
             json.dump(full, f, indent=1)

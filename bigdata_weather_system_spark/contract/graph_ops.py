@@ -649,30 +649,27 @@ def part_edge_triangle_support(
     # wedge enumeration from a grouped adjacency list (same rewrite as
     # triangle_stats): ONE exchange on the apex instead of the
     # self-join's two shuffled+sorted sides; the sorted neighbor array
-    # yields each b < c pair directly.
+    # yields each b < c pair directly. Two chained generators
+    # (posexplode the b index, then explode the per-b tail slice) keep
+    # per-row memory O(out-deg) — the flatten form held all d(d-1)/2
+    # pair structs of an apex in ONE cell, a hub-sized value at extreme m
+    # even under the degree orientation's O(sqrt m) bound.
     adj = oriented.groupBy("o_lo").agg(
         F.sort_array(F.collect_list("o_hi")).alias("_ns")
     )
     wedges = (
         adj.select(
             F.col("o_lo").alias("a"),
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("_ns"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("_ns"), i + F.lit(2), F.size("_ns")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("b"), y.alias("c")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_bc"),
+            "_ns",
+            F.posexplode("_ns").alias("_i", "b"),
         )
-        .select("a", F.col("_bc.b").alias("b"), F.col("_bc.c").alias("c"))
+        .select(
+            "a",
+            "b",
+            F.explode(
+                F.slice("_ns", F.col("_i") + F.lit(2), F.size("_ns"))
+            ).alias("c"),
+        )
         .filter(F.col("b") < F.col("c"))
     )
     closing = ce.select(

@@ -947,29 +947,35 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = fabricate_warc_records(pages).select("warc")
     parsed = parse_warc_records(warc).filter(F.col("length_ok"))
     extracted = extract_html_text(parsed, html_col="payload").select(
-        F.col("doc_id_parsed").alias("doc_id"), "target_uri", "text_clean"
+        F.col("doc_id_parsed").alias("doc_id"), "text_clean"
     )
 
-    # 2. canonical URL/domain of the URI that traveled in the record.
-    #    First materialization barrier: the robots rule build, the
-    #    decision join, and the cap window all re-read this relation —
-    #    without the barrier the fabricate→WARC→extract front end
-    #    re-evaluates per consumer (a 100 TB run materializes its
-    #    extracted crawl exactly here; deterministic lineage, so purely
-    #    a cost barrier). Freed by bench's per-query clearCache.
-    canon = canonicalize_urls(extracted, url_col="target_uri").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # 2. the DECISION side (robots + per-domain cap + funnel counts)
+    #    needs only (doc_id, domain, path, lang, source) — guide §8:
+    #    decide with small rows, attach the heavy payload once. The WARC
+    #    round-trip is lossless (Content-Length gates it; the oracle's
+    #    canon CTE is likewise built from the raw fabricated URL), so
+    #    canonicalizing the PRE-WARC url relation is the exact replay of
+    #    canonicalizing each record's target_uri — and the heavy
+    #    fabricate→WARC→regex-extract chain drops out of the decision
+    #    plan entirely. Before this restructure the extracted text rode
+    #    through a persist barrier, the robots broadcast build, and the
+    #    cap window's exchange.
+    urlmeta = canonicalize_urls(
+        fabricate_doc_urls(spread.select("doc_id", "source")),
+        url_col="raw_url",
+    ).select("doc_id", "domain", "path")
 
-    # 3. robots longest-prefix decision (broadcast rule table)
-    rules = fabricate_robots_rules(canon.select("domain").distinct())
-    rm = robots_match(canon.select("doc_id", "domain", "path"), rules)
+    # 3. robots longest-prefix decision (broadcast rule table; the
+    #    domain build now scans the narrow url relation, not the crawl)
+    rules = fabricate_robots_rules(urlmeta.select("domain").distinct())
+    rm = robots_match(urlmeta, rules)
 
     # 4. per-domain cap among the allowed docs: rank within
-    #    (domain, allowed) so the survivor rank counts allowed rows only
+    #    (domain, allowed) so the survivor rank counts allowed rows only.
+    #    Narrow rows only — no text in the window exchange.
     ranked = (
-        canon.select("doc_id", "domain", "text_clean")
-        .join(rm.select("doc_id", "allowed"), "doc_id")
+        rm.select("doc_id", "domain", "allowed")
         .join(meta, "doc_id")
         .withColumn(
             "rk",
@@ -980,7 +986,7 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # second fan-out: funnel counts + the survivor corpus both read it
+    # fan-out barrier: funnel counts + the survivor corpus both read it
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     survivor = F.col("allowed") & (F.col("rk") <= 8)
     stage_counts = ranked.groupBy("lang").agg(
@@ -988,7 +994,13 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
         F.sum(survivor.cast("long")).alias("n_survivors"),
     )
-    surv = ranked.filter(survivor).select(
+    # attach the extracted text to the (domain-capped, robots-allowed)
+    # survivor ids ONLY: broadcast the small id side so the corpus-sized
+    # extract chain is never shuffled — it is evaluated exactly once,
+    # fused into the final job.
+    surv = F.broadcast(
+        ranked.filter(survivor).select("doc_id", "lang", "source")
+    ).join(extracted, "doc_id").select(
         "doc_id", "lang", "source", "text_clean"
     )
 

@@ -155,8 +155,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     once — and out-degrees are bounded by O(sqrt(m)) on any graph,
     which is what keeps the wedge join from exploding on hubs.
     """
-    # the (possibly expensive) edge-build pipeline feeds FOUR consumers —
-    # degree agg, both wedge sides, and the closing-edge probe — so pin it
+    # the (possibly expensive) edge-build pipeline feeds THREE consumers —
+    # degree agg, adjacency groupBy, and the closing-edge probe — so pin it
     # in memory once instead of re-evaluating the upstream per consumer
     edges = edges.select("src", "dst").cache()
     deg = (
@@ -183,28 +183,25 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # equal-value pairs exactly as the old join filter did). The
     # per-apex array is out-degree-sized — bounded O(sqrt(m)) by the
     # orientation, so collect_list never sees a hub-sized group.
+    # Pair generation is TWO chained generators (posexplode the b index,
+    # then explode the per-b tail slice) rather than flattening all
+    # d(d-1)/2 pair structs into one row value first: rows stream out of
+    # each generator, so per-row memory stays O(out-deg) even on the
+    # maximal O(sqrt m)-degree apex — the flatten form held the whole
+    # pair array (~m/2 structs worst case) in a single cell.
     adj = oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list("hi")).alias("_ns")
     )
     wedges = (
         adj.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("_ns"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("_ns"), i + F.lit(2), F.size("_ns")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("b"), y.alias("c")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_bc")
+            "_ns", F.posexplode("_ns").alias("_i", "b")
         )
-        .select(F.col("_bc.b").alias("b"), F.col("_bc.c").alias("c"))
+        .select(
+            "b",
+            F.explode(
+                F.slice("_ns", F.col("_i") + F.lit(2), F.size("_ns"))
+            ).alias("c"),
+        )
         .filter(F.col("b") < F.col("c"))
     )
     closing = edges.select(

@@ -30,6 +30,25 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .similarity import _spread
 
+
+def _fan_out(ids: DataFrame, heavy: bool) -> DataFrame:
+    """Partitioning of the fabricate front end, per codec weight.
+
+    Heavy codecs (PNG deflate, JPEG DCT+Huffman, AVI per-frame MJPEG, and
+    RAW whose downstream decode chains — ahash/motion/features — do real
+    per-pixel work off the fabricated partitioning) win by spreading a
+    single-file id scan across cores before the Arrow stage. Small-blob
+    codecs (~1–15 KB PCM/WAV/ADPCM/MPA/MPV/GIF/BMP) must NOT spread: the
+    repartition exchange plus a full-width Python worker fan-out costs more
+    than the fabrication itself (r8 in-sweep 1.4–7.8× regressions; r9
+    paired probes, e.g. media_pcm_resample 1.86→0.89 s), and waking every
+    worker simultaneously for trivial work is a host-memory spike at high
+    core counts. At real scale the id scan already yields many partitions
+    and ``_spread`` passes through either way.
+    """
+    return _spread(ids) if heavy else ids
+
+
 #: Typed metadata carried alongside every media blob.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -430,7 +449,7 @@ def fabricate_mpa_media(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append({"media_id": mid, "content": encode_mpa(xs)})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -585,7 +604,7 @@ def fabricate_raw_media(df: DataFrame, id_col: str, video: bool = False) -> Data
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=True).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -811,7 +830,7 @@ def fabricate_pcm_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1228,7 +1247,7 @@ def fabricate_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1364,7 +1383,7 @@ def fabricate_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -1639,7 +1658,7 @@ def fabricate_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=True).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2121,7 +2140,7 @@ def fabricate_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=True).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2332,7 +2351,7 @@ def fabricate_avi_media(
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=True).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2585,7 +2604,7 @@ def fabricate_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -2942,7 +2961,7 @@ def fabricate_gif_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(
@@ -3169,7 +3188,7 @@ def fabricate_mpv_media(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    fabricated = _spread(df.select(F.col(id_col))).mapInPandas(
+    fabricated = _fan_out(df.select(F.col(id_col)), heavy=False).mapInPandas(
         batches, schema="media_id long, content binary"
     )
     return fabricated.select(

@@ -1063,10 +1063,14 @@ def cosine_topk_pq(
         [(i, r.query_id, float(r._qn)) for i, r in enumerate(qrows)],
         "qidx int, query_id long, _qn double",
     )
+    # ADC + candidate ranking run on NARROW rows (ids, norms, scores):
+    # carrying the raw vector through the n_q-way posexplode and the
+    # rank exchange multiplied every corpus array n_q× through the
+    # map-side top-n sort (guide §2.3/§8 — decide on a lightweight
+    # proxy, re-attach the payload once).
     scored = (
         enc.select(
             "neighbor_id",
-            "_cvec",
             "_cn",
             F.posexplode(adc(F.col("codes"))).alias("qidx", "_adc"),
         )
@@ -1075,7 +1079,6 @@ def cosine_topk_pq(
         .select(
             "query_id",
             "neighbor_id",
-            "_cvec",
             "_cn",
             "_qn",
             (F.col("_adc") / (F.col("_qn") * F.col("_cn"))).alias("_approx"),
@@ -1091,13 +1094,24 @@ def cosine_topk_pq(
         [(r.query_id, [float(x) for x in r._qvec]) for r in qrows],
         f"query_id long, _qvec array<double>",
     )
-    exact = cand.join(F.broadcast(qvecs), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
-            round_digits,
-        ).alias("cosine_sim"),
+    # exact rerank re-attaches the raw corpus vectors to the tiny
+    # candidate set: the corpus scan joins against the BROADCAST
+    # candidates, so the heavy arrays never shuffle at all.
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    exact = (
+        cvecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
     )
     return top_n_per_key(
         exact,
@@ -1198,10 +1212,12 @@ def cosine_topk_ivf_pq(
     pairs = enc.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # Narrow candidate ranking + broadcast-rejoin rerank, exactly as in
+    # ``cosine_topk_pq``: the raw corpus vector stays out of the probe
+    # join and the rank exchange.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        "_cvec",
         "_cn",
         "_qn",
         (
@@ -1219,13 +1235,21 @@ def cosine_topk_ivf_pq(
         [(r.query_id, [float(x) for x in r._qvec]) for r in qrows],
         "query_id long, _qvec array<double>",
     )
-    exact = cand.join(F.broadcast(qvecs), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
-            round_digits,
-        ).alias("cosine_sim"),
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    exact = (
+        cvecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
     )
     return top_n_per_key(
         exact,

@@ -105,42 +105,83 @@ def next_greater_unbounded(
         This replaces the per-key ``applyInPandas`` form whose dominant
         cost at high key cardinality was one pandas-frame construction
         per key (guide §4.5: amortize per-task, not per-group — 1.5k
-        frames → #partitions frames on the bench data, same output)."""
+        frames → #partitions frames on the bench data, same output).
+
+        The stack is CARRIED ACROSS Arrow batches instead of
+        pd.concat-ing the whole partition into one frame: between
+        batches only the UNRESOLVED rows (a non-increasing value run of
+        the current key) are held, so a skewed key at 100 TB costs
+        worst-case the run length, never the partition (guide §5).
+        Each row is still pushed/popped at most once — O(rows)
+        amortized. Resolved rows stream out per batch; row ORDER within
+        the partition output differs from input order, which the
+        relational result does not observe."""
         import numpy as np
         import pandas as pd
 
-        frames = [pdf for pdf in it if len(pdf)]
-        if not frames:
-            return
-        pdf = (
-            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        )
-        vals = pdf[value_col].to_numpy(dtype=float)
-        ids = pdf[id_col].to_numpy()
-        keys = pdf[key_col].to_numpy()
-        n = len(pdf)
-        nxt = np.full(n, -1, dtype=np.int64)
-        stack: list = []  # indices with no next-greater found yet
+        s_ids: list = []   # unresolved rows: id
+        s_vals: list = []  # unresolved rows: value (non-increasing run)
+        s_pos: list = []   # unresolved rows: ordinal within key segment
         seg_key = None
-        for j in range(n):
-            kj = keys[j]
-            if kj != seg_key:
-                stack.clear()  # new key segment: lookahead never crosses keys
-                seg_key = kj
-            vj = vals[j]
-            while stack and vals[stack[-1]] < vj:
-                nxt[stack.pop()] = j
-            stack.append(j)
-        has = nxt >= 0
-        yield pd.DataFrame(
-            {
-                id_col: ids,
-                key_col: keys,
-                value_col: vals,
-                "next_id": np.where(has, ids[np.maximum(nxt, 0)], -1),
-                "steps_ahead": np.where(has, nxt - np.arange(n), -1),
-            }
-        )
+        pos = 0            # next ordinal within the current key segment
+
+        def frame(o):
+            return pd.DataFrame(
+                {
+                    id_col: np.asarray(o[0], dtype=np.int64),
+                    key_col: np.asarray(o[1], dtype=np.int64),
+                    value_col: np.asarray(o[2], dtype=float),
+                    "next_id": np.asarray(o[3], dtype=np.int64),
+                    "steps_ahead": np.asarray(o[4], dtype=np.int64),
+                }
+            )
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vals = pdf[value_col].to_numpy(dtype=float)
+            ids = pdf[id_col].to_numpy()
+            keys = pdf[key_col].to_numpy()
+            o = ([], [], [], [], [])  # ids, keys, vals, next_id, steps
+            for j in range(len(pdf)):
+                kj = keys[j]
+                if kj != seg_key:
+                    # key boundary: lookahead never crosses keys — the
+                    # remaining run has no next-greater
+                    while s_ids:
+                        o[0].append(s_ids.pop())
+                        o[1].append(seg_key)
+                        o[2].append(s_vals.pop())
+                        o[3].append(-1)
+                        o[4].append(-1)
+                    s_pos.clear()
+                    seg_key = kj
+                    pos = 0
+                vj = vals[j]
+                while s_vals and s_vals[-1] < vj:
+                    o[0].append(s_ids.pop())
+                    o[1].append(kj)
+                    o[2].append(s_vals.pop())
+                    o[3].append(ids[j])
+                    o[4].append(pos - s_pos.pop())
+                s_ids.append(ids[j])
+                s_vals.append(vj)
+                s_pos.append(pos)
+                pos += 1
+            if o[0]:
+                yield frame(o)
+        if s_ids:
+            # end of partition: the final run has no next-greater
+            n_left = len(s_ids)
+            yield frame(
+                (
+                    s_ids,
+                    [seg_key] * n_left,
+                    s_vals,
+                    [-1] * n_left,
+                    [-1] * n_left,
+                )
+            )
 
     cols: list[str] = []
     for c in [id_col, key_col, value_col, *order_list]:

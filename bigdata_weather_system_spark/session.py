@@ -76,6 +76,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound what ONE Arrow batch may carry into a Python worker. The
+        # default is 2 GiB; with the 10k-row default batch of multi-KB
+        # binary blobs, every concurrent worker can hold ~1 GB on both
+        # sides of the boundary — at local[32] that is a host-memory
+        # spike (guide §4.2/§7.4 "Python worker exited unexpectedly").
+        # 64 MiB keeps worker RSS bounded at no measurable bench cost;
+        # override via env for cluster profiles.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get(
+                "SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024)
+            ),
+        )
+        # A crashed worker reports its Python traceback instead of a bare
+        # "exited unexpectedly" (guide §7.4); negligible steady-state cost.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         # Python Data Source filter pushdown (sources/weather_sim.py) —
         # off by default in Spark 4.1; harmless when no Python source is used
         .config("spark.sql.python.filterPushdown.enabled", "true")

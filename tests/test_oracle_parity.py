@@ -19,6 +19,13 @@ from bigdata_weather_system_spark.schemas import TESTDATA_TABLES
 
 from conftest import TEST_SF_DIR
 
+# Driver-window verification tier: this module is part of `-m smoke`
+# (contract/parity/freshness/plan gates, target < 5 min) so a complete
+# tests_ok artifact exists even when the full suite does not fit the
+# driver's execution window.
+pytestmark = pytest.mark.smoke
+
+
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

@@ -12,6 +12,13 @@ import pytest
 
 from bigdata_weather_system_spark import contract
 
+# Driver-window verification tier: this module is part of `-m smoke`
+# (contract/parity/freshness/plan gates, target < 5 min) so a complete
+# tests_ok artifact exists even when the full suite does not fit the
+# driver's execution window.
+pytestmark = pytest.mark.smoke
+
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -137,6 +137,51 @@ def test_next_greater_unbounded_matches_brute_force(spark):
     assert got[31] == (32, 1)
 
 
+def test_next_greater_unbounded_stack_carries_across_arrow_batches(spark):
+    """The per-partition stack scan streams Arrow batches with a carried
+    stack (round-9: replaced whole-partition pd.concat). Force 2-row
+    batches so every scenario—resolution across a batch boundary, a key
+    boundary inside a batch, an unresolved run spanning batches—actually
+    crosses batches, and pin the exact output."""
+    from bigdata_weather_system_spark.operators.windows import (
+        next_greater_unbounded,
+    )
+
+    rows = [
+        # user 1: long descending run (stays on the stack across many
+        # batches) resolved by a single late spike, then a tail null
+        (10, 1, 100, 9.0), (11, 1, 200, 8.0), (12, 1, 300, 7.0),
+        (13, 1, 400, 6.0), (14, 1, 500, 5.0), (15, 1, 600, 10.0),
+        (16, 1, 700, 1.0),
+        # user 2 starts mid-batch after user 1's tail
+        (20, 2, 100, 2.0), (21, 2, 200, 2.0), (22, 2, 300, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        got = {
+            r["event_id"]: (r["next_id"], r["steps_ahead"])
+            for r in next_greater_unbounded(
+                df, key_col="user_id", order_cols=["ts", "event_id"],
+                value_col="value", id_col="event_id",
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == {
+        10: (15, 5), 11: (15, 4), 12: (15, 3), 13: (15, 2), 14: (15, 1),
+        15: (None, None), 16: (None, None),
+        20: (22, 2), 21: (22, 1), 22: (None, None),
+    }
+
+
 def test_growth_accounting_identity_holds(spark):
     from bigdata_weather_system_spark.contract.analytics_ext import (
         weekly_growth_accounting,

@@ -1,11 +1,11 @@
-"""Round-8 optimization probe: isolated timing + plan capture per query.
+"""Optimization probe: isolated timing + plan capture per query.
 
 Usage:
     python tools/opt_probe.py [--tag before|after] [--sf-dir DIR] name [name...]
 
 For each query: warms the tables once, then times the bench action
 (``toPandas()``, identical to bench.py) best-of-3 and the noop-sink action
-(guide §1.4) best-of-3, and writes ``plans/r08/<name>_<tag>.txt`` with the
+(guide §1.4) best-of-3, and writes ``plans/r<N>/<name>_<tag>.txt`` (--round, default 9) with the
 ``explain('formatted')`` output. Prints one JSON line per query.
 """
 
@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--tag", default=None, help="plan file suffix (before/after); no plan written if omitted")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--round", type=int, default=9)
     ap.add_argument("--no-noop", action="store_true")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
@@ -49,7 +50,7 @@ def main() -> None:
 
     spark.range(1000).select(_noop("id")).collect()
 
-    plan_dir = os.path.join(_REPO, "plans", "r08")
+    plan_dir = os.path.join(_REPO, "plans", f"r{args.round:02d}")
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.names:
