@@ -646,39 +646,46 @@ def part_edge_triangle_support(
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("o_lo"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("o_hi"),
     )
-    # wedge enumeration from a grouped adjacency list (same rewrite as
-    # triangle_stats): ONE exchange on the apex instead of the
-    # self-join's two shuffled+sorted sides; the sorted neighbor array
-    # yields each b < c pair directly. Two chained generators
-    # (posexplode the b index, then explode the per-b tail slice) keep
-    # per-row memory O(out-deg) — the flatten form held all d(d-1)/2
-    # pair structs of an apex in ONE cell, a hub-sized value at extreme m
-    # even under the degree orientation's O(sqrt m) bound.
+    # Oriented edge-iterator triangle enumeration (round 9, same rewrite
+    # as triangle_stats): in the degree orientation every triangle
+    # a→b, a→c, b→c surfaces EXACTLY once at its apex edge (a, b) as a
+    # member c of N⁺(a) ∩ N⁺(b) — both out-lists O(sqrt m)-bounded.
+    # One groupBy-apex exchange, two broadcast lookups, one
+    # ``array_intersect`` + explode per oriented edge; no wedge-pair
+    # rows are ever materialized and the closing-edge join disappears
+    # (the intersection IS the closing test). At extreme m drop the
+    # broadcast hints (adjacency totals m entries, the same order as
+    # the closing relation the previous form broadcast) and AQE picks
+    # the co-partitioned shuffle join.
+    # cached: both broadcast lookups read it and their subtrees differ,
+    # so ReusedExchange cannot dedup the double evaluation
     adj = oriented.groupBy("o_lo").agg(
         F.sort_array(F.collect_list("o_hi")).alias("_ns")
-    )
-    wedges = (
-        adj.select(
-            F.col("o_lo").alias("a"),
-            "_ns",
-            F.posexplode("_ns").alias("_i", "b"),
+    ).cache()
+    tri = (
+        oriented.join(
+            F.broadcast(adj.withColumnRenamed("_ns", "_nu")), "o_lo"
+        )
+        .join(
+            F.broadcast(
+                adj.select(
+                    F.col("o_lo").alias("o_hi"), F.col("_ns").alias("_nv")
+                )
+            ),
+            "o_hi",
         )
         .select(
-            "a",
-            "b",
-            F.explode(
-                F.slice("_ns", F.col("_i") + F.lit(2), F.size("_ns"))
-            ).alias("c"),
+            F.col("o_lo").alias("a"),
+            F.col("o_hi").alias("b"),
+            F.explode(F.array_intersect("_nu", "_nv")).alias("c"),
         )
-        .filter(F.col("b") < F.col("c"))
     )
-    closing = ce.select(
-        F.col("lo").alias("b"), F.col("hi").alias("c")
-    )
-    tri = wedges.join(closing, ["b", "c"])
     # one explode per triangle row instead of a 3-way unionAll of
-    # projections — the union form re-evaluated the wedge+closing join
-    # once PER BRANCH (three times; only its exchanges were reused)
+    # projections — the union form re-evaluated the triangle relation
+    # once PER BRANCH (three times; only its exchanges were reused).
+    # All three credits canonicalize via least/greatest: unlike the old
+    # sorted wedge pairs, (b, c) here is ordered by the DAG orientation,
+    # not by value.
     credits = tri.select(
         F.explode(
             F.array(
@@ -690,7 +697,10 @@ def part_edge_triangle_support(
                     F.least("a", "c").alias("u"),
                     F.greatest("a", "c").alias("v"),
                 ),
-                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                F.struct(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                ),
             )
         ).alias("_e")
     ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))

@@ -149,11 +149,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     and the global clustering coefficient 3·triangles / wedges.
 
     Orientation: every undirected edge is directed from its
-    (degree, id)-smaller endpoint to the larger. Each triangle then has
-    exactly one node with two out-edges (the smallest endpoint), so
-    joining out-edge pairs against the closing edge counts each triangle
-    once — and out-degrees are bounded by O(sqrt(m)) on any graph,
-    which is what keeps the wedge join from exploding on hubs.
+    (degree, id)-smaller endpoint to the larger. Each triangle a→b,
+    a→c, b→c then surfaces exactly once, at its apex edge (a, b), as a
+    common element of the two out-neighbor sets — and out-degrees are
+    bounded by O(sqrt(m)) on any graph, which is what keeps the
+    per-edge intersection from exploding on hubs.
     """
     # the (possibly expensive) edge-build pipeline feeds THREE consumers —
     # degree agg, adjacency groupBy, and the closing-edge probe — so pin it
@@ -176,43 +176,45 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
     )
-    # wedges at the oriented apex, enumerated from a grouped adjacency
-    # list instead of a self-join: ONE exchange (groupBy apex) replaces
-    # the join's two shuffled+sorted sides, and the sorted neighbor
-    # array yields each b < c pair directly (the strict `<` drops
-    # equal-value pairs exactly as the old join filter did). The
-    # per-apex array is out-degree-sized — bounded O(sqrt(m)) by the
-    # orientation, so collect_list never sees a hub-sized group.
-    # Pair generation is TWO chained generators (posexplode the b index,
-    # then explode the per-b tail slice) rather than flattening all
-    # d(d-1)/2 pair structs into one row value first: rows stream out of
-    # each generator, so per-row memory stays O(out-deg) even on the
-    # maximal O(sqrt m)-degree apex — the flatten form held the whole
-    # pair array (~m/2 structs worst case) in a single cell.
+    # Oriented edge-iterator triangle count (round 9; replaces wedge
+    # enumeration): in the (degree, id) DAG orientation every triangle
+    # a→b, a→c, b→c is counted EXACTLY once, at its apex edge (a, b),
+    # as |N⁺(a) ∩ N⁺(b)| — both out-neighbor lists, both O(sqrt m)-
+    # bounded. One groupBy-apex exchange builds the adjacency, then the
+    # m oriented edges stream through two hash-join lookups and one
+    # codegen ``array_intersect`` per edge: the same Σ out-deg² element
+    # work as before, but WITHOUT materializing the wedge pairs as rows
+    # (sf0.1: ~36M generated wedge rows probing a 1.2M-entry join for
+    # 1.9M triangles). The broadcast of the adjacency totals m array
+    # entries — the same order as the closing-edge relation the wedge
+    # form broadcast; at extreme m drop the hint and AQE picks the
+    # co-partitioned shuffle join on the edge endpoint instead.
+    # cached: BOTH broadcast lookups below read this relation, and the
+    # two subtrees differ (lo vs hi key) so ReusedExchange cannot dedup
+    # them — without the pin the orientation pipeline evaluates twice
     adj = oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list("hi")).alias("_ns")
-    )
-    wedges = (
-        adj.select(
-            "_ns", F.posexplode("_ns").alias("_i", "b")
+    ).cache()
+    # a 1-row aggregate CROSS-JOINED to the summary (broadcast, 1×1) so
+    # building this DataFrame runs NO job; coalesce keeps the edgeless-
+    # graph result 0, as the old count(*) form returned
+    tri = (
+        oriented.join(
+            F.broadcast(adj.withColumnRenamed("_ns", "_nu")), "lo"
         )
-        .select(
-            "b",
-            F.explode(
-                F.slice("_ns", F.col("_i") + F.lit(2), F.size("_ns"))
-            ).alias("c"),
+        .join(
+            F.broadcast(
+                adj.select(
+                    F.col("lo").alias("hi"), F.col("_ns").alias("_nv")
+                )
+            ),
+            "hi",
         )
-        .filter(F.col("b") < F.col("c"))
-    )
-    closing = edges.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
-    )
-    # the triangle total is a 1-row aggregate CROSS-JOINED to the summary
-    # (broadcast, 1×1) so building this DataFrame runs NO job — an eager
-    # .count() here would execute the wedge join during query
-    # construction and re-run it on every re-invocation
-    tri = wedges.join(closing, ["b", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("_nu", "_nv"))), F.lit(0)
+            ).alias("n_triangles")
+        )
     )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

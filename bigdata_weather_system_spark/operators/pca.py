@@ -91,57 +91,45 @@ def power_iteration_top_component(
     embedding column, sign-normalized, loadings and eigenvalue rounded
     to 4.
 
-    The recurrence references each round's matvec twice (normalization
-    + the next step), so a purely lazy formulation doubles the logical
-    plan per round — 2^rounds subtrees by round 8, which stalls Catalyst
-    long before execution. Like the ALS half-steps
-    (operators/recommend.py:130), each round's d-row vector is
-    ``localCheckpoint(eager=True)``-ed: the iteration is inherently
-    sequential, the per-round job touches 64 rows, and the heavy
-    covariance pass is cached once and reused by every round.
+    The one corpus-scale pass (the covariance moments) stays
+    distributed; the power rounds themselves run DRIVER-SIDE on the
+    collected matrix since round 9: C is d² rows REGARDLESS of corpus
+    size — bounded model state, the same big-data/small-model split as
+    the markov bounded-matrix fold (contract/attribution_ops.py) and
+    the ALS codebook collects. The previous form ran each of the 8
+    rounds as its own eager ``localCheckpoint`` Spark job over a 64-row
+    relation — ~10 sequential jobs of pure stage latency (measured
+    ~6 s isolated at sf0.1, dominated by the round jobs, not the
+    covariance pass). Ordering/rounding: every accumulation here sums
+    in a fixed index order and final rounding stays IN-ENGINE
+    (``F.round`` on the returned relation) so HALF_UP double rounding
+    is identical to the previous plan; covariance entries are rounded
+    to 9 decimals before either engine iterates, exactly as before.
     """
-    cov = covariance_relation(emb, vec_col, dim).cache()
-    v = (
-        emb.sparkSession.range(dim)
-        .select(F.col("id").cast("int").alias("i"), F.lit(1.0 / dim**0.5).alias("v"))
-    )
+    import numpy as np
+
+    cov = covariance_relation(emb, vec_col, dim)
+    C = np.zeros((dim, dim), dtype=np.float64)
+    for r in cov.collect():
+        C[r["i"], r["j"]] = r["c"]
+    v = np.full(dim, 1.0 / dim**0.5, dtype=np.float64)
     for _ in range(iterations):
-        mv = (
-            cov.join(v.select(F.col("i").alias("j"), "v"), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("mv"))
-        )
-        nrm = mv.agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("s"))
-        v = (
-            mv.crossJoin(F.broadcast(nrm))
-            .select("i", (F.col("mv") / F.col("s")).alias("v"))
-            .localCheckpoint(eager=True)
-        )
+        mv = C @ v
+        v = mv / np.sqrt(float((mv * mv).sum()))
     # Rayleigh quotient: lambda = v' C v  (||v|| = 1 after the last step)
-    cv = (
-        cov.join(v.select(F.col("i").alias("j"), "v"), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("c") * F.col("v")).alias("mv"))
-    )
-    lam = (
-        cv.join(v, "i")
-        .agg(F.sum(F.col("mv") * F.col("v")).alias("lam"))
-    )
+    cv = C @ v
+    lam = float((cv * v).sum())
     # sign convention: the largest-|loading| coordinate is positive
-    sgn = v.select(
-        F.when(
-            F.max_by(F.col("v"), F.struct(F.abs(F.col("v")), -F.col("i"))) < 0,
-            F.lit(-1.0),
-        )
-        .otherwise(F.lit(1.0))
-        .alias("sgn")
+    # (ties broken toward the smaller index, as the previous
+    # max_by(struct(|v|, -i)) did)
+    top = max(range(dim), key=lambda i: (abs(float(v[i])), -i))
+    sgn = -1.0 if float(v[top]) < 0 else 1.0
+    out = emb.sparkSession.createDataFrame(
+        [(int(i), float(v[i] * sgn), lam) for i in range(dim)],
+        "dim_idx int, _v double, _lam double",
     )
-    return (
-        v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam))
-        .select(
-            F.col("i").alias("dim_idx"),
-            F.round(F.col("v") * F.col("sgn"), 4).alias("loading"),
-            F.round(F.col("lam"), 4).alias("eigenvalue"),
-        )
+    return out.select(
+        "dim_idx",
+        F.round(F.col("_v"), 4).alias("loading"),
+        F.round(F.col("_lam"), 4).alias("eigenvalue"),
     )
